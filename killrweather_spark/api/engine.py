@@ -1,0 +1,152 @@
+"""WeatherEngine — the reference's Akka request protocol as a Python API.
+
+Reference: ``killrweather-core/.../WeatherEvent.scala:36-59`` declares the
+request messages; the actors (``TemperatureActor``, ``PrecipitationActor``,
+``WeatherStationActor``) are the handlers; the demo client
+(``KillrWeatherClientApp.scala:93-127``) drives them.  Here each request is a
+method returning a DataFrame — the Akka remoting/actor-routing layer has no
+Spark-side equivalent and is intentionally dropped (Structured-Streaming
+queries and SparkSession are already concurrent and addressable).
+
+The ``NoDataAvailable`` sentinel (``Weather.scala:118``) becomes an empty
+DataFrame: callers check ``.isEmpty()``.
+
+Tier write-back: the reference computes the daily temperature aggregate on
+demand and writes it back to ``daily_aggregate_temperature``
+(``TemperatureActor.scala:76-77,90``); the monthly query then *reads that
+table* (``TemperatureActor.scala:65-69``).  ``WeatherEngine`` reproduces the
+load-bearing dependency with materialized tier tables (parquet paths or temp
+views) refreshed by :meth:`refresh_daily_tiers`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from killrweather_spark.operators.aggregates import (
+    annual_sum,
+    daily_stats,
+    daily_sum,
+    monthly_hilow,
+    top_k_values,
+)
+from killrweather_spark.operators.lookups import latest_row, point_lookup
+
+DAY_KEYS = ["wsid", "year", "month", "day"]
+
+
+class WeatherEngine:
+    """On-demand query surface over the raw/daily/monthly weather tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        raw: DataFrame,
+        stations: DataFrame | None = None,
+        daily_temperature_path: str | None = None,
+    ):
+        self.spark = spark
+        self.raw = raw
+        self.stations = stations
+        self._daily_temp: DataFrame | None = None
+        self._daily_precip: DataFrame | None = None
+
+    # -- tier materialization (the reference's write-back, batch form) ------
+    def refresh_daily_tiers(self, cache: bool = True) -> None:
+        """Compute daily temperature + precip tiers once; later queries read
+        these (A2/A3/A5 read the daily tier, not raw — the reference's tiered
+        rollup, README.md:146-148)."""
+        self._daily_temp = daily_stats(self.raw, DAY_KEYS, "temperature")
+        self._daily_precip = daily_sum(
+            self.raw, DAY_KEYS, "one_hour_precip", out="precipitation"
+        )
+        if cache:
+            self._daily_temp = self._daily_temp.cache()
+            self._daily_precip = self._daily_precip.cache()
+
+    @property
+    def daily_temperature_table(self) -> DataFrame:
+        if self._daily_temp is None:
+            self.refresh_daily_tiers()
+        return self._daily_temp
+
+    @property
+    def daily_precip_table(self) -> DataFrame:
+        if self._daily_precip is None:
+            self.refresh_daily_tiers()
+        return self._daily_precip
+
+    # -- §2.11 request surface ---------------------------------------------
+    def get_weather_station(self, wsid: str) -> DataFrame:
+        """GetWeatherStation (WeatherStationActor.scala:55-58)."""
+        if self.stations is None:
+            raise ValueError("no station dimension configured")
+        return point_lookup(self.stations, {"id": wsid}).limit(1)
+
+    def get_current_weather(
+        self, wsid: str, year: int | None = None, month: int | None = None,
+        day: int | None = None,
+    ) -> DataFrame:
+        """GetCurrentWeather (WeatherStationActor.scala:43-48): latest raw row
+        for station (+ optional day).  Global limit(1) replaces the
+        reference's per-node-LIMIT workaround (P7)."""
+        key: dict[str, object] = {"wsid": wsid}
+        if year is not None:
+            key.update({"year": year, "month": month, "day": day})
+        return latest_row(self.raw, key, ["year", "month", "day", "hour"])
+
+    def get_daily_temperature(
+        self, wsid: str, year: int, month: int, day: int
+    ) -> DataFrame:
+        """GetDailyTemperature → A1 (TemperatureActor.scala:55-60).
+
+        Computed from raw for the requested key (the reference recomputes on
+        demand too); ``refresh_daily_tiers`` is the batch write-back."""
+        day_rows = point_lookup(
+            self.raw, {"wsid": wsid, "year": year, "month": month, "day": day}
+        )
+        return daily_stats(day_rows, DAY_KEYS, "temperature")
+
+    def get_monthly_temperature(self, wsid: str, year: int, month: int) -> DataFrame:
+        """GetMonthlyTemperature — declared in the reference but never
+        implemented (WeatherEvent.scala:48); implemented here as daily-mean
+        stats over the month (flagged extension, SURVEY §2.11)."""
+        dailies = point_lookup(
+            self.daily_temperature_table, {"wsid": wsid, "year": year, "month": month}
+        )
+        return dailies.groupBy("wsid", "year", "month").agg(
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.avg("mean").alias("mean"),
+        )
+
+    def get_monthly_hilow_temperature(
+        self, wsid: str, year: int, month: int
+    ) -> DataFrame:
+        """GetMonthlyHiLowTemperature → A2 over the daily tier
+        (TemperatureActor.scala:65-69)."""
+        dailies = point_lookup(
+            self.daily_temperature_table, {"wsid": wsid, "year": year, "month": month}
+        )
+        return monthly_hilow(dailies, ["wsid", "year", "month"])
+
+    def get_precipitation(self, wsid: str, year: int) -> DataFrame:
+        """GetPrecipitation → A3 annual sum over the daily tier
+        (PrecipitationActor.scala:39-44)."""
+        dailies = point_lookup(self.daily_precip_table, {"wsid": wsid, "year": year})
+        return annual_sum(dailies, ["wsid", "year"])
+
+    def get_top_k_precipitation(self, wsid: str, year: int, k: int = 10) -> DataFrame:
+        """GetTopKPrecipitation → A5 (PrecipitationActor.scala:46-54); result
+        shape = one row with a desc-sorted ``top`` array
+        (Weather.scala:136-138)."""
+        dailies = point_lookup(self.daily_precip_table, {"wsid": wsid, "year": year})
+        return top_k_values(dailies, ["wsid", "year"], "precipitation", k)
+
+    def get_sky_condition_lookup(self, code: int) -> DataFrame:
+        """GetSkyConditionLookup — declared-unimplemented in the reference
+        (WeatherEvent.scala:55-59); trivial here (flagged extension)."""
+        from killrweather_spark.sources.readers import sky_condition_lookup_df
+
+        return point_lookup(sky_condition_lookup_df(self.spark), {"code": code})

@@ -1,0 +1,672 @@
+"""Declared-query inventory over the driver's testdata (correctness gate).
+
+Every operator from SURVEY.md §2 is declared here twice: as a PySpark
+callable ``(spark, sf_dir) -> DataFrame`` exercising the engine's modules,
+and as the equivalent ANSI SQL that DuckDB runs on the same parquet tables.
+The driver hash-compares the two at sf=0.01 (order-insensitive, sorted by
+column name), so:
+
+- every computed column is aliased identically on both sides;
+- result types are pinned with explicit casts (DuckDB ``year()`` returns
+  BIGINT where Spark returns INT; DuckDB ``sum(int)`` returns HUGEINT; both
+  sides cast to the Spark type);
+- floating-point aggregations over large groups use fixed-point integer
+  accumulation (``sum(cast(round(x * S) as bigint)) / S``) where drift from
+  summation order could flip a low bit — per-row IEEE arithmetic is
+  deterministic across engines, only reduction order is not;
+- top-k/limit queries carry a total tiebreak order so the selected *set* is
+  deterministic.
+
+Mapping per FIXTURES.md §6: ``events`` plays ``raw_weather_data``
+(``user_id`` ≙ wsid, ``ts`` ≙ the year/month/day/hour calendar columns,
+``value`` ≙ temperature/precip), ``customer`` plays ``weather_station``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from killrweather_spark.model.schemas import SKY_CONDITION_ROWS
+from killrweather_spark.operators.aggregates import (
+    annual_sum,
+    daily_stats,
+    daily_stats_exact,
+    daily_sum,
+    fixed_point_sum,
+    monthly_hilow,
+    top_k,
+)
+from killrweather_spark.operators.lookups import latest_row, point_lookup
+from killrweather_spark.sources.readers import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One declared operator: Spark implementation + DuckDB oracle SQL.
+
+    ``sql=None`` marks genuinely non-SQL-expressible ops (custom stateful
+    streaming, iterative algorithms) — the driver then records a weaker
+    rows-only check.
+    """
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+    survey_ref: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None, survey_ref: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, sql=sql, survey_ref=survey_ref)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _events_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the reference's calendar-key decomposition (F3): integer
+    year/month/day/hour columns derived from the event timestamp
+    (reference stores these as first-class columns, ``create-timeseries.cql:34-37``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        "ts",
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+    )
+
+
+_EV_CAL_SQL = """
+    SELECT event_id, user_id, event_type, value, props, ts,
+           CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+           CAST(day(ts) AS INT) AS day, CAST(hour(ts) AS INT) AS hour
+    FROM events
+"""
+
+# Fixed-point (cents) daily sum: integer accumulation is order-independent,
+# so Spark (parallel tree reduction) and DuckDB (sequential) agree exactly.
+_DAILY_SUM_SQL = f"""
+    SELECT user_id, year, month, day,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS precipitation
+    FROM ({_EV_CAL_SQL})
+    GROUP BY user_id, year, month, day
+"""
+
+_DAILY_CENTS_SQL = f"""
+    SELECT user_id, year, month, day,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents
+    FROM ({_EV_CAL_SQL})
+    GROUP BY user_id, year, month, day
+"""
+
+
+# --------------------------------------------------------------------------
+# A1-A9: aggregations (tiered rollup raw → daily → monthly/annual)
+# --------------------------------------------------------------------------
+
+@register(
+    "daily_stats",
+    f"""
+    SELECT user_id, year, month, day, high, low, mean,
+           GREATEST(0.0, (__sxx / 10000.0) / __n - mean * mean) AS variance,
+           SQRT(GREATEST(0.0, (__sxx / 10000.0) / __n - mean * mean)) AS stdev
+    FROM (
+      SELECT user_id, year, month, day, high, low,
+             (__sx / 100.0) / __n AS mean, __n, __sxx
+      FROM (
+        SELECT user_id, year, month, day,
+               MAX(value) AS high, MIN(value) AS low, COUNT(*) AS __n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS __sx,
+               SUM(CAST(ROUND(value * value * 100 * 100) AS BIGINT)) AS __sxx
+        FROM ({_EV_CAL_SQL})
+        GROUP BY user_id, year, month, day
+      )
+    )
+    """,
+    survey_ref="A1 GetDailyTemperature (TemperatureActor.scala:55-60); population "
+    "variance per StatCounter, fixed-point-exact form (see daily_stats_exact)",
+)
+def q_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_calendar(spark, sf_dir)
+    return daily_stats_exact(ev, ["user_id", "year", "month", "day"], "value")
+
+
+@register(
+    "monthly_hilow",
+    f"""
+    SELECT user_id, year, month, MAX(high) AS high, MIN(low) AS low
+    FROM (
+      SELECT user_id, year, month, day, MAX(value) AS high, MIN(value) AS low
+      FROM ({_EV_CAL_SQL})
+      GROUP BY user_id, year, month, day
+    )
+    GROUP BY user_id, year, month
+    """,
+    survey_ref="A2 GetMonthlyHiLowTemperature (TemperatureActor.scala:65-69)",
+)
+def q_monthly_hilow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_calendar(spark, sf_dir)
+    daily = daily_stats(ev, ["user_id", "year", "month", "day"], "value")
+    return monthly_hilow(daily, ["user_id", "year", "month"])
+
+
+@register(
+    "daily_precip",
+    _DAILY_SUM_SQL,
+    survey_ref="A4 streaming daily precip accumulation, batch form (KafkaStreamingActor.scala:47-64)",
+)
+def q_daily_precip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_calendar(spark, sf_dir)
+    return ev.groupBy("user_id", "year", "month", "day").agg(
+        fixed_point_sum("value").alias("precipitation")
+    )
+
+
+@register(
+    "annual_precip",
+    f"""
+    SELECT user_id, year, SUM(day_cents) / 100.0 AS total
+    FROM ({_DAILY_CENTS_SQL})
+    GROUP BY user_id, year
+    """,
+    survey_ref="A3 GetPrecipitation (PrecipitationActor.scala:39-44)",
+)
+def q_annual_precip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Integer cents flow through BOTH rollup tiers (daily → annual); the
+    # division back to a double happens once at the end — the whole pipeline
+    # is reduction-order independent, matching the Cassandra counter's
+    # commutative semantics (create-timeseries.cql:81).
+    ev = _events_calendar(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy("user_id", "year", "month", "day").agg(
+        F.sum(cents).alias("day_cents")
+    )
+    return daily.groupBy("user_id", "year").agg(
+        (F.sum("day_cents") / 100.0).alias("total")
+    )
+
+
+@register(
+    "topk_daily_precip",
+    f"""
+    SELECT user_id, year, month, day, precipitation
+    FROM ({_DAILY_SUM_SQL})
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id, year
+      ORDER BY precipitation DESC, month ASC, day ASC
+    ) <= 3
+    """,
+    survey_ref="A5 GetTopKPrecipitation (PrecipitationActor.scala:46-54)",
+)
+def q_topk_daily_precip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_calendar(spark, sf_dir)
+    daily = ev.groupBy("user_id", "year", "month", "day").agg(
+        fixed_point_sum("value").alias("precipitation")
+    )
+    order = [F.col("precipitation").desc(), F.col("month").asc(), F.col("day").asc()]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "year").orderBy(*order)
+    return (
+        daily.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= 3)
+        .drop("__rank")
+    )
+
+
+@register(
+    "count_raw",
+    "SELECT COUNT(*) AS n FROM events",
+    survey_ref="A6 count (SimpleSparkJob.scala:28)",
+)
+def q_count_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "distinct_users_in_range",
+    """
+    SELECT DISTINCT user_id
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    survey_ref="A7 distinct users in time range (UserEventsAggregate.scala:62-64) + P3",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+
+
+_MINMAX_SQL = """
+    SELECT
+      (SELECT CAST(MIN(value) AS DOUBLE) FROM events) AS vmin,
+      (SELECT CAST(MAX(value) AS DOUBLE) FROM events) AS vmax,
+      (SELECT MIN(event_id) FROM events
+        WHERE value = (SELECT MIN(value) FROM events)) AS argmin_event,
+      (SELECT MIN(event_id) FROM events
+        WHERE value = (SELECT MAX(value) FROM events)) AS argmax_event
+"""
+
+
+@register(
+    "minmax_aggregators",
+    _MINMAX_SQL,
+    survey_ref="A8 algebraic Min/Max aggregators incl custom ordering (AggregationSpec.scala:23-41)",
+)
+def q_minmax_aggregators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Custom-Ordering Min/Max (Algebird aggregators in the reference): the
+    # "ordering" is (value, event_id) — argmin/argmax tie-break on the
+    # smallest event id, made explicit so both engines agree.  Runs through
+    # the SQL entry point (§3.3 SampleJoin.scala pattern) with identical text
+    # on both engines.
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_MINMAX_SQL)
+
+
+# --------------------------------------------------------------------------
+# P1-P9, O1-O3: projections, filters, lookups, sorts/limits
+# --------------------------------------------------------------------------
+
+@register(
+    "projection_filter",
+    "SELECT event_id, value FROM events WHERE value < 0.5",
+    survey_ref="P1 column projection + pushdown (TemperatureActor.scala:57)",
+)
+def q_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "value").filter(F.col("value") < 0.5)
+
+
+@register(
+    "point_lookup",
+    f"""
+    SELECT event_id, ts, event_type, value
+    FROM ({_EV_CAL_SQL})
+    WHERE user_id = 7 AND year = 2024 AND month = 1 AND day = 5
+    """,
+    survey_ref="P2 key-equality predicate (TemperatureActor.scala:57-58)",
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_calendar(spark, sf_dir)
+    hit = point_lookup(ev, {"user_id": 7, "year": 2024, "month": 1, "day": 5})
+    return hit.select("event_id", "ts", "event_type", "value")
+
+
+@register(
+    "current_weather",
+    """
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events
+    WHERE user_id = 7
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 1
+    """,
+    survey_ref="P7/O3 GetCurrentWeather latest-row (WeatherStationActor.scala:43-48)",
+)
+def q_current_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_row(ev, {"user_id": 7}, ["ts", "event_id"]).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+@register(
+    "value_filter",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'click' AND value >= 10
+    """,
+    survey_ref="P4 SQL value filter (KafkaStreamingJson.scala:65-66)",
+)
+def q_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "click") & (F.col("value") >= 10)).select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "topk_global",
+    """
+    SELECT event_id, user_id, value FROM events
+    ORDER BY value DESC, event_id ASC
+    LIMIT 10
+    """,
+    survey_ref="O2 RDD.top(k) bounded heap (PrecipitationActor.scala:49)",
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # orderBy().limit() compiles to TakeOrderedAndProject: per-partition
+    # bounded heap + driver merge — the same algorithm as RDD.top(k).
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(10)
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "csv_roundtrip",
+    """
+    SELECT CAST(split_part(line, ',', 1) AS BIGINT) AS user_id,
+           CAST(split_part(line, ',', 2) AS INT) AS year,
+           CAST(split_part(line, ',', 3) AS INT) AS month,
+           CAST(split_part(line, ',', 4) AS INT) AS day,
+           CAST(split_part(line, ',', 5) AS INT) AS hour,
+           CAST(split_part(line, ',', 6) AS DOUBLE) AS value
+    FROM (
+      SELECT concat_ws(',', user_id, year, month, day, hour, value) AS line
+      FROM (SELECT user_id, CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+                   CAST(day(ts) AS INT) AS day, CAST(hour(ts) AS INT) AS hour, value
+            FROM events WHERE user_id < 5)
+    )
+    """,
+    survey_ref="P5 CSV line parse/cast (KafkaStreamingActor.scala:41-42, Weather.scala:78-94) + F1/F2",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_calendar(spark, sf_dir).filter(F.col("user_id") < 5)
+    lines = ev.select(
+        F.concat_ws(
+            ",", "user_id", "year", "month", "day", "hour", "value"
+        ).alias("line")
+    )
+    return lines.select(
+        F.from_csv(
+            F.col("line"),
+            "user_id BIGINT, year INT, month INT, day INT, hour INT, value DOUBLE",
+        ).alias("r")
+    ).select("r.*")
+
+
+@register(
+    "json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    survey_ref="P8/F7 JSON field extraction (KafkaStreamingJson2.scala:53-56)",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J1-J2: joins
+# --------------------------------------------------------------------------
+
+@register(
+    "join_multi_key",
+    f"""
+    SELECT e.event_id, e.value, d.high, d.low, d.mean
+    FROM ({_EV_CAL_SQL}) e
+    JOIN (
+      SELECT user_id, year, month, day,
+             MAX(value) AS high, MIN(value) AS low, AVG(value) AS mean
+      FROM ({_EV_CAL_SQL})
+      GROUP BY user_id, year, month, day
+    ) d
+    ON e.user_id = d.user_id AND e.year = d.year
+       AND e.month = d.month AND e.day = d.day
+    WHERE e.user_id < 20
+    """,
+    survey_ref="J1 multi-key equi inner join (SampleJoin.scala:39-50)",
+)
+def q_join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_calendar(spark, sf_dir)
+    keys = ["user_id", "year", "month", "day"]
+    daily = daily_stats(ev, keys, "value").select(*keys, "high", "low", "mean")
+    return (
+        ev.join(daily, keys, "inner")
+        .filter(F.col("user_id") < 20)
+        .select("event_id", "value", "high", "low", "mean")
+    )
+
+
+@register(
+    "join_dim_broadcast",
+    """
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_ref="J2 stream-dimension enrichment join (KillrWeatherClientApp.scala:122-123)",
+)
+def q_join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The dimension (≙ weather_station, 19,704 rows in the reference) is tiny
+    # relative to the fact stream: broadcast it — no shuffle of the fact side.
+    # Fixed-point sum (cents) so the result is reduction-order independent.
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+            ).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "star_join_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    survey_ref="J1 extended: star-schema multi-join (SampleJoin.scala pattern at scale)",
+)
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # orders→customer→nation→region are all small relative to lineitem at any
+    # SF ratio: broadcast the dims so lineitem never shuffles before the agg.
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev_fp = F.round(l.l_extendedprice * (1 - l.l_discount) * 10000).cast("bigint")
+    return joined.groupBy(
+        r.r_name.alias("region"), n.n_name.alias("nation")
+    ).agg(
+        (F.sum(rev_fp) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F3-F8: scalar functions
+# --------------------------------------------------------------------------
+
+@register(
+    "date_format_parts",
+    """
+    SELECT DISTINCT CAST(ts AS DATE) AS d,
+           CAST(year(ts) AS INT) AS year,
+           CAST(dayofyear(ts) AS INT) AS day_of_year,
+           strftime(ts, '%A, %B %d, %Y') AS formatted
+    FROM events WHERE user_id = 3
+    """,
+    survey_ref="F3/F4 date part extraction + formatting (AggregationActor.scala:43-60)",
+)
+def q_date_format_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 3)
+    return ev.select(
+        F.to_date("ts").alias("d"),
+        F.year("ts").alias("year"),
+        F.dayofyear("ts").alias("day_of_year"),
+        F.date_format("ts", "EEEE, MMMM dd, yyyy").alias("formatted"),
+    ).distinct()
+
+
+@register(
+    "date_sequence",
+    """
+    SELECT CAST(u.d AS DATE) AS day_date
+    FROM (
+      SELECT unnest(generate_series(CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE),
+                                    INTERVAL 1 DAY)) AS d
+      FROM events
+    ) u
+    """,
+    survey_ref="F5 lazy day-sequence generation (AggregationActor.scala:46-47)",
+)
+def q_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    return bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day_date")
+    )
+
+
+@register(
+    "coalesce_default",
+    """
+    SELECT user_id,
+           SUM(CAST(ROUND(COALESCE(CASE WHEN value > 5 THEN value END, 0.0) * 100)
+               AS BIGINT)) / 100.0 AS big_value_total
+    FROM events
+    GROUP BY user_id
+    """,
+    survey_ref="F8 null/default coalesce (Weather.scala:93)",
+)
+def q_coalesce_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    guarded = F.coalesce(
+        F.when(F.col("value") > 5, F.col("value")), F.lit(0.0)
+    )
+    return ev.groupBy("user_id").agg(
+        (F.sum(F.round(guarded * 100).cast("bigint")) / 100.0).alias(
+            "big_value_total"
+        )
+    )
+
+
+@register(
+    "sky_condition_lookup",
+    """
+    SELECT l.condition AS condition, COUNT(*) AS n
+    FROM (SELECT event_id % 20 AS code FROM events) e
+    JOIN (VALUES {values}) AS l(code, condition)
+      ON e.code = l.code
+    GROUP BY l.condition
+    """.format(
+        values=", ".join(
+            "({}, '{}')".format(c, t.replace("'", "''")) for c, t in SKY_CONDITION_ROWS
+        )
+    ),
+    survey_ref="GetSkyConditionLookup (WeatherEvent.scala:55-59, declared-unimplemented in reference)",
+)
+def q_sky_condition_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.sources.readers import sky_condition_lookup_df
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 20).cast("int").alias("code")
+    )
+    lookup = sky_condition_lookup_df(spark)
+    return (
+        ev.join(F.broadcast(lookup), "code")
+        .groupBy("condition")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions / set ops (free-from-Spark extensions, SURVEY §2.5/§2.7)
+# --------------------------------------------------------------------------
+
+@register(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id, value,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    WHERE user_id < 5
+    """,
+    survey_ref="§2.5 window extension (reference relies on DESC clustering instead)",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)) / 100.0
+        ).alias("running_total"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    survey_ref="§2.7 set-operation extension (none in reference)",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
+    # subtract == EXCEPT DISTINCT (exceptAll would keep a user whose click
+    # count merely exceeds their error count — different semantics).
+    return clickers.subtract(erroring)
