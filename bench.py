@@ -1,0 +1,80 @@
+"""Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+The driver runs this per-round at sf0.1 and records BENCH_r{N}.json; run it
+locally at sf0.01 while iterating (``SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01
+python bench.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the queries that dominate real workloads — full-scan tiered
+# rollups, the star join, windowed analytics, and (as they land) dedup /
+# similarity.  Keep this list in sync with the heaviest REGISTRY entries.
+HEADLINE = [
+    "daily_stats",
+    "monthly_hilow",
+    "annual_precip",
+    "topk_daily_precip",
+    "star_join_revenue",
+    "join_dim_broadcast",
+    "window_running_sum",
+    "json_extract",
+    "distinct_users_in_range",
+]
+
+
+def main() -> None:
+    from killrweather_spark.api.inventory import REGISTRY
+    from killrweather_spark.session import get_session
+
+    spark = get_session(app_name="killrweather_spark_bench")
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    # Warm the JVM + parquet footer caches with a trivial action so per-query
+    # timings measure the query, not session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        n = df.count() if len(df.columns) > 6 else len(df.collect())
+        _ = n
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
