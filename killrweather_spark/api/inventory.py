@@ -654,6 +654,73 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# T1-T7: streaming semantics (drained deterministically with availableNow)
+# --------------------------------------------------------------------------
+
+@register(
+    "streaming_daily_precip",
+    _DAILY_SUM_SQL,
+    survey_ref="A4/T4 streaming update-mode daily accumulation "
+    "(KafkaStreamingActor.scala:47-64; state store ≙ Cassandra counter)",
+)
+def q_streaming_daily_precip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming pipeline's stateful aggregation, drained over the same
+    events table the batch oracle reads: parquet *stream* source →
+    fixed-point stateful sum → memory sink.  Integer cents state makes the
+    result identical to the batch/oracle answer regardless of batch split.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # The file stream source wants a directory; stage the single parquet
+    # file behind a symlink (testdata itself is read-only).
+    import os
+
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    stream = spark.readStream.schema(schema).parquet(stage)
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.select(
+            "user_id",
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "year", "month", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    name = f"stream_daily_precip_{uuid.uuid4().hex[:8]}"
+    result = run_stream_to_batch(agg, tempfile.mkdtemp(), name, "complete")
+    return result.select(
+        "user_id",
+        "year",
+        "month",
+        "day",
+        (F.col("day_cents") / 100.0).alias("precipitation"),
+    )
+
+
 @register(
     "set_ops",
     """

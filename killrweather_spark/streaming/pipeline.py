@@ -1,0 +1,163 @@
+"""Structured Streaming ingest — the rebuild of the reference's pipeline.
+
+Reference flow (SURVEY §3.1, ``KafkaStreamingActor.scala:39-70``):
+Kafka topic ``killrweather.raw`` → 1 s microbatch DStream → CSV parse →
+fan-out: (a) raw upsert to Cassandra, (b) 5-column projection incrementing a
+Cassandra ``counter`` for daily precip, (c) debug print.
+
+Structured-Streaming equivalents:
+
+- DStream + receiver + DISK_ONLY_2 (T6) → Kafka *source* with offset
+  tracking in the checkpoint; durability/backpressure are subsumed.
+- ``saveToCassandra`` raw upsert (S3) → append parquet sink partitioned by
+  ``year`` (idempotent per epoch via the sink's transaction log; swap in a
+  Cassandra/Delta writer behind the same function for keyed upserts).
+- Cassandra counter (A4/T4) → update-mode stateful aggregation: the state
+  store holds the running per-(wsid,y,m,d) sum; ``foreachBatch`` publishes
+  changed keys.  Exactly-once on replay — an intentional improvement over
+  counters, which double-count on replayed batches (T7, SURVEY §7 risk 2).
+- ``ssc.checkpoint`` (T5) → ``checkpointLocation`` option.
+- 1000 ms batch interval (T1) → ``processingTime='1 second'`` trigger
+  (tests use ``availableNow`` to drain bounded input deterministically).
+
+State policy (T3): the reference never expires counter state; here the
+streaming agg optionally takes a watermark on an event-time column to bound
+the store.  Without one (parity mode) state grows with key cardinality —
+(station × day) keys are small (~20k stations × 366 ≈ 7M rows/yr of state),
+fine for RocksDB; document before enabling unbounded on higher-cardinality
+keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from killrweather_spark.model.schemas import RAW_WEATHER_CSV_SCHEMA
+from killrweather_spark.sources.readers import parse_raw_lines
+
+RAW_TOPIC = "killrweather.raw"  # reference.conf:156
+
+
+# --------------------------------------------------------------------------
+# sources
+# --------------------------------------------------------------------------
+
+def kafka_lines(
+    spark: SparkSession, bootstrap_servers: str, topic: str = RAW_TOPIC
+) -> DataFrame:
+    """S1: Kafka stream of CSV lines (KafkaStreamingActor.scala:39-40).
+
+    Requires the spark-sql-kafka package on the classpath; this container has
+    no broker, so tests use :func:`file_lines` — the parse/agg/sink graph
+    downstream is identical either way.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return raw.select(F.col("value").cast("string").alias("value"))
+
+
+def file_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S6 as a stream: text files of CSV lines appearing in a directory
+    (each file ≙ a batch of Kafka messages; gzip transparent)."""
+    return spark.readStream.text(path).withColumnRenamed("value", "value")
+
+
+# --------------------------------------------------------------------------
+# pipeline
+# --------------------------------------------------------------------------
+
+def parsed_observations(lines: DataFrame) -> DataFrame:
+    """CSV lines → typed observations (the reference's map+RawWeatherData)."""
+    return parse_raw_lines(lines)
+
+
+def daily_precip_updates(observations: DataFrame) -> DataFrame:
+    """A4: streaming daily-precip accumulation.
+
+    ``groupBy(wsid,y,m,d).agg(sum(one_hour_precip))`` — Spark's state store
+    plays the Cassandra counter: partial sums merge commutatively per
+    microbatch, update mode emits only changed keys.
+    """
+    return observations.groupBy("wsid", "year", "month", "day").agg(
+        F.sum("one_hour_precip").alias("precipitation")
+    )
+
+
+def start_ingest(
+    observations: DataFrame,
+    raw_path: str,
+    precip_path: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    partition_by: Sequence[str] = ("year",),
+) -> tuple[StreamingQuery, StreamingQuery]:
+    """Fan out one parsed stream to the two sinks (reference fan-out a+b).
+
+    - raw: append parquet, partitioned by year (partition pruning for the
+      calendar-key queries; add a wsid bucket column for 100 TB layouts).
+    - daily precip: update-mode agg via foreachBatch → idempotent overwrite
+      of changed (year, month) partitions.
+    """
+    trig = trigger or {"processingTime": "1 second"}  # T1: 1000 ms microbatch
+
+    raw_q = (
+        observations.writeStream.format("parquet")
+        .option("path", raw_path)
+        .option("checkpointLocation", f"{checkpoint_dir}/raw")
+        .partitionBy(*partition_by)
+        .outputMode("append")
+        .trigger(**trig)
+        .start()
+    )
+
+    def upsert_precip(batch_df: DataFrame, epoch_id: int) -> None:
+        # Update-mode batch contains the NEW TOTAL for each changed key
+        # (state store did the accumulation).  Overwriting the affected
+        # (year, month) partitions with the latest totals is idempotent on
+        # replay — the counter-table semantics without the double-count.
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("year", "month")
+            .parquet(precip_path)
+        )
+
+    precip_q = (
+        daily_precip_updates(observations)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{checkpoint_dir}/precip")
+        .foreachBatch(upsert_precip)
+        .trigger(**trig)
+        .start()
+    )
+    return raw_q, precip_q
+
+
+def run_stream_to_batch(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "stream_result",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain a bounded stream with availableNow into a memory sink and return
+    the result as a batch DataFrame (deterministic test/oracle path)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
