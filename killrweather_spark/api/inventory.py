@@ -655,6 +655,285 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Beyond-reference: dedup / text analysis / similarity / multimodal
+# (BASELINE.json north star — LLM-data-pipeline operators over documents
+# and embeddings; all hashing is md5 so the oracle reproduces every value)
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS representative, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    survey_ref="beyond-ref: exact dedup via hash-groupBy (SURVEY §7 step 5)",
+)
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.dedup import exact_dup_groups
+
+    return exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_calc,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens,
+           length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+             / len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS avg_token_len,
+           len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) / length(text) AS punct_ratio,
+           len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b'))
+             / len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS stopword_ratio
+    FROM documents
+    """,
+    survey_ref="beyond-ref: document quality scoring",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.text import quality_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_metrics(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "avg_token_len",
+        "punct_ratio", "stopword_ratio",
+    )
+
+
+@register(
+    "lang_id",
+    r"""
+    SELECT doc_id, lang,
+           CASE WHEN zh > 0 THEN 'zh'
+                WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                WHEN fr >= es AND fr > 0 THEN 'fr'
+                WHEN es > 0 THEN 'es'
+                ELSE 'unknown' END AS predicted
+    FROM (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|y)\b')) AS es,
+             len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+      FROM documents
+    )
+    """,
+    survey_ref="beyond-ref: n-gram/stopword language-ID heuristic",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("predicted"))
+
+
+@register(
+    "token_counts",
+    r"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+             AS BIGINT) AS total_bpeish
+    FROM documents
+    GROUP BY source
+    """,
+    survey_ref="beyond-ref: whitespace + BPE-ish token counting",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.text import bpe_ish_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("total_bpeish"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT d.doc_id, MIN(md5(substr(d.text, i.i, 8))) AS fingerprint
+    FROM documents d,
+         unnest(generate_series(1, greatest(length(d.text) - 7, 1))) AS i(i)
+    GROUP BY d.doc_id
+    """,
+    survey_ref="beyond-ref: winnowing-style rolling-hash fingerprint",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.text import add_rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return add_rolling_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+@register(
+    "minhash_lsh_pairs",
+    """
+    WITH grams AS (
+      SELECT DISTINCT d.doc_id, substr(d.text, i.i, 4) AS shingle
+      FROM documents d,
+           unnest(generate_series(1, greatest(length(d.text) - 3, 1))) AS i(i)
+    ), seeds AS (SELECT unnest(range(0, 8)) AS s),
+    mh AS (
+      SELECT doc_id, s, MIN(md5(s || '|' || shingle)) AS h
+      FROM grams, seeds GROUP BY doc_id, s
+    ), sig AS (
+      SELECT doc_id,
+             MIN(CASE WHEN s = 0 THEN h END) AS h0,
+             MIN(CASE WHEN s = 1 THEN h END) AS h1,
+             MIN(CASE WHEN s = 2 THEN h END) AS h2,
+             MIN(CASE WHEN s = 3 THEN h END) AS h3,
+             MIN(CASE WHEN s = 4 THEN h END) AS h4,
+             MIN(CASE WHEN s = 5 THEN h END) AS h5,
+             MIN(CASE WHEN s = 6 THEN h END) AS h6,
+             MIN(CASE WHEN s = 7 THEN h END) AS h7
+      FROM mh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.b,
+             md5(CASE b.b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+                          WHEN 2 THEN h4 || h5 ELSE h6 || h7 END) AS bucket
+      FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    survey_ref="beyond-ref: MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash",
+    r"""
+    WITH toks AS (
+      SELECT d.doc_id, t.tok
+      FROM documents d,
+           unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS t(tok)
+    ), votes AS (
+      SELECT doc_id, j.j,
+             SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(tok), j.j + 1, 1)) >= 9
+                      THEN 1 ELSE -1 END) AS s
+      FROM toks, (SELECT unnest(range(0, 16)) AS j) j
+      GROUP BY doc_id, j.j
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    survey_ref="beyond-ref: SimHash 16-bit fingerprint (token bit votes)",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH sh AS (
+      SELECT DISTINCT d.doc_id, d.source, concat(d.toks[i.i], ' ', d.toks[i.i + 1]) AS shingle
+      FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents) d,
+           unnest(generate_series(1, greatest(len(d.toks) - 1, 1))) AS i(i)
+      WHERE len(d.toks) >= 2
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+    survey_ref="beyond-ref: n-gram Jaccard near-dup verification (blocked pairs)",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.dedup import word_bigram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return word_bigram_jaccard_pairs(docs, block_col="source", threshold=0.2)
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH comp AS (
+      SELECT e.vec_id, i.i AS pos,
+             CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS i(i)
+    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q * b.q) AS dot
+      FROM comp a
+      JOIN comp b ON a.pos = b.pos AND a.vec_id < 5 AND a.vec_id != b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+    FROM dots
+    JOIN nrm qn ON qn.vec_id = query_id
+    JOIN nrm cn ON cn.vec_id = neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) <= 3
+    """,
+    survey_ref="beyond-ref: brute-force cosine top-k ANN baseline (quantized-exact)",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, lambda c: c < 5, k=3)
+
+
+@register(
+    "ann_lsh_cosine",
+    None,  # approximate by design: verified by recall tests, not the oracle
+    survey_ref="beyond-ref: LSH-bucketed approximate cosine top-k (scale path)",
+)
+def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import ann_cosine_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_cosine_topk_lsh(emb, lambda c: c < 5, k=3, n_planes=6)
+
+
+@register(
+    "multimodal_frames",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS byte_len,
+           CAST((octet_length(encode(text)) + 255) // 256 AS INT) AS n_frames
+    FROM documents
+    """,
+    survey_ref="beyond-ref: multimodal binary plumbing (mapInPandas Arrow batches; "
+    "decode stubbed — see functions/multimodal.py)",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.multimodal import (
+        attach_binary_content,
+        frame_stats,
+    )
+
+    docs = attach_binary_content(load_table(spark, sf_dir, "documents"))
+    return frame_stats(docs)
+
+
+# --------------------------------------------------------------------------
 # T1-T7: streaming semantics (drained deterministically with availableNow)
 # --------------------------------------------------------------------------
 

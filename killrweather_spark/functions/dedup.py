@@ -1,0 +1,247 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The scale story (100 TB posture) is the point of each design:
+
+- **exact**: hash-groupBy on a normalized fingerprint — one shuffle keyed by
+  a 128-bit hash, perfectly parallel, no skew (hash keys are uniform).
+- **MinHash+LSH**: shingle → per-seed min-hash → band buckets → self-join on
+  (band, bucket).  The candidate join shuffles only (doc, band, bucket)
+  tuples — never full text — and bucket keys spread uniformly.  This is the
+  standard sub-quadratic near-dup pipeline; brute-force O(n²) never runs.
+- **SimHash**: one pass token → bit-vote accumulation (a groupBy per
+  (doc, bit) then per doc), fingerprints joinable/bucketable by prefix.
+- **n-gram Jaccard**: exact pair similarity, restricted to candidate pairs
+  (here: a blocking key; in production: LSH candidates) — the verifier stage
+  after LSH, not a standalone O(n²) scan.
+
+Determinism: all hashing is md5 (hex strings, lexicographic mins) — no
+engine-native hash functions, so the DuckDB oracle reproduces every value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from killrweather_spark.functions.text import normalized_fingerprint
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) texts: representative = min id.
+
+    ``keep="first"`` dedup is then an inner join back on (fingerprint,
+    representative) or a ``row_number() = 1`` filter.
+    """
+    return (
+        df.select(F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized text (the min-id representative)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(normalized_fingerprint(F.col(text_col))).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def char_shingles(df: DataFrame, text_col: str, id_col: str, gram: int = 4) -> DataFrame:
+    """(id, shingle) pairs: character n-grams via lateral position explode."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (gram - 1), F.lit(1)))
+        ).alias("pos"),
+        F.col(text_col).alias("__t"),
+    ).select(id_col, F.expr(f"substr(__t, pos, {gram})").alias("shingle"))
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, n_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed s, min(md5(s || '|' || shingle)).
+
+    One shuffle: groupBy(id) with ``min(when(seed=s, h))`` conditional
+    aggregates — the seed fan-out happens map-side via an array explode, and
+    partial aggregation collapses it before the exchange.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed")
+    hashed = shingled.select(F.col(id_col), seeds, "shingle").select(
+        id_col,
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+    )
+    aggs = [
+        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature and self-join on (band, bucket) → candidate pairs.
+
+    rows_per_band = n_hashes // bands; bucket = md5(concat of band's mins).
+    The join key (band, bucket) is uniform → no skew; output is DISTINCT
+    (doc_a < doc_b) candidate pairs for a verifier (Jaccard) stage.
+    """
+    rpb = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rpb + j}") for j in range(rpb)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bucket"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 4,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Full near-dup candidate pipeline: shingle → MinHash → LSH pairs."""
+    sh = char_shingles(df, text_col, id_col, gram).distinct()
+    sig = minhash_signatures(sh, id_col, n_hashes)
+    return lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint as a bit-string column ``simhash``.
+
+    Token multiset → per-bit ±1 votes (bit j read from md5 hex nibble j) →
+    sign of the vote sum.  Two groupBys: (doc, bit) then doc; both partial-
+    aggregate before shuffling.  Near-dup docs differ in few bits → group by
+    prefix or Hamming-join downstream.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)).alias("tok"),
+    )
+    votes = (
+        toks.select(
+            id_col,
+            F.explode(F.array(*[F.lit(j) for j in range(bits)])).alias("j"),
+            F.col("tok"),
+        )
+        .select(
+            id_col,
+            "j",
+            F.when(
+                F.expr("instr('0123456789abcdef', substr(md5(tok), j + 1, 1))") >= 9,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("w"),
+        )
+        .groupBy(id_col, "j")
+        .agg(F.sum("w").alias("s"))
+    )
+    vote_map = votes.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("j", "s"))).alias("__m")
+    )
+    return vote_map.select(
+        id_col,
+        F.expr(
+            f"array_join(transform(sequence(0, {bits - 1}),"
+            " i -> CASE WHEN element_at(__m, i) >= 0 THEN '1' ELSE '0' END), '')"
+        ).alias("simhash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (verifier stage)
+# --------------------------------------------------------------------------
+
+def word_bigram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over word-bigram shingle sets for blocked pairs.
+
+    ``block_col`` bounds the candidate space (LSH bucket / source / shard);
+    inter/union counts are integers, the division is one deterministic
+    double op, so the threshold filter is reproducible.
+    """
+    tokens_expr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(__toks) - 1, 1)),"
+        " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
+    )
+    base_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    sh = (
+        df.select(*base_cols, tokens_expr.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(*base_cols, F.explode(bigrams).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        join_cond = join_cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, join_cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the standard ANN playbook:
+
+- **Brute-force cosine top-k** — the exact baseline.  Embeddings are
+  quantized to int64 fixed-point (×10⁶) so dot products and norms are exact
+  integer arithmetic: reduction-order independent, hence reproducible across
+  engines (the DuckDB oracle) and across cluster sizes.  The query side is
+  tiny → broadcast; the corpus side never shuffles; per-query top-k is a
+  windowed rank (bounded state).
+- **LSH-bucketed (random hyperplanes)** — the 100 TB path.  K deterministic
+  pseudo-hyperplanes (md5-derived weights, no RNG state) map each vector to
+  a K-bit bucket; search compares only same-bucket pairs.  Bucket keys are
+  uniform by construction → skew-free shuffle; recall/probe tradeoff via
+  multi-probe (flip one bit) if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000  # fixed-point scale for float32 embeddings
+
+
+def quantized_components(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(id, pos, q) with q = round(component · 10⁶) as int64 — exact."""
+    return df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "v")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).alias("pos"),  # 1-based to match SQL array indexing
+        F.round(F.col("v").cast("double") * QUANT).cast("bigint").alias("q"),
+    )
+
+
+def norms(components: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    return components.groupBy(id_col).agg(
+        F.sum(F.col("q") * F.col("q")).alias("norm2")
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids_filter,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the rows matching
+    ``query_ids_filter`` (a Column predicate on the id), excluding self.
+
+    Output: (query_id, neighbor_id, cosine) with deterministic
+    (cosine DESC, neighbor_id ASC) ranking.
+    """
+    comp = quantized_components(df, id_col, vec_col)
+    nrm = norms(comp, id_col)
+
+    qcomp = comp.filter(query_ids_filter(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), "pos", F.col("q").alias("qa")
+    )
+    ccomp = comp.select(F.col(id_col).alias("neighbor_id"), "pos", F.col("q").alias("qb"))
+
+    # query side is k·dims rows — broadcast it; the corpus side streams.
+    dots = (
+        F.broadcast(qcomp)
+        .join(ccomp, "pos")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    qn = nrm.select(F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2"))
+    cn = nrm.select(F.col(id_col).alias("neighbor_id"), F.col("norm2").alias("nnorm2"))
+    sims = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH (random-hyperplane) bucketing — the approximate/scale path
+# --------------------------------------------------------------------------
+
+def lsh_buckets(
+    df: DataFrame, n_planes: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-bit bucket per vector: bit_j = sign(Σ_i w(j,i)·x_i).
+
+    Weights come from md5 nibbles of (plane, pos): reproducible everywhere.
+    One narrow pass (explode → weighted sum per (id, plane) → bit-string
+    assembly); output (id, bucket) feeds a bucket-equality self-join.
+    """
+    comp = df.select(F.col(id_col), F.posexplode(vec_col).alias("pos0", "v")).select(
+        id_col, (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
+    )
+    planes = comp.select(
+        id_col,
+        "pos",
+        "v",
+        F.explode(F.array(*[F.lit(j) for j in range(n_planes)])).alias("plane"),
+    ).select(
+        id_col,
+        "plane",
+        (
+            (
+                F.expr("instr('0123456789abcdef', substr(md5(concat(plane, '_', pos)), 1, 1))")
+                - 8.5
+            )
+            * F.col("v")
+        ).alias("w"),
+    )
+    sums = planes.groupBy(id_col, "plane").agg(F.sum("w").alias("s"))
+    sum_map = sums.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("plane", "s"))).alias("__m")
+    )
+    return sum_map.select(
+        id_col,
+        F.expr(
+            "array_join(transform(sequence(0, {n}),"
+            " j -> CASE WHEN element_at(__m, j) >= 0 THEN '1' ELSE '0' END), '')".format(
+                n=n_planes - 1
+            )
+        ).alias("bucket"),
+    )
+
+
+def ann_cosine_topk_lsh(
+    df: DataFrame,
+    query_ids_filter,
+    k: int = 3,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact (quantized) cosine ranking within candidates."""
+    buckets = lsh_buckets(df, n_planes, id_col, vec_col)
+    withb = df.join(buckets, id_col)
+    comp = quantized_components(withb, id_col, vec_col)
+    nrm = norms(comp, id_col)
+    b = buckets
+    qb = b.filter(query_ids_filter(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), "bucket"
+    )
+    cand = qb.join(b.select(F.col(id_col).alias("neighbor_id"), "bucket"), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qcomp = comp.select(F.col(id_col).alias("query_id"), "pos", F.col("q").alias("qa"))
+    ccomp = comp.select(F.col(id_col).alias("neighbor_id"), "pos", F.col("q").alias("qb"))
+    dots = (
+        F.broadcast(cand)
+        .join(qcomp, "query_id")
+        .join(ccomp, ["neighbor_id", "pos"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    qn = nrm.select(F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2"))
+    cn = nrm.select(F.col(id_col).alias("neighbor_id"), F.col("norm2").alias("nnorm2"))
+    sims = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
