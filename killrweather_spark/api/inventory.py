@@ -655,6 +655,230 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Window/time operators, rollup/pivot, as-of join (extensions; SURVEY §2.5
+# notes the reference has no window functions — these are the Spark-native
+# forms a time-series engine needs)
+# --------------------------------------------------------------------------
+
+@register(
+    "json_typed_parse",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k2
+    FROM events WHERE user_id = 11
+    """,
+    survey_ref="S11/P8 typed JSON parse (KafkaStreamingJson.scala:64, from_json path)",
+)
+def q_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 11)
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k INT").alias("j")
+    )
+    return parsed.select(
+        "event_id", F.col("j.k").alias("k"), (F.col("j.k") * 2).alias("k2")
+    )
+
+
+@register(
+    "hourly_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    survey_ref="T2 windows extension: tumbling event-time aggregation",
+)
+def q_hourly_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.operators.windows import tumbling_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias(
+                "total_value"
+            ),
+        ],
+    ).select("window_start", "window_end", "event_type", "n", "total_value")
+
+
+@register(
+    "session_windows",
+    """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 6 HOUR AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+    survey_ref="T2/T4 extension: session windows (gap-merged activity)",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.operators.windows import session_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_agg(
+        ev, "ts", "6 hours", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_ref="§2.4 extension: grouping-sets rollup (none in reference)",
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0).alias(
+            "sum_qty"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'O'
+               THEN CAST(ROUND(l_quantity * 100) AS BIGINT) END) / 100.0 AS qty_open,
+           SUM(CASE WHEN l_linestatus = 'F'
+               THEN CAST(ROUND(l_quantity * 100) AS BIGINT) END) / 100.0 AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ref="§2.4 extension: pivot (none in reference)",
+)
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_quantity") * 100).cast("bigint")
+    pivoted = (
+        l.withColumn("cents", cents)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("cents"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        (F.col("O") / 100.0).alias("qty_open"),
+        (F.col("F") / 100.0).alias("qty_filled"),
+    )
+
+
+@register(
+    "asof_join_latest_order",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    ), l AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 10)
+    SELECT l.event_id, l.user_id, l.ts, r.o_orderkey, r.o_totalprice
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate
+    """,
+    survey_ref="custom operator: as-of join (union+window, operators/asof.py) — "
+    "Spark lacks the primitive; DuckDB oracle uses native ASOF JOIN",
+)
+def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.operators.asof import asof_join
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("event_id", "user_id", "ts")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return asof_join(
+        ev,
+        orders,
+        key_left="user_id",
+        key_right="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        dedupe_right_by="o_orderkey",
+    )
+
+
+@register(
+    "embedding_cosine_pairs",
+    """
+    WITH comp AS (
+      SELECT e.vec_id, i.i AS pos,
+             CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS i(i)
+      WHERE e.vec_id < 100
+    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id)
+    SELECT a_id AS vec_a, b_id AS vec_b,
+           dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cosine
+    FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.q * b.q) AS dot
+      FROM comp a JOIN comp b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    JOIN nrm na ON na.vec_id = a_id
+    JOIN nrm nb ON nb.vec_id = b_id
+    WHERE dot / (SQRT(na.norm2) * SQRT(nb.norm2)) >= 0.35
+    """,
+    survey_ref="beyond-ref: embedding-cosine near-dup pairs (exact-quantized; "
+    "LSH bucketing is the 100 TB path, functions/similarity.py)",
+)
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import norms, quantized_components
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    comp = quantized_components(emb)
+    nrm = norms(comp)
+    a = comp.select(F.col("vec_id").alias("a_id"), "pos", F.col("q").alias("qa"))
+    b = comp.select(F.col("vec_id").alias("b_id"), "pos", F.col("q").alias("qb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    na = nrm.select(F.col("vec_id").alias("a_id"), F.col("norm2").alias("na"))
+    nb = nrm.select(F.col("vec_id").alias("b_id"), F.col("norm2").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+        .filter(F.col("cosine") >= 0.35)
+        .select(F.col("a_id").alias("vec_a"), F.col("b_id").alias("vec_b"), "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
 # Beyond-reference: dedup / text analysis / similarity / multimodal
 # (BASELINE.json north star — LLM-data-pipeline operators over documents
 # and embeddings; all hashing is md5 so the oracle reproduces every value)

@@ -1,0 +1,58 @@
+"""Time-window aggregations — extensions over the reference's calendar keys.
+
+The reference groups by calendar columns only ("queries are not by time
+slice", README.md:20; T2 notes windows as the optional extension).  These
+are the Spark-native window forms a time-series engine needs:
+
+- tumbling: ``F.window(ts, width)`` — maps each row to exactly one bucket,
+  so it partial-aggregates map-side like any groupBy (no extra shuffle).
+- session: ``F.session_window(ts, gap)`` — gap-merged activity sessions;
+  Spark merges overlapping windows in the agg (batch) or state store
+  (streaming).
+
+Both work unchanged on a streaming DataFrame with a watermark — that is the
+point of expressing them declaratively.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Fixed-width tumbling window aggregation; window bounds exposed as
+    ``window_start``/``window_end`` columns."""
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge; the
+    window ends ``gap`` after the last event (Spark semantics)."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .withColumn("session_end", F.col("w.end"))
+        .drop("w")
+    )
