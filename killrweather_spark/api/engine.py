@@ -133,7 +133,13 @@ class WeatherEngine:
 
     def get_precipitation(self, wsid: str, year: int) -> DataFrame:
         """GetPrecipitation → A3 annual sum over the daily tier
-        (PrecipitationActor.scala:39-44)."""
+        (PrecipitationActor.scala:39-44).
+
+        Parity note: ISD-lite encodes *trace* precipitation as ``-0.1``
+        (sentinel); the reference's counter accumulation sums it as-is, so
+        this does too — an annual total can be smaller than the wettest
+        single day.  Filter ``one_hour_precip >= 0`` upstream to change
+        that policy."""
         dailies = point_lookup(self.daily_precip_table, {"wsid": wsid, "year": year})
         return annual_sum(dailies, ["wsid", "year"])
 

@@ -1,0 +1,71 @@
+"""Physical-plan assertions — the scale contract, machine-checkable.
+
+SURVEY §4 maps each of the reference's manual placement tricks to a Catalyst
+feature; these helpers make the mapping testable so a regression (a filter
+that stops pushing down, a dimension join that stops broadcasting, an agg
+that loses map-side partials) fails CI instead of surfacing as a 100 TB
+shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame, *fragments: str) -> bool:
+    """True if the parquet scan carries PushedFilters mentioning every
+    fragment (≙ the reference's CQL WHERE pushdown, TemperatureActor.scala:57)."""
+    plan = formatted_plan(df)
+    m = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    pushed = " ".join(m)
+    return all(f in pushed for f in fragments)
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Columns actually read from the (first) file scan — column pruning
+    check (≙ .select() server-side projection, PrecipitationActor.scala:41)."""
+    plan = formatted_plan(df)
+    m = re.search(r"ReadSchema: struct<(.*?)>", plan)
+    if not m:
+        return []
+    return [c.split(":")[0] for c in m.group(1).split(",") if c]
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def node_count(df: DataFrame, node: str) -> int:
+    """Unique occurrences of a physical operator (formatted plans print each
+    node twice: once in the tree, once in the details section)."""
+    return len(set(re.findall(rf"\((\d+)\) {node}", formatted_plan(df))))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchanges in the plan — the scale currency.  AQE may remove
+    some at runtime; this counts the static plan's worst case."""
+    return node_count(df, "Exchange")
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """HashAggregate appears both before and after the exchange (map-side
+    combine ≙ the Cassandra counter's commutative partial sums)."""
+    plan = formatted_plan(df)
+    first_agg = plan.find("HashAggregate")
+    exch = plan.find("Exchange")
+    return 0 <= first_agg and 0 <= exch and "HashAggregate" in plan[exch:]
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen regions (formatted plans annotate member
+    operators with ``[codegen id : N]``)."""
+    plan = formatted_plan(df)
+    return len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))

@@ -1,0 +1,110 @@
+"""WeatherEngine request-surface tests on the reference's own sample data.
+
+Mirrors the reference's integration specs (TemperatureActorSpec,
+PrecipitationActorSpec, WeatherStationActorSpec) but with exact-value
+assertions computed independently in Python — stronger than the reference's
+shape/threshold checks (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+from killrweather_spark.api.engine import WeatherEngine
+from killrweather_spark.sources.readers import read_raw_csv
+
+REF_CSV_GZ = "/root/reference/data/load/sf-2008.csv.gz"
+WSID = "724940:23234"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    raw = read_raw_csv(spark, REF_CSV_GZ)
+    eng = WeatherEngine(spark, raw)
+    eng.refresh_daily_tiers()
+    return eng
+
+
+@pytest.fixture(scope="module")
+def raw_rows():
+    rows = []
+    with gzip.open(REF_CSV_GZ, "rt") as f:
+        for line in f:
+            p = line.strip().split(",")
+            rows.append(
+                {
+                    "wsid": p[0], "year": int(p[1]), "month": int(p[2]),
+                    "day": int(p[3]), "hour": int(p[4]), "temperature": float(p[5]),
+                    "one_hour_precip": float(p[11]),
+                }
+            )
+    return rows
+
+
+def test_get_daily_temperature_matches_statcounter(engine, raw_rows):
+    temps = [
+        r["temperature"] for r in raw_rows
+        if r["wsid"] == WSID and (r["year"], r["month"], r["day"]) == (2008, 1, 2)
+    ]
+    got = engine.get_daily_temperature(WSID, 2008, 1, 2).first()
+    assert got["high"] == max(temps)
+    assert got["low"] == min(temps)
+    assert got["mean"] == pytest.approx(statistics.fmean(temps))
+    # population variance — StatCounter divides by n (SURVEY §2.4 A1)
+    assert got["variance"] == pytest.approx(statistics.pvariance(temps))
+    assert got["stdev"] == pytest.approx(math.sqrt(statistics.pvariance(temps)))
+
+
+def test_monthly_hilow_reads_daily_tier(engine, raw_rows):
+    jan = [
+        r["temperature"] for r in raw_rows
+        if r["wsid"] == WSID and (r["year"], r["month"]) == (2008, 1)
+    ]
+    got = engine.get_monthly_hilow_temperature(WSID, 2008, 1).first()
+    assert got["high"] == max(jan)
+    assert got["low"] == min(jan)
+
+
+def test_precipitation_annual_and_topk(engine, raw_rows):
+    daily: dict[tuple, float] = {}
+    for r in raw_rows:
+        if r["wsid"] == WSID and r["year"] == 2008:
+            k = (r["month"], r["day"])
+            daily[k] = daily.get(k, 0.0) + r["one_hour_precip"]
+    total = engine.get_precipitation(WSID, 2008).first()["total"]
+    assert total == pytest.approx(sum(daily.values()))
+    topk = engine.get_top_k_precipitation(WSID, 2008, k=10).first()["top"]
+    assert len(topk) == 10
+    assert list(topk) == sorted(daily.values(), reverse=True)[:10]
+
+
+def test_current_weather_is_latest_row(engine):
+    got = engine.get_current_weather(WSID).first()
+    assert (got["year"], got["month"], got["day"], got["hour"]) == (2008, 12, 31, 23)
+
+
+def test_no_data_available_sentinel(engine):
+    # year 2020 is empty — the reference's NoDataAvailable path
+    # (TemperatureActorSpec: empty-year probe)
+    assert engine.get_precipitation(WSID, 2020).isEmpty()
+    assert engine.get_daily_temperature(WSID, 2020, 1, 1).isEmpty()
+
+
+def test_monthly_temperature_extension(engine, raw_rows):
+    got = engine.get_monthly_temperature(WSID, 2008, 1).first()
+    jan = [
+        r["temperature"] for r in raw_rows
+        if r["wsid"] == WSID and (r["year"], r["month"]) == (2008, 1)
+    ]
+    assert got["high"] == max(jan)
+    assert got["low"] == min(jan)
+
+
+def test_sky_condition_lookup(engine):
+    row = engine.get_sky_condition_lookup(8).first()
+    assert row["condition"].startswith("Eight oktas")

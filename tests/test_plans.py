@@ -1,0 +1,78 @@
+"""Plan-shape regression tests: pushdown, pruning, broadcast, partial agg.
+
+These encode the 100 TB design contract (SURVEY §4): the declared queries
+must compile to plans that scale, not merely return correct rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from killrweather_spark.api.inventory import REGISTRY
+from killrweather_spark.plans import checks
+from killrweather_spark.sources.readers import load_table
+from tests.conftest import SF01
+
+
+def test_point_lookup_pushes_filters_and_prunes_columns(spark):
+    df = REGISTRY["projection_filter"].fn(spark, SF01)
+    # value < 0.5 must reach the parquet scan…
+    assert checks.has_pushed_filters(df, "LessThan(value"), checks.formatted_plan(df)
+    # …and the scan must read only the two projected columns
+    assert set(checks.scan_read_schema(df)) <= {"event_id", "value"}
+
+
+def test_dimension_join_broadcasts(spark):
+    df = REGISTRY["join_dim_broadcast"].fn(spark, SF01)
+    assert checks.uses_broadcast_join(df)
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = REGISTRY["star_join_revenue"].fn(spark, SF01)
+    assert checks.node_count(df, "BroadcastHashJoin") >= 3, checks.formatted_plan(df)
+
+
+def test_daily_stats_is_single_shuffle_partial_agg(spark):
+    df = REGISTRY["daily_stats"].fn(spark, SF01)
+    assert checks.has_partial_aggregation(df)
+    # one exchange for the groupBy — no stray repartitions
+    assert checks.shuffle_count(df) <= 1, checks.formatted_plan(df)
+
+
+def test_tiered_rollup_reuses_daily_shuffle(spark):
+    # monthly tier groups by a prefix of the daily keys: Catalyst should not
+    # need more than the two aggregation exchanges end-to-end.
+    df = REGISTRY["monthly_hilow"].fn(spark, SF01)
+    assert checks.shuffle_count(df) <= 2, checks.formatted_plan(df)
+
+
+def test_topk_global_uses_bounded_heap_not_full_sort(spark):
+    df = REGISTRY["topk_global"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_queries_stay_in_codegen(spark):
+    # JVM expressions only — a Python UDF in the hot path would show up as
+    # BatchEvalPython and break whole-stage codegen.  Codegen ids only print
+    # on non-adaptive plans, so toggle AQE off for the assertion.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ["daily_stats", "star_join_revenue", "value_filter", "text_quality"]:
+            df = REGISTRY[name].fn(spark, SF01)
+            plan = checks.formatted_plan(df)
+            assert "BatchEvalPython" not in plan, f"{name} fell out of codegen"
+            assert checks.wholestage_codegen_spans(df) >= 1, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_calendar_filter_prunes_year_partition(spark, tmp_path):
+    # Write a partitioned raw table the way the engine lays it out, then
+    # check a calendar-key query scans only the matching partition.
+    ev = load_table(spark, SF01, "events").withColumn("year", F.year("ts"))
+    path = str(tmp_path / "raw_partitioned")
+    ev.write.partitionBy("year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("year") == 2024)
+    plan = checks.formatted_plan(back)
+    assert "PartitionFilters: [isnotnull(year" in plan.replace("#", " #"), plan
