@@ -1001,25 +1001,36 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT d.doc_id, substr(d.text, i.i, 4) AS shingle
       FROM documents d,
            unnest(generate_series(1, greatest(length(d.text) - 3, 1))) AS i(i)
-    ), seeds AS (SELECT unnest(range(0, 8)) AS s),
-    mh AS (
-      SELECT doc_id, s, MIN(md5(s || '|' || shingle)) AS h
-      FROM grams, seeds GROUP BY doc_id, s
+    ), hashed AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS h
+      FROM grams
     ), sig AS (
       SELECT doc_id,
-             MIN(CASE WHEN s = 0 THEN h END) AS h0,
-             MIN(CASE WHEN s = 1 THEN h END) AS h1,
-             MIN(CASE WHEN s = 2 THEN h END) AS h2,
-             MIN(CASE WHEN s = 3 THEN h END) AS h3,
-             MIN(CASE WHEN s = 4 THEN h END) AS h4,
-             MIN(CASE WHEN s = 5 THEN h END) AS h5,
-             MIN(CASE WHEN s = 6 THEN h END) AS h6,
-             MIN(CASE WHEN s = 7 THEN h END) AS h7
-      FROM mh GROUP BY doc_id
+             MIN((1  * h          ) % 2147483647) AS h0,
+             MIN((3  * h +   7919 ) % 2147483647) AS h1,
+             MIN((5  * h +  15838 ) % 2147483647) AS h2,
+             MIN((7  * h +  23757 ) % 2147483647) AS h3,
+             MIN((9  * h +  31676 ) % 2147483647) AS h4,
+             MIN((11 * h +  39595 ) % 2147483647) AS h5,
+             MIN((13 * h +  47514 ) % 2147483647) AS h6,
+             MIN((15 * h +  55433 ) % 2147483647) AS h7,
+             MIN((17 * h +  63352 ) % 2147483647) AS h8,
+             MIN((19 * h +  71271 ) % 2147483647) AS h9,
+             MIN((21 * h +  79190 ) % 2147483647) AS h10,
+             MIN((23 * h +  87109 ) % 2147483647) AS h11,
+             MIN((25 * h +  95028 ) % 2147483647) AS h12,
+             MIN((27 * h + 102947 ) % 2147483647) AS h13,
+             MIN((29 * h + 110866 ) % 2147483647) AS h14,
+             MIN((31 * h + 118785 ) % 2147483647) AS h15
+      FROM hashed GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, b.b,
-             md5(CASE b.b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
-                          WHEN 2 THEN h4 || h5 ELSE h6 || h7 END) AS bucket
+             CASE b.b WHEN 0 THEN h0 || '_' || h1 || '_' || h2 || '_' || h3
+                      WHEN 1 THEN h4 || '_' || h5 || '_' || h6 || '_' || h7
+                      WHEN 2 THEN h8 || '_' || h9 || '_' || h10 || '_' || h11
+                      ELSE h12 || '_' || h13 || '_' || h14 || '_' || h15
+             END AS bucket
       FROM sig, (SELECT unnest(range(0, 4)) AS b) b
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
