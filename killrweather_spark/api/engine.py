@@ -150,6 +150,24 @@ class WeatherEngine:
         dailies = point_lookup(self.daily_precip_table, {"wsid": wsid, "year": year})
         return top_k_values(dailies, ["wsid", "year"], "precipitation", k)
 
+    def get_year_cumulative_precip(self, wsid: str, year: int) -> DataFrame:
+        """The ``year_cumulative_precip`` tier — declared & configured in the
+        reference (``create-timeseries.cql:86-91``, ``WeatherSettings.scala:163``)
+        but never written by any code path; implemented here as the YTD
+        running sum over the daily precip tier (flagged extension)."""
+        from pyspark.sql import Window
+
+        dailies = point_lookup(self.daily_precip_table, {"wsid": wsid, "year": year})
+        w = (
+            Window.partitionBy("wsid", "year")
+            .orderBy("month", "day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return dailies.select(
+            "wsid", "year", "month", "day",
+            F.sum("precipitation").over(w).alias("cumulative"),
+        )
+
     def get_sky_condition_lookup(self, code: int) -> DataFrame:
         """GetSkyConditionLookup — declared-unimplemented in the reference
         (WeatherEvent.scala:55-59); trivial here (flagged extension)."""

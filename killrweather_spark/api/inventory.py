@@ -1172,6 +1172,37 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T1-T7: streaming semantics (drained deterministically with availableNow)
 # --------------------------------------------------------------------------
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a bounded *stream* (parquet file source): the
+    deterministic stand-in for the Kafka topic — the parse/agg/sink graph
+    downstream is identical either way (S1 ≙ S6-as-stream)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # The file stream source wants a directory; stage the single parquet
+    # file behind a symlink (testdata itself is read-only).
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    stream = spark.readStream.schema(schema).parquet(stage)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 @register(
     "streaming_daily_precip",
     _DAILY_SUM_SQL,
@@ -1187,32 +1218,9 @@ def q_streaming_daily_precip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from pyspark.sql import types as T
-
     from killrweather_spark.streaming.pipeline import run_stream_to_batch
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    # The file stream source wants a directory; stage the single parquet
-    # file behind a symlink (testdata itself is read-only).
-    import os
-
-    stage = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stage, "events.parquet"),
-    )
-    stream = spark.readStream.schema(schema).parquet(stage)
-    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _events_stream(spark, sf_dir)
     agg = (
         ev.select(
             "user_id",
@@ -1251,3 +1259,195 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT DISTINCT (exceptAll would keep a user whose click
     # count merely exceeds their error count — different semantics).
     return clickers.subtract(erroring)
+
+
+@register(
+    "set_ops_union_intersect",
+    """
+    SELECT user_id, 'both' AS src FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION
+    SELECT user_id, 'error' AS src FROM events WHERE event_type = 'error'
+    """,
+    survey_ref="§2.7 set-operation extension: UNION + INTERSECT (none in reference)",
+)
+def q_set_ops_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).withColumn("src", F.lit("both"))
+    erroring = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id")
+        .withColumn("src", F.lit("error"))
+    )
+    # union == UNION ALL; SQL UNION dedups — match with distinct().
+    return both.union(erroring).distinct()
+
+
+@register(
+    "year_cumulative_precip",
+    f"""
+    SELECT user_id, year, month, day,
+           SUM(day_cents) OVER (
+             PARTITION BY user_id, year ORDER BY month, day
+             ROWS UNBOUNDED PRECEDING) / 100.0 AS ytd
+    FROM ({_DAILY_CENTS_SQL})
+    """,
+    survey_ref="year_cumulative_precip tier (create-timeseries.cql:86-91 — "
+    "declared in the reference but never written by any code path; implemented "
+    "here as the YTD running sum over the daily tier)",
+)
+def q_year_cumulative_precip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events_calendar(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy("user_id", "year", "month", "day").agg(
+        F.sum(cents).alias("day_cents")
+    )
+    w = (
+        Window.partitionBy("user_id", "year")
+        .orderBy("month", "day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "user_id", "year", "month", "day",
+        (F.sum("day_cents").over(w) / 100.0).alias("ytd"),
+    )
+
+
+_DAILY_TEMP_TIER_SQL = f"""
+    SELECT user_id, year, month, day,
+           MAX(value) AS high, MIN(value) AS low, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sx
+    FROM ({_EV_CAL_SQL})
+    GROUP BY user_id, year, month, day
+"""
+
+
+@register(
+    "monthly_temperature",
+    f"""
+    SELECT user_id, year, month,
+           MAX(high) AS high, MIN(low) AS low,
+           SUM(CAST(ROUND(((sx / 100.0) / n) * 10000) AS BIGINT)) / 10000.0
+             / COUNT(*) AS mean_daily,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM ({_DAILY_TEMP_TIER_SQL})
+    GROUP BY user_id, year, month
+    """,
+    survey_ref="GetMonthlyTemperature (WeatherEvent.scala:48, declared-unimplemented "
+    "in reference; monthly stats over the daily tier — daily means re-quantized "
+    "to 4 dp so the two-tier float pipeline is reduction-order independent)",
+)
+def q_monthly_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_calendar(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy("user_id", "year", "month", "day").agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sx"),
+    )
+    daily_mean_q = F.round(((F.col("sx") / 100.0) / F.col("n")) * 10000).cast("bigint")
+    return daily.groupBy("user_id", "year", "month").agg(
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        (F.sum(daily_mean_q) / 10000.0 / F.count(F.lit(1))).alias("mean_daily"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT event_type, CAST(year(ts) AS INT) AS year,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(year(ts) AS INT))
+    """,
+    survey_ref="§2.4 extension: cube grouping sets (none in reference)",
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "year", F.year("ts").cast("int")
+    )
+    return ev.cube("event_type", "year").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias(
+            "total_value"
+        ),
+    )
+
+
+@register(
+    "ivf_ann_cosine",
+    None,  # approximate by design: verified by recall tests, not the oracle
+    survey_ref="beyond-ref: IVF (inverted-list) approximate cosine top-k — "
+    "coarse-quantize to cells, probe n_probe cells (functions/similarity.py)",
+)
+def q_ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, lambda c: c < 5, k=3, n_centroids=8, n_probe=3)
+
+
+@register(
+    "streaming_dedup_keys",
+    f"""
+    SELECT DISTINCT user_id, year, month, day FROM ({_EV_CAL_SQL})
+    """,
+    survey_ref="beyond-ref: streaming exact dedup (stateful dropDuplicates — "
+    "the streaming form of hash-groupBy dedup; state store holds seen keys)",
+)
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    ev = _events_stream(spark, sf_dir)
+    keys = ev.select(
+        "user_id",
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+    ).dropDuplicates(["user_id", "year", "month", "day"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    return run_stream_to_batch(keys, tempfile.mkdtemp(), name, "append")
+
+
+@register(
+    "streaming_hourly_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ref="T2/T3 extension: watermarked event-time tumbling window over the "
+    "stream (reference groups by calendar keys instead, README.md:20)",
+)
+def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    result = run_stream_to_batch(agg, tempfile.mkdtemp(), name, "complete")
+    return result.select(
+        F.col("window.start").alias("window_start"), "event_type", "n"
+    )

@@ -138,6 +138,123 @@ def lsh_buckets(
     )
 
 
+def ivf_cells(
+    df: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the vectors with the ``n_centroids`` smallest ids —
+    deterministic (no RNG/k-means state), which is what reproducible
+    100 TB re-partitioning needs; swap in trained k-means centroids behind
+    the same (id, cell) contract.  Assignment = argmax cosine against the
+    broadcast centroid set: the corpus streams once, never shuffles until
+    the (id, cell) groupBy, and cells are the IVF inverted lists.
+    """
+    comp = quantized_components(df, id_col, vec_col)
+    cent = comp.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"), "pos", F.col("q").alias("cq")
+    )
+    cnorm = cent.groupBy("cell").agg(F.sum(F.col("cq") * F.col("cq")).alias("cnorm2"))
+    nrm = norms(comp, id_col)
+    dots = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, "cell")
+        .agg(F.sum(F.col("q") * F.col("cq")).alias("dot"))
+    )
+    scored = dots.join(F.broadcast(cnorm), "cell").join(
+        F.broadcast(nrm.withColumnRenamed("norm2", "vnorm2")), id_col
+    ).withColumn(
+        "sim", F.col("dot") / (F.sqrt(F.col("cnorm2")) * F.sqrt(F.col("vnorm2")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "cell")
+    )
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    query_ids_filter,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: rank only vectors in the query's ``n_probe``
+    closest cells — the classic recall/latency dial.  At 100 TB the corpus
+    is stored partitioned by cell (inverted lists), so a probe reads
+    ``n_probe / n_centroids`` of the data with partition pruning doing the
+    skipping; here cells live in a column and the same restriction happens
+    via the candidate join.
+    """
+    comp = quantized_components(df, id_col, vec_col)
+    nrm = norms(comp, id_col)
+    cent = comp.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"), "pos", F.col("q").alias("cq")
+    )
+    cnorm = cent.groupBy("cell").agg(F.sum(F.col("cq") * F.col("cq")).alias("cnorm2"))
+
+    # per-query: its n_probe nearest cells
+    qcomp = comp.filter(query_ids_filter(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), "pos", F.col("q").alias("qa")
+    )
+    qdots = (
+        F.broadcast(qcomp)
+        .join(cent, "pos")
+        .groupBy("query_id", "cell")
+        .agg(F.sum(F.col("qa") * F.col("cq")).alias("dot"))
+        .join(F.broadcast(cnorm), "cell")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        (F.col("dot") / F.sqrt(F.col("cnorm2"))).desc(), F.col("cell").asc()
+    )
+    probes = (
+        qdots.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    cells = ivf_cells(df, n_centroids, id_col, vec_col)
+    cand = (
+        F.broadcast(probes)
+        .join(cells.withColumnRenamed(id_col, "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    ccomp = comp.select(F.col(id_col).alias("neighbor_id"), "pos", F.col("q").alias("qb"))
+    dots = (
+        F.broadcast(cand)
+        .join(qcomp, "query_id")
+        .join(ccomp, ["neighbor_id", "pos"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    qn = nrm.select(F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2"))
+    cn = nrm.select(F.col(id_col).alias("neighbor_id"), F.col("norm2").alias("nnorm2"))
+    sims = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def ann_cosine_topk_lsh(
     df: DataFrame,
     query_ids_filter,

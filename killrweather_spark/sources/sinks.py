@@ -1,0 +1,103 @@
+"""Sinks & table layouts — SURVEY §2.1 S3-S5 plus the 100 TB layout pass.
+
+The reference's storage layer is Cassandra wide rows: partition key
+``wsid``, DESC clustering on the calendar columns
+(``data/create-timeseries.cql:31-47``) — that layout IS its partition
+pruning, sort avoidance, and write path.  The Spark-native equivalents:
+
+- **Partitioned parquet** (``partitionBy``): directory-level pruning for
+  the calendar-key queries (P2).  Raw observations partition by
+  ``(year, wsid_bucket)`` — `wsid` itself would create ~20k directories/yr
+  (small-file death at 100 TB), so stations hash into a bounded number of
+  buckets and Catalyst prunes on ``wsid_bucket = hash(wsid) % N`` which we
+  attach to every station-keyed predicate.
+- **Bucketed tables** (``bucketBy`` + ``saveAsTable``): co-located joins —
+  two tables bucketed on the same key join with ZERO exchanges (the
+  rebuild of the connector's "data-local" Cassandra reads,
+  ``KafkaStreamingActor.scala:48-50``).  At 100 TB this is the difference
+  between an hourly-fact × daily-tier join shuffling 100 TB and shuffling
+  nothing.
+- **saveAsTable / CTAS** (S5): ``saveAsCassandraTableEx``'s DDL-from-code
+  (``SaveAsApi.scala:26-31``) is exactly ``df.write.saveAsTable`` /
+  ``CREATE TABLE AS`` against the session catalog.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_STATION_BUCKETS = 64
+
+
+def with_station_bucket(
+    df: DataFrame,
+    station_col: str = "wsid",
+    n_buckets: int = DEFAULT_STATION_BUCKETS,
+    out: str = "wsid_bucket",
+) -> DataFrame:
+    """Bounded station bucket for directory partitioning: ``pmod(hash(wsid), N)``.
+
+    ``hash`` is Spark's Murmur3 — stable across sessions/versions, so the
+    bucket derivation can be re-applied at query time for pruning.
+    """
+    return df.withColumn(out, F.pmod(F.hash(F.col(station_col)), F.lit(n_buckets)))
+
+
+def station_bucket_predicate(
+    station_id: str, n_buckets: int = DEFAULT_STATION_BUCKETS
+):
+    """The pruning predicate a station point-lookup attaches:
+    ``wsid_bucket = pmod(hash('<id>'), N) AND wsid = '<id>'`` — the first
+    conjunct prunes directories, the second filters rows within them."""
+    return (
+        F.col("wsid_bucket") == F.pmod(F.hash(F.lit(station_id)), F.lit(n_buckets))
+    ) & (F.col("wsid") == station_id)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = ("year", "wsid_bucket"),
+    mode: str = "overwrite",
+) -> None:
+    """S4 batch sink with the pruning layout (≙ Cassandra partition key).
+
+    ``maxRecordsPerFile`` bounds file size so a skewed partition (one hot
+    year) still splits into parallel-scannable files.
+    """
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", 5_000_000)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S5 create-table-and-save with co-location (``bucketBy`` + optional
+    ``sortBy`` ≙ the CQL clustering order, ``create-timeseries.cql:46-47``).
+
+    Joins/aggregations on ``bucket_cols`` between tables bucketed the same
+    way run with no Exchange (verified by ``tests/test_sinks.py``).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(name)
+
+
+def ctas(spark: SparkSession, name: str, select_sql: str) -> DataFrame:
+    """S5 via SQL: ``CREATE TABLE AS`` against the session catalog
+    (≙ ``saveAsCassandraTableEx`` DDL-from-code)."""
+    spark.sql(f"CREATE TABLE {name} USING parquet AS {select_sql}")
+    return spark.table(name)

@@ -105,6 +105,25 @@ def test_monthly_temperature_extension(engine, raw_rows):
     assert got["low"] == min(jan)
 
 
+def test_year_cumulative_precip_extension(engine, raw_rows):
+    daily: dict[tuple, float] = {}
+    for r in raw_rows:
+        if r["wsid"] == WSID and r["year"] == 2008:
+            k = (r["month"], r["day"])
+            daily[k] = daily.get(k, 0.0) + r["one_hour_precip"]
+    got = engine.get_year_cumulative_precip(WSID, 2008).collect()
+    assert len(got) == len(daily)
+    # last row of the YTD series == the annual total (A3)
+    last = max(got, key=lambda r: (r["month"], r["day"]))
+    assert last["cumulative"] == pytest.approx(sum(daily.values()))
+    # series is non-decreasing when precip is non-negative; trace values
+    # (-0.1 sentinel) may dip — just check the running sum is consistent
+    running = 0.0
+    for row in sorted(got, key=lambda r: (r["month"], r["day"])):
+        running += daily[(row["month"], row["day"])]
+        assert row["cumulative"] == pytest.approx(running)
+
+
 def test_sky_condition_lookup(engine):
     row = engine.get_sky_condition_lookup(8).first()
     assert row["condition"].startswith("Eight oktas")

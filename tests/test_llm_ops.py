@@ -35,6 +35,32 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert approx_pairs == again
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    from killrweather_spark.functions.similarity import ivf_cells, ivf_cosine_topk
+
+    emb = load_table(spark, SF01, "embeddings")
+    exact = cosine_topk(emb, lambda c: c < 10, k=5)
+    approx = ivf_cosine_topk(emb, lambda c: c < 10, k=5, n_centroids=8, n_probe=3)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # probing 3/8 cells should find a decent share of true neighbors (cosine
+    # neighbors cluster into the same coarse cell by construction)
+    assert recall >= 0.3, f"suspiciously low IVF recall: {recall}"
+    # deterministic across runs (centroids are fixed ids, no RNG)
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(
+            emb, lambda c: c < 10, k=5, n_centroids=8, n_probe=3
+        ).collect()
+    }
+    assert approx_pairs == again
+    # every vector lands in exactly one cell
+    cells = ivf_cells(emb, n_centroids=8)
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+
+
 def test_dedup_exact_removes_introduced_duplicates(spark):
     docs = load_table(spark, SF001, "documents").select("doc_id", "text")
     dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)

@@ -1,0 +1,102 @@
+"""Storage-layout tests — the scale contract of SURVEY §7 step 6.
+
+The reference's Cassandra layout (partition key ``wsid``, DESC clustering,
+``create-timeseries.cql:31-47``) is what makes its point queries single-
+partition and its scans data-local.  These tests pin the Spark equivalents:
+directory-partition pruning, bucketed no-shuffle joins, and CTAS.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from killrweather_spark.plans.checks import (
+    formatted_plan,
+    shuffle_count,
+)
+from killrweather_spark.sources.readers import load_table
+from killrweather_spark.sources.sinks import (
+    ctas,
+    save_bucketed_table,
+    station_bucket_predicate,
+    with_station_bucket,
+    write_partitioned,
+)
+from tests.conftest import SF001
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    ev = load_table(spark, SF001, "events")
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("wsid"),
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        "value",
+    )
+
+
+def test_partitioned_layout_prunes_directories(spark, events, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("raw_layout"))
+    write_partitioned(with_station_bucket(events, n_buckets=8), path,
+                      partition_cols=("year", "wsid_bucket"))
+    back = spark.read.parquet(path)
+    q = back.filter(station_bucket_predicate("7", n_buckets=8))
+    plan = formatted_plan(q)
+    # the bucket-equality conjunct must reach PartitionFilters (directory
+    # pruning — the rebuild of Cassandra's single-partition point read)
+    assert "PartitionFilters" in plan
+    assert "wsid_bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    rows = q.collect()
+    assert rows and all(r["wsid"] == "7" for r in rows)
+    # pruned scan result matches the unpruned filter
+    assert len(rows) == back.filter(F.col("wsid") == "7").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, events):
+    daily = events.groupBy("wsid").agg(F.sum("value").alias("total"))
+    save_bucketed_table(events, "raw_bucketed", ["wsid"], 8, sort_cols=["wsid"])
+    save_bucketed_table(daily, "daily_bucketed", ["wsid"], 8, sort_cols=["wsid"])
+    try:
+        left = spark.table("raw_bucketed")
+        right = spark.table("daily_bucketed")
+        joined = left.join(right, "wsid")
+        # co-located join: both sides pre-bucketed on the key → zero
+        # Exchange nodes (at 100 TB: the fact table never shuffles)
+        assert shuffle_count(joined) == 0
+        assert joined.count() == events.count()
+        # contrast: the same join on plain parquet shuffles at least one side
+        plain = events.join(daily, "wsid")
+        assert shuffle_count(plain) >= 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS raw_bucketed")
+        spark.sql("DROP TABLE IF EXISTS daily_bucketed")
+
+
+def test_bucketed_agg_has_no_exchange(spark, events):
+    save_bucketed_table(events, "raw_bucketed_agg", ["wsid"], 8)
+    try:
+        t = spark.table("raw_bucketed_agg")
+        agg = t.groupBy("wsid").agg(F.sum("value").alias("total"))
+        assert shuffle_count(agg) == 0
+        assert agg.count() == events.select("wsid").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS raw_bucketed_agg")
+
+
+def test_ctas_roundtrip(spark, events):
+    events.createOrReplaceTempView("events_v")
+    spark.sql("DROP TABLE IF EXISTS daily_ctas")
+    out = ctas(
+        spark,
+        "daily_ctas",
+        "SELECT wsid, year, month, SUM(value) AS total FROM events_v "
+        "GROUP BY wsid, year, month",
+    )
+    try:
+        assert out.count() == events.select("wsid", "year", "month").distinct().count()
+        assert set(out.columns) == {"wsid", "year", "month", "total"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS daily_ctas")
