@@ -25,15 +25,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # rollups, the star join, windowed analytics, and (as they land) dedup /
 # similarity.  Keep this list in sync with the heaviest REGISTRY entries.
 HEADLINE = [
+    # weather-engine core: tiered rollups, star join, windowed analytics
     "daily_stats",
     "monthly_hilow",
     "annual_precip",
     "topk_daily_precip",
+    "year_cumulative_precip",
     "star_join_revenue",
     "join_dim_broadcast",
     "window_running_sum",
     "json_extract",
     "distinct_users_in_range",
+    "asof_join_latest_order",
+    # LLM-data-pipeline: dedup, similarity, text analysis
+    "dedup_exact_groups",
+    "minhash_lsh_pairs",
+    "simhash",
+    "text_quality",
+    "cosine_topk",
 ]
 
 
@@ -46,9 +55,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    # Warm the JVM + parquet footer caches with a trivial action so per-query
-    # timings measure the query, not session startup.
+    # Warm the JVM + parquet reader/codegen paths with trivial actions so
+    # per-query timings measure the query, not session startup (first parquet
+    # scan of a session pays classloading + codegen compilation).
     spark.range(1).count()
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

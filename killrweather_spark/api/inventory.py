@@ -30,6 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from killrweather_spark.functions.dedup import MINHASH_PERMS
 from killrweather_spark.model.schemas import SKY_CONDITION_ROWS
 from killrweather_spark.operators.aggregates import (
     annual_sum,
@@ -998,31 +999,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_pairs",
     """
     WITH grams AS (
-      SELECT DISTINCT d.doc_id, substr(d.text, i.i, 4) AS shingle
+      SELECT DISTINCT d.doc_id, substr(d.text, i.i, 6) AS shingle
       FROM documents d,
-           unnest(generate_series(1, greatest(length(d.text) - 3, 1))) AS i(i)
+           unnest(generate_series(1, greatest(length(d.text) - 5, 1))) AS i(i)
     ), hashed AS (
       SELECT doc_id,
              (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS h
       FROM grams
     ), sig AS (
       SELECT doc_id,
-             MIN((1  * h          ) % 2147483647) AS h0,
-             MIN((3  * h +   7919 ) % 2147483647) AS h1,
-             MIN((5  * h +  15838 ) % 2147483647) AS h2,
-             MIN((7  * h +  23757 ) % 2147483647) AS h3,
-             MIN((9  * h +  31676 ) % 2147483647) AS h4,
-             MIN((11 * h +  39595 ) % 2147483647) AS h5,
-             MIN((13 * h +  47514 ) % 2147483647) AS h6,
-             MIN((15 * h +  55433 ) % 2147483647) AS h7,
-             MIN((17 * h +  63352 ) % 2147483647) AS h8,
-             MIN((19 * h +  71271 ) % 2147483647) AS h9,
-             MIN((21 * h +  79190 ) % 2147483647) AS h10,
-             MIN((23 * h +  87109 ) % 2147483647) AS h11,
-             MIN((25 * h +  95028 ) % 2147483647) AS h12,
-             MIN((27 * h + 102947 ) % 2147483647) AS h13,
-             MIN((29 * h + 110866 ) % 2147483647) AS h14,
-             MIN((31 * h + 118785 ) % 2147483647) AS h15
+             {minhash_mins}
       FROM hashed GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, b.b,
@@ -1036,7 +1022,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    """,
+    """.format(
+        # same affine-permutation constants as the Spark side — single source
+        minhash_mins=",\n             ".join(
+            f"MIN(({a} * h + {b}) % 2147483647) AS h{i}"
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        )
+    ),
     survey_ref="beyond-ref: MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)",
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1421,6 +1413,110 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dropDuplicates(["user_id", "year", "month", "day"])
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     return run_stream_to_batch(keys, tempfile.mkdtemp(), name, "append")
+
+
+@register(
+    "salted_daily_precip",
+    _DAILY_SUM_SQL,
+    survey_ref="skew-resilient two-phase aggregation (operators/skew.py) — same "
+    "semantics as daily_precip, executed as groupBy(key, salt) partial → "
+    "groupBy(key) merge so a hot key spreads over n_salts tasks",
+)
+def q_salted_daily_precip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.operators.skew import salted_agg
+
+    ev = _events_calendar(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = salted_agg(
+        ev,
+        ["user_id", "year", "month", "day"],
+        {"day_cents": ("sum", "cents")},
+        spread_col="event_id",
+        n_salts=16,
+    )
+    return out.select(
+        "user_id", "year", "month", "day",
+        (F.col("day_cents") / 100.0).alias("precipitation"),
+    )
+
+
+@register(
+    "range_join_ship_window",
+    """
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS n_lines,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS price_total
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    """,
+    survey_ref="custom operator: range join (equi key + date interval predicate; "
+    "none in reference — P3 timestamp-range filter generalized to a join)",
+)
+def q_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    # Equi key drives the join strategy (hash/sort-merge on l_orderkey);
+    # the interval predicate evaluates post-match — never a cross product.
+    joined = l.join(
+        o,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < F.date_add(o.o_orderdate.cast("date"), 60).cast("timestamp")),
+    )
+    return joined.groupBy(o.o_orderpriority.alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(F.round(l.l_extendedprice * 100).cast("bigint")) / 100.0).alias(
+            "price_total"
+        ),
+    )
+
+
+@register(
+    "semi_join_returned_orders",
+    """
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+    survey_ref="§2.3 extension: left-semi join (EXISTS; none in reference)",
+)
+def q_semi_join_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "anti_join_customers_no_orders",
+    """
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c.c_mktsegment
+    """,
+    survey_ref="§2.3 extension: left-anti join (NOT EXISTS; none in reference) — "
+    "customers with no big-ticket order",
+)
+def q_anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
 
 
 @register(
