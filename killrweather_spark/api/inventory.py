@@ -1520,6 +1520,144 @@ def q_anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "docs_embedding_norms",
+    """
+    WITH comp AS (
+      SELECT e.vec_id,
+             CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS i(i)
+    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id)
+    SELECT d.lang, COUNT(*) AS n_docs,
+           SUM(n.norm2) AS total_norm2,
+           MIN(n.norm2) AS min_norm2, MAX(n.norm2) AS max_norm2
+    FROM documents d JOIN nrm n ON n.vec_id = d.doc_id
+    GROUP BY d.lang
+    """,
+    survey_ref="beyond-ref: cross-modal join (documents ⋈ embeddings on id) — "
+    "text metadata grouped over quantized-exact vector norms",
+)
+def q_docs_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import norms, quantized_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = norms(quantized_components(emb))
+    return (
+        docs.join(nrm, docs.doc_id == nrm.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("norm2").alias("total_norm2"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+        )
+    )
+
+
+@register(
+    "percentile_stats",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ref="§2.4 extension: exact interpolated percentiles (none in "
+    "reference; Spark percentile ≡ DuckDB quantile_cont, both linear-"
+    "interpolation — bit-identical given identical per-group value sets)",
+)
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    )
+
+
+@register(
+    "approx_distinct_hll",
+    None,  # HLL sketch — approximate by design; bounds checked in pytest
+    survey_ref="§2.4 extension: approx_count_distinct (HyperLogLog++) — the "
+    "100 TB path for cardinality (exact distinct shuffles every key; the "
+    "sketch is mergeable map-side state of a few KB)",
+)
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 6 HOUR AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+    survey_ref="T2/T4 extension: NATIVE streaming session windows "
+    "(F.session_window gap-merge in the state store; same semantics as the "
+    "batch session_agg oracle)",
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "6 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    result = run_stream_to_batch(agg, tempfile.mkdtemp(), name, "complete")
+    return result.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "streaming_running_max",
+    "SELECT user_id, MAX(value) AS max_value FROM events GROUP BY user_id",
+    survey_ref="§2.10 extension: custom stateful operator via "
+    "applyInPandasWithState (streaming/stateful.py running_max_by_key — the "
+    "template for sketches/monoids the built-in aggs don't cover)",
+)
+def q_streaming_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+    from killrweather_spark.streaming.stateful import running_max_by_key
+
+    ev = _events_stream(spark, sf_dir)
+    out = running_max_by_key(ev, "user_id", "value")
+    name = f"stream_runmax_{uuid.uuid4().hex[:8]}"
+    return run_stream_to_batch(out, tempfile.mkdtemp(), name, "update")
+
+
+@register(
     "streaming_hourly_counts",
     """
     SELECT date_trunc('hour', ts) AS window_start,

@@ -96,6 +96,33 @@ def save_bucketed_table(
     w.format("parquet").saveAsTable(name)
 
 
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+) -> None:
+    """Small-file compaction: one file per directory partition.
+
+    Streaming sinks append one file per (trigger × partition × task): a 1 s
+    trigger writes ~86k files/day/partition — at 100 TB that kills scan
+    planning (footer reads) long before data volume does.  Hash-repartition
+    on the partition columns puts each directory partition's rows in exactly
+    one task (one output file); ``maxRecordsPerFile`` still splits a truly
+    hot partition.  Dynamic partition overwrite swaps directories per
+    partition, so the rewrite only touches partitions that have data.
+    """
+    df = spark.read.parquet(path)
+    n_parts = max(df.select(*partition_cols).distinct().count(), 1)
+    (
+        df.repartition(n_parts, *[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", 5_000_000)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def ctas(spark: SparkSession, name: str, select_sql: str) -> DataFrame:
     """S5 via SQL: ``CREATE TABLE AS`` against the session catalog
     (≙ ``saveAsCassandraTableEx`` DDL-from-code)."""

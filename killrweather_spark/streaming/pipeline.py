@@ -75,6 +75,36 @@ def file_lines(spark: SparkSession, path: str) -> DataFrame:
 # pipeline
 # --------------------------------------------------------------------------
 
+def kafka_sink(
+    df: DataFrame, bootstrap_servers: str, topic: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """S9: Kafka producer sink (``KafkaPublisherActor``'s batched async
+    publish, ``KafkaDataIngestionApp.scala:113-118``) — the engine-side
+    equivalent is one option'd writeStream; batching/async are the Kafka
+    client's own ``linger.ms``/``batch.size``.  Broker-gated: this container
+    has none, so only the graph construction is exercised in tests."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def console_sink(df: DataFrame, n_rows: int = 20) -> StreamingQuery:
+    """S10: debug print sink (``kafkaStream.print``,
+    ``KafkaStreamingActor.scala:66``)."""
+    return (
+        df.writeStream.format("console")
+        .option("numRows", n_rows)
+        .option("truncate", "true")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def parsed_observations(lines: DataFrame) -> DataFrame:
     """CSV lines → typed observations (the reference's map+RawWeatherData)."""
     return parse_raw_lines(lines)

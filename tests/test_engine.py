@@ -127,3 +127,21 @@ def test_year_cumulative_precip_extension(engine, raw_rows):
 def test_sky_condition_lookup(engine):
     row = engine.get_sky_condition_lookup(8).first()
     assert row["condition"].startswith("Eight oktas")
+
+
+def test_get_weather_station_dimension(spark):
+    """GetWeatherStation point lookup on the real station dimension
+    (WeatherStationActor.scala:55-58; data/weather_stations.csv)."""
+    from killrweather_spark.api.engine import WeatherEngine
+    from killrweather_spark.model.schemas import WEATHER_STATION
+
+    stations = spark.read.schema(WEATHER_STATION).csv(
+        "/root/reference/data/weather_stations.csv"
+    )
+    raw = read_raw_csv(spark, REF_CSV_GZ)
+    eng = WeatherEngine(spark, raw, stations=stations)
+    row = eng.get_weather_station(WSID).first()
+    assert row is not None and row["id"] == WSID
+    # the client demo joins current weather to the station name
+    # (KillrWeatherClientApp.scala:122-123) — both halves must answer
+    assert eng.get_current_weather(WSID).first() is not None

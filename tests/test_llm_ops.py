@@ -106,6 +106,27 @@ def test_multimodal_frame_sampling(spark):
     assert rebuilt.decode("utf-8") == original
 
 
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL sketch accuracy: within a loose multiple of the requested rsd of
+    the exact per-group cardinality (the oracle can't hash-match a sketch)."""
+    ev = load_table(spark, SF01, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    from killrweather_spark.api.inventory import REGISTRY
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["approx_distinct_hll"].fn(spark, SF01).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(0.1 * e, 2), (k, approx[k], e)
+
+
 def test_decode_media_is_explicitly_stubbed():
     import pytest
 

@@ -86,6 +86,26 @@ def test_bucketed_agg_has_no_exchange(spark, events):
         spark.sql("DROP TABLE IF EXISTS raw_bucketed_agg")
 
 
+def test_compaction_reduces_file_count(spark, events, tmp_path_factory):
+    import glob
+
+    from killrweather_spark.sources.sinks import compact_partitioned
+
+    path = str(tmp_path_factory.mktemp("compact"))
+    # simulate a streaming sink's small-file debris: many appends
+    ev = events.limit(500)
+    for _ in range(4):
+        ev.repartition(8).write.mode("append").partitionBy("year").parquet(path)
+    before = len(glob.glob(f"{path}/year=*/*.parquet"))
+    rows_before = spark.read.parquet(path).count()
+    compact_partitioned(spark, path, ["year"])
+    after = len(glob.glob(f"{path}/year=*/*.parquet"))
+    n_years = len(glob.glob(f"{path}/year=*"))
+    assert spark.read.parquet(path).count() == rows_before
+    assert after < before
+    assert after == n_years  # one file per directory partition
+
+
 def test_ctas_roundtrip(spark, events):
     events.createOrReplaceTempView("events_v")
     spark.sql("DROP TABLE IF EXISTS daily_ctas")
