@@ -67,6 +67,28 @@ def test_queries_stay_in_codegen(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_semi_and_anti_joins_stay_semi(spark):
+    # left-semi/left-anti must appear as native join types (no row
+    # multiplication, probe side streams) — not EXISTS rewritten to an
+    # inner join + distinct.
+    semi = REGISTRY["semi_join_returned_orders"].fn(spark, SF01)
+    assert "LeftSemi" in checks.formatted_plan(semi)
+    anti = REGISTRY["anti_join_customers_no_orders"].fn(spark, SF01)
+    plan = checks.formatted_plan(anti)
+    assert "LeftAnti" in plan
+    # the filtered big-ticket orders side is small → broadcast
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_range_join_keeps_equi_key(spark):
+    # the equi key must drive the join strategy (hash/sort-merge join with
+    # the interval as a post-join condition) — a pure range predicate would
+    # degrade to BroadcastNestedLoopJoin
+    df = REGISTRY["range_join_ship_window"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert "NestedLoop" not in plan, plan
+
+
 def test_calendar_filter_prunes_year_partition(spark, tmp_path):
     # Write a partitioned raw table the way the engine lays it out, then
     # check a calendar-key query scans only the matching partition.

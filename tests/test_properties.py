@@ -1,0 +1,83 @@
+"""Property tests: results must be invariant to physical layout.
+
+The 100 TB replayability claim (SCALE.md "Determinism at scale") is that
+every declared computation returns bit-identical results under ANY
+partitioning / reduction order — that's what makes results reproducible
+across cluster sizes and what lets the DuckDB oracle (a single-threaded
+engine) check a distributed run at all.  Hypothesis drives the partition
+count; the property is exact result equality.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from killrweather_spark.functions.dedup import minhash_signatures, char_shingles
+from killrweather_spark.operators.aggregates import daily_stats_exact
+from killrweather_spark.sources.readers import load_table
+from tests.conftest import SF001
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@given(n_parts=st.sampled_from([1, 3, 7, 16, 61]))
+@settings(**_SETTINGS)
+def test_daily_stats_exact_invariant_to_partitioning(spark, n_parts):
+    ev = (
+        load_table(spark, SF001, "events")
+        .select(
+            "user_id",
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day"),
+            "value",
+        )
+    )
+    base = _canon(daily_stats_exact(ev, ["user_id", "year", "month", "day"], "value"))
+    shuffled = ev.repartition(n_parts)
+    got = _canon(
+        daily_stats_exact(shuffled, ["user_id", "year", "month", "day"], "value")
+    )
+    assert got == base
+
+
+@given(n_parts=st.sampled_from([1, 5, 13, 32]))
+@settings(**_SETTINGS)
+def test_minhash_signature_invariant_to_partitioning(spark, n_parts):
+    docs = load_table(spark, SF001, "documents").select("doc_id", "text").limit(50)
+    sh = char_shingles(docs, "text", "doc_id", 6)
+    base = _canon(minhash_signatures(sh, "doc_id"))
+    got = _canon(minhash_signatures(sh.repartition(n_parts), "doc_id"))
+    assert got == base
+
+
+@given(n_parts=st.sampled_from([1, 4, 17]))
+@settings(**_SETTINGS)
+def test_fixed_point_rollup_invariant_to_partitioning(spark, n_parts):
+    """The two-tier cents rollup (daily → annual) — the reference's counter
+    semantics — must not depend on how rows are scattered."""
+    ev = load_table(spark, SF001, "events").select(
+        "user_id", F.year("ts").alias("year"), F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def rollup(df):
+        daily = df.groupBy("user_id", "year", "month", "day").agg(
+            F.sum("cents").alias("day_cents")
+        )
+        return daily.groupBy("user_id", "year").agg(
+            (F.sum("day_cents") / 100.0).alias("total")
+        )
+
+    assert _canon(rollup(ev.repartition(n_parts))) == _canon(rollup(ev))
