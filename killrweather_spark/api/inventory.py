@@ -1654,7 +1654,12 @@ def q_streaming_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     out = running_max_by_key(ev, "user_id", "value")
     name = f"stream_runmax_{uuid.uuid4().hex[:8]}"
-    return run_stream_to_batch(out, tempfile.mkdtemp(), name, "update")
+    drained = run_stream_to_batch(out, tempfile.mkdtemp(), name, "update")
+    # update mode emits one row per (key, microbatch-with-change); the file
+    # source may split the input into several batches, so fold the update
+    # stream to its final value per key — max is its own merge, making the
+    # result independent of how availableNow batched the files.
+    return drained.groupBy("user_id").agg(F.max("max_value").alias("max_value"))
 
 
 @register(
