@@ -172,6 +172,63 @@ def start_ingest(
     return raw_q, precip_q
 
 
+def start_daily_temp_rollup(
+    observations: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous daily-temperature aggregate — the streaming form of the
+    reference's on-demand write-back (``TemperatureActor.scala:76-77,90``:
+    compute daily stats, persist to ``daily_aggregate_temperature``; the
+    monthly query then reads that table).
+
+    Update-mode stateful agg keeps (n, Σx, Σx², min, max) per
+    (wsid, y, m, d) — the same algebraic partials as
+    ``daily_stats_exact`` — and ``foreachBatch`` rewrites only the changed
+    (year, month) partitions.  Readers of the tier table see
+    high/low/mean/variance/stdev exactly as the batch path computes them.
+    """
+    trig = trigger or {"processingTime": "1 second"}
+    s = 100  # fixed-point scale (2 dp measures, SURVEY §2.4 A1)
+    x = F.col("temperature")
+    agg = observations.groupBy("wsid", "year", "month", "day").agg(
+        F.max("temperature").alias("high"),
+        F.min("temperature").alias("low"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.round(x * s).cast("bigint")).alias("__sx"),
+        F.sum(F.round(x * x * s * s).cast("bigint")).alias("__sxx"),
+    )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        mean = (F.col("__sx") / float(s)) / F.col("__n")
+        var = F.greatest(
+            F.lit(0.0),
+            (F.col("__sxx") / float(s * s)) / F.col("__n")
+            - F.col("mean") * F.col("mean"),
+        )
+        finished = (
+            batch_df.withColumn("mean", mean)
+            .withColumn("variance", var)
+            .withColumn("stdev", F.sqrt(F.col("variance")))
+            .drop("__n", "__sx", "__sxx")
+        )
+        (
+            finished.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("year", "month")
+            .parquet(out_path)
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", f"{checkpoint_dir}/daily_temp")
+        .foreachBatch(upsert)
+        .trigger(**trig)
+        .start()
+    )
+
+
 def run_stream_to_batch(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -76,6 +76,39 @@ def test_ingest_pipeline_end_to_end(spark, tmp_path, lines_dir):
     assert len(got) > 50  # ≙ reference's >500-groups threshold, scaled
 
 
+def test_daily_temp_rollup_matches_batch(spark, tmp_path, lines_dir):
+    """The streaming daily-temperature tier must equal the batch
+    daily_stats_exact answer — the write-back parity (T4)."""
+    from killrweather_spark.operators.aggregates import daily_stats_exact
+    from killrweather_spark.streaming.pipeline import start_daily_temp_rollup
+
+    out = str(tmp_path / "daily_temp")
+    ckpt = str(tmp_path / "ckpt")
+    obs = parsed_observations(file_lines(spark, lines_dir))
+    q = start_daily_temp_rollup(obs, out, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    batch_obs = parsed_observations(
+        spark.read.text(lines_dir).withColumnRenamed("value", "value")
+    )
+    expected = daily_stats_exact(
+        batch_obs, ["wsid", "year", "month", "day"], "temperature"
+    )
+    cols = ["wsid", "year", "month", "day", "high", "low", "mean", "variance", "stdev"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    want = sorted(map(tuple, expected.select(*cols).collect()))
+    assert got == want
+
+
+def test_console_sink_runs(spark, lines_dir):
+    from killrweather_spark.streaming.pipeline import console_sink
+
+    obs = parsed_observations(file_lines(spark, lines_dir))
+    q = console_sink(obs.select("wsid", "year", "month", "day", "temperature"))
+    q.awaitTermination(60)
+    assert q.lastProgress is not None
+
+
 def test_incremental_restart_accumulates_not_duplicates(spark, tmp_path, lines_dir):
     """T7: replays/restarts must not double-count (the reference's Cassandra
     counters DO double-count on replay — this is the documented improvement)."""
