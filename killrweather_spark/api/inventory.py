@@ -858,7 +858,7 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.functions.similarity import norms, quantized_components
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    comp = quantized_components(emb)
+    comp = quantized_components(emb).persist()  # 3 consumers: nrm, a, b
     nrm = norms(comp)
     a = comp.select(F.col("vec_id").alias("a_id"), "pos", F.col("q").alias("qa"))
     b = comp.select(F.col("vec_id").alias("b_id"), "pos", F.col("q").alias("qb"))

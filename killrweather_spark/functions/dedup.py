@@ -131,6 +131,12 @@ def lsh_candidate_pairs(
     The join key (band, bucket) is uniform → no skew; output is DISTINCT
     (doc_a < doc_b) candidate pairs for a verifier (Jaccard) stage.
     """
+    # The band self-join references the signature table twice; without
+    # materialization Spark recomputes the whole shingle→minhash lineage per
+    # side (measured 5.2 s → 0.9 s at sf0.1).  Signatures are tiny — one row
+    # of 16 ints per doc — exactly what you'd persist as the dedup index at
+    # 100 TB anyway.
+    signatures = signatures.persist()
     rpb = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -249,6 +255,9 @@ def word_bigram_jaccard_pairs(
         .filter(F.size("__toks") >= 2)
         .select(*base_cols, F.explode(bigrams).alias("shingle"))
         .distinct()
+        # referenced 3× below (sizes + both join sides): persist so the
+        # tokenize→explode→distinct lineage runs once
+        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
