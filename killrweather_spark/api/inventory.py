@@ -1690,3 +1690,160 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         F.col("window.start").alias("window_start"), "event_type", "n"
     )
+
+
+# --------------------------------------------------------------------------
+# corpus curation (beyond-reference: functions/curation.py)
+# --------------------------------------------------------------------------
+
+# word-bigram Jaccard candidate pairs at a loose threshold: the dup graph
+# for clustering (same pipeline as ngram_jaccard_pairs, lower cut so the
+# graph has multi-hop components worth clustering).
+_DUP_PAIRS_SQL = r"""
+    WITH sh AS (
+      SELECT DISTINCT d.doc_id, d.source, concat(d.toks[i.i], ' ', d.toks[i.i + 1]) AS shingle
+      FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents) d,
+           unnest(generate_series(1, greatest(len(d.toks) - 1, 1))) AS i(i)
+      WHERE len(d.toks) >= 2
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.08
+"""
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_DUP_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS node, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+    survey_ref="beyond-ref: duplicate-pair clustering via hash-min connected "
+    "components (curation.py:connected_components); oracle = transitive closure",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import connected_components
+    from killrweather_spark.functions.dedup import word_bigram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = word_bigram_jaccard_pairs(docs, block_col="source", threshold=0.08)
+    return connected_components(pairs.select("doc_a", "doc_b"))
+
+
+@register(
+    "train_test_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    survey_ref="beyond-ref: content-addressed deterministic train/val/test "
+    "split (curation.py:deterministic_split) — stable under corpus growth",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_split(docs).select("doc_id", "split")
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    WHERE rn <= CEIL(n * 0.2)
+    """,
+    survey_ref="beyond-ref: exact-fraction per-stratum deterministic sample "
+    "(curation.py:stratified_sample) — md5-ranked, no RNG state",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, strata_col="source", fraction=0.2)
+
+
+@register(
+    "quantile_filter_docs",
+    """
+    SELECT doc_id, text, lang, source, n_chars, q_rank
+    FROM (
+      SELECT *,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS q_rank
+      FROM documents
+    )
+    WHERE q_rank >= 0.5
+    """,
+    survey_ref="beyond-ref: per-stratum quantile filter "
+    "(curation.py:quantile_filter) — drop the shortest half of each source",
+)
+def q_quantile_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import quantile_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_filter(docs, strata_col="source", order_col="n_chars",
+                           min_quantile=0.5)
+
+
+@register(
+    "top_terms_per_source",
+    """
+    WITH toks AS (
+      SELECT d.source AS stratum, d.doc_id AS doc, t.term
+      FROM (SELECT source, doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS terms
+            FROM documents) d,
+           unnest(d.terms) AS t(term)
+    ),
+    gdf AS (SELECT term, COUNT(DISTINCT doc) AS term_df FROM toks GROUP BY term),
+    keep AS (
+      SELECT term, term_df FROM gdf
+      WHERE term_df <= CAST(FLOOR((SELECT COUNT(DISTINCT doc_id) FROM documents) * 0.5) AS BIGINT)
+    ),
+    tf AS (SELECT stratum, term, COUNT(*) AS tf FROM toks GROUP BY stratum, term)
+    SELECT stratum, term, tf, term_df, rank
+    FROM (
+      SELECT tf.stratum, tf.term, tf.tf, keep.term_df,
+             ROW_NUMBER() OVER (PARTITION BY tf.stratum
+                                ORDER BY tf.tf DESC, tf.term) AS rank
+      FROM tf JOIN keep USING (term)
+    )
+    WHERE rank <= 5
+    """,
+    survey_ref="beyond-ref: per-stratum signature vocabulary "
+    "(curation.py:top_terms_per_stratum) — df-filtered top terms, integer-only",
+)
+def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import top_terms_per_stratum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms_per_stratum(docs, strata_col="source", k=5, max_df_ratio=0.5)

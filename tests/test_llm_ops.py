@@ -132,3 +132,76 @@ def test_decode_media_is_explicitly_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG...")
+
+
+def test_connected_components_match_union_find(spark):
+    """Hash-min label propagation must agree with a driver-side union-find
+    on the same pair set (the oracle also checks this via transitive
+    closure; this pins the operator directly at the smaller SF)."""
+    from killrweather_spark.functions.curation import connected_components
+    from killrweather_spark.functions.dedup import word_bigram_jaccard_pairs
+
+    docs = load_table(spark, SF01, "documents")
+    pairs = word_bigram_jaccard_pairs(docs, block_col="source", threshold=0.08)
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs.select("doc_a", "doc_b")).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.select("doc_a", "doc_b").collect():
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+    assert got, "no duplicate pairs found at threshold 0.08"
+
+
+def test_deterministic_split_is_stable_under_corpus_growth(spark):
+    """A document's split assignment must not change when the corpus grows —
+    the content-addressed-hash property that keeps eval sets clean."""
+    from killrweather_spark.functions.curation import deterministic_split
+
+    docs = load_table(spark, SF01, "documents")
+    subset = docs.filter(F.col("doc_id") < 100)
+    full = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs).select("doc_id", "split").collect()
+    }
+    small = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(subset).select("doc_id", "split").collect()
+    }
+    assert all(full[d] == s for d, s in small.items())
+    # sanity: ratios in the right ballpark on 500 docs
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert 0.7 <= c["train"] / len(full) <= 0.9
+    assert c["val"] > 0 and c["test"] > 0
+
+
+def test_stratified_sample_exact_fraction_and_deterministic(spark):
+    from killrweather_spark.functions.curation import stratified_sample
+
+    docs = load_table(spark, SF01, "documents")
+    import math
+
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    samp = stratified_sample(docs, strata_col="source", fraction=0.2)
+    got = {r["source"]: r["n"] for r in
+           samp.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {s: math.ceil(n * 0.2) for s, n in sizes.items()}
+    again = {r["doc_id"] for r in samp.select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in
+                     stratified_sample(docs, strata_col="source", fraction=0.2)
+                     .select("doc_id").collect()}
