@@ -1847,3 +1847,95 @@ def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return top_terms_per_stratum(docs, strata_col="source", k=5, max_df_ratio=0.5)
+
+
+# --------------------------------------------------------------------------
+# streaming joins (rounding out the Structured Streaming surface)
+# --------------------------------------------------------------------------
+
+@register(
+    "streaming_stream_stream_join",
+    """
+    SELECT a.user_id,
+           epoch_us(a.ts) AS click_us,
+           epoch_us(b.ts) AS error_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'error'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+    survey_ref="T2 extension: watermarked stream-stream interval join "
+    "(clicks followed by errors within 1 h); state bounded by the watermark "
+    "+ time-range condition on both sides",
+)
+def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent file-source streams inner-joined on key + event-time
+    range. The time-range conjunct is what lets Spark expire join state:
+    a click older than (watermark - 1 h) can never match a future error,
+    so state stays O(window), not O(stream) — the property that makes this
+    runnable forever on the 100 TB firehose. availableNow drain makes the
+    result comparable to the batch/oracle self-join."""
+    import tempfile
+    import uuid
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("err_user"), F.col("ts").alias("error_ts"))
+        .withWatermark("error_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("err_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("error_ts").alias("error_us"),
+    )
+    name = f"stream_ss_join_{uuid.uuid4().hex[:8]}"
+    return run_stream_to_batch(joined, tempfile.mkdtemp(), name, "append")
+
+
+@register(
+    "streaming_enrich_dim_join",
+    REGISTRY["join_dim_broadcast"].sql,
+    survey_ref="J2 as a *streaming* plan: stream×broadcast-dimension "
+    "enrichment feeding a stateful rollup (stream.join(broadcast(stations)))",
+)
+def q_streaming_enrich_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J2 enrichment join run against the live stream: static dimension
+    broadcast to every task (no fact shuffle, no state for the join itself),
+    stateful aggregation downstream in complete mode. Same answer as the
+    batch join_dim_broadcast query — one definition, two execution modes."""
+    import tempfile
+    import uuid
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    name = f"stream_dim_join_{uuid.uuid4().hex[:8]}"
+    result = run_stream_to_batch(agg, tempfile.mkdtemp(), name, "complete")
+    return result.select(
+        "segment", "n_events", (F.col("cents") / 100.0).alias("total_value")
+    )

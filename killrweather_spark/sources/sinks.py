@@ -123,6 +123,41 @@ def compact_partitioned(
     )
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    sort_cols: Sequence[str],
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
+    """O1 sorted-on-write layout: the parquet rebuild of the reference's
+    DESC clustering order (``create-timeseries.cql:47`` — "you don't need
+    to do a sort in spark", ``TemperatureActor.scala:47-49``).
+
+    ``sortWithinPartitions`` (no global shuffle — one local sort per task)
+    clusters each output file on ``sort_cols``, so every parquet row group's
+    min/max statistics span a narrow key range. Readers then skip row
+    groups on any ``sort_cols`` predicate (zone-map pruning): a
+    one-day lookup in a year of hourly data reads ~1/365th of the row
+    groups instead of scanning and discarding. At 100 TB this is the
+    second pruning tier after directory partitions — directories cut by
+    (year, bucket), row-group stats cut within the directory.
+
+    The local sort leads with ``partition_cols``: the file writer demands
+    its ordering on those, and would otherwise insert its own
+    partition-cols-only sort that destroys the ``sort_cols`` clustering.
+    """
+    w = (
+        df.sortWithinPartitions(*partition_cols, *sort_cols)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", 5_000_000)
+    )
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.partitionBy(*partition_cols).parquet(path)
+
+
 def ctas(spark: SparkSession, name: str, select_sql: str) -> DataFrame:
     """S5 via SQL: ``CREATE TABLE AS`` against the session catalog
     (≙ ``saveAsCassandraTableEx`` DDL-from-code)."""

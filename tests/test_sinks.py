@@ -120,3 +120,49 @@ def test_ctas_roundtrip(spark, events):
         assert set(out.columns) == {"wsid", "year", "month", "total"}
     finally:
         spark.sql("DROP TABLE IF EXISTS daily_ctas")
+
+
+def test_sorted_write_gives_prunable_row_groups(spark, tmp_path_factory):
+    """write_sorted must produce row groups whose min/max stats on the sort
+    key are narrow enough that a point predicate skips most of them — the
+    zone-map tier of pruning (≙ the reference's DESC clustering order)."""
+    from killrweather_spark.sources.sinks import write_sorted
+
+    from tests.conftest import SF01
+
+    ev = load_table(spark, SF01, "events").select(
+        "event_id",
+        F.year("ts").alias("year"),
+        F.dayofyear("ts").alias("doy"),
+        "user_id",
+        "value",
+    )
+    path = str(tmp_path_factory.mktemp("sorted") / "ev")
+    # tiny row groups so one file holds many (stats granularity to test)
+    write_sorted(
+        ev.repartition(2),
+        path,
+        partition_cols=["year"],
+        sort_cols=["doy"],
+        options={"parquet.block.size": str(8 * 1024),
+                 "parquet.page.size": str(2 * 1024)},
+    )
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []  # (min, max) of doy per row group
+    for f in glob.glob(f"{path}/year=*/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("doy")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    assert len(spans) >= 8, f"want many row groups, got {len(spans)}"
+    lo = min(s for s, _ in spans)
+    hi = max(e for _, e in spans)
+    probe = (lo + hi) // 2
+    hit = sum(1 for s, e in spans if s <= probe <= e)
+    # sorted layout: a single-day probe overlaps only a small fraction
+    assert hit / len(spans) <= 0.34, f"{hit}/{len(spans)} row groups overlap a point probe"
