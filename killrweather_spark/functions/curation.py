@@ -205,16 +205,27 @@ def connected_components(
     Labels only ever decrease, so the fixpoint is order- and
     partitioning-independent: deterministic output at any cluster size.
 
+    Each round ends in ``localCheckpoint`` — iterative self-joins otherwise
+    grow the logical plan exponentially (round N's plan embeds round N-1's
+    twice), which blows up planning long before data does (observed: plan
+    *string* rendering alone OOMs the driver at round ~10). Checkpointing
+    truncates lineage to the materialized result, keeping every round's
+    plan O(1). On a cluster, swap in ``spark.sparkContext.setCheckpointDir``
+    + ``.checkpoint()`` for executor-loss resilience; the algorithm is
+    unchanged.
+
     Returns (node, component) for every node that appears in a pair.
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     edges = edges.persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
-        labels = labels.persist()
         nbr_min = (
             edges.join(
                 labels.select(F.col("node").alias("dst"), F.col("component").alias("__c")),
@@ -232,12 +243,10 @@ def connected_components(
                 ).alias("component"),
                 (F.col("__nbr_min") < F.col("component")).alias("__changed"),
             )
+            .localCheckpoint()  # materializes eagerly; truncates lineage
         )
-        proposed = proposed.persist()
         changed = proposed.filter(F.col("__changed")).count()
-        new_labels = proposed.drop("__changed")
-        labels.unpersist()
-        labels = new_labels
+        labels = proposed.drop("__changed")
         if changed == 0:
             break
     edges.unpersist()
