@@ -98,3 +98,19 @@ def test_calendar_filter_prunes_year_partition(spark, tmp_path):
     back = spark.read.parquet(path).filter(F.col("year") == 2024)
     plan = checks.formatted_plan(back)
     assert "PartitionFilters: [isnotnull(year" in plan.replace("#", " #"), plan
+
+
+def test_curation_plans(spark):
+    """Physical properties of the curation family: the global-df term filter
+    broadcasts onto the stratum counts (no shuffle of the big side for a
+    small filter table), and no curation path drops into Python."""
+    for name in ["train_test_split", "stratified_sample", "quantile_filter_docs",
+                 "top_terms_per_source"]:
+        df = REGISTRY[name].fn(spark, SF01)
+        plan = checks.formatted_plan(df)
+        assert "BatchEvalPython" not in plan, f"{name} fell out of codegen"
+    top = REGISTRY["top_terms_per_source"].fn(spark, SF01)
+    assert checks.uses_broadcast_join(top), "term-df filter should broadcast"
+    # split is a pure projection: no shuffle at all
+    split = REGISTRY["train_test_split"].fn(spark, SF01)
+    assert checks.shuffle_count(split) == 0, "hash split must not shuffle"
