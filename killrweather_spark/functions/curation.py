@@ -192,15 +192,17 @@ def connected_components(
     ``component`` = the minimum node id reachable from it. The canonical
     keep-one-per-group dedup decision is then "keep node == component".
 
-    Algorithm: hash-min label propagation — each round every node takes
-    ``min(own label, neighbors' labels)``; converged when no label changes.
-    Each round is one join + one partial-aggregated ``groupBy`` (shuffles
-    keyed by node id, no skew beyond the graph's own degree skew, which is
-    bounded for near-dup graphs: clusters are small by construction, so
-    diameter — the round count — is small too). For adversarial graphs
-    (long chains) swap in the large-star/small-star contraction
-    [Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14] — same join primitive, O(log n) rounds.
+    Algorithm: hash-min label propagation with path halving — each round
+    every node takes ``min(own label, neighbors' labels)`` and then
+    shortcuts to its label's label (``comp := comp(comp)``, the
+    pointer-jumping step of [Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14]). Neighbor-min alone moves the minimum
+    one hop per round (O(diameter) rounds — a 1000-link chain would need
+    1000 rounds); the shortcut halves label-chain depth each round, giving
+    O(log n) convergence on any graph shape. Each round is two joins + one
+    partial-aggregated ``groupBy``, all keyed by node/label id.
+    Convergence is detected (no label changed) and non-convergence within
+    ``max_iter`` raises rather than returning silently-wrong groups.
 
     Labels only ever decrease, so the fixpoint is order- and
     partitioning-independent: deterministic output at any cluster size.
@@ -234,14 +236,34 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("__c").alias("__nbr_min"))
         )
+        stepped = labels.join(nbr_min, labels["node"] == nbr_min["src"], "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("__nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # path halving: comp := comp(comp) — labels table has a row for
+        # every node and components are nodes, so the self-join resolves
+        shortcut = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("node").alias("__ln"), F.col("component").alias("__lc")
+                ),
+                F.col("s.component") == F.col("__ln"),
+            )
+            .select("node", F.col("__lc").alias("component"))
+        )
         proposed = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            shortcut.alias("new")
+            .join(
+                labels.select(F.col("node").alias("__on"), F.col("component").alias("__oc")),
+                F.col("new.node") == F.col("__on"),
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__nbr_min"), F.col("component"))
-                ).alias("component"),
-                (F.col("__nbr_min") < F.col("component")).alias("__changed"),
+                "component",
+                (F.col("component") < F.col("__oc")).alias("__changed"),
             )
             .localCheckpoint()  # materializes eagerly; truncates lineage
         )
@@ -249,6 +271,13 @@ def connected_components(
         labels = proposed.drop("__changed")
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the duplicate graph is deeper than expected — raise max_iter "
+            "(rounds needed ≈ log2(longest label chain))"
+        )
     edges.unpersist()
     return labels.select(F.col("node"), F.col("component"))
 

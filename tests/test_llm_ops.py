@@ -205,3 +205,17 @@ def test_stratified_sample_exact_fraction_and_deterministic(spark):
     assert again == {r["doc_id"] for r in
                      stratified_sample(docs, strata_col="source", fraction=0.2)
                      .select("doc_id").collect()}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Worst-case graph shape: a single long path. Pure neighbor-min needs
+    O(length) rounds; the pointer-jumping step must get there in O(log n)."""
+    from killrweather_spark.functions.curation import connected_components
+
+    n = 300
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    got = connected_components(chain, max_iter=15).collect()
+    assert len(got) == n + 1
+    assert {r["component"] for r in got} == {0}
