@@ -43,6 +43,8 @@ HEADLINE = [
     "simhash",
     "text_quality",
     "cosine_topk",
+    "pack_sequences",
+    "repetition_metrics",
 ]
 
 

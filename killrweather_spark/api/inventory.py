@@ -1849,6 +1849,164 @@ def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms_per_stratum(docs, strata_col="source", k=5, max_df_ratio=0.5)
 
 
+def _pack_oracle_sql(budget: int = 512, n_shards: int = 16) -> str:
+    return f"""
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST(floor((cum - n_tokens) / {budget}.0) AS BIGINT) AS seq_id
+    FROM (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (
+        SELECT doc_id,
+               CAST(doc_id % {n_shards} AS INTEGER) AS shard,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER)
+                 AS n_tokens
+        FROM documents
+      )
+    )
+    """
+
+
+@register(
+    "pack_sequences",
+    _pack_oracle_sql(budget=512, n_shards=16),
+    survey_ref="beyond-ref: concat-and-chunk training-sequence packing "
+    "(curation.py:pack_sequences) — sharded deterministic order + windowed "
+    "cumulative token offsets; parallel in n_shards",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget_tokens=512, n_shards=16)
+
+
+def _redact_oracle_sql() -> str:
+    from killrweather_spark.functions.curation import redact_pii_sql
+
+    counts, redacted = redact_pii_sql("text")
+    return f"SELECT doc_id, {counts}, {redacted} FROM documents"
+
+
+@register(
+    "redact_pii_docs",
+    _redact_oracle_sql(),
+    survey_ref="beyond-ref: PII redaction + per-type match counts "
+    "(curation.py:redact_pii) — fixed-order regexp_replace chain, map-only, "
+    "whole-stage codegen",
+)
+def q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_pii(docs).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted_text"
+    )
+
+
+@register(
+    "repetition_metrics",
+    """
+    WITH toks AS (
+      SELECT d.doc_id, t.term
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS terms
+            FROM documents) d,
+           unnest(d.terms) AS t(term)
+    ),
+    per_term AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    tok_stats AS (
+      SELECT doc_id,
+             CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+             CAST(MAX(tf) AS BIGINT) AS top_tf
+      FROM per_term GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT d.doc_id, concat(d.toks[i.i], ' ', d.toks[i.i + 1]) AS bigram
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents) d,
+           unnest(generate_series(1, greatest(len(d.toks) - 1, 1))) AS i(i)
+      WHERE len(d.toks) >= 2
+    ),
+    bigram_stats AS (
+      SELECT doc_id,
+             CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+             CAST(MAX(bf) AS BIGINT) AS top_bf
+      FROM (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS bf
+            FROM grams GROUP BY doc_id, bigram)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens,
+           t.n_distinct_tokens / t.n_tokens AS distinct_ratio,
+           t.top_tf / t.n_tokens AS top_token_ratio,
+           b.top_bf / b.n_bigrams AS top_bigram_ratio
+    FROM tok_stats t LEFT JOIN bigram_stats b USING (doc_id)
+    """,
+    survey_ref="beyond-ref: repetition / boilerplate scoring "
+    "(curation.py:repetition_metrics) — per-doc top-token and top-bigram "
+    "shares, integer counts + single divisions",
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+@register(
+    "chunk_documents",
+    """
+    SELECT d.doc_id,
+           CAST(i.i AS INTEGER) AS chunk_id,
+           substr(d.text, CAST(i.i * 150 + 1 AS INTEGER), 200) AS chunk_text,
+           CAST(length(substr(d.text, CAST(i.i * 150 + 1 AS INTEGER), 200))
+                AS INTEGER) AS chunk_chars
+    FROM documents d,
+         unnest(generate_series(0,
+           greatest(CAST(ceil((length(d.text) - 50) / 150.0) AS INTEGER) - 1, 0)
+         )) AS i(i)
+    """,
+    survey_ref="beyond-ref: sliding-window document chunking for embedding "
+    "pipelines (curation.py:chunk_documents) — sequence/transform/posexplode, "
+    "map-only, fuses into the scan",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=200, overlap_chars=50)
+
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.5}
+
+
+def _mix_oracle_sql() -> str:
+    from killrweather_spark.functions.curation import corpus_mix_sql
+
+    pred = corpus_mix_sql(_MIX_WEIGHTS, default_weight=0.25)
+    return f"SELECT doc_id, text, lang, source, n_chars FROM documents WHERE {pred}"
+
+
+@register(
+    "corpus_mix",
+    _mix_oracle_sql(),
+    survey_ref="beyond-ref: weighted corpus mixing "
+    "(curation.py:weighted_corpus_mix) — per-source content-addressed "
+    "keep-fractions; map-only, stable under corpus growth",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import weighted_corpus_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_corpus_mix(docs, _MIX_WEIGHTS, default_weight=0.25)
+
+
 # --------------------------------------------------------------------------
 # streaming joins (rounding out the Structured Streaming surface)
 # --------------------------------------------------------------------------

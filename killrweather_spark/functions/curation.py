@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from killrweather_spark.functions.text import TOKEN_RE
+from killrweather_spark.functions.text import TOKEN_RE, token_count, tokens
 
 
 def hash_key(id_col: Column) -> Column:
@@ -280,6 +280,249 @@ def connected_components(
         )
     edges.unpersist()
     return labels.select(F.col("node"), F.col("component"))
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-chunk for training-sequence assembly)
+# --------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 512,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training sequence using
+    concat-and-chunk semantics: documents are laid out in a deterministic
+    pseudo-random order, and each doc belongs to the sequence containing its
+    *start* offset in the concatenated token stream
+    (``seq_id = floor(start_offset / budget)``).
+
+    Scale design: a single global ordering would collapse the window into
+    one partition, so the corpus is first sharded by ``pmod(id, n_shards)``
+    and packed *within* shards — each shard's cumulative sum is an
+    independent window partition, so the op parallelizes to ``n_shards``
+    tasks (set n_shards ≈ cluster parallelism at 100 TB; sequences are
+    identified by (shard, seq_id)). The order within a shard is the md5 key
+    — a content-addressed shuffle, reproducible across engines and reruns.
+
+    One shuffle (by shard), streaming cumulative sum within partitions,
+    token counting via built-in regex — no Python in the row path.
+    """
+    ntok = token_count(F.col(text_col))
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(hash_key(F.col(id_col)), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), ntok.alias("n_tokens"))
+        .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn(
+            "seq_id", F.floor(F.col("start_offset") / F.lit(budget_tokens))
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# document chunking (sliding character windows for embedding pipelines)
+# --------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap_chars: int = 50,
+) -> DataFrame:
+    """Split each document into overlapping fixed-width character chunks
+    (the standard pre-embedding chunker): chunk *i* covers
+    ``[i·stride, i·stride + chunk_chars)`` with ``stride = chunk_chars −
+    overlap_chars``.
+
+    Generated JVM-side via ``sequence`` + ``transform`` + ``posexplode`` —
+    per-row bounded work (≤ ``len/stride`` chunks), a narrow op that fuses
+    into the scan: no shuffle, no Python. At 100 TB the chunker is a
+    map-only stage between the scan and the embedding UDF.
+    """
+    stride = chunk_chars - overlap_chars
+    if stride <= 0:
+        raise ValueError("chunk_chars must exceed overlap_chars")
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(cast(ceil((length({text_col}) - "
+        f"{overlap_chars}) / {stride}) as int) - 1, 0)), "
+        f"i -> substr({text_col}, i * {stride} + 1, {chunk_chars}))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).withColumn("chunk_chars", F.length("chunk_text"))
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded quantifiers, \b.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses, appending per-type
+    match counts (for corpus PII-rate reporting) and the redacted text.
+
+    Patterns apply in a fixed order (email, phone, ipv4) so overlapping
+    matches resolve identically in every engine. Pure ``regexp_replace`` /
+    ``regexp_extract_all`` chain — whole-stage codegen, no shuffle; at
+    100 TB this is a map-only pass fused into whatever scan feeds it.
+    """
+    t = F.col(text_col)
+    out = df
+    redacted = t
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        )
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return out.withColumn("redacted_text", redacted)
+
+
+def redact_pii_sql(text_expr: str = "text") -> tuple[str, str]:
+    """(count-columns, redacted-expression) SQL fragments mirroring
+    :func:`redact_pii` for the DuckDB oracle ('g' = replace-all, which is
+    Spark's default)."""
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    expr = text_expr
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return counts, f"{expr} AS redacted_text"
+
+
+# --------------------------------------------------------------------------
+# repetition metrics (boilerplate / degenerate-text scoring)
+# --------------------------------------------------------------------------
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition signals: total/distinct token counts, the
+    most-frequent token's share, and the most-frequent word-bigram's share
+    — the standard "is this boilerplate / a degenerate generation" filters.
+
+    Plan: tokenize + explode (narrow) → hash-aggregate per (doc, term) and
+    per (doc, bigram) with map-side partials → per-doc merge. All counts
+    are integers; the ratios are single int/int divisions, so results are
+    bit-identical across engines and partitionings. The shuffle is keyed by
+    doc id — uniform, and carries counts, never text.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    per_term = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tok_stats = per_term.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("tf").alias("top_tf"),
+    )
+    grams = (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .filter(F.size("__toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1),"
+                    " i -> concat(__toks[i - 1], ' ', __toks[i]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    bigram_stats = (
+        grams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("bf"))
+        .groupBy(id_col)
+        .agg(F.sum("bf").alias("n_bigrams"), F.max("bf").alias("top_bf"))
+    )
+    return (
+        tok_stats.join(bigram_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            (F.col("n_distinct_tokens") / F.col("n_tokens")).alias("distinct_ratio"),
+            (F.col("top_tf") / F.col("n_tokens")).alias("top_token_ratio"),
+            (F.col("top_bf") / F.col("n_bigrams")).alias("top_bigram_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted corpus mixing
+# --------------------------------------------------------------------------
+
+def weighted_corpus_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Downsample each source to its mixture weight (keep-fraction) using
+    the same content-addressed md5 threshold as :func:`deterministic_split`
+    — e.g. ``{"web": 0.25, "wiki": 1.0}`` keeps a quarter of web and all of
+    wiki. Per-row hash thresholds mean membership is stable as the corpus
+    grows and independent of partitioning; no RNG, no shuffle, map-only.
+    """
+    prefix = F.substring(hash_key(F.col(id_col)), 1, 4)
+
+    def keep_for(frac: float) -> Column:
+        if frac >= 1.0:
+            return F.lit(True)
+        return prefix < F.lit(format(int(frac * 65536), "04x"))
+
+    expr = None
+    for src, frac in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        branch = keep_for(frac)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    keep = (
+        expr.otherwise(keep_for(default_weight))
+        if expr is not None
+        else keep_for(default_weight)
+    )
+    return df.filter(keep)
+
+
+def corpus_mix_sql(
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_expr: str = "doc_id",
+    default_weight: float = 1.0,
+) -> str:
+    """WHERE-clause predicate mirroring :func:`weighted_corpus_mix`."""
+    prefix = f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4)"
+    whens = " ".join(
+        f"WHEN {source_col} = '{src}' THEN "
+        + ("TRUE" if frac >= 1.0 else f"{prefix} < '{format(int(frac * 65536), '04x')}'")
+        for src, frac in sorted(weights.items())
+    )
+    default = (
+        "TRUE" if default_weight >= 1.0
+        else f"{prefix} < '{format(int(default_weight * 65536), '04x')}'"
+    )
+    return f"CASE {whens} ELSE {default} END"
 
 
 def dedup_keep_list(

@@ -219,3 +219,114 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(chain, max_iter=15).collect()
     assert len(got) == n + 1
     assert {r["component"] for r in got} == {0}
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    """Every document's sequence is the chunk containing its start offset in
+    the shard's concatenated token stream, and the assignment is identical
+    under a different input partitioning."""
+    from killrweather_spark.functions.curation import pack_sequences
+
+    docs = load_table(spark, SF01, "documents")
+    packed = pack_sequences(docs, budget_tokens=256, n_shards=4).collect()
+    for r in packed:
+        assert r["seq_id"] == r["start_offset"] // 256
+        assert r["n_tokens"] > 0
+    # offsets are a contiguous token stream per shard: total = sum of lengths
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["start_offset"])
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off
+            off += r["n_tokens"]
+    again = pack_sequences(docs.repartition(13), budget_tokens=256, n_shards=4)
+    assert {(r["doc_id"], r["shard"], r["seq_id"]) for r in again.collect()} == {
+        (r["doc_id"], r["shard"], r["seq_id"]) for r in packed
+    }
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from killrweather_spark.functions.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@sub.example.org today"),
+            (2, "call 555-123-4567 or 555.987.6543"),
+            (3, "hosts 10.0.0.1 192.168.255.255 ok"),
+            (4, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["redacted_text"]
+    assert "@" not in got[1]["redacted_text"]
+    assert got[2]["n_phone"] == 2 and got[2]["redacted_text"].count("<PHONE>") == 2
+    assert got[3]["n_ipv4"] == 2 and got[3]["redacted_text"].count("<IP>") == 2
+    assert got[4]["redacted_text"] == "no pii here"
+
+
+def test_repetition_metrics_degenerate_vs_diverse(spark):
+    from killrweather_spark.functions.curation import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs"), (2, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert got[1]["top_token_ratio"] == 0.8
+    assert got[1]["n_distinct_tokens"] == 2
+    assert got[1]["top_bigram_ratio"] == 0.75  # "spam spam" 3 of 4 bigrams
+    assert got[2]["distinct_ratio"] == 1.0
+    assert got[2]["top_token_ratio"] == 0.2
+
+
+def test_weighted_corpus_mix_fractions(spark):
+    from killrweather_spark.functions.curation import weighted_corpus_mix
+
+    docs = load_table(spark, SF01, "documents")
+    kept = weighted_corpus_mix(docs, {"src0": 1.0, "src1": 0.0}, default_weight=0.25)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["src0"] == total["src0"]          # weight 1.0 keeps all
+    assert "src1" not in counts                      # weight 0.0 drops all
+    rest = sum(n for s, n in counts.items() if s not in ("src0", "src1"))
+    rest_total = sum(n for s, n in total.items() if s not in ("src0", "src1"))
+    assert 0.15 < rest / rest_total < 0.35           # ≈ default 0.25
+    # stable under corpus growth: membership never flips when rows are added
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    kept_half = {r["doc_id"] for r in
+                 weighted_corpus_mix(half, {"src0": 1.0, "src1": 0.0},
+                                     default_weight=0.25)
+                 .select("doc_id").collect()}
+    kept_full = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_half == {d for d in kept_full if d % 2 == 0}
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from killrweather_spark.functions.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "x" * 500), (2, "short")], ["doc_id", "text"]
+    )
+    got = chunk_documents(df, chunk_chars=200, overlap_chars=50).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 500 chars, stride 150 -> chunks at 0/150/300 (ceil(450/150)=3)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_chars"] == 200 and c1[2]["chunk_chars"] == 200
+    # consecutive chunks overlap by exactly 50 chars
+    assert c1[0]["chunk_text"][150:] == c1[1]["chunk_text"][:50]
+    # full coverage: every char index lands in some chunk
+    covered = set()
+    for r in c1:
+        covered.update(range(r["chunk_id"] * 150, r["chunk_id"] * 150 + r["chunk_chars"]))
+    assert covered == set(range(500))
+    # sub-chunk docs produce exactly one chunk with the whole text
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short"

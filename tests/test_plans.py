@@ -114,3 +114,18 @@ def test_curation_plans(spark):
     # split is a pure projection: no shuffle at all
     split = REGISTRY["train_test_split"].fn(spark, SF01)
     assert checks.shuffle_count(split) == 0, "hash split must not shuffle"
+
+
+def test_assembly_plans(spark):
+    """Physical properties of the assembly family: PII redaction and corpus
+    mixing are map-only (zero shuffle — they fuse into whatever scan feeds
+    them); sequence packing shuffles exactly once (by shard for the window);
+    nothing drops into Python."""
+    for name in ["pack_sequences", "redact_pii_docs", "repetition_metrics",
+                 "corpus_mix"]:
+        df = REGISTRY[name].fn(spark, SF01)
+        plan = checks.formatted_plan(df)
+        assert "BatchEvalPython" not in plan, f"{name} fell out of codegen"
+    assert checks.shuffle_count(REGISTRY["redact_pii_docs"].fn(spark, SF01)) == 0
+    assert checks.shuffle_count(REGISTRY["corpus_mix"].fn(spark, SF01)) == 0
+    assert checks.shuffle_count(REGISTRY["pack_sequences"].fn(spark, SF01)) == 1
