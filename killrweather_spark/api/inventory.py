@@ -1160,6 +1160,30 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_stats(docs)
 
 
+def _fake_embedding_oracle() -> str:
+    from killrweather_spark.functions.multimodal import fake_embedding_sql
+
+    return fake_embedding_sql()
+
+
+@register(
+    "multimodal_embedding",
+    _fake_embedding_oracle(),
+    survey_ref="beyond-ref: feature-extraction stub over the Arrow batch path "
+    "(multimodal.py:fake_embedding) — md5-derived vectors, so the pandas "
+    "plumbing itself is value-exact oracle-checked; real encoder drops into "
+    "the same iterator",
+)
+def q_multimodal_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.multimodal import (
+        attach_binary_content,
+        fake_embedding,
+    )
+
+    docs = attach_binary_content(load_table(spark, sf_dir, "documents"))
+    return fake_embedding(docs)
+
+
 # --------------------------------------------------------------------------
 # T1-T7: streaming semantics (drained deterministically with availableNow)
 # --------------------------------------------------------------------------

@@ -71,6 +71,79 @@ def frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "content").mapInPandas(batches, schema)
 
 
+EMBED_DIM = 8
+
+
+def fake_embedding(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Feature-extraction stub over the Arrow batch path: an 8-dim float
+    vector derived from md5 of the binary payload (dim *j* = hex[4j:4j+4]
+    as an int, scaled by 1/65536 — exact in IEEE, so reproducible across
+    engines and the DuckDB oracle can verify the pandas plumbing
+    value-exactly).
+
+    Swap the body for a real image/audio encoder without touching the
+    Spark-side contract: (id, content) in, (id, embedding array<double>)
+    out, memory bounded by the Arrow batch size. The output feeds the
+    similarity/ANN operators directly (cross-modal retrieval path).
+    """
+    import hashlib
+
+    schema = f"{id_col} bigint, embedding array<double>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = []
+            for content in pdf["content"]:
+                h = hashlib.md5(bytes(content)).hexdigest()
+                embs.append(
+                    [int(h[4 * j: 4 * j + 4], 16) / 65536.0 for j in range(EMBED_DIM)]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
+
+    return df.select(id_col, "content").mapInPandas(batches, schema)
+
+
+def fake_embedding_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`fake_embedding` (content = utf-8 of text, so
+    ``md5(text)`` hashes the same bytes)."""
+    dims = ", ".join(
+        f"CAST(CAST(concat('0x', substr(md5({text_expr}), {4 * j + 1}, 4)) AS INTEGER)"
+        f" AS DOUBLE) / 65536.0"
+        for j in range(EMBED_DIM)
+    )
+    return f"SELECT {id_expr} AS doc_id, [{dims}] AS embedding FROM documents"
+
+
+def resize_media(df: DataFrame, target_bytes: int = 128,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Resize stub: normalize every payload to exactly ``target_bytes``
+    (truncate, or zero-pad — the shape contract of a real image resize)
+    with the metadata struct updated to the post-resize size. A real codec
+    resize drops into the same batch iterator; the Spark-side schema,
+    metadata update, and Arrow batching are the tested surface.
+    """
+    schema = (
+        f"{id_col} bigint, content binary, "
+        "media_meta struct<mime: string, n_bytes: int, modality: string>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                bytes(c[:target_bytes]).ljust(target_bytes, b"\0")
+                for c in pdf["content"]
+            ]
+            metas = [
+                {"mime": m["mime"], "n_bytes": target_bytes, "modality": m["modality"]}
+                for m in pdf["media_meta"]
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "content": resized, "media_meta": metas}
+            )
+
+    return df.select(id_col, "content", "media_meta").mapInPandas(batches, schema)
+
+
 def sample_frames(df: DataFrame, id_col: str = "doc_id",
                   every: int = 2) -> DataFrame:
     """Frame sampling: one output row per kept frame (every ``every``-th),

@@ -330,3 +330,32 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert covered == set(range(500))
     # sub-chunk docs produce exactly one chunk with the whole text
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short"
+
+
+def test_fake_embedding_and_resize_plumbing(spark):
+    """The multimodal Arrow path: feature extraction emits fixed-dim unit-
+    range vectors keyed by id; resize normalizes every payload to the target
+    byte shape and updates the metadata struct."""
+    import hashlib
+
+    from killrweather_spark.functions.multimodal import (
+        attach_binary_content,
+        fake_embedding,
+        resize_media,
+    )
+
+    docs = attach_binary_content(load_table(spark, SF01, "documents").limit(20))
+    emb = {r["doc_id"]: r["embedding"] for r in fake_embedding(docs).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert set(emb) == set(src)
+    for did, vec in emb.items():
+        assert len(vec) == 8 and all(0.0 <= v < 1.0 for v in vec)
+        h = hashlib.md5(src[did].encode()).hexdigest()
+        assert vec[0] == int(h[:4], 16) / 65536.0
+    resized = resize_media(docs, target_bytes=128).collect()
+    for r in resized:
+        assert len(r["content"]) == 128
+        assert r["media_meta"]["n_bytes"] == 128
+        original = src[r["doc_id"]].encode()
+        expect = original[:128].ljust(128, b"\0")
+        assert bytes(r["content"]) == expect
