@@ -1064,6 +1064,45 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_hamming_pairs",
+    r"""
+    WITH toks AS (
+      SELECT d.doc_id, t.tok
+      FROM documents d,
+           unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS t(tok)
+    ), votes AS (
+      SELECT doc_id, j.j,
+             SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(tok), j.j + 1, 1)) >= 9
+                      THEN 1 ELSE -1 END) AS s
+      FROM toks, (SELECT unnest(range(0, 16)) AS j) j
+      GROUP BY doc_id, j.j
+    ), fp AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(range(1, 17),
+                  i -> substr(a.simhash, CAST(i AS INTEGER), 1)
+                    != substr(b.simhash, CAST(i AS INTEGER), 1))) AS INTEGER)
+               AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 2
+    """,
+    survey_ref="beyond-ref: SimHash near-dup pairs — banded band-bucket join "
+    "(pigeonhole: distance ≤ d ⇒ one of d+1 bands identical) + exact Hamming "
+    "verify (dedup.py:simhash_hamming_pairs); oracle = brute-force O(n²), so "
+    "the compare proves the banded plan's 100% recall",
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.dedup import simhash_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, bits=16, max_distance=2)
+
+
+@register(
     "ngram_jaccard_pairs",
     r"""
     WITH sh AS (

@@ -227,6 +227,72 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return votes.select(id_col, F.concat(*bit_chars).alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_distance: int = 2,
+) -> DataFrame:
+    """All document pairs whose SimHash fingerprints differ in at most
+    ``max_distance`` bits — the pair-finding stage that completes the
+    SimHash pipeline (≙ MinHash's LSH stage).
+
+    Scale path: the fingerprint is split into ``max_distance + 1`` bands;
+    by pigeonhole, any pair within the distance budget agrees *exactly* on
+    at least one band, so candidates are found by a band-bucket equi-join
+    (uniform keys, never a cross product) and only candidates pay the exact
+    Hamming check. Recall is therefore 100% by construction — the DuckDB
+    oracle computes the brute-force O(n²) answer and the driver verifies
+    the banded plan returns the identical pair set.
+
+    Hamming distance is a JVM array expression (filter over positions) —
+    no Python, no UDF.
+    """
+    n_bands = max_distance + 1
+    sizes = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    starts, s = [], 1
+    for sz in sizes:
+        starts.append(s)
+        s += sz
+    fp = simhash(df, text_col, id_col, bits).persist()
+    bands = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("simhash", starts[i], sizes[i]).alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "val"
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.expr(
+        f"size(filter(sequence(1, {bits}), i -> substr(fp_a, i, 1) != substr(fp_b, i, 1)))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard (verifier stage)
 # --------------------------------------------------------------------------

@@ -359,3 +359,28 @@ def test_fake_embedding_and_resize_plumbing(spark):
         original = src[r["doc_id"]].encode()
         expect = original[:128].ljust(128, b"\0")
         assert bytes(r["content"]) == expect
+
+
+def test_simhash_hamming_pairs_recall_and_distance(spark):
+    """Identical docs pair at distance 0; the banded candidate join must
+    not miss any pair within budget (recall pinned vs brute force over the
+    collected fingerprints)."""
+    from killrweather_spark.functions.dedup import simhash, simhash_hamming_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different words entirely unrelated content here"),
+        (4, "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_hamming_pairs(df, max_distance=3).collect()}
+    assert got[(1, 2)] == 0
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    brute = {
+        (a, b): sum(x != y for x, y in zip(fps[a], fps[b]))
+        for a in fps for b in fps if a < b
+        if sum(x != y for x, y in zip(fps[a], fps[b])) <= 3
+    }
+    assert got == brute
