@@ -1168,8 +1168,51 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_cosine",
-    None,  # approximate by design: verified by recall tests, not the oracle
-    survey_ref="beyond-ref: LSH-bucketed approximate cosine top-k (scale path)",
+    """
+    WITH comp AS (
+      SELECT e.vec_id, i.i AS pos,
+             CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS i(i)
+    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id),
+    sums AS (
+      SELECT c.vec_id, j.j AS plane,
+             SUM((strpos('0123456789abcdef',
+                         substr(md5(concat(j.j, '_', c.pos)), 1, 1)) * 2 - 17) * c.q)
+               AS s
+      FROM comp c, (SELECT unnest(range(0, 6)) AS j) j
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane)
+               AS bucket
+      FROM sums GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+      FROM buckets qb JOIN buckets nb ON qb.bucket = nb.bucket
+      WHERE qb.vec_id < 5 AND qb.vec_id != nb.vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, SUM(a.q * b.q) AS dot
+      FROM cand c
+      JOIN comp a ON a.vec_id = c.query_id
+      JOIN comp b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+    FROM dots
+    JOIN nrm qn ON qn.vec_id = query_id
+    JOIN nrm cn ON cn.vec_id = neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) <= 3
+    """,
+    survey_ref="beyond-ref: LSH-bucketed approximate cosine top-k (scale path). "
+    "Bucket bits are exact-integer projections (odd weights × quantized "
+    "components), so the whole approximate pipeline is deterministic and the "
+    "oracle replays it value-exactly — upgraded from a rows-only check",
 )
 def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.functions.similarity import ann_cosine_topk_lsh
@@ -1442,9 +1485,67 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_ann_cosine",
-    None,  # approximate by design: verified by recall tests, not the oracle
+    """
+    WITH comp AS (
+      SELECT e.vec_id, i.i AS pos,
+             CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS i(i)
+    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id),
+    cent AS (SELECT vec_id AS cell, pos, q AS cq FROM comp WHERE vec_id < 8),
+    cnorm AS (SELECT cell, SUM(cq * cq) AS cnorm2 FROM cent GROUP BY cell),
+    vdots AS (
+      SELECT c.vec_id, ct.cell, SUM(c.q * ct.cq) AS dot
+      FROM comp c JOIN cent ct ON ct.pos = c.pos
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, v.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY v.dot / (SQRT(cn.cnorm2) * SQRT(n.norm2)) DESC, v.cell
+               ) AS rk
+        FROM vdots v
+        JOIN cnorm cn USING (cell)
+        JOIN nrm n ON n.vec_id = v.vec_id
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT v.vec_id AS query_id, v.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY v.dot / SQRT(cn.cnorm2) DESC, v.cell
+               ) AS rk
+        FROM vdots v JOIN cnorm cn USING (cell)
+        WHERE v.vec_id < 5
+      ) WHERE rk <= 3
+    ),
+    cand AS (
+      SELECT p.query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE p.query_id != cl.vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, SUM(a.q * b.q) AS dot
+      FROM cand c
+      JOIN comp a ON a.vec_id = c.query_id
+      JOIN comp b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           dot / (SQRT(qn.norm2) * SQRT(cn2.norm2)) AS cosine
+    FROM dots
+    JOIN nrm qn ON qn.vec_id = query_id
+    JOIN nrm cn2 ON cn2.vec_id = neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) <= 3
+    """,
     survey_ref="beyond-ref: IVF (inverted-list) approximate cosine top-k — "
-    "coarse-quantize to cells, probe n_probe cells (functions/similarity.py)",
+    "coarse-quantize to cells, probe n_probe cells (functions/similarity.py). "
+    "Deterministic centroids + quantized-exact scoring make the whole probe "
+    "pipeline oracle-replayable — upgraded from a rows-only check",
 )
 def q_ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.functions.similarity import ivf_cosine_topk

@@ -106,14 +106,19 @@ def lsh_buckets(
     Weights come from md5 nibbles of (plane, pos): reproducible everywhere.
     One narrow pass (explode → weighted sum per (id, plane) → bit-string
     assembly); output (id, bucket) feeds a bucket-equality self-join.
+
+    The weighted sum is EXACT integer arithmetic — odd integer weights
+    (2·nibble − 17 ∈ {−15..15}, never 0) times the ×10⁶-quantized
+    component — so bucket bits are reduction-order independent. A float
+    sum here would make a near-zero projection's sign depend on partition
+    count: a nondeterministic bucket assignment at 100 TB is a
+    reproducibility bug, not a rounding nit.
     """
-    comp = df.select(F.col(id_col), F.posexplode(vec_col).alias("pos0", "v")).select(
-        id_col, (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
-    )
+    comp = quantized_components(df, id_col, vec_col)
     planes = comp.select(
         id_col,
         "pos",
-        "v",
+        "q",
         F.explode(F.array(*[F.lit(j) for j in range(n_planes)])).alias("plane"),
     ).select(
         id_col,
@@ -121,9 +126,10 @@ def lsh_buckets(
         (
             (
                 F.expr("instr('0123456789abcdef', substr(md5(concat(plane, '_', pos)), 1, 1))")
-                - 8.5
+                * 2
+                - 17
             )
-            * F.col("v")
+            * F.col("q")
         ).alias("w"),
     )
     sums = planes.groupBy(id_col, "plane").agg(F.sum("w").alias("s"))
