@@ -1741,18 +1741,28 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle() -> str:
+    from killrweather_spark.operators.aggregates import hll_distinct_oracle_sql
+
+    return hll_distinct_oracle_sql("events", "event_type", "user_id", "approx_users")
+
+
 @register(
     "approx_distinct_hll",
-    None,  # HLL sketch — approximate by design; bounds checked in pytest
-    survey_ref="§2.4 extension: approx_count_distinct (HyperLogLog++) — the "
-    "100 TB path for cardinality (exact distinct shuffles every key; the "
-    "sketch is mergeable map-side state of a few KB)",
+    _hll_oracle(),
+    survey_ref="§2.4 extension: HyperLogLog approximate distinct — the "
+    "100 TB cardinality path (exact distinct shuffles every key; HLL ships "
+    "one row per (group, register) ≤ 64·|groups|, MAX merges map-side). "
+    "Explicit-register formulation (operators/aggregates.py:hll_distinct) is "
+    "deterministic engine-portable arithmetic, so the oracle replays the "
+    "estimate value-exactly — upgraded from a rows-only check; "
+    "approx_count_distinct is the drop-in production sketch",
 )
 def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.operators.aggregates import hll_distinct
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-    )
+    return hll_distinct(ev, ["event_type"], "user_id", out_col="approx_users")
 
 
 @register(

@@ -190,3 +190,137 @@ def top_k_values(
     return ranked.groupBy(*partition_keys).agg(
         F.sort_array(F.collect_list(value), asc=False).alias("top")
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit-register HyperLogLog — oracle-replayable approximate distinct
+# --------------------------------------------------------------------------
+
+HLL_M = 256  # registers (8-bit bucket = first two md5 hex chars); rsd ≈ 6.5 %
+_HLL_W = 48  # tail bits examined for the leading-zero rank
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # standard HLL bias constant
+# numerator of the raw estimate, alpha·m²·2^49, folded into ONE double
+# literal so both engines perform a single IEEE division
+_HLL_NUMER = _HLL_ALPHA * HLL_M * HLL_M * float(2**49)
+# linear-counting values m·ln(m/V) for V=1..m-1, precomputed HERE: Spark's
+# Math.log and DuckDB's libm log disagree in the last ulp for most of these
+# inputs, so the transcendental must not be evaluated engine-side.  Decimal
+# literals parse to identical doubles everywhere.
+_HLL_LINEAR = [HLL_M * __import__("math").log(HLL_M / v) for v in range(1, HLL_M)]
+
+_HEX = "0123456789abcdef"
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) per group via explicit HLL registers.
+
+    Unlike ``approx_count_distinct`` (whose HLL++ sketch bytes are opaque and
+    engine-specific), every step here is deterministic, engine-portable
+    arithmetic, so a DuckDB oracle replays it value-exactly:
+
+    - register index = 8 md5 bits, rank = leading-zero count of the next 48
+      bits (string ops on the md5 hex, no RNG);
+    - per-register MAX then Σ2^(49−reg) as EXACT bigint arithmetic — the
+      harmonic mean's float-sum order problem is gone;
+    - one final IEEE division, plus a literal-lookup linear-counting branch
+      for the small-range regime.
+
+    Scale: this is the 100 TB cardinality path — the groupBy carries one row
+    per (group, register) ≤ 256·|groups| through the shuffle instead of every
+    distinct key, and MAX(reg) is a mergeable partial aggregate (map-side
+    combine).  Swap in ``approx_count_distinct`` in production if sketch
+    mergeability across jobs matters more than replayability.
+    """
+    d1 = f"(instr('{_HEX}', substr(__hx, 1, 1)) - 1)"
+    d2 = f"(instr('{_HEX}', substr(__hx, 2, 1)) - 1)"
+    lz = "length(regexp_extract(__tail, '^(0*)', 1))"
+    dnz = f"(instr('{_HEX}', substr(__tail, {lz} + 1, 1)) - 1)"
+    clz4 = (
+        f"CASE WHEN {dnz} >= 8 THEN 0 WHEN {dnz} >= 4 THEN 1 "
+        f"WHEN {dnz} >= 2 THEN 2 ELSE 3 END"
+    )
+    prepared = (
+        df.select(
+            *group_cols,
+            F.md5(F.col(value_col).cast("string")).alias("__hx"),
+        )
+        .withColumn("__tail", F.expr("substr(__hx, 3, 12)"))
+        .select(
+            *group_cols,
+            F.expr(f"{d1} * 16 + {d2}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN {lz} = 12 THEN 49 ELSE 4 * {lz} + {clz4} + 1 END"
+            ).alias("rho"),
+        )
+    )
+    regs = prepared.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("reg"))
+    sums = regs.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 49 - reg)"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(2**49)
+        ).alias("sum_scaled"),
+        (F.lit(HLL_M) - F.count("*")).cast("int").alias("v_empty"),
+    )
+    est_raw = F.lit(_HLL_NUMER) / F.col("sum_scaled")
+    linear = F.element_at(
+        F.array(*[F.lit(x) for x in _HLL_LINEAR]), F.col("v_empty")
+    )
+    est = F.when(
+        (est_raw <= F.lit(2.5 * HLL_M)) & (F.col("v_empty") > 0), linear
+    ).otherwise(est_raw)
+    return sums.select(*group_cols, est.alias(out_col))
+
+
+def hll_distinct_oracle_sql(
+    table: str, group_col: str, value_col: str, out_col: str = "approx_distinct"
+) -> str:
+    """The DuckDB replay of :func:`hll_distinct` (same literals, same ops)."""
+    # ::DOUBLE is load-bearing: DuckDB types a bare decimal literal as
+    # DECIMAL, whose cast back to double rounds differently in the last ulp
+    linear_list = ", ".join(f"{x!r}::DOUBLE" for x in _HLL_LINEAR)
+    return f"""
+    WITH h AS (
+      SELECT {group_col}, md5(CAST({value_col} AS VARCHAR)) AS hx
+      FROM {table}
+    ), pre AS (
+      SELECT {group_col},
+             (strpos('{_HEX}', substr(hx, 1, 1)) - 1) * 16
+               + (strpos('{_HEX}', substr(hx, 2, 1)) - 1) AS bucket,
+             substr(hx, 3, 12) AS tail
+      FROM h
+    ), ranked AS (
+      SELECT {group_col}, bucket,
+             length(regexp_extract(tail, '^(0*)', 1)) AS lz,
+             strpos('{_HEX}',
+                    substr(tail, length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+                   ) - 1 AS dnz
+      FROM pre
+    ), rho AS (
+      SELECT {group_col}, bucket,
+             CASE WHEN lz = 12 THEN 49
+                  ELSE 4 * lz
+                       + CASE WHEN dnz >= 8 THEN 0 WHEN dnz >= 4 THEN 1
+                              WHEN dnz >= 2 THEN 2 ELSE 3 END
+                       + 1 END AS rho
+      FROM ranked
+    ), regs AS (
+      SELECT {group_col}, bucket, MAX(rho) AS reg FROM rho GROUP BY 1, 2
+    ), sums AS (
+      SELECT {group_col},
+             SUM(1::BIGINT << (49 - reg))
+               + ({HLL_M} - COUNT(*)) * (1::BIGINT << 49) AS sum_scaled,
+             CAST({HLL_M} - COUNT(*) AS INT) AS v_empty
+      FROM regs GROUP BY 1
+    )
+    SELECT {group_col},
+           CASE WHEN {_HLL_NUMER!r}::DOUBLE / sum_scaled <= {2.5 * HLL_M!r}
+                     AND v_empty > 0
+                THEN [{linear_list}][v_empty]
+                ELSE {_HLL_NUMER!r}::DOUBLE / sum_scaled END AS {out_col}
+    FROM sums
+    """
