@@ -174,3 +174,45 @@ class WeatherEngine:
         from killrweather_spark.sources.readers import sky_condition_lookup_df
 
         return point_lookup(sky_condition_lookup_df(self.spark), {"code": code})
+
+    # -- SQL entry point (≙ CassandraSQLContext, SampleJoin.scala:39-50) ----
+    def register_views(self) -> None:
+        """Register every table under its reference CQL name
+        (``create-timeseries.cql:15-91``) as a Spark SQL view, so each §2.11
+        request is also expressible as plain ``spark.sql`` — the rebuild of
+        the examples module's ``CassandraSQLContext`` entry point
+        (``SampleJoin.scala:39-50``), where Catalyst resolves names against
+        the catalog and plans pushdown/joins itself.
+
+        Views are lazy plans over the engine's DataFrames: the daily tiers
+        keep their cache status, and filters written in SQL still prune/push
+        down into the underlying scans.
+        """
+        from pyspark.sql import Window
+
+        from killrweather_spark.sources.readers import sky_condition_lookup_df
+
+        self.raw.createOrReplaceTempView("raw_weather_data")
+        if self.stations is not None:
+            self.stations.createOrReplaceTempView("weather_station")
+        self.daily_temperature_table.createOrReplaceTempView(
+            "daily_aggregate_temperature"
+        )
+        self.daily_precip_table.createOrReplaceTempView("daily_aggregate_precip")
+        w = (
+            Window.partitionBy("wsid", "year")
+            .orderBy("month", "day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        self.daily_precip_table.select(
+            "wsid", "year", "month", "day",
+            F.sum("precipitation").over(w).alias("cumulative"),
+        ).createOrReplaceTempView("year_cumulative_precip")
+        sky_condition_lookup_df(self.spark).createOrReplaceTempView(
+            "sky_condition_lookup"
+        )
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over the views from :meth:`register_views`
+        (≙ ``CassandraSQLContext.sql``, ``SampleJoin.scala:41``)."""
+        return self.spark.sql(query)

@@ -145,3 +145,65 @@ def test_get_weather_station_dimension(spark):
     # the client demo joins current weather to the station name
     # (KillrWeatherClientApp.scala:122-123) — both halves must answer
     assert eng.get_current_weather(WSID).first() is not None
+
+
+def test_sql_views_entry_point(spark):
+    """register_views ≙ CassandraSQLContext (SampleJoin.scala:39-50): the
+    same answers must come back through plain SQL over the CQL table names,
+    including a raw×dimension join (J1/J2)."""
+    from killrweather_spark.model.schemas import WEATHER_STATION
+
+    stations = spark.read.schema(WEATHER_STATION).csv(
+        "/root/reference/data/weather_stations.csv"
+    )
+    raw = read_raw_csv(spark, REF_CSV_GZ)
+    eng = WeatherEngine(spark, raw, stations=stations)
+    eng.register_views()
+
+    sql_daily = eng.sql(
+        f"""
+        SELECT wsid, year, month, day,
+               max(temperature) AS high, min(temperature) AS low
+        FROM raw_weather_data
+        WHERE wsid = '{WSID}' AND year = 2008 AND month = 1 AND day = 1
+        GROUP BY wsid, year, month, day
+        """
+    ).first()
+    api_daily = eng.get_daily_temperature(WSID, 2008, 1, 1).first()
+    assert sql_daily["high"] == api_daily["high"]
+    assert sql_daily["low"] == api_daily["low"]
+
+    # tier view reads the same (possibly cached) daily DataFrame
+    tier = eng.sql(
+        f"""
+        SELECT max(high) AS hi, min(low) AS lo
+        FROM daily_aggregate_temperature
+        WHERE wsid = '{WSID}' AND year = 2008 AND month = 1
+        """
+    ).first()
+    api_month = eng.get_monthly_hilow_temperature(WSID, 2008, 1).first()
+    assert tier["hi"] == api_month["high"] and tier["lo"] == api_month["low"]
+
+    # J1-style multi-name join through the catalog
+    joined = eng.sql(
+        f"""
+        SELECT r.wsid, s.name, r.temperature
+        FROM raw_weather_data r JOIN weather_station s ON r.wsid = s.id
+        WHERE r.wsid = '{WSID}' AND r.year = 2008 AND r.month = 1
+              AND r.day = 1 AND r.hour = 0
+        """
+    ).first()
+    assert joined is not None and joined["name"] is not None
+
+    # the declared-never-written tier answers in SQL too
+    ytd = eng.sql(
+        f"""
+        SELECT cumulative FROM year_cumulative_precip
+        WHERE wsid = '{WSID}' AND year = 2008
+        ORDER BY month DESC, day DESC LIMIT 1
+        """
+    ).first()
+    api_ytd = eng.get_year_cumulative_precip(WSID, 2008).orderBy(
+        F.desc("month"), F.desc("day")
+    ).first()
+    assert ytd["cumulative"] == api_ytd["cumulative"]
