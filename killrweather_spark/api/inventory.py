@@ -404,6 +404,131 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trailing_range_window",
+    """
+    SELECT event_id, event_type,
+           COUNT(*) OVER w AS trailing_n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100.0
+             AS trailing_total
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="§2.5 extension: time-based RANGE-frame sliding window "
+    "(operators/windows.py:trailing_range_agg) — trailing 2 h totals per "
+    "event type, frame anchored on epoch micros so both engines bound the "
+    "frame identically",
+)
+def q_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.operators.windows import trailing_range_agg
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def aggs(w):
+        return [
+            F.count(F.lit(1)).over(w).alias("trailing_n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w)
+                / 100.0
+            ).alias("trailing_total"),
+        ]
+
+    return trailing_range_agg(
+        ev, "ts", ["event_type"], 2 * 3600 * 1_000_000, aggs
+    ).select("event_id", "event_type", "trailing_n", "trailing_total")
+
+
+@register(
+    "csv_malformed_audit",
+    """
+    WITH cal AS (
+      SELECT user_id, CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+             CAST(day(ts) AS INT) AS day, CAST(hour(ts) AS INT) AS hour, value
+      FROM events
+    ), lined AS (
+      SELECT *, concat_ws(',', user_id, year, month, day, hour, value) AS line0
+      FROM cal
+    ), corrupted AS (
+      SELECT CASE WHEN substr(md5(line0), 1, 1) <= '3' THEN
+               CASE WHEN substr(md5(line0), 2, 1) <= '5'
+                      THEN concat_ws(',', user_id, year, month, day, hour,
+                                     'x' || CAST(value AS VARCHAR))
+                    WHEN substr(md5(line0), 2, 1) <= 'a'
+                      THEN concat_ws(',', user_id, year, month, day, hour)
+                    ELSE concat_ws(',', user_id, year, month, day, 99, value) END
+             ELSE line0 END AS line
+      FROM lined
+    ), parsed AS (
+      SELECT len(string_split(line, ',')) AS nf,
+             TRY_CAST(split_part(line, ',', 1) AS BIGINT) AS f1,
+             TRY_CAST(split_part(line, ',', 2) AS INT) AS f2,
+             TRY_CAST(split_part(line, ',', 3) AS INT) AS f3,
+             TRY_CAST(split_part(line, ',', 4) AS INT) AS f4,
+             TRY_CAST(split_part(line, ',', 5) AS INT) AS f5,
+             TRY_CAST(split_part(line, ',', 6) AS DOUBLE) AS f6
+      FROM corrupted
+    )
+    SELECT CASE WHEN nf < 6 THEN 'missing_field'
+                WHEN f1 IS NULL OR f2 IS NULL OR f3 IS NULL OR f4 IS NULL
+                     OR f5 IS NULL OR f6 IS NULL THEN 'bad_numeric'
+                WHEN NOT (f5 BETWEEN 0 AND 23) THEN 'domain'
+                ELSE 'ok' END AS error_class,
+           COUNT(*) AS n
+    FROM parsed GROUP BY 1
+    """,
+    survey_ref="beyond-ref ingest quality: one-pass malformed-line audit "
+    "(sources/readers.py:csv_line_audit) — try_cast classification of short/"
+    "unparseable/out-of-domain lines; the guardrail the reference's buggy "
+    "parser (Weather.scala:77-94 'tech debt') lacked. Corruption fixture is "
+    "md5-derived, so both engines see the identical byte stream",
+)
+def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.sources.readers import csv_line_audit
+
+    ev = _events_calendar(spark, sf_dir)
+    base = ev.select(
+        "user_id", "year", "month", "day", "hour", "value",
+        F.concat_ws(
+            ",", "user_id", "year", "month", "day", "hour", "value"
+        ).alias("line0"),
+    )
+    c1 = F.expr("substr(md5(line0), 1, 1)")
+    c2 = F.expr("substr(md5(line0), 2, 1)")
+    corrupted = base.select(
+        F.when(
+            c1 <= "3",
+            F.when(
+                c2 <= "5",
+                F.concat_ws(
+                    ",", "user_id", "year", "month", "day", "hour",
+                    F.concat(F.lit("x"), F.col("value").cast("string")),
+                ),
+            )
+            .when(
+                c2 <= "a",
+                F.concat_ws(",", "user_id", "year", "month", "day", "hour"),
+            )
+            .otherwise(
+                F.concat_ws(
+                    ",", "user_id", "year", "month", "day", F.lit(99), "value"
+                )
+            ),
+        )
+        .otherwise(F.col("line0"))
+        .alias("line")
+    )
+    return csv_line_audit(
+        corrupted,
+        casts=[
+            (1, "BIGINT"), (2, "INT"), (3, "INT"),
+            (4, "INT"), (5, "INT"), (6, "DOUBLE"),
+        ],
+        n_fields=6,
+        domain_sql="f5 BETWEEN 0 AND 23",
+    )
+
+
+@register(
     "json_extract",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,3 +56,32 @@ def session_agg(
         .withColumn("session_end", F.col("w.end"))
         .drop("w")
     )
+
+
+def trailing_range_agg(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    trailing_micros: int,
+    aggs_builder,
+) -> DataFrame:
+    """Time-based RANGE-frame window: for each row, aggregate all rows of the
+    same key within the trailing ``trailing_micros`` (inclusive of peers with
+    the identical timestamp — RANGE, not ROWS, semantics).
+
+    The frame is anchored on epoch *microseconds* (``unix_micros``), not a
+    seconds cast: casting a timestamp to long truncates sub-second precision
+    and silently widens the frame.  Scale: one shuffle on the key, then a
+    streaming ordered scan per partition with state bounded by the time
+    range — this is the batch analog of a sliding event-time window, and
+    unlike a self-join formulation it never re-pairs rows (O(n·frame) work,
+    zero extra shuffles).
+
+    ``aggs_builder(window)`` returns the list of windowed Columns to attach.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-trailing_micros, 0)
+    )
+    return df.select("*", *aggs_builder(w))

@@ -88,3 +88,54 @@ def sky_condition_lookup_df(spark: SparkSession) -> DataFrame:
     """S12 + the static ``sky_condition_lookup`` table
     (``load-timeseries.cql:14-29``) — a broadcast-join dimension."""
     return spark.createDataFrame(SKY_CONDITION_ROWS, SKY_CONDITION_LOOKUP)
+
+
+def csv_line_audit(
+    lines: DataFrame,
+    casts: list[tuple[int, str]],
+    n_fields: int,
+    domain_sql: str | None = None,
+    line_col: str = "line",
+) -> DataFrame:
+    """Ingest data-quality audit: classify raw CSV lines in one pass.
+
+    At 100 TB, malformed input is a certainty and a silent ``cast`` → null
+    (or a thrown task under ANSI mode) loses the signal.  This classifier
+    buckets every line as ``ok`` / ``missing_field`` / ``bad_numeric`` /
+    ``domain`` using ``try_cast`` semantics, entirely in JVM expressions
+    (codegen, map-only + a 4-row aggregate), so the audit rides along with
+    ingest instead of costing a second scan.  The reference has no such
+    path — its parser silently mis-assigns fields (the ``Weather.scala:77-94``
+    "tech debt" bug); this is the guardrail that would have caught it.
+
+    ``casts`` is ``[(1-based position, sql type), ...]``; ``domain_sql`` is a
+    boolean SQL expression over ``f1..fN`` (the cast fields) that flags
+    semantically invalid rows (e.g. ``f5 BETWEEN 0 AND 23``).
+    """
+    arr = F.split(F.col(line_col), ",")
+    parsed = lines.select(
+        F.size(arr).alias("nf"),
+        *[
+            # get() (not [i]) — ANSI mode throws on out-of-bounds indexing,
+            # and short lines are exactly what we're here to count
+            F.expr(
+                f"try_cast(get(split({line_col}, ','), {pos - 1}) AS {typ})"
+            ).alias(f"f{pos}")
+            for pos, typ in casts
+        ],
+    )
+    any_null = None
+    for pos, _ in casts:
+        c = F.col(f"f{pos}").isNull()
+        any_null = c if any_null is None else (any_null | c)
+    cls = (
+        F.when(F.col("nf") < n_fields, F.lit("missing_field"))
+        .when(any_null, F.lit("bad_numeric"))
+    )
+    if domain_sql is not None:
+        cls = cls.when(~F.expr(domain_sql), F.lit("domain"))
+    cls = cls.otherwise(F.lit("ok"))
+    return (
+        parsed.groupBy(cls.alias("error_class"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
