@@ -129,3 +129,20 @@ def test_assembly_plans(spark):
     assert checks.shuffle_count(REGISTRY["redact_pii_docs"].fn(spark, SF01)) == 0
     assert checks.shuffle_count(REGISTRY["corpus_mix"].fn(spark, SF01)) == 0
     assert checks.shuffle_count(REGISTRY["pack_sequences"].fn(spark, SF01)) == 1
+
+
+def test_ingest_audit_and_range_window_plans(spark):
+    """csv_malformed_audit is one codegen pass + a tiny aggregate (the audit
+    rides along with ingest — no second scan, no Python); the RANGE-frame
+    window shuffles exactly once (by the partition key) and stays JVM-side."""
+    audit = REGISTRY["csv_malformed_audit"].fn(spark, SF01)
+    plan = checks.formatted_plan(audit)
+    assert "BatchEvalPython" not in plan
+    assert checks.has_partial_aggregation(audit)
+    # one shuffle for the 4-row final aggregate; the classify pass is map-only
+    assert checks.shuffle_count(audit) == 1
+
+    win = REGISTRY["trailing_range_window"].fn(spark, SF01)
+    plan = checks.formatted_plan(win)
+    assert "BatchEvalPython" not in plan
+    assert checks.shuffle_count(win) == 1, "one shuffle on the window key"
