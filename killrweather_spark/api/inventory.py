@@ -404,6 +404,38 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_table",
+    """
+    SELECT 'event_id' AS column, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(event_id) AS n_nulls,
+           COUNT(DISTINCT event_id) AS n_distinct,
+           MIN(CAST(event_id AS DOUBLE)) AS min_val,
+           MAX(CAST(event_id AS DOUBLE)) AS max_val
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id),
+           MIN(CAST(user_id AS DOUBLE)), MAX(CAST(user_id AS DOUBLE))
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+           COUNT(DISTINCT value),
+           MIN(value), MAX(value)
+    FROM events
+    """,
+    survey_ref="beyond-ref utility: single-pass column profile "
+    "(operators/aggregates.py:profile_columns) — n/nulls/distinct/min/max "
+    "for every column in ONE scan (multi-distinct planned as one Expand); "
+    "the first query anyone runs on a new 100 TB table",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.operators.aggregates import profile_columns
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_columns(ev, ["event_id", "user_id", "value"])
+
+
+@register(
     "trailing_range_window",
     """
     SELECT event_id, event_type,

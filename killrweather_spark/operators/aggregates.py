@@ -324,3 +324,36 @@ def hll_distinct_oracle_sql(
                 ELSE {_HLL_NUMER!r}::DOUBLE / sum_scaled END AS {out_col}
     FROM sums
     """
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Single-pass data profile: per column, row count, null count, exact
+    distinct count, and numeric min/max — the first query anyone runs on a
+    new 100 TB table, so it must be ONE scan, not |cols| scans.
+
+    All per-column stats are computed in a single ``agg`` (Catalyst plans
+    the multi-distinct via one Expand — |cols|× row multiplication in the
+    map stage but still a single pass over the data), then unpivoted with
+    ``stack`` into long form.  At extreme |cols|·|rows|, swap the exact
+    distinct for :func:`hll_distinct` per column (one register set each) to
+    drop the Expand.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nulls, n_distinct, min_val, max_val)"
+        ),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
