@@ -81,3 +81,42 @@ def test_fixed_point_rollup_invariant_to_partitioning(spark, n_parts):
         )
 
     assert _canon(rollup(ev.repartition(n_parts))) == _canon(rollup(ev))
+
+
+@given(n_parts=st.sampled_from([1, 4, 11, 32]))
+@settings(**_SETTINGS)
+def test_hll_estimate_invariant_to_partitioning(spark, n_parts):
+    """The HLL registers are MAX-merged exact integers, so the estimate must
+    be bit-identical under any partitioning — the property that makes an
+    approximate aggregate still replayable at any cluster size."""
+    from killrweather_spark.operators.aggregates import hll_distinct
+
+    ev = load_table(spark, SF001, "events").select("event_type", "user_id")
+    base = _canon(hll_distinct(ev, ["event_type"], "user_id"))
+    got = _canon(hll_distinct(ev.repartition(n_parts), ["event_type"], "user_id"))
+    assert got == base
+
+
+@given(frac_nibble=st.sampled_from(["0", "3", "7", "b", "f"]))
+@settings(**_SETTINGS)
+def test_csv_audit_partitions_every_line(spark, frac_nibble):
+    """Audit classes are a partition of the input: counts must sum to the
+    row count at ANY corruption rate (md5-threshold-driven), and classes are
+    mutually exclusive by construction."""
+    from killrweather_spark.sources.readers import csv_line_audit
+
+    ev = load_table(spark, SF001, "events").select("user_id", "value")
+    lines = ev.select(
+        F.concat_ws(",", "user_id", "value").alias("line0")
+    ).select(
+        F.when(
+            F.expr("substr(md5(line0), 1, 1)") <= frac_nibble,
+            F.concat_ws(",", F.lit("bad"), F.lit("")),
+        ).otherwise(F.col("line0")).alias("line")
+    )
+    total = lines.count()
+    audit = csv_line_audit(
+        lines, casts=[(1, "BIGINT"), (2, "DOUBLE")], n_fields=2
+    ).collect()
+    assert sum(r["n"] for r in audit) == total
+    assert len({r["error_class"] for r in audit}) == len(audit)
