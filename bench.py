@@ -37,7 +37,9 @@ HEADLINE = [
     "json_extract",
     "distinct_users_in_range",
     "asof_join_latest_order",
+    "tpch_pricing_summary",
     # LLM-data-pipeline: dedup, similarity, text analysis
+    "decontaminate_ngrams",
     "dedup_exact_groups",
     "minhash_lsh_pairs",
     "simhash",

@@ -2428,3 +2428,232 @@ def q_streaming_enrich_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         "segment", "n_events", (F.col("cents") / 100.0).alias("total_value")
     )
+
+
+# --------------------------------------------------------------------------
+# extension: batch-analytics widening (pricing summary, grouping sets,
+# window navigation, full-outer reconciliation, scalar subquery,
+# eval-set decontamination)
+# --------------------------------------------------------------------------
+
+@register(
+    "tpch_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             / 100.0 AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100) AS BIGINT)) / 100.0 AS sum_charge,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+             / (100.0 * COUNT(*)) AS avg_qty,
+           SUM(CAST(ROUND(l_discount * 10000) AS BIGINT))
+             / (10000.0 * COUNT(*)) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-28 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ref="A1-family heavy scan-agg (TPC-H Q1 shape): one full-fact pass, "
+    "8 aggregates, map-side partial agg; fixed-point sums for cross-engine "
+    "exactness",
+)
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan pricing summary: the canonical partial-agg benchmark.  All
+    arithmetic inside the sum is per-row IEEE (deterministic); accumulation
+    is integer cents so reduction order cannot flip a bit.  At 100 TB this
+    is one scan + a 6-row shuffle (map-side combine does ~all the work)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-28 00:00:00").cast("timestamp")
+    )
+    cents = lambda c: F.sum(F.round(c * 100).cast("bigint"))  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        (cents(F.col("l_quantity")) / 100.0).alias("sum_qty"),
+        (cents(F.col("l_extendedprice")) / 100.0).alias("sum_base_price"),
+        (cents(disc_price) / 100.0).alias("sum_disc_price"),
+        (cents(charge) / 100.0).alias("sum_charge"),
+        (cents(F.col("l_quantity")) / (100.0 * F.count(F.lit(1)))).alias("avg_qty"),
+        (
+            F.sum(F.round(F.col("l_discount") * 10000).cast("bigint"))
+            / (10000.0 * F.count(F.lit(1)))
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    survey_ref="§2.4 extension: explicit GROUPING SETS (rollup/cube cousins "
+    "already covered); one shuffle, grouping-set expansion is map-side",
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias(
+            "total"
+        ),
+    )
+    return g.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n",
+        "total",
+    )
+
+
+@register(
+    "window_navigation",
+    """
+    SELECT user_id, event_id, value,
+           LEAD(value) OVER w AS next_value,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS last_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    survey_ref="§2.5 extension: navigation window functions (lead / ntile / "
+    "first_value / last_value); total order (ts, event_id) makes every "
+    "assignment deterministic",
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w_all).alias("last_event"),
+    )
+
+
+@register(
+    "full_outer_year_over_year",
+    """
+    WITH a AS (
+      SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c95
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+    ), b AS (
+      SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c96
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           COALESCE(a.c95, 0) / 100.0 AS total_1995,
+           COALESCE(b.c96, 0) / 100.0 AS total_1996,
+           (COALESCE(b.c96, 0) - COALESCE(a.c95, 0)) / 100.0 AS delta
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+    survey_ref="§2.3 extension: FULL OUTER join (reference has inner only); "
+    "year-over-year reconciliation keeps unmatched keys from BOTH sides",
+)
+def q_full_outer_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+
+    def year_tot(y: int, alias: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(cents.alias(alias))
+        )
+
+    a = year_tot(1995, "c95").alias("a")
+    b = year_tot(1996, "c96").alias("b")
+    return a.join(b, "o_custkey", "full_outer").select(
+        F.col("o_custkey").alias("custkey"),
+        (F.coalesce("c95", F.lit(0)) / 100.0).alias("total_1995"),
+        (F.coalesce("c96", F.lit(0)) / 100.0).alias("total_1996"),
+        (
+            (F.coalesce("c96", F.lit(0)) - F.coalesce("c95", F.lit(0))) / 100.0
+        ).alias("delta"),
+    )
+
+
+@register(
+    "above_avg_docs",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE n_chars * (SELECT COUNT(*) FROM documents)
+          > (SELECT SUM(n_chars) FROM documents)
+    """,
+    survey_ref="§2.2 extension: scalar-subquery predicate (docs above mean "
+    "length); integer cross-multiplication avoids the double division entirely",
+)
+def q_above_avg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate compared against every row without a collect(): the
+    1-row aggregate broadcasts into the filter (BroadcastNestedLoopJoin over
+    1 row ≡ scalar subquery).  n_chars * count > sum is exact integer math —
+    no float average to disagree on."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.sum("n_chars").alias("__sum"), F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .filter(F.col("n_chars") * F.col("__cnt") > F.col("__sum"))
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "decontaminate_ngrams",
+    """
+    WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    eg AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT string_split(text, ' ') AS w FROM ev) s,
+           UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tr) s,
+           UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+    hits AS (
+      SELECT tg.doc_id, COUNT(*) AS n_hits
+      FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id
+    )
+    SELECT h.doc_id, p.n_grams, h.n_hits,
+           h.n_hits / CAST(p.n_grams AS DOUBLE) AS hit_frac
+    FROM hits h JOIN per_doc p ON h.doc_id = p.doc_id
+    """,
+    survey_ref="beyond-reference: eval-set decontamination — exact word-8-gram "
+    "overlap between a held-out eval slice (doc_id % 10 = 0) and the training "
+    "corpus; broadcast eval vocabulary, no train-side shuffle before groupBy",
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.dedup import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(tr, ev, "text", "doc_id", n=8)

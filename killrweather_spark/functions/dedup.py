@@ -352,3 +352,74 @@ def word_bigram_jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# eval-set decontamination
+# --------------------------------------------------------------------------
+
+def word_ngram_set(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Distinct whitespace-word ``n``-grams per document: (id, gram) rows.
+
+    Gram generation is a JVM-side ``transform(sequence(...))`` over the
+    token array — no Python in the loop, stays in whole-stage codegen.
+    Documents shorter than ``n`` tokens yield no grams.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + F.lit(1), F.lit(n)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), grams.alias("__grams"))
+        .select(F.col(id_col), F.explode("__grams").alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Flag training documents whose word ``n``-grams overlap an eval set.
+
+    The standard pre-training decontamination pass (exact n-gram overlap,
+    n≈8-13): build the DISTINCT eval n-gram vocabulary, broadcast it, and
+    probe every training document's n-grams against it.  Returns one row per
+    contaminated training doc: ``(doc_id, n_grams, n_hits, hit_frac)`` where
+    ``n_grams`` is the doc's distinct-gram count and ``hit_frac = n_hits /
+    n_grams``.
+
+    Scale: the eval vocabulary is small by construction (eval sets are
+    thousands of docs, not billions) → broadcast hash join, no shuffle of the
+    training side; the only shuffle is the per-doc groupBy, keyed by the same
+    ``id_col`` the grams were generated from.  At 100 TB the train side
+    streams through map-side gram generation + broadcast probe.
+    """
+    eval_grams = eval_df.transform(
+        lambda d: word_ngram_set(d, text_col, id_col, n)
+    ).select("gram").distinct()
+    train_grams = word_ngram_set(train_df, text_col, id_col, n)
+    per_doc = train_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(per_doc, id_col)
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_grams")).alias("hit_frac"),
+        )
+    )

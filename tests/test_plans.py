@@ -146,3 +146,23 @@ def test_ingest_audit_and_range_window_plans(spark):
     plan = checks.formatted_plan(win)
     assert "BatchEvalPython" not in plan
     assert checks.shuffle_count(win) == 1, "one shuffle on the window key"
+
+
+def test_widening_batch_plans(spark):
+    # pricing summary: one scan, partial agg, single exchange
+    df = REGISTRY["tpch_pricing_summary"].fn(spark, SF01)
+    assert checks.has_partial_aggregation(df)
+    assert checks.shuffle_count(df) <= 1, checks.formatted_plan(df)
+    # shipdate filter must reach the scan
+    assert checks.has_pushed_filters(df, "l_shipdate"), checks.formatted_plan(df)
+
+    # decontamination: eval vocabulary broadcast — the train side must NOT
+    # shuffle for the probe join (only the per-doc groupBys shuffle)
+    df = REGISTRY["decontaminate_ngrams"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert checks.uses_broadcast_join(df), plan
+    assert "BatchEvalPython" not in plan, plan
+
+    # scalar-subquery filter: 1-row aggregate broadcast, not collected
+    df = REGISTRY["above_avg_docs"].fn(spark, SF01)
+    assert checks.uses_broadcast_join(df) or "BroadcastNestedLoop" in checks.formatted_plan(df)
