@@ -2657,3 +2657,200 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.filter(F.col("doc_id") % 10 == 0)
     tr = d.filter(F.col("doc_id") % 10 != 0)
     return decontaminate(tr, ev, "text", "doc_id", n=8)
+
+
+@register(
+    "inverted_index",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id)
+    SELECT term,
+           COUNT(*) AS df,
+           LIST(doc_id ORDER BY doc_id) AS postings
+    FROM tf
+    GROUP BY term
+    HAVING COUNT(*) >= 20
+    """,
+    survey_ref="beyond-reference: retrieval inverted index — term -> sorted "
+    "posting list + document frequency, df-thresholded; one explode + one "
+    "shuffle on term",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists sorted inside the row (sort_array) so the array value is
+    deterministic regardless of aggregation order.  At 100 TB: explode is
+    map-side; the single shuffle is keyed by term; df-threshold (HAVING)
+    prunes the long tail before the expensive list materialization — for a
+    web-scale vocabulary, swap the list for a bucketed postings table."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= 20)
+    )
+
+
+@register(
+    "length_histogram",
+    """
+    SELECT CAST(LEAST(n_chars // 200, 20) AS INT) AS bucket,
+           COUNT(*) AS n,
+           MIN(n_chars) AS lo,
+           MAX(n_chars) AS hi
+    FROM documents
+    GROUP BY 1
+    """,
+    survey_ref="beyond-reference: equi-width histogram of document lengths "
+    "(corpus profiling); integer bucketing, single partial-agg shuffle",
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = F.least(F.floor(F.col("n_chars") / 200), F.lit(20)).cast("int").alias("bucket")
+    return d.groupBy(b).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
+    )
+
+
+@register(
+    "corr_stats",
+    """
+    SELECT l_returnflag,
+           n,
+           (n * sxy - sx * sy) / 1.0e2
+             / (SQRT((n * sxx - sx * sx) / 1.0e2) * SQRT((n * syy - sy * sy) / 1.0e2))
+             AS corr_qty_price
+    FROM (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS sy,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                 * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sxx,
+             SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice) AS BIGINT)) AS syy,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+    survey_ref="A8-family extension: Pearson correlation per group from "
+    "integer fixed-point moment sums — the reduction is exact, only the final "
+    "per-group scalar ops are floating point (identical on both engines)",
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr() built from integer moments instead of Spark's corr(): the five
+    sums are exact bigints (order-independent), so the one double expression
+    at the end is bit-reproducible across engines and partitionings.
+
+    Moment magnitudes: price is whole-dollar fixed point (≤1e5), so
+    sum(y²) ≈ 1e10·rows — safe in int64 up to ~1e8 rows/group; quantity is
+    cents.  Beyond that, promote the moment accumulators to DECIMAL(38,0)
+    (exact on both engines) or pre-aggregate per partition key first."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qx = F.round(F.col("l_quantity") * 100).cast("bigint")
+    py = F.round(F.col("l_extendedprice")).cast("bigint")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(py).alias("sy"),
+        F.sum(qx * qx).alias("sxx"),
+        F.sum(py * py).alias("syy"),
+        F.sum(qx * py).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / 1.0e2
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / 1.0e2)
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) / 1.0e2)
+    return m.select(
+        "l_returnflag", "n", (num / (dx * dy)).alias("corr_qty_price")
+    )
+
+
+@register(
+    "outlier_events",
+    """
+    WITH m AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) AS sxx
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           (e.value - (m.sx / 100.0) / m.n)
+             / SQRT(GREATEST((m.sxx / 10000.0) / m.n
+                             - ((m.sx / 100.0) / m.n) * ((m.sx / 100.0) / m.n),
+                             1e-12)) AS zscore
+    FROM events e JOIN m USING (user_id)
+    WHERE ABS(e.value - (m.sx / 100.0) / m.n)
+          > 2.5 * SQRT(GREATEST((m.sxx / 10000.0) / m.n
+                                - ((m.sx / 100.0) / m.n) * ((m.sx / 100.0) / m.n),
+                                1e-12))
+    """,
+    survey_ref="A1-family extension: per-group z-score outlier detection — "
+    "group moments from exact integer sums (order-independent), one "
+    "deterministic float expression per row; the tiny moments table "
+    "broadcast-joins back to the fact",
+)
+def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality pass every training pipeline needs: flag rows > 2.5
+    population-σ from their group mean.  Two scans of the fact (moments +
+    probe) but the second join side is |groups| rows → broadcast; at 100 TB
+    cache the moments table or fold both into one window if groups are few."""
+    ev = _events_calendar(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents * cents).alias("sxx"),
+    )
+    mean = (F.col("sx") / 100.0) / F.col("n")
+    var = F.greatest(
+        (F.col("sxx") / 10000.0) / F.col("n") - mean * mean, F.lit(1e-12)
+    )
+    std = F.sqrt(var)
+    return (
+        ev.join(F.broadcast(m), "user_id")
+        .filter(F.abs(F.col("value") - mean) > 2.5 * std)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            ((F.col("value") - mean) / std).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "quantize_embeddings_int8",
+    """
+    SELECT vec_id,
+           CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale,
+           CASE WHEN amax > 0
+                THEN list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / amax) AS INT))
+                ELSE list_transform(embedding, x -> 0)
+           END AS codes
+    FROM (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                        x -> ABS(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    )
+    """,
+    survey_ref="beyond-reference similarity/scale path: symmetric int8 "
+    "embedding quantization (4x compression for ANN storage); row-local "
+    "array expressions, zero shuffles, half-away-from-zero round on both "
+    "engines",
+)
+def q_quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(e, "vec_id", "embedding")

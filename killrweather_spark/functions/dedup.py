@@ -60,7 +60,14 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --------------------------------------------------------------------------
 
 def char_shingles(df: DataFrame, text_col: str, id_col: str, gram: int = 4) -> DataFrame:
-    """(id, shingle) pairs: character n-grams via lateral position explode."""
+    """(id, shingle) pairs: character n-grams via lateral position explode.
+
+    Fans narrow inputs out to all task slots first — shingling is the
+    CPU-bound stage of every MinHash pipeline and must not run on one core
+    because the input happened to be a single file."""
+    from killrweather_spark.sources.readers import fan_out
+
+    df = fan_out(df)
     return df.select(
         F.col(id_col),
         F.explode(
@@ -204,6 +211,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     with map-side partials, then a row-local bit-string assembly.  Near-dup
     docs differ in few bits → group by prefix or Hamming-join downstream.
     """
+    from killrweather_spark.sources.readers import fan_out
+
+    df = fan_out(df)
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -367,6 +377,15 @@ def word_ngram_set(
     token array — no Python in the loop, stays in whole-stage codegen.
     Documents shorter than ``n`` tokens yield no grams.
     """
+    return (
+        df.select(F.col(id_col), _distinct_grams(text_col, n).alias("__grams"))
+        .select(F.col(id_col), F.explode("__grams").alias("gram"))
+    )
+
+
+def _distinct_grams(text_col: str, n: int):
+    """Per-row array of DISTINCT word n-grams — the dedup happens in the
+    array domain (map-side), so no (id, gram) shuffle is ever needed."""
     toks = F.split(F.col(text_col), " ")
     grams = F.when(
         F.size(toks) >= n,
@@ -375,11 +394,7 @@ def word_ngram_set(
             lambda i: F.array_join(F.slice(toks, i + F.lit(1), F.lit(n)), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), grams.alias("__grams"))
-        .select(F.col(id_col), F.explode("__grams").alias("gram"))
-        .distinct()
-    )
+    return F.array_distinct(grams)
 
 
 def decontaminate(
@@ -398,24 +413,34 @@ def decontaminate(
     ``n_grams`` is the doc's distinct-gram count and ``hit_frac = n_hits /
     n_grams``.
 
-    Scale: the eval vocabulary is small by construction (eval sets are
-    thousands of docs, not billions) → broadcast hash join, no shuffle of the
-    training side; the only shuffle is the per-doc groupBy, keyed by the same
-    ``id_col`` the grams were generated from.  At 100 TB the train side
-    streams through map-side gram generation + broadcast probe.
+    Scale: everything before the final groupBy is map-side.  Within-doc gram
+    dedup happens in the array domain (``array_distinct`` per row — no
+    (id, gram) shuffle), ``n_grams`` is read off the array length before the
+    explode, and the eval vocabulary (small by construction: eval sets are
+    thousands of docs, not billions) broadcasts into the probe join.  The
+    only shuffle is the groupBy over gram HITS — rows that matched the eval
+    set, a vanishing fraction of the corpus.  At 100 TB the train side
+    streams through gram generation + broadcast probe in one pass.
     """
-    eval_grams = eval_df.transform(
-        lambda d: word_ngram_set(d, text_col, id_col, n)
-    ).select("gram").distinct()
-    train_grams = word_ngram_set(train_df, text_col, id_col, n)
-    per_doc = train_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        train_grams.join(F.broadcast(eval_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # Gram generation is CPU-bound map work: if the input arrives in fewer
+    # splits than the cluster has slots (single-file small inputs), fan out
+    # first so every core works.  On a real 100 TB table the scan already
+    # yields thousands of splits and this is a no-op.
+    from killrweather_spark.sources.readers import fan_out
+
+    train_df = fan_out(train_df)
+    eval_df = fan_out(eval_df)
+    eval_grams = (
+        word_ngram_set(eval_df, text_col, id_col, n).select("gram").distinct()
     )
+    train = train_df.select(
+        F.col(id_col), _distinct_grams(text_col, n).alias("__grams")
+    ).select(F.col(id_col), F.size("__grams").alias("n_grams"),
+             F.explode("__grams").alias("gram"))
     return (
-        hits.join(per_doc, id_col)
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
         .select(
             id_col,
             "n_grams",

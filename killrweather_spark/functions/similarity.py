@@ -312,3 +312,29 @@ def ann_cosine_topk_lsh(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``code_i = round(127·x_i/amax)``.
+
+    The storage/compression path for ANN at scale — 4× smaller than float32,
+    distance kernels read contiguous int8 codes.  Everything is JVM array
+    expressions on the row (no shuffle, no UDF): amax via array_max over
+    abs, codes via transform.  ``round`` (half-away-from-zero on both Spark
+    and DuckDB for doubles) keeps codes engine-reproducible; zero vectors
+    get scale 0 and all-zero codes.
+    """
+    absarr = F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    amax = F.array_max(absarr)
+    scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(0.0))
+    codes = F.when(
+        amax > 0,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 127.0 / amax).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col), scale.alias("scale"), codes.alias("codes")
+    )

@@ -50,6 +50,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, slots: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has fewer splits than the
+    cluster has task slots — CPU-bound map stages (shingling, hashing,
+    tokenizing) otherwise run on a fraction of the cores.
+
+    On a production table the scan already yields >= slots splits and this
+    returns ``df`` unchanged; it only pays the shuffle for narrow inputs
+    (single-file reads, post-coalesce lineages) where the shuffle is small
+    by construction.
+    """
+    target = slots or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All testdata tables keyed by name."""
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
