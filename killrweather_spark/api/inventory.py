@@ -2854,3 +2854,112 @@ def q_quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(e, "vec_id", "embedding")
+
+
+@register(
+    "fk_integrity_audit",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+    FROM lineitem l LEFT JOIN orders ok ON l.l_orderkey = ok.o_orderkey
+    UNION ALL
+    SELECT 'events.user_id->customer' AS fk,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    survey_ref="beyond-reference data-quality: referential-integrity audit — "
+    "orphan counts per declared foreign key via left-join null probes; dims "
+    "broadcast, facts never shuffle",
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint screening before training-data assembly: every FK edge is
+    a left join + null count.  Dimension sides broadcast (customer, orders
+    keys); each fact is scanned once; output is 3 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def audit(fact, dim, fk_col, dim_col, label):
+        return (
+            fact.join(
+                F.broadcast(dim.select(F.col(dim_col).alias("__dk"))),
+                fact[fk_col] == F.col("__dk"),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("__dk").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    return (
+        audit(o, c, "o_custkey", "c_custkey", "orders.o_custkey->customer")
+        .unionAll(
+            audit(l, o, "l_orderkey", "o_orderkey", "lineitem.l_orderkey->orders")
+        )
+        .unionAll(audit(ev, c, "user_id", "c_custkey", "events.user_id->customer"))
+    )
+
+
+@register(
+    "scd2_intervals",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts
+      FROM seq
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+    survey_ref="beyond-reference CDC: slowly-changing-dimension type-2 "
+    "intervals from an event log — change detection via lag, interval close "
+    "via lead; both windows share one (user_id) shuffle",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse an event stream into SCD2 validity intervals: a row begins
+    where the tracked attribute changes and closes at the next change
+    (null = open/current).  Both window passes use the same partitioning so
+    Catalyst plans ONE exchange; at 100 TB this is the standard
+    log-to-dimension compaction."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

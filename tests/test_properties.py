@@ -120,3 +120,29 @@ def test_csv_audit_partitions_every_line(spark, frac_nibble):
     ).collect()
     assert sum(r["n"] for r in audit) == total
     assert len({r["error_class"] for r in audit}) == len(audit)
+
+
+@given(n_parts=st.sampled_from([1, 5, 32]))
+@settings(**_SETTINGS)
+def test_decontaminate_invariant_to_partitioning(spark, n_parts):
+    from killrweather_spark.functions.dedup import decontaminate
+
+    d = load_table(spark, SF001, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    base = _canon(decontaminate(tr, ev, "text", "doc_id", n=8))
+    got = _canon(
+        decontaminate(tr.repartition(n_parts), ev.repartition(n_parts),
+                      "text", "doc_id", n=8)
+    )
+    assert got == base
+
+
+def test_fan_out_is_noop_on_wide_inputs(spark):
+    from killrweather_spark.sources.readers import fan_out
+
+    slots = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(slots + 4)
+    assert fan_out(wide) is wide  # already >= slots: untouched lineage
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == slots
