@@ -163,3 +163,56 @@ def ctas(spark: SparkSession, name: str, select_sql: str) -> DataFrame:
     (≙ ``saveAsCassandraTableEx`` DDL-from-code)."""
     spark.sql(f"CREATE TABLE {name} USING parquet AS {select_sql}")
     return spark.table(name)
+
+
+def zorder_key(cols: Sequence[str], bits: int = 16):
+    """Bit-interleaved (Morton / Z-order) key over pre-scaled int columns.
+
+    Each input column must already be a non-negative integer < 2**bits
+    (scale/bucket upstream).  Bit i of column j lands at position
+    ``i*len(cols)+j``, so nearby (a, b, ...) tuples map to nearby z-values
+    and a range of z-values covers a bounded rectangle in every dimension.
+    Pure shift/or JVM expressions — whole-stage codegen, no UDF.
+    ``bits * len(cols)`` must stay <= 63.
+    """
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError("z-key wider than 63 bits")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("bigint"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    z_cols: Sequence[str],
+    n_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered layout: multi-dimensional zone-map pruning.
+
+    ``write_sorted`` clusters on ONE leading key — predicates on the second
+    sort column still touch every row group.  Interleaving the key bits
+    makes every file's min/max box narrow in EVERY ``z_cols`` dimension, so
+    a point/range predicate on ANY of them prunes ~sqrt-fashion (the classic
+    Delta/Iceberg OPTIMIZE ZORDER layout, rebuilt with plain Spark ops:
+    range-repartition on the z-key, local sort, parquet stats do the rest).
+
+    At 100 TB: combine with directory partitioning — directories cut the
+    coarse dimension (year/bucket), the z-order cuts within directories on
+    the remaining hot predicates (station × time, user × day, ...).
+    """
+    zk = zorder_key(z_cols, bits=bits)
+    (
+        df.withColumn("__z", zk)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -166,3 +166,49 @@ def test_sorted_write_gives_prunable_row_groups(spark, tmp_path_factory):
     hit = sum(1 for s, e in spans if s <= probe <= e)
     # sorted layout: a single-day probe overlaps only a small fraction
     assert hit / len(spans) <= 0.34, f"{hit}/{len(spans)} row groups overlap a point probe"
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path_factory):
+    """write_zordered must give narrow per-file min/max boxes in EVERY
+    z dimension: a point predicate on either column overlaps only a
+    fraction of the files, where a linear sort would prune on the leading
+    key only."""
+    from killrweather_spark.sources.sinks import write_zordered
+
+    from tests.conftest import SF01
+
+    # caller contract: pre-scale every z dimension to the same bit width
+    # (here 10 bits) so no dimension dominates the interleaved key
+    ev = load_table(spark, SF01, "events").select(
+        "event_id",
+        F.floor(F.col("user_id") * 1024 / 150).cast("bigint").alias("uid"),
+        F.floor((F.dayofmonth("ts") - 1) * 1024 / 31).cast("bigint").alias("day"),
+        "value",
+    )
+    path = str(tmp_path_factory.mktemp("zorder") / "ev")
+    write_zordered(ev, path, z_cols=["uid", "day"], n_files=16, bits=10)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    boxes = []  # (uid_min, uid_max, day_min, day_max) per file
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        iu = md.schema.names.index("uid")
+        idd = md.schema.names.index("day")
+        for rg in range(md.num_row_groups):
+            su = md.row_group(rg).column(iu).statistics
+            sd = md.row_group(rg).column(idd).statistics
+            boxes.append((su.min, su.max, sd.min, sd.max))
+    assert len(boxes) >= 8, f"want many files, got {len(boxes)}"
+
+    def overlap_frac(lo_i, hi_i, probe):
+        hit = sum(1 for b in boxes if b[lo_i] <= probe <= b[hi_i])
+        return hit / len(boxes)
+
+    uid_probe = sorted(b[0] for b in boxes)[len(boxes) // 2]
+    day_probe = (15 - 1) * 1024 // 31
+    # both dimensions must prune; a linear (uid, day) sort gives ~1.0 on day
+    assert overlap_frac(0, 1, uid_probe) <= 0.6, boxes
+    assert overlap_frac(2, 3, day_probe) <= 0.6, boxes
