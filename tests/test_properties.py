@@ -146,3 +146,20 @@ def test_fan_out_is_noop_on_wide_inputs(spark):
     assert fan_out(wide) is wide  # already >= slots: untouched lineage
     narrow = spark.range(1000).coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() == slots
+
+
+@given(
+    a=st.integers(min_value=0, max_value=1023),
+    b=st.integers(min_value=0, max_value=1023),
+)
+@settings(**_SETTINGS)
+def test_zorder_key_roundtrips(spark, a, b):
+    """Interleave → de-interleave is the identity: the z-key loses no bits,
+    so file-level min/max boxes bound BOTH dimensions exactly."""
+    from killrweather_spark.sources.sinks import zorder_key
+
+    df = spark.createDataFrame([(a, b)], "x long, y long")
+    z = df.select(zorder_key(["x", "y"], bits=10).alias("z")).first().z
+    xa = sum(((z >> (2 * i)) & 1) << i for i in range(10))
+    yb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
+    assert (xa, yb) == (a, b)
