@@ -2963,3 +2963,28 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "set_ops_all",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    UNION ALL
+    (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+     EXCEPT ALL
+     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    """,
+    survey_ref="§2.7 extension: multiset set operations (INTERSECT ALL / "
+    "EXCEPT ALL keep duplicate multiplicity — count-bounded semantics, not "
+    "the distinct-set forms already covered by set_ops)",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset semantics: a customer with 3 orders in 1995 and 1 in 1996
+    appears once in INTERSECT ALL and twice in EXCEPT ALL — Spark plans
+    these as counted hash aggregations (no row explosion)."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersectAll(y96).unionAll(y95.exceptAll(y96))

@@ -166,3 +166,20 @@ def test_widening_batch_plans(spark):
     # scalar-subquery filter: 1-row aggregate broadcast, not collected
     df = REGISTRY["above_avg_docs"].fn(spark, SF01)
     assert checks.uses_broadcast_join(df) or "BroadcastNestedLoop" in checks.formatted_plan(df)
+
+
+def test_cdc_and_audit_plans(spark):
+    # SCD2: the lag-detect and lead-close windows share one (user_id)
+    # partitioning — Catalyst must not add a second exchange for the
+    # second window pass
+    df = REGISTRY["scd2_intervals"].fn(spark, SF01)
+    assert checks.shuffle_count(df) <= 1, checks.formatted_plan(df)
+
+    # FK audit: every dimension side broadcasts; the only exchanges are the
+    # three 1-row SinglePartition gathers of the global aggregates — the
+    # facts themselves never hash-shuffle
+    df = REGISTRY["fk_integrity_audit"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert checks.node_count(df, "BroadcastHashJoin") >= 3, plan
+    assert checks.shuffle_count(df) <= 3, plan
+    assert "hashpartitioning" not in plan, plan
