@@ -38,6 +38,7 @@ HEADLINE = [
     "distinct_users_in_range",
     "asof_join_latest_order",
     "tpch_pricing_summary",
+    "local_supplier_volume",
     # LLM-data-pipeline: dedup, similarity, text analysis
     "decontaminate_ngrams",
     "dedup_exact_groups",

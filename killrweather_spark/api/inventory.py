@@ -2988,3 +2988,97 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
     y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     return y95.intersectAll(y96).unionAll(y95.exceptAll(y96))
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE s.s_nationkey = c.c_nationkey
+      AND year(o.o_orderdate) = 1996
+    GROUP BY n.n_name
+    """,
+    survey_ref="J1-family heavy join (TPC-H Q5 shape): 6-table star — fact × "
+    "orders (key join) × four broadcast dims; the local-supplier predicate "
+    "(s_nationkey = c_nationkey) is a cross-dimension filter",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue delivered by suppliers local to the customer's nation.
+    lineitem×orders is the only big join (both keyed by orderkey);
+    customer/supplier/nation/region all broadcast.  At 100 TB: bucket
+    lineitem and orders on orderkey to erase the one big shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev_cents = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "bigint"
+        )
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (rev_cents / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT) ELSE 0 END) / 100.0 AS promo_revenue,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS total_revenue,
+           SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT) ELSE 0 END)
+             / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    survey_ref="A-family conditional aggregate over a join (TPC-H Q14 shape): "
+    "promo revenue share — part dim broadcasts, shipdate range pushes to the "
+    "fact scan, single global aggregate",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
+    total = F.sum(cents)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (promo / 100.0).alias("promo_revenue"),
+            (total / 100.0).alias("total_revenue"),
+            (promo / total.cast("double")).alias("promo_share"),
+        )
+    )
