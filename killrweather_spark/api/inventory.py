@@ -3082,3 +3082,74 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (promo / total.cast("double")).alias("promo_share"),
         )
     )
+
+
+@register(
+    "gap_fill_forward",
+    """
+    WITH spine AS (
+      SELECT u.user_id, CAST(d.d AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u,
+           (SELECT UNNEST(generate_series(DATE '2024-01-01',
+                                          DATE '2024-01-30',
+                                          INTERVAL 1 DAY)) AS d) d
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT s.user_id, s.day,
+           d.cents IS NOT NULL AS observed,
+           LAST_VALUE(d.cents IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day
+                   ROWS UNBOUNDED PRECEDING) / 100.0 AS filled_value
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    survey_ref="F5 + §2.5 extension: calendar-spine gap filling with forward "
+    "fill (sequence/explode date spine, left join, last_value IGNORE NULLS "
+    "running frame) — the canonical time-series densification the "
+    "reference's per-day point queries sidestep",
+)
+def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-(station, day) series from sparse observations: generate
+    the calendar spine JVM-side (sequence + explode — F5), left-join the
+    daily tier, carry the last observation forward.  One shuffle for the
+    daily agg, one for the spine join (both keyed by user_id); the window
+    reuses the join partitioning.  Leading days before any observation
+    stay null — forward fill only, no fabrication."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("cents").isNotNull().alias("observed"),
+            (F.last("cents", ignorenulls=True).over(w) / 100.0).alias(
+                "filled_value"
+            ),
+        )
+    )
