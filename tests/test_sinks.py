@@ -212,3 +212,26 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path_factory):
     # both dimensions must prune; a linear (uid, day) sort gives ~1.0 on day
     assert overlap_frac(0, 1, uid_probe) <= 0.6, boxes
     assert overlap_frac(2, 3, day_probe) <= 0.6, boxes
+
+
+def test_curate_demo_runs_end_to_end():
+    """The corpus-curation demo must stay runnable and its funnel monotone
+    non-increasing (each stage only removes documents)."""
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, str(root / "scripts" / "curate_demo.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=500,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    counts = [int(m.replace(",", "")) for m in
+              re.findall(r":\s+([\d,]+)$", out.stdout, re.M)]
+    assert len(counts) == 6, out.stdout
+    docs_funnel = counts[:5]  # last line is sequence count, not docs
+    assert docs_funnel == sorted(docs_funnel, reverse=True), out.stdout
+    assert docs_funnel[0] > 0
