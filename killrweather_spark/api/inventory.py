@@ -3153,3 +3153,283 @@ def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cdc_merge_snapshot",
+    """
+    WITH ranked AS (
+      SELECT user_id, value, ts, event_id,
+             event_type = 'error' AS is_delete,
+             ts >= TIMESTAMP '2024-01-15 00:00:00' AS from_changes,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY (ts >= TIMESTAMP '2024-01-15 00:00:00') DESC,
+                        ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+    )
+    SELECT user_id, CAST(value AS DOUBLE) AS last_value,
+           ts AS last_ts, event_id AS last_event_id
+    FROM ranked WHERE rn = 1 AND NOT is_delete
+    """,
+    survey_ref="S3/S4 extension: the reference's upsert-by-PK sink "
+    "(KafkaStreamingActor.scala:45 saveToCassandra) re-expressed as an "
+    "explicit lakehouse MERGE — changelog apply with latest-wins upserts "
+    "and deletes (operators/cdc.py:merge_changes)",
+)
+def q_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot of per-user state at 2024-01-15 + the change window
+    [01-15, 02-01) applied via ``merge_changes``: latest change per user
+    wins, users whose latest change is an 'error' event are deleted,
+    untouched users keep their snapshot row.  The oracle collapses the
+    two phases into one ranked scan — semantically identical because the
+    snapshot itself is latest-wins over the pre-cutoff prefix."""
+    from killrweather_spark.operators.cdc import merge_changes
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    end = F.lit("2024-02-01 00:00:00").cast("timestamp")
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        ev.filter(F.col("ts") < cutoff)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").cast("double").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+    changes = ev.filter((F.col("ts") >= cutoff) & (F.col("ts") < end)).select(
+        "user_id",
+        F.col("value").cast("double").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        (F.col("event_type") == "error").alias("is_delete"),
+        "ts",
+        "event_id",
+    )
+    return merge_changes(
+        snapshot,
+        changes,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+    )
+
+
+@register(
+    "interpolate_linear",
+    """
+    WITH spine AS (
+      SELECT u.user_id, CAST(d.d AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u,
+           (SELECT UNNEST(generate_series(DATE '2024-01-01',
+                                          DATE '2024-01-30',
+                                          INTERVAL 1 DAY)) AS d) d
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    j AS (
+      SELECT s.user_id, s.day,
+             datediff('day', DATE '2024-01-01', s.day) AS i,
+             d.cents
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+    ),
+    ctx AS (
+      SELECT user_id, day, i, cents,
+             LAST_VALUE(cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS prev_c,
+             LAST_VALUE(CASE WHEN cents IS NOT NULL THEN i END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS prev_i,
+             FIRST_VALUE(cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+             FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN i END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
+      FROM j
+    )
+    SELECT user_id, day, cents IS NOT NULL AS observed,
+           CASE
+             WHEN cents IS NOT NULL THEN cents / 100.0
+             WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+               (prev_c * (next_i - i) + next_c * (i - prev_i))
+                 / ((next_i - prev_i) * 100.0)
+           END AS filled_value
+    FROM ctx
+    """,
+    survey_ref="F5 + §2.5 extension: linear interpolation over the calendar "
+    "spine — the two-sided companion of gap_fill_forward; integer-cents "
+    "slope arithmetic with a single terminal double division keeps both "
+    "engines bit-identical",
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by linear interpolation: spine join as in gap_fill_forward,
+    then each missing day takes the cents-weighted average of its nearest
+    observed neighbors ((prev*(next_i-i) + next*(i-prev_i)) / gap).  All
+    slope math is exact bigint; the one double division is the terminal
+    expression.  Days before the first / after the last observation stay
+    null (no extrapolation).  Same shuffle profile as gap_fill_forward:
+    daily agg + spine join keyed by user_id; both window frames reuse the
+    join partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).cast(
+            "bigint"
+        ).alias("i"),
+        "cents",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_i = F.when(F.col("cents").isNotNull(), F.col("i"))
+    ctx = j.select(
+        "user_id",
+        "day",
+        "i",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.last(obs_i, ignorenulls=True).over(w_prev).alias("prev_i"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("next_c"),
+        F.first(obs_i, ignorenulls=True).over(w_next).alias("next_i"),
+    )
+    interp = (
+        F.col("prev_c") * (F.col("next_i") - F.col("i"))
+        + F.col("next_c") * (F.col("i") - F.col("prev_i"))
+    ) / ((F.col("next_i") - F.col("prev_i")) * F.lit(100.0))
+    return ctx.select(
+        "user_id",
+        "day",
+        F.col("cents").isNotNull().alias("observed"),
+        F.when(F.col("cents").isNotNull(), F.col("cents") / 100.0)
+        .when(
+            F.col("prev_c").isNotNull() & F.col("next_c").isNotNull(), interp
+        )
+        .alias("filled_value"),
+    )
+
+
+@register(
+    "unpivot_nation_metrics",
+    """
+    WITH m AS (
+      SELECT n.n_name,
+             CAST(COUNT(*) AS DOUBLE) AS order_count,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_price,
+             CAST(COUNT(DISTINCT c.c_custkey) AS DOUBLE) AS active_customers
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, 'order_count' AS metric, order_count AS value FROM m
+    UNION ALL
+    SELECT n_name, 'total_price', total_price FROM m
+    UNION ALL
+    SELECT n_name, 'active_customers', active_customers FROM m
+    """,
+    survey_ref="§2.4/§2.7 extension: wide→long UNPIVOT (melt) of a "
+    "per-nation metrics block — the inverse of pivot_agg; Spark 4 native "
+    "DataFrame.unpivot vs UNION ALL oracle",
+)
+def q_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation wide metrics (count / fixed-point revenue / distinct
+    customers) melted to (n_name, metric, value) long form with the native
+    ``DataFrame.unpivot`` (Spark's Expand node — no shuffle, no UNION
+    rescan: one pass over the aggregated block).  The wide block itself is
+    two broadcast joins (customer→nation dims) + one hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("order_count"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / 100.0
+            ).alias("total_price"),
+            F.countDistinct("c_custkey").cast("double").alias(
+                "active_customers"
+            ),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["order_count", "total_price", "active_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "rolling_median_events",
+    """
+    SELECT user_id, event_id,
+           median(CAST(ROUND(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) / 100.0
+             AS rolling_median
+    FROM events
+    """,
+    survey_ref="§2.5 extension: order-statistic window — trailing 10-row "
+    "median per key (robust smoother the reference's mean-based "
+    "StatCounter path cannot express); exact integer-cents median, "
+    "midpoint interpolation identical across engines",
+)
+def q_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing per-user median over the last 10 events.  Median is an
+    order statistic, so fixed-point cents make it exactly replayable: both
+    engines sort the same bigints and average the same two middle values.
+    Single window shuffle on user_id; the frame is row-bounded so state
+    per row is O(10).  At 100 TB this is the plan you want anyway — a
+    range/rank-based global median would need a full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    med = F.expr(
+        "percentile(cast(round(value * 100) as bigint), 0.5) over ("
+        "partition by user_id order by ts, event_id "
+        "rows between 9 preceding and current row)"
+    )
+    return ev.select(
+        "user_id", "event_id", (med / 100.0).alias("rolling_median")
+    )

@@ -84,3 +84,53 @@ def test_incremental_refresh_is_idempotent_and_leaves_old_partitions(
     # and the data is unchanged (idempotent)
     full = ev.groupBy(*KEYS, *DATES).agg(*_aggs())
     assert _canon(spark.read.parquet(tier)) == _canon(full)
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (operators/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_changes_upsert_delete_passthrough(spark):
+    from killrweather_spark.operators.cdc import merge_changes
+
+    snapshot = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, payload string"
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: two updates — later (ts=20) wins
+            (1, "a2", False, 10, 100),
+            (1, "a3", False, 20, 101),
+            # k=2: update then delete — key disappears
+            (2, "b2", False, 10, 102),
+            (2, "b2", True, 30, 103),
+            # k=4: brand-new insert
+            (4, "d", False, 5, 104),
+            # k=5: insert then delete — never materializes
+            (5, "e", False, 1, 105),
+            (5, "e", True, 2, 106),
+        ],
+        "k int, payload string, is_delete boolean, ts long, event_id long",
+    )
+    out = merge_changes(
+        snapshot, changes, keys=["k"], order_by=["ts", "event_id"]
+    )
+    got = {(r.k, r.payload) for r in out.collect()}
+    # k=3 untouched, k=1 latest update, k=2/5 deleted, k=4 inserted
+    assert got == {(1, "a3"), (3, "c"), (4, "d")}
+
+
+def test_merge_changes_tiebreak_is_total(spark):
+    from killrweather_spark.operators.cdc import merge_changes
+
+    snapshot = spark.createDataFrame([(1, "old")], "k int, payload string")
+    # Same ts — event_id must break the tie deterministically.
+    changes = spark.createDataFrame(
+        [(1, "x", False, 10, 7), (1, "y", False, 10, 9)],
+        "k int, payload string, is_delete boolean, ts long, event_id long",
+    )
+    out = merge_changes(
+        snapshot, changes, keys=["k"], order_by=["ts", "event_id"]
+    )
+    assert [(r.k, r.payload) for r in out.collect()] == [(1, "y")]
