@@ -3433,3 +3433,257 @@ def q_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", (med / 100.0).alias("rolling_median")
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS stage_name,
+           (SELECT COUNT(*) FROM v) AS users
+    UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+    """,
+    survey_ref="§2.4 extension: ordered-event funnel (view→click→purchase) "
+    "— sequential pattern matching the reference's calendar-key aggregates "
+    "cannot express; three min-chained per-user aggregations, every "
+    "shuffle keyed user_id",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic conversion funnel with strict event ordering: a click only
+    counts after the user's first view, a purchase only after that first
+    qualifying click.  Three groupBys + two joins, all keyed ``user_id`` —
+    one partitioning reused end-to-end (AQE coalesces the tiny tails).
+    Returns one row per stage with the surviving-user count."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        v.agg(
+            F.lit(1).alias("stage"),
+            F.lit("view").alias("stage_name"),
+            F.count(F.lit(1)).alias("users"),
+        ),
+        c.agg(
+            F.lit(2).alias("stage"),
+            F.lit("click").alias("stage_name"),
+            F.count(F.lit(1)).alias("users"),
+        ),
+        p.agg(
+            F.lit(3).alias("stage"),
+            F.lit("purchase").alias("stage_name"),
+            F.count(F.lit(1)).alias("users"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    survey_ref="J-family extension: blocked fuzzy self-join (entity "
+    "resolution) — block on the nation key, verify candidates with exact "
+    "integer edit distance; the block bounds the quadratic term to "
+    "per-block sizes",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: candidate pairs from an equality block
+    (nation), verified by Levenshtein ≤ 1.  The equi-join on the block key
+    keeps this a hash join (never a cartesian); the distance only runs
+    within blocks, so cost is Σ|block|², not N².  At 100 TB the block key
+    is the design decision — pick one with bounded skew (here ~N/25 per
+    nation; compound keys like (nation, name_length) cut it further;
+    ``operators/skew.py:salted_join`` handles a hot block).  Distance is
+    integer and engine-portable, so the whole pipeline oracle-replays."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int"),
+        )
+        .filter(F.col("edit_distance") <= 1)
+        .select("custkey_a", "custkey_b", "name_a", "name_b", "edit_distance")
+    )
+
+
+@register(
+    "copurchase_triangles",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )
+    SELECT COUNT(*) AS triangles,
+           (SELECT COUNT(*) FROM edges) AS edges
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    survey_ref="J-family/graph extension: triangle counting over the "
+    "co-purchase graph (parts sharing an order) — the canonical "
+    "cyclic-join benchmark; ordered edges (a<b) make each triangle count "
+    "exactly once",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-analytics shape the reference has no vocabulary for: build
+    the ordered co-purchase edge list (distinct part pairs sharing an
+    order — the self-join is keyed on l_orderkey so it is a hash join
+    bounded by per-order basket size), then count triangles with the
+    two-hop + closing-edge join.  Edges are cached: the triangle join
+    reads them three times.  Ordering a<b both dedups the edge and
+    guarantees each triangle is counted once (a<b<c).  At scale the
+    closing-edge join is the expensive hop — partition edges by source
+    vertex and let AQE handle the power-law skew (hub parts)."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pk2")
+    )
+    edges = (
+        l.join(l2, (l.l_orderkey == F.col("o2")) & (l.l_partkey < F.col("pk2")))
+        .select(F.col("l_partkey").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+        .persist()
+    )
+    e1 = edges.select(F.col("a").alias("e1a"), F.col("b").alias("e1b"))
+    e2 = edges.select(F.col("a").alias("e2a"), F.col("b").alias("e2b"))
+    e3 = edges.select(F.col("a").alias("e3a"), F.col("b").alias("e3b"))
+    tri = (
+        e1.join(e2, e1.e1b == e2.e2a)
+        .join(e3, (F.col("e1a") == e3.e3a) & (F.col("e2b") == e3.e3b))
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("edges"))
+    return tri.crossJoin(n_edges)
+
+
+@register(
+    "canonical_docs",
+    f"""
+    WITH RECURSIVE pairs AS ({_DUP_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS node, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, component,
+           FIRST_VALUE(doc_id) OVER (
+             PARTITION BY component
+             ORDER BY n_chars DESC, doc_id ASC) AS canonical_doc_id,
+           doc_id = FIRST_VALUE(doc_id) OVER (
+             PARTITION BY component
+             ORDER BY n_chars DESC, doc_id ASC) AS is_canonical
+    FROM labeled
+    """,
+    survey_ref="beyond-ref: canonicalization — one representative per "
+    "near-dup cluster (longest text, doc_id tiebreak); the keep/drop "
+    "decision that turns dedup_components' clusters into an actual "
+    "filtered corpus",
+)
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the dedup funnel: near-dup pairs → connected components →
+    pick the canonical member of each cluster (longest ``n_chars``, lowest
+    ``doc_id`` on ties) — downstream corpus filters keep
+    ``is_canonical``.  The component map is tiny relative to the corpus
+    (only docs that appear in some dup pair), so the label join
+    broadcasts; singleton docs are their own component via coalesce.  The
+    representative choice is one window over (component) — partitions are
+    cluster-sized, no skew."""
+    from killrweather_spark.functions.curation import connected_components
+    from killrweather_spark.functions.dedup import word_bigram_jaccard_pairs
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = word_bigram_jaccard_pairs(docs, block_col="source", threshold=0.08)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(
+            F.broadcast(comp), docs.doc_id == comp.node, "left"
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    canonical = F.first("doc_id").over(w)
+    return labeled.select(
+        "doc_id",
+        "component",
+        canonical.alias("canonical_doc_id"),
+        (F.col("doc_id") == canonical).alias("is_canonical"),
+    )

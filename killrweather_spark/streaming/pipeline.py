@@ -30,6 +30,7 @@ keys.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -248,3 +249,78 @@ def run_stream_to_batch(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def start_cdc_apply(
+    changes: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_by: list[str],
+    delete_col: str = "is_delete",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous changelog→snapshot maintenance: each microbatch of keyed
+    changes is MERGEd onto the current snapshot with
+    ``operators/cdc.py:merge_changes`` (latest-wins upserts + deletes).
+
+    Exactly-once without a transactional table format: every batch writes a
+    full new snapshot *version* directory ``v=<batch_id>`` derived from the
+    highest version below it, so a replayed batch deterministically
+    rewrites its own version instead of double-applying (same contract as
+    the reference's idempotent upsert-by-PK sink,
+    ``KafkaStreamingActor.scala:45``, lifted to files).  Readers take
+    ``cdc_snapshot_path(dir)`` — the highest complete version.
+
+    At 100 TB the full-rewrite-per-batch becomes partition-pruned: merge
+    only the partitions the batch touches (see
+    ``operators/cdc.py`` scale notes) and version per partition.  The
+    merge kernel and the versioning contract are unchanged.
+    """
+    trig = trigger or {"processingTime": "1 second"}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from killrweather_spark.operators.cdc import merge_changes
+
+        out_cols = [c for c in batch_df.columns if c != delete_col]
+        prev = _latest_version(snapshot_dir, below=epoch_id)
+        if prev is None:
+            snap = batch_df.select(*out_cols).limit(0)
+        else:
+            snap = spark.read.parquet(os.path.join(snapshot_dir, f"v={prev}"))
+        merged = merge_changes(
+            snap, batch_df, keys=keys, order_by=order_by, delete_col=delete_col
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, f"v={epoch_id}")
+        )
+
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**trig)
+        .start()
+    )
+
+
+def _latest_version(snapshot_dir: str, below: int | None = None) -> int | None:
+    try:
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(snapshot_dir)
+            if d.startswith("v=")
+        ]
+    except FileNotFoundError:
+        return None
+    if below is not None:
+        versions = [v for v in versions if v < below]
+    return max(versions, default=None)
+
+
+def cdc_snapshot_path(snapshot_dir: str) -> str:
+    """Path of the current (highest-version) CDC snapshot."""
+    v = _latest_version(snapshot_dir)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot versions under {snapshot_dir}")
+    return os.path.join(snapshot_dir, f"v={v}")

@@ -129,3 +129,80 @@ def test_incremental_restart_accumulates_not_duplicates(spark, tmp_path, lines_d
     second = spark.read.parquet(precip_path).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
     assert spark.read.parquet(raw_path).count() == 2000
+
+
+def test_cdc_apply_stream_matches_batch_merge(spark, tmp_path):
+    """Changelog stream → versioned snapshot via foreachBatch merge_changes:
+    the drained stream's final snapshot equals a single batch merge of the
+    whole changelog, and a checkpointed restart changes nothing."""
+    import json
+    import pathlib
+
+    from killrweather_spark.operators.cdc import merge_changes
+    from killrweather_spark.streaming.pipeline import (
+        cdc_snapshot_path,
+        start_cdc_apply,
+    )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    # Two files => two microbatches (maxFilesPerTrigger=1), later ts later.
+    batch1 = [
+        {"k": 1, "payload": "a1", "is_delete": False, "ts": 10, "seq": 1},
+        {"k": 2, "payload": "b1", "is_delete": False, "ts": 11, "seq": 2},
+        {"k": 3, "payload": "c1", "is_delete": False, "ts": 12, "seq": 3},
+    ]
+    batch2 = [
+        {"k": 1, "payload": "a2", "is_delete": False, "ts": 20, "seq": 4},
+        {"k": 2, "payload": "b1", "is_delete": True, "ts": 21, "seq": 5},
+        {"k": 4, "payload": "d1", "is_delete": False, "ts": 22, "seq": 6},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in batch2))
+
+    schema = "k int, payload string, is_delete boolean, ts long, seq long"
+    snap_dir = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = start_cdc_apply(
+            stream,
+            snap_dir,
+            ckpt,
+            keys=["k"],
+            order_by=["ts", "seq"],
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = sorted(
+        (r.k, r.payload)
+        for r in spark.read.parquet(cdc_snapshot_path(snap_dir)).select(
+            "k", "payload"
+        ).collect()
+    )
+    # k=1 updated, k=2 deleted, k=3 untouched since b1, k=4 inserted
+    assert got == [(1, "a2"), (3, "c1"), (4, "d1")]
+
+    # equals one-shot batch merge of the full changelog over an empty snapshot
+    all_changes = spark.createDataFrame(batch1 + batch2, schema)
+    empty = all_changes.select("k", "payload", "ts", "seq").limit(0)
+    ref = sorted(
+        (r.k, r.payload)
+        for r in merge_changes(
+            empty, all_changes, keys=["k"], order_by=["ts", "seq"]
+        ).collect()
+    )
+    assert got == ref
+
+    # restart on same checkpoint: no new versions, snapshot unchanged
+    before = sorted(p.name for p in pathlib.Path(snap_dir).iterdir())
+    run()
+    after = sorted(p.name for p in pathlib.Path(snap_dir).iterdir())
+    assert before == after
