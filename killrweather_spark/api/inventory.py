@@ -3687,3 +3687,158 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.alias("canonical_doc_id"),
         (F.col("doc_id") == canonical).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# ranked retrieval / behavioral analytics extensions
+# --------------------------------------------------------------------------
+
+from killrweather_spark.functions.search import bm25_topk, bm25_topk_sql  # noqa: E402
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+@register(
+    "bm25_search",
+    bm25_topk_sql(_BM25_TERMS, k=10),
+    survey_ref="beyond-reference LLM-pipeline: ranked full-text retrieval "
+    "(BM25, integer-exact scoring) — tokenize → broadcast corpus stats → "
+    "one doc-keyed tf shuffle → global top-k; pairs with inverted_index",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a 3-term query under BM25 with k1=1.2, b=0.75,
+    both factors cleared to scaled-integer floor arithmetic so Spark and
+    DuckDB rank bit-identically (`functions/search.py` for the algebra and
+    the 100 TB shuffle analysis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_ev AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            CAST(date_trunc('week', e.ts) AS DATE)) AS INT)
+               // 7 AS week_age
+      FROM events e JOIN first_ev f ON e.user_id = f.user_id
+    ),
+    cells AS (
+      SELECT cohort_week, week_age, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM activity GROUP BY cohort_week, week_age
+    ),
+    sizes AS (
+      SELECT cohort_week, n_users AS cohort_size
+      FROM cells WHERE week_age = 0
+    )
+    SELECT c.cohort_week, c.week_age, c.n_users, s.cohort_size,
+           CAST(1000000 * c.n_users AS BIGINT) // s.cohort_size
+             AS retained_micro
+    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+    """,
+    survey_ref="§2.4 extension: cohort retention matrix — the classic "
+    "acquisition-week × activity-age triangle; two user-keyed "
+    "aggregations plus a broadcast cohort-size join",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users bucketed by first-event week (their
+    cohort), counted in every later week they were active; the retained
+    share is an exact integer micro-fraction of the cohort's week-0 size.
+    Both heavy steps (first-event min, distinct activity) shuffle on
+    user_id once; the cells table is tiny (weeks²), so the size join
+    broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    first_ev = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_ev, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "cast(datediff(cast(date_trunc('week', ts) as date), "
+                "cohort_week) as int) div 7"
+            ).alias("week_age"),
+        )
+        .distinct()
+    )
+    cells = activity.groupBy("cohort_week", "week_age").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    sizes = cells.filter(F.col("week_age") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), ["cohort_week"])
+        .withColumn(
+            "retained_micro",
+            F.expr("(1000000 * n_users) div cohort_size").cast("bigint"),
+        )
+        .select(
+            "cohort_week", "week_age", "n_users", "cohort_size",
+            "retained_micro",
+        )
+    )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(1000000 * n AS BIGINT)
+             // SUM(n) OVER (PARTITION BY from_type) AS p_micro
+    FROM pairs
+    """,
+    survey_ref="§2.5 extension: first-order Markov transition matrix over "
+    "per-user event sequences — lead() on one user-keyed shuffle, then a "
+    "25-cell aggregate; sequence mining the reference's calendar keys "
+    "cannot express",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: for each user's time-ordered event
+    stream (event_id as total tiebreak), count consecutive type pairs and
+    normalize rows to exact integer micro-probabilities.  One shuffle
+    (user_id window); the pair matrix is |types|² = 25 rows, so the
+    normalizing window is free."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return pairs.withColumn(
+        "p_micro",
+        F.expr(
+            "(1000000 * n) div (sum(n) over (partition by from_type))"
+        ).cast("bigint"),
+    )
