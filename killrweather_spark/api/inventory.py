@@ -3842,3 +3842,209 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * n) div (sum(n) over (partition by from_type))"
         ).cast("bigint"),
     )
+
+
+from killrweather_spark.operators.diff import snapshot_diff  # noqa: E402
+from killrweather_spark.operators.runtime_filter import (  # noqa: E402
+    bloom_semi_join,
+    bucket_sql,
+)
+from killrweather_spark.operators.runtime_filter import _SALTS  # noqa: E402
+
+
+@register(
+    "bloom_prefilter_join",
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_nationkey = 7
+    ),
+    set1 AS (SELECT DISTINCT {bucket_sql('k', 'rfA|', 4096)} AS b FROM keys),
+    set2 AS (SELECT DISTINCT {bucket_sql('k', 'rfB|', 4096)} AS b FROM keys),
+    pre AS (
+      SELECT l.* FROM lineitem l
+      WHERE {bucket_sql('l.l_suppkey', 'rfA|', 4096)} IN (SELECT b FROM set1)
+        AND {bucket_sql('l.l_suppkey', 'rfB|', 4096)} IN (SELECT b FROM set2)
+        AND l.l_suppkey IN (SELECT k FROM keys)
+    )
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents
+    FROM pre GROUP BY l_returnflag
+    """,
+    survey_ref="J-family extension: explicit Bloom-style runtime-filter "
+    "semi-join (operators/runtime_filter.py) — the set-valued "
+    "generalization of the reference's per-key partition reads; k=2 "
+    "md5-bucket prefilter + exact verify, all broadcast, probe side never "
+    "shuffles",
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pushdown made explicit: lineitem is prefiltered by two
+    broadcast hash-bucket sets built from nation-7 suppliers (false
+    positives possible, false negatives impossible), then exact-verified —
+    net semantics are the plain semi join the oracle states.  The oracle
+    replays the bucket arithmetic too, proving the prefilter is
+    engine-portable (md5 buckets, no JVM hash seeds)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 7
+    )
+    kept = bloom_semi_join(li, supp, "l_suppkey", "s_suppkey", m=4096)
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.expr("cast(round(l_quantity * 100) as bigint)")).alias(
+            "qty_cents"
+        ),
+    )
+
+
+_EWMA_W = [2 ** (7 - k) for k in range(8)]  # dyadic decay, newest first
+
+
+@register(
+    "ewma_daily_value",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    lagged AS (
+      SELECT user_id, year, month, day, day_cents,
+             {', '.join(
+                 f'lag(day_cents, {k}) OVER (PARTITION BY user_id '
+                 f'ORDER BY year, month, day) AS x{k}'
+                 for k in range(1, 8)
+             )}
+      FROM daily
+    )
+    SELECT user_id, year, month, day,
+           CAST(1000000 * (
+             day_cents * 128
+             + {' + '.join(f'COALESCE(x{k} * {_EWMA_W[k]}, 0)' for k in range(1, 8))}
+           ) AS BIGINT) // (
+             128
+             + {' + '.join(
+                 f'CASE WHEN x{k} IS NULL THEN 0 ELSE {_EWMA_W[k]} END'
+                 for k in range(1, 8)
+             )}
+           ) AS ewma_micro
+    FROM lagged
+    """,
+    survey_ref="§2.5 extension: exponentially-weighted moving average "
+    "(α=1/2, 8-term truncation) over the per-user daily tier — dyadic "
+    "weights keep every term integer, so the smoother is bit-exact; "
+    "the reference's daily tier (A1) smoothed the way a forecasting "
+    "pipeline would",
+)
+def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA with α=1/2 truncated at 8 terms: weights 128…1 are
+    exact integers, the weighted sum stays in int64, and one floor
+    division lands the micro-scaled smoothed value — reduction-order-free,
+    so Spark and DuckDB agree bit-for-bit.  One user-keyed shuffle shared
+    by the daily rollup and the lag window."""
+    from pyspark.sql import Window
+
+    ev = _events_calendar(spark, sf_dir)
+    daily = ev.groupBy("user_id", "year", "month", "day").agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+            "day_cents"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("year", "month", "day")
+    lagged = daily.select(
+        "user_id",
+        "year",
+        "month",
+        "day",
+        "day_cents",
+        *[F.lag("day_cents", k).over(w).alias(f"x{k}") for k in range(1, 8)],
+    )
+    num = " + ".join(
+        ["day_cents * 128"]
+        + [f"coalesce(x{k} * {_EWMA_W[k]}, 0)" for k in range(1, 8)]
+    )
+    den = " + ".join(
+        ["128"]
+        + [
+            f"case when x{k} is null then 0 else {_EWMA_W[k]} end"
+            for k in range(1, 8)
+        ]
+    )
+    return lagged.select(
+        "user_id",
+        "year",
+        "month",
+        "day",
+        F.expr(f"(1000000 * ({num})) div ({den})")
+        .cast("bigint")
+        .alias("ewma_micro"),
+    )
+
+
+_SNAPSHOT_STATE_SQL = """
+      SELECT user_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+      FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events WHERE ts < TIMESTAMP '{cutoff}'
+      ) WHERE rn = 1
+"""
+
+
+@register(
+    "snapshot_diff_events",
+    f"""
+    WITH v1 AS ({_SNAPSHOT_STATE_SQL.format(cutoff='2024-01-15 00:00:00')}),
+    v2 AS ({_SNAPSHOT_STATE_SQL.format(cutoff='2024-02-01 00:00:00')}),
+    diffed AS (
+      SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+             v1.event_type AS old_event_type,
+             v2.event_type AS new_event_type,
+             v1.value_cents AS old_value_cents,
+             v2.value_cents AS new_value_cents,
+             CASE WHEN v1.user_id IS NULL THEN 'added'
+                  WHEN v2.user_id IS NULL THEN 'removed'
+                  WHEN v1.event_type IS NOT DISTINCT FROM v2.event_type
+                   AND v1.value_cents IS NOT DISTINCT FROM v2.value_cents
+                    THEN 'unchanged'
+                  ELSE 'changed' END AS change
+      FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+    )
+    SELECT * FROM diffed WHERE change <> 'unchanged'
+    """,
+    survey_ref="CDC-family extension: keyed snapshot diff "
+    "(operators/diff.py) — reconciles two versions of the per-user latest "
+    "state; one full-outer shuffle on the key, null-safe column compare; "
+    "the read-side complement of cdc_merge_snapshot",
+)
+def q_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff the per-user latest-event state as of Jan 15 vs Feb 1:
+    mid-month users appear 'added', users whose latest event moved appear
+    'changed' with both images.  The generic operator also classifies
+    'removed' (exercised in tests/test_diff.py — an append-only source
+    can't produce it)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def state(cutoff: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "event_type",
+                F.expr("cast(round(value * 100) as bigint)").alias(
+                    "value_cents"
+                ),
+            )
+        )
+
+    return snapshot_diff(
+        state("2024-01-15 00:00:00"),
+        state("2024-02-01 00:00:00"),
+        keys=["user_id"],
+        compare_cols=["event_type", "value_cents"],
+    )
