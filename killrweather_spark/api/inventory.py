@@ -4048,3 +4048,220 @@ def q_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         compare_cols=["event_type", "value_cents"],
     )
+
+
+_PR_EDGES_SQL = """
+      SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+"""
+
+
+@register(
+    "pagerank_copurchase",
+    f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    r1 AS (
+      SELECT e.dst AS node,
+             150000 + (85 * SUM(1000000 // g.d)) // 100 AS r
+      FROM edges e JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             150000 + (85 * SUM(r1.r // g.d)) // 100 AS r
+      FROM edges e JOIN deg g ON e.src = g.src
+      JOIN r1 ON r1.node = e.src
+      GROUP BY e.dst
+    )
+    SELECT node AS partkey, CAST(r AS BIGINT) AS rank_micro
+    FROM r2 ORDER BY rank_micro DESC, partkey LIMIT 25
+    """,
+    survey_ref="graph extension: PageRank over the co-purchase graph — "
+    "iterative algorithm as a composed DataFrame plan (2 unrolled "
+    "damped iterations, fixed-point integer mass so both engines agree "
+    "bit-for-bit); each iteration is one src-keyed join + one dst-keyed "
+    "aggregate",
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85) on the undirected co-purchase part graph,
+    two synchronous iterations from a uniform 10⁶-micro start.  All mass
+    arithmetic is integer floor division, so the iteration is
+    reduction-order-free.  The Python loop composes one logical plan —
+    Catalyst sees both iterations and reuses the edge/degree scans; on a
+    cluster you'd checkpoint every ~5 iterations to cut lineage, and
+    pre-partition edges by src so each step is a co-located join
+    (`sources/sinks.py:save_bucketed_table`)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    other = li.select(F.col("ok"), F.col("pk").alias("pk2"))
+    edges = (
+        li.join(other, "ok")
+        .filter(F.col("pk") != F.col("pk2"))
+        .select(F.col("pk").alias("src"), F.col("pk2").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ed = edges.join(deg, "src")
+
+    rank = None  # uniform 1e6 start folds into the first contribution
+    for it in range(2):
+        if rank is None:
+            contrib = ed.select(
+                "dst", F.expr("1000000 div d").alias("c")
+            )
+        else:
+            contrib = ed.join(
+                rank.withColumnRenamed("node", "src"), "src"
+            ).select("dst", F.expr("r div d").alias("c"))
+        rank = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.expr("150000 + (85 * sum(c)) div 100").alias("r")
+        )
+    return (
+        rank.select(
+            F.col("node").alias("partkey"),
+            F.col("r").cast("bigint").alias("rank_micro"),
+        )
+        .orderBy(F.col("rank_micro").desc(), "partkey")
+        .limit(25)
+    )
+
+
+@register(
+    "trend_slope_per_user",
+    """
+    WITH daily AS (
+      SELECT user_id,
+             CAST(day(ts) AS BIGINT) AS x,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY user_id, day(ts)
+    ),
+    m AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n AS n_days,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+           END AS slope_micro
+    FROM m
+    """,
+    survey_ref="§2.4 extension: per-group least-squares trend — OLS slope "
+    "from exact integer moment sums (the corr_stats technique applied to "
+    "regression); one shuffle, five moments, one floor division",
+)
+def q_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of daily spend vs day-of-month: slope =
+    (nΣxy − ΣxΣy)/(nΣxx − Σx²) computed entirely from bigint moments, so
+    the reduction is order-independent and the single floor division is
+    bit-identical on both engines.  Same moments pattern scales to any
+    per-group regression without a Python UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.dayofmonth("ts").cast("bigint").alias("x")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("y")
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "user_id",
+        F.col("n").alias("n_days"),
+        F.expr(
+            "case when n * sxx - sx * sx = 0 then null else "
+            "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) end"
+        ).alias("slope_micro"),
+    )
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', MAX(o_orderdate), DATE '1998-12-31')
+                  AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary_cents,
+             CAST(ntile(5) OVER (ORDER BY recency_days, custkey) AS INT) AS r_q,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f_q,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, custkey) AS INT)
+               AS m_q
+      FROM rfm
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           r_q, f_q, m_q,
+           CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS segment
+    FROM scored
+    """,
+    survey_ref="§2.4/§2.5 extension: RFM customer segmentation — "
+    "recency/frequency/monetary per key, quintile-coded via global ntile "
+    "with a total tiebreak order so the partitioning of customers into "
+    "segments is deterministic",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style RFM scoring: per-customer recency (days before the
+    dataset horizon), order count, and lifetime cents, each cut into
+    quintiles by a global ntile whose ordering carries custkey as total
+    tiebreak (ntile's ceil/floor group sizing is identical across engines
+    once the order is total).  The three window sorts run on the tiny
+    per-customer aggregate, not the fact table; segment = R·100+F·10+M."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max("o_orderdate")
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_q",
+            F.ntile(5)
+            .over(Window.orderBy("recency_days", "custkey"))
+            .cast("int"),
+        )
+        .withColumn(
+            "f_q",
+            F.ntile(5)
+            .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+            .cast("int"),
+        )
+        .withColumn(
+            "m_q",
+            F.ntile(5)
+            .over(Window.orderBy(F.col("monetary_cents").desc(), "custkey"))
+            .cast("int"),
+        )
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_q",
+        "f_q",
+        "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("int")
+        .alias("segment"),
+    )
