@@ -48,6 +48,11 @@ HEADLINE = [
     "cosine_topk",
     "pack_sequences",
     "repetition_metrics",
+    # behavioral / retrieval / graph flagships
+    "bm25_search",
+    "funnel_conversion",
+    "cohort_retention",
+    "pagerank_copurchase",
 ]
 
 
