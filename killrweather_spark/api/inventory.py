@@ -4284,3 +4284,161 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("segment"),
     )
+
+
+_CMS_SALTS = ("cmsA|", "cmsB|", "cmsC|")
+_CMS_W = 1024
+
+
+@register(
+    "heavy_hitters_cms",
+    f"""
+    WITH counters AS (
+      SELECT r.row_id,
+             CASE r.row_id
+               WHEN 0 THEN {bucket_sql('l_partkey', 'cmsA|', _CMS_W)}
+               WHEN 1 THEN {bucket_sql('l_partkey', 'cmsB|', _CMS_W)}
+               ELSE {bucket_sql('l_partkey', 'cmsC|', _CMS_W)}
+             END AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem CROSS JOIN (VALUES (0), (1), (2)) AS r(row_id)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT l_partkey AS partkey, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_n DESC, partkey LIMIT 20
+    ),
+    probes AS (
+      SELECT e.partkey, e.exact_n, r.row_id,
+             CASE r.row_id
+               WHEN 0 THEN {bucket_sql('e.partkey', 'cmsA|', _CMS_W)}
+               WHEN 1 THEN {bucket_sql('e.partkey', 'cmsB|', _CMS_W)}
+               ELSE {bucket_sql('e.partkey', 'cmsC|', _CMS_W)}
+             END AS bucket
+      FROM exact e CROSS JOIN (VALUES (0), (1), (2)) AS r(row_id)
+    )
+    SELECT p.partkey, p.exact_n, MIN(c.cnt) AS cms_n
+    FROM probes p JOIN counters c
+      ON c.row_id = p.row_id AND c.bucket = p.bucket
+    GROUP BY p.partkey, p.exact_n
+    """,
+    survey_ref="sketch-family extension (with approx_distinct_hll): "
+    "Count-Min heavy hitters — d=3 × w=1024 explicit counter matrix, "
+    "md5-derived rows so the sketch is engine-portable; estimates "
+    "upper-bound the exact counts by construction",
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over part frequencies: three salted md5 hash rows
+    fold 200k keys into 3×1024 counters (map-side partial aggregation —
+    the shuffle carries ≤3072 rows regardless of input size), then the
+    exact top-20 parts probe the broadcast sketch with min-over-rows.
+    Output pairs each exact count with its CMS estimate (cms_n ≥ exact_n
+    always; equality when no bucket collision).  The counter matrix is
+    mergeable across partitions/time by addition — the property that
+    makes it a streaming/pre-agg sketch.  Reference has no sketch story;
+    killrweather's `topk` (SURVEY §2.6) is the exact form."""
+    from killrweather_spark.operators.runtime_filter import _bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows3 = F.array(*[F.lit(i) for i in range(3)])
+    bucket_case = (
+        "CASE row_id WHEN 0 THEN {} WHEN 1 THEN {} ELSE {} END".format(
+            _bucket("l_partkey", "cmsA|", _CMS_W),
+            _bucket("l_partkey", "cmsB|", _CMS_W),
+            _bucket("l_partkey", "cmsC|", _CMS_W),
+        )
+    )
+    counters = (
+        li.select("l_partkey", F.explode(rows3).alias("row_id"))
+        .withColumn("bucket", F.expr(bucket_case))
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    exact = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "partkey")
+        .limit(20)
+    )
+    probe_case = bucket_case.replace("l_partkey", "partkey")
+    probes = exact.select(
+        "partkey", "exact_n", F.explode(rows3).alias("row_id")
+    ).withColumn("bucket", F.expr(probe_case))
+    return (
+        probes.join(F.broadcast(counters), ["row_id", "bucket"])
+        .groupBy("partkey", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+
+
+@register(
+    "hist_quantile_events",
+    """
+    WITH bins AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) // 100 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM bins
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN c >= (total * 50 + 99) // 100 THEN bin END)
+                * 100 AS BIGINT) AS p50_cents_est,
+           CAST(MIN(CASE WHEN c >= (total * 90 + 99) // 100 THEN bin END)
+                * 100 AS BIGINT) AS p90_cents_est,
+           CAST(MIN(CASE WHEN c >= (total * 99 + 99) // 100 THEN bin END)
+                * 100 AS BIGINT) AS p99_cents_est,
+           CAST(MAX(total) AS BIGINT) AS n_events
+    FROM cum GROUP BY event_type
+    """,
+    survey_ref="sketch-family extension: mergeable equi-width histogram "
+    "quantiles — the pre-aggregable alternative to percentile_stats' "
+    "exact sort; bin counts add across partitions/days, estimates are "
+    "bin lower edges (±1 bin width)",
+)
+def q_hist_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 per event type from a 1-dollar-wide
+    histogram: bin counts are a tiny mergeable state (|types|×|bins|), the
+    quantile is the first bin whose running count reaches ceil(q·n) —
+    all-integer, so both engines pick identical bins.  This is the sketch
+    you keep per partition/day and merge at query time, where the exact
+    percentile would need a global sort of the raw data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint) div 100").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(w_cum).alias("c"),
+        F.sum("n").over(Window.partitionBy("event_type")).alias("total"),
+    )
+    est = lambda q: (  # noqa: E731
+        F.min(
+            F.when(
+                F.col("c") >= F.expr(f"(total * {q} + 99) div 100"),
+                F.col("bin"),
+            )
+        )
+        * 100
+    ).cast("bigint")
+    return cum.groupBy("event_type").agg(
+        est(50).alias("p50_cents_est"),
+        est(90).alias("p90_cents_est"),
+        est(99).alias("p99_cents_est"),
+        F.max("total").cast("bigint").alias("n_events"),
+    )

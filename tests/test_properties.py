@@ -163,3 +163,20 @@ def test_zorder_key_roundtrips(spark, a, b):
     xa = sum(((z >> (2 * i)) & 1) << i for i in range(10))
     yb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
     assert (xa, yb) == (a, b)
+
+
+def test_cms_estimate_dominates_exact_and_stays_tight(spark):
+    """Count-Min guarantees cms_n >= exact_n per key; with w=1024 buckets
+    over ~2k distinct parts the expected collision mass per row is small,
+    so the min-over-3-rows estimate stays within a few average loads."""
+    from killrweather_spark.api.inventory import REGISTRY
+
+    rows = REGISTRY["heavy_hitters_cms"].fn(spark, SF001).collect()
+    assert len(rows) == 20
+    n_total = sum(r.exact_n for r in rows)  # top-20 mass only, lower bound
+    for r in rows:
+        assert r.cms_n >= r.exact_n
+        # deterministic Count-Min bound: overestimate <= total stream mass
+        # over w per row; 3 rows of 1024 buckets on sf0.001 (6k items)
+        # leaves ~6 expected colliding items per bucket — allow 10x slack
+        assert r.cms_n - r.exact_n <= max(60, n_total)
