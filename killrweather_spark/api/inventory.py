@@ -4442,3 +4442,188 @@ def q_hist_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(99).alias("p99_cents_est"),
         F.max("total").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts FROM seq
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    intervals AS (
+      SELECT user_id, event_type AS state_type,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM changes
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(ROUND(p.value * 100) AS BIGINT) AS value_cents,
+           i.state_type, i.valid_from
+    FROM events p JOIN intervals i
+      ON p.user_id = i.user_id
+     AND p.ts >= i.valid_from
+     AND (i.valid_to IS NULL OR p.ts < i.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+    survey_ref="CDC-family extension: point-in-time (temporal) join — "
+    "facts matched to the SCD2 dimension row valid at their timestamp; "
+    "implemented as the as-of join (operators/asof.py), one shuffle + "
+    "ordered pass, because consecutive validity intervals make "
+    "containment ≡ latest-start-at-or-before",
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every purchase event annotated with the state regime (SCD2 interval)
+    it occurred under.  The oracle states the textbook BETWEEN-containment
+    join; the engine exploits that intervals tile time per key, so the
+    as-of union-window join gives the identical answer with ONE user-keyed
+    shuffle and no interval explosion — the 100 TB-safe plan (a theta
+    range join would be O(|facts|·|intervals|) per key before filtering)."""
+    from killrweather_spark.operators.asof import asof_join
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            F.col("user_id").alias("i_user"),
+            F.col("event_type").alias("state_type"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
+    )
+    joined = asof_join(
+        purchases,
+        changes,
+        key_left="user_id",
+        key_right="i_user",
+        left_ts="ts",
+        right_ts="valid_from",
+        payload=["state_type", "valid_from"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value_cents",
+        F.col("state_type"),
+        F.col("valid_from"),
+    )
+
+
+@register(
+    "dq_rule_violations",
+    """
+    WITH ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_range,
+             CAST(SUM(CASE WHEN event_type NOT IN
+                   ('view','click','purchase','signup','error')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_type
+      FROM events
+    ),
+    lo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+             CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate
+                                + INTERVAL 90 DAY
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT 'events_value_in_0_400' AS rule, n_checked, v_range AS n_violations,
+           (1000000 * v_range) // n_checked AS viol_micro FROM ev
+    UNION ALL
+    SELECT 'events_type_known', n_checked, v_type,
+           (1000000 * v_type) // n_checked FROM ev
+    UNION ALL
+    SELECT 'lineitem_ship_after_order', n_checked, v_ship,
+           (1000000 * v_ship) // n_checked FROM lo
+    UNION ALL
+    SELECT 'lineitem_ship_within_90d', n_checked, v_late,
+           (1000000 * v_late) // n_checked FROM lo
+    """,
+    survey_ref="data-quality extension (with fk_integrity_audit / "
+    "csv_malformed_audit): declarative rule validation — single-pass "
+    "conditional aggregation per table scan, cross-table temporal rules "
+    "share one join; one row per rule with exact violation micro-rates",
+)
+def q_dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint audit: all single-table rules for a table fold into
+    ONE conditional aggregation over one scan (adding a rule costs zero
+    I/O); cross-table rules (ship-date vs order-date consistency) share a
+    single join.  Output is the DQ dashboard row: rule, population,
+    violations, exact micro-rate."""
+    ev = load_table(spark, sf_dir, "events")
+    ev_agg = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(
+            F.when((F.col("value") < 0) | (F.col("value") > 400), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_range"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_type"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lo_agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("v_ship"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("v_late"),
+        )
+    )
+
+    def row(src, rule, vcol):
+        return src.select(
+            F.lit(rule).alias("rule"),
+            "n_checked",
+            F.col(vcol).alias("n_violations"),
+            F.expr(f"(1000000 * {vcol}) div n_checked").alias("viol_micro"),
+        )
+
+    return (
+        row(ev_agg, "events_value_in_0_400", "v_range")
+        .unionByName(row(ev_agg, "events_type_known", "v_type"))
+        .unionByName(row(lo_agg, "lineitem_ship_after_order", "v_ship"))
+        .unionByName(row(lo_agg, "lineitem_ship_within_90d", "v_late"))
+    )
