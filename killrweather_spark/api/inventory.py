@@ -4627,3 +4627,168 @@ def q_dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row(lo_agg, "lineitem_ship_after_order", "v_ship"))
         .unionByName(row(lo_agg, "lineitem_ship_within_90d", "v_late"))
     )
+
+
+@register(
+    "basket_lift",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    t AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM baskets),
+    item AS (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY pk
+    ),
+    pair AS (
+      SELECT b1.pk AS a, b2.pk AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM baskets b1 JOIN baskets b2
+        ON b1.ok = b2.ok AND b1.pk < b2.pk
+      GROUP BY b1.pk, b2.pk
+    )
+    SELECT p.a, p.b, p.n_ab,
+           (1000000 * p.n_ab) // t.n_orders AS support_micro,
+           (1000000 * p.n_ab) // ia.n AS conf_a_to_b_micro,
+           (1000000 * p.n_ab * t.n_orders) // (ia.n * ib.n) AS lift_micro
+    FROM pair p
+    JOIN item ia ON ia.pk = p.a
+    JOIN item ib ON ib.pk = p.b
+    CROSS JOIN t
+    WHERE p.n_ab >= 2
+    ORDER BY lift_micro DESC, p.a, p.b
+    LIMIT 25
+    """,
+    survey_ref="data-mining extension: association rules over order "
+    "baskets — support/confidence/lift in exact integer micro-units; "
+    "pair counting reuses the per-order array expansion (one order-keyed "
+    "shuffle), item counts broadcast back onto the pair table",
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: for part pairs co-purchased in ≥2 orders,
+    compute support, confidence(a→b), and lift — all floor-division
+    micro-units so both engines agree exactly.  Pairs come from the same
+    JVM-side per-order combination expansion as PageRank's edge build
+    (narrow shuffle, no self-join); the item-frequency and order-count
+    sides are tiny and broadcast.  Top-25 by lift with total tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    baskets = li.distinct()
+    t = baskets.agg(
+        F.count_distinct("ok").cast("bigint").alias("n_orders")
+    )
+    item = baskets.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_order = baskets.groupBy("ok").agg(
+        F.sort_array(F.collect_set("pk")).alias("parts")
+    )
+    pair = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> struct(x as a, y as b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("pk").alias("a"), F.col("n").alias("n_a"))
+    ib = item.select(F.col("pk").alias("b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .join(F.broadcast(t))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.expr("(1000000 * n_ab) div n_orders").alias("support_micro"),
+            F.expr("(1000000 * n_ab) div n_a").alias("conf_a_to_b_micro"),
+            F.expr("(1000000 * n_ab * n_orders) div (n_a * n_b)").alias(
+                "lift_micro"
+            ),
+        )
+        .orderBy(F.col("lift_micro").desc(), "a", "b")
+        .limit(25)
+    )
+
+
+@register(
+    "top_paths_3",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT event_type AS step1, e2 AS step2, e3 AS step3,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, step1, step2, step3
+    LIMIT 10
+    """,
+    survey_ref="§2.5 extension: 3-step behavioral path mining — two leads "
+    "on the one user-keyed window shuffle (shared with event_transitions' "
+    "single-step form), then a ≤125-cell aggregate",
+)
+def q_top_paths_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-event paths across user journeys: both lead() calls
+    share one (user_id)-partitioned sort, trigram counting collapses to at
+    most |types|³ rows map-side.  Top-10 with full lexical tiebreak."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    )
+    return (
+        seq.filter(F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "step1", "step2", "step3")
+        .limit(10)
+    )
+
+
+@register(
+    "hopping_window_counts",
+    """
+    SELECT date_trunc('hour', ts) - to_hours(k.k) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+    GROUP BY 1
+    """,
+    survey_ref="§2.9 T2 batch complement: hopping (sliding) event-time "
+    "windows — 2 h duration, 1 h hop; each event lands in exactly 2 "
+    "buckets (native Expand, no self-join), matching "
+    "streaming_hourly_counts' tumbling form",
+)
+def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 2-hour windows hopping hourly via Spark's native
+    ``window()`` (an Expand that emits each row into duration/hop buckets
+    — map-side, shuffle keyed by window start).  The oracle derives the
+    same buckets arithmetically: hour-truncated ts minus 0 or 1 hours."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+                "value_cents"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "value_cents")
+    )
