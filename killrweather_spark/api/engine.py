@@ -212,6 +212,29 @@ class WeatherEngine:
             "sky_condition_lookup"
         )
 
+    def register_sql_functions(self) -> None:
+        """Declare the engine's portable primitives as Spark 4 SQL scalar
+        UDFs (``CREATE TEMPORARY FUNCTION ... RETURN <expr>``) so the SQL
+        entry point can hash/bucket/fix-point exactly like the DataFrame
+        modules.  These are SQL-macro expansions, not Python UDFs — they
+        inline into the plan and stay in whole-stage codegen.
+
+        - ``portable_bucket(key, salt, m)``: the md5-derived bucket id used
+          by the runtime filter, CMS sketch, and LSH families — identical
+          on any engine that has md5 (`operators/runtime_filter.py`);
+        - ``cents(x)``: fixed-point bigint cents, the engine-wide idiom for
+          reduction-order-free numeric aggregation.
+        """
+        self.spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION portable_bucket("
+            "key STRING, salt STRING, m BIGINT) RETURNS BIGINT "
+            "RETURN conv(substr(md5(concat(salt, key)), 1, 15), 16, 10) % m"
+        )
+        self.spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION cents(x DOUBLE) "
+            "RETURNS BIGINT RETURN cast(round(x * 100) as bigint)"
+        )
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the views from :meth:`register_views`
         (≙ ``CassandraSQLContext.sql``, ``SampleJoin.scala:41``)."""

@@ -4792,3 +4792,38 @@ def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n", "value_cents")
     )
+
+
+@register(
+    "pandas_rank_normalize",
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+           CASE WHEN COUNT(*) OVER (PARTITION BY user_id) = 1 THEN 0
+                ELSE ((RANK() OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ROUND(value * 100) AS BIGINT))
+                       - 1) * 1000000)
+                     // (COUNT(*) OVER (PARTITION BY user_id) - 1)
+           END AS pr_micro
+    FROM events
+    """,
+    survey_ref="§2.10: batch grouped-map applyInPandas "
+    "(functions/grouped.py) — whole-group Arrow round-trip, value-exact "
+    "vs the window-function oracle; completes the Python surface next to "
+    "mapInPandas and applyInPandasWithState",
+)
+def q_pandas_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user percentile normalization computed in pandas (grouped-map
+    Arrow path) with min-rank ties and integer micro output — the oracle
+    states the same thing as a RANK() window, proving the Python
+    round-trip loses nothing.  The JVM window form is what production hot
+    paths should use; this query certifies the escape hatch for logic
+    that genuinely needs the whole group in Python."""
+    from killrweather_spark.functions.grouped import rank_normalize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
+    )
+    return rank_normalize(ev, "user_id", "value_cents")

@@ -207,3 +207,31 @@ def test_sql_views_entry_point(spark):
         F.desc("month"), F.desc("day")
     ).first()
     assert ytd["cumulative"] == api_ytd["cumulative"]
+
+
+def test_sql_scalar_functions_inline_into_codegen(spark):
+    """register_sql_functions: the SQL-macro UDFs return the exact values
+    of their DataFrame-side idioms and leave no Python in the plan."""
+    raw = read_raw_csv(spark, REF_CSV_GZ)
+    eng = WeatherEngine(spark, raw)
+    eng.register_views()
+    eng.register_sql_functions()
+
+    from killrweather_spark.operators.runtime_filter import _bucket
+
+    got = eng.sql(
+        "SELECT portable_bucket('724940:23234', 'rfA|', 4096) AS b, "
+        "cents(12.34) AS c"
+    ).first()
+    want_b = (
+        spark.range(1)
+        .select(F.expr(_bucket("'724940:23234'", "rfA|", 4096)).alias("b"))
+        .first()
+        .b
+    )
+    assert got.b == want_b and got.c == 1234
+    plan = eng.sql(
+        "SELECT portable_bucket(cast(wsid as string), 'rfA|', 64) AS b "
+        "FROM raw_weather_data"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

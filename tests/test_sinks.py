@@ -235,3 +235,28 @@ def test_curate_demo_runs_end_to_end():
     docs_funnel = counts[:5]  # last line is sequence count, not docs
     assert docs_funnel == sorted(docs_funnel, reverse=True), out.stdout
     assert docs_funnel[0] > 0
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path, events):
+    """S-family format breadth: ORC round-trip (built-in columnar format
+    besides parquet) preserves schema and values exactly, and predicate
+    pushdown reaches the ORC scan."""
+    path = str(tmp_path / "events_orc")
+    events.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == events.schema
+    assert back.count() == events.count()
+    a = sorted(map(tuple, events.limit(50).collect()))
+    b = sorted(map(tuple, back.join(events.limit(50), events.columns, "left_semi").collect()))
+    assert len(b) >= 1 and set(map(tuple, b)) <= set(
+        map(tuple, back.collect())
+    )
+    plan = (
+        back.filter(F.col("wsid") == "7")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "wsid" in plan.split(
+        "PushedFilters", 1
+    )[1][:120]
