@@ -54,3 +54,63 @@ def running_max_by_key(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_by_key(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Per-key running (count, sum) via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API (successor to applyInPandasWithState):
+    explicit named state slots (ValueState/ListState/MapState), timers, and
+    TTL live on a ``StatefulProcessor`` object instead of one opaque tuple.
+
+    Environment-gated like the Kafka paths: the API's state-server protocol
+    needs ``google.protobuf`` (absent in this container) and the RocksDB
+    state store provider — the test skips when the import fails; the
+    operator itself is the durable artifact.
+
+    State here is one ValueState row per key — the running totals monoid.
+    Each microbatch emits the key's updated totals (update-mode
+    semantics); both components are monotone for positive inputs, so the
+    drained stream folds to the batch ``COUNT/SUM GROUP BY`` answer with
+    ``max`` regardless of how availableNow batched the files.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", LongType())]
+    )
+    out_schema = f"{key_col} bigint, n bigint, sum_cents bigint"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, s = self._totals.get()
+            else:
+                n, s = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                s += int(pdf[cents_col].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n": [n], "sum_cents": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -206,3 +206,57 @@ def test_cdc_apply_stream_matches_batch_merge(spark, tmp_path):
     run()
     after = sorted(p.name for p in pathlib.Path(snap_dir).iterdir())
     assert before == after
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 StatefulProcessor (transformWithStateInPandas): drained
+    running totals equal the batch aggregate.  Requires google.protobuf
+    (the API's state-server protocol) + RocksDB provider — skipped where
+    the container lacks them, mirroring the broker-gated Kafka paths."""
+    pytest.importorskip("google.protobuf")
+    import json
+
+    from killrweather_spark.streaming.stateful import running_totals_by_key
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [{"k": i % 3, "cents": 100 + i} for i in range(30)]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:15]))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows[15:]))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema("k bigint, cents bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = running_totals_by_key(stream, "k", "cents")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from pyspark.sql import functions as F
+
+    got = {
+        r.k: (r.n, r.sum_cents)
+        for r in spark.table("tws_totals")
+        .groupBy("k")
+        .agg(F.max("n").alias("n"), F.max("sum_cents").alias("sum_cents"))
+        .collect()
+    }
+    want = {
+        k: (
+            sum(1 for r in rows if r["k"] == k),
+            sum(r["cents"] for r in rows if r["k"] == k),
+        )
+        for k in {0, 1, 2}
+    }
+    assert got == want
