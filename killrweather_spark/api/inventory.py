@@ -4827,3 +4827,106 @@ def q_pandas_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
     )
     return rank_normalize(ev, "user_id", "value_cents")
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts)) // 1000000 AS dt_s
+      FROM events
+    )
+    SELECT user_id,
+           (1000000 * SUM(cents * dt_s)) // SUM(dt_s) AS twap_micro,
+           CAST(SUM(dt_s) AS BIGINT) AS span_s
+    FROM seq WHERE dt_s IS NOT NULL
+    GROUP BY user_id
+    """,
+    survey_ref="§2.5 extension: time-weighted average (TWAP) — each "
+    "observation weighted by its holding time to the next event; the "
+    "left-weighted integral the reference's plain AVG tiers cannot "
+    "express; lead() and the aggregate share one user-keyed shuffle",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TWAP of the value series: weight = seconds until the next
+    event (the interval the value 'held'), final event excluded as
+    unbounded.  Second-granularity integer weights keep the weighted sum
+    within int64 at month spans (cents·span ≤ 1.3e11·10⁶ scale headroom)
+    and make the single floor division bit-identical on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        .cast("bigint")
+        .alias("dt_us"),
+    ).withColumn("dt_s", F.expr("dt_us div 1000000"))
+    return (
+        seq.filter(F.col("dt_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(1000000 * sum(cents * dt_s)) div sum(dt_s)"
+            ).alias("twap_micro"),
+            F.sum("dt_s").cast("bigint").alias("span_s"),
+        )
+    )
+
+
+@register(
+    "activity_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grouped AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS island
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+      FROM grouped GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           MAX(len) AS max_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM islands GROUP BY user_id
+    """,
+    survey_ref="§2.5 extension: gaps-and-islands — consecutive-day "
+    "activity streaks via the date-minus-row_number grouping identity; "
+    "the calendar complement of the time-gap session_windows; both "
+    "windows and both aggregates share the user_id shuffle",
+)
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day streak per user: within a user's sorted
+    distinct activity dates, (date − row_number) is constant exactly on
+    runs of consecutive days, so one window + two cheap aggregations
+    recover island count, longest streak, and total active days."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "island",
+        F.expr("date_sub(d, cast(row_number() over "
+               "(partition by user_id order by d) as int))"),
+    )
+    islands = grouped.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.max("len").alias("max_streak"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
