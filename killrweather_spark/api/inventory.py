@@ -4930,3 +4930,36 @@ def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("max_streak"),
         F.sum("len").cast("bigint").alias("active_days"),
     )
+
+
+@register(
+    "streaming_hopping_counts",
+    """
+    SELECT date_trunc('hour', ts) - to_hours(k.k) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+    GROUP BY 1
+    """,
+    survey_ref="T2/T3 extension: watermarked HOPPING event-time windows on "
+    "the stream (2 h duration, 1 h hop) — overlapping-bucket state, the "
+    "streaming twin of the batch hopping_window_counts",
+)
+def q_streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows maintained in the streaming state store:
+    each event updates two window buckets (Expand before the stateful
+    agg), watermark bounds state.  Drained availableNow, the complete
+    output equals the batch arithmetic-derived buckets."""
+    import tempfile
+    import uuid
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    name = f"stream_hopping_{uuid.uuid4().hex[:8]}"
+    result = run_stream_to_batch(agg, tempfile.mkdtemp(), name, "complete")
+    return result.select(F.col("window.start").alias("window_start"), "n")

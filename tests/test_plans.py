@@ -183,3 +183,27 @@ def test_cdc_and_audit_plans(spark):
     assert checks.node_count(df, "BroadcastHashJoin") >= 3, plan
     assert checks.shuffle_count(df) <= 3, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """SURVEY §4: a fact table partitioned on the join key is pruned at
+    RUNTIME by a selective dimension filter (dynamic partition pruning) —
+    at 100 TB this is what turns a star join over a year of partitions
+    into a read of the qualifying days only."""
+    ev = load_table(spark, SF01, "events").select(
+        "event_id", "user_id", "value",
+        F.dayofmonth("ts").alias("day"),
+    )
+    fact_path = str(tmp_path / "fact_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        load_table(spark, SF01, "events")
+        .select(F.dayofmonth("ts").alias("day"), "event_type")
+        .distinct()
+        .filter(F.col("event_type") == "signup")
+        .filter(F.col("day") <= 3)
+    )
+    joined = fact.join(dim, "day")
+    plan = checks.formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
