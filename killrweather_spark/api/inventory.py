@@ -4963,3 +4963,152 @@ def q_streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_hopping_{uuid.uuid4().hex[:8]}"
     result = run_stream_to_batch(agg, tempfile.mkdtemp(), name, "complete")
     return result.select(F.col("window.start").alias("window_start"), "n")
+
+
+@register(
+    "boolean_and_search",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM tok WHERE term IN ('merge', 'hash', 'scan')
+    GROUP BY doc_id
+    HAVING COUNT(*) = 3
+    """,
+    survey_ref="retrieval-family: conjunctive boolean search (AND of 3 "
+    "terms) over the inverted-list representation — match counting on the "
+    "doc-keyed shuffle, no per-term self-joins; the boolean complement of "
+    "bm25_search's ranked form",
+)
+def q_boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing ALL query terms: distinct (doc, term) hits are
+    counted per doc and kept when the count equals |query| — one shuffle
+    regardless of query length, where the naive plan self-joins the
+    inverted index once per term.  Term filter applies before the shuffle,
+    so exchanged rows ∝ hits only."""
+    from killrweather_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["merge", "hash", "scan"]
+    hits = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+    )
+
+
+_MAD_DAILY_SQL = """
+      SELECT event_type,
+             CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+             CAST(day(ts) AS INT) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2, 3, 4
+"""
+
+
+@register(
+    "mad_outlier_days",
+    f"""
+    WITH daily AS ({_MAD_DAILY_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM daily
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+                           THEN cents END)
+                  * (CASE WHEN MAX(cnt) % 2 = 1 THEN 2 ELSE 1 END)
+                  AS BIGINT) AS med2
+      FROM ranked GROUP BY event_type
+    ),
+    devs AS (
+      SELECT d.event_type, d.year, d.month, d.day, d.cents, m.med2,
+             ABS(2 * d.cents - m.med2) AS dev2
+      FROM daily d JOIN med m USING (event_type)
+    ),
+    dev_ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM devs
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+                           THEN dev2 END)
+                  * (CASE WHEN MAX(cnt) % 2 = 1 THEN 2 ELSE 1 END)
+                  AS BIGINT) AS mad4
+      FROM dev_ranked GROUP BY event_type
+    )
+    SELECT d.event_type, d.year, d.month, d.day, d.cents, d.med2, m.mad4
+    FROM devs d JOIN mad m USING (event_type)
+    WHERE 10000 * 2 * d.dev2 > 29652 * m.mad4
+    """,
+    survey_ref="robust-statistics extension: median/MAD outlier days — "
+    "exact integer order statistics (no float quantiles), the "
+    "skew-resistant alternative to outlier_events' z-scores; two "
+    "event_type-keyed window passes, medians broadcast back",
+)
+def q_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose total deviates from the per-type median by more than
+    2·1.4826·MAD (the robust z-score): medians are exact order statistics
+    kept in scaled integers (med2 = 2·median, mad4 = 4·MAD-units), the
+    threshold 3·1.4826 becomes the integer ratio 44478/10000 — no float
+    anywhere, so both engines flag identical days.  Medians of millions
+    of groups stay one window pass; the tiny median/MAD tables broadcast
+    back onto the daily tier."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+    ).agg(F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"))
+
+    def scaled_median(df: DataFrame, value_col: str, out_col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(value_col)
+        wc = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            value_col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        return ranked.groupBy("event_type").agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("rn").isin(
+                            F.expr("(cnt + 1) div 2"), F.expr("(cnt + 2) div 2")
+                        ),
+                        F.col(value_col),
+                    )
+                )
+                * F.when(F.max("cnt") % 2 == 1, 2).otherwise(1)
+            )
+            .cast("bigint")
+            .alias(out_col)
+        )
+
+    med = scaled_median(daily, "cents", "med2")
+    devs = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("cents") - F.col("med2"))
+    )
+    mad = scaled_median(devs, "dev2", "mad4")
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .filter(F.expr("10000 * 2 * dev2 > 29652 * mad4"))
+        .select("event_type", "year", "month", "day", "cents", "med2", "mad4")
+    )
