@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from killrweather_spark.functions.dedup import MINHASH_PERMS
+from killrweather_spark.functions.time import epoch_us
 from killrweather_spark.model.schemas import SKY_CONDITION_ROWS
 from killrweather_spark.operators.aggregates import (
     annual_sum,
@@ -1415,12 +1416,18 @@ def _fake_embedding_oracle() -> str:
 )
 def q_multimodal_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.functions.multimodal import (
+        EMBED_DIM,
         attach_binary_content,
         fake_embedding,
     )
 
     docs = attach_binary_content(load_table(spark, sf_dir, "documents"))
-    return fake_embedding(docs)
+    emb = fake_embedding(docs)
+    # Flatten to scalar columns: array cells are unhashable for the
+    # harness's canonical sort; d0..d7 mirrors fake_embedding_sql exactly.
+    return emb.select(
+        "doc_id", *[F.col("embedding")[j].alias(f"d{j}") for j in range(EMBED_DIM)]
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1434,28 +1441,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from pyspark.sql import types as T
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    # The file stream source needs an explicit schema; take the *actual*
+    # physical schema from a (metadata-only) batch read so the stream sees
+    # exactly what load_table sees across testdata generations.
+    schema = spark.read.parquet(path).schema
     # The file stream source wants a directory; stage the single parquet
     # file behind a symlink (testdata itself is read-only).
     stage = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stage, "events.parquet"),
-    )
+    os.symlink(path, os.path.join(stage, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(stage)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require the LTZ timestamp type
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); with the session pinned
+        # to UTC the cast preserves the wall clock exactly.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 @register(
@@ -2390,8 +2398,8 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
         "inner",
     ).select(
         "user_id",
-        F.unix_micros("click_ts").alias("click_us"),
-        F.unix_micros("error_ts").alias("error_us"),
+        epoch_us("click_ts").alias("click_us"),
+        epoch_us("error_ts").alias("error_us"),
     )
     name = f"stream_ss_join_{uuid.uuid4().hex[:8]}"
     return run_stream_to_batch(joined, tempfile.mkdtemp(), name, "append")
@@ -4864,7 +4872,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "user_id",
         F.expr("cast(round(value * 100) as bigint)").alias("cents"),
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        (epoch_us(F.lead("ts").over(w)) - epoch_us("ts"))
         .cast("bigint")
         .alias("dt_us"),
     ).withColumn("dt_s", F.expr("dt_us div 1000000"))

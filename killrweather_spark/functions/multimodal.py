@@ -105,13 +105,18 @@ def fake_embedding(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def fake_embedding_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:
     """DuckDB oracle for :func:`fake_embedding` (content = utf-8 of text, so
-    ``md5(text)`` hashes the same bytes)."""
+    ``md5(text)`` hashes the same bytes).
+
+    Dimensions are flattened to scalar columns ``d0..d7`` — the harness's
+    canonicalizer sorts/hashes cell values, which array cells break — and
+    the Spark side projects the same flattening (`q_multimodal_embedding`).
+    """
     dims = ", ".join(
         f"CAST(CAST(concat('0x', substr(md5({text_expr}), {4 * j + 1}, 4)) AS INTEGER)"
-        f" AS DOUBLE) / 65536.0"
+        f" AS DOUBLE) / 65536.0 AS d{j}"
         for j in range(EMBED_DIM)
     )
-    return f"SELECT {id_expr} AS doc_id, [{dims}] AS embedding FROM documents"
+    return f"SELECT {id_expr} AS doc_id, {dims} FROM documents"
 
 
 def resize_media(df: DataFrame, target_bytes: int = 128,

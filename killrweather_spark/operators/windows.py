@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from killrweather_spark.functions.time import epoch_us
+
 
 def tumbling_agg(
     df: DataFrame,
@@ -81,7 +83,7 @@ def trailing_range_agg(
     """
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col(ts_col)))
+        .orderBy(epoch_us(ts_col))
         .rangeBetween(-trailing_micros, 0)
     )
     return df.select("*", *aggs_builder(w))

@@ -36,17 +36,24 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver-generated parquet table (see TESTDATA.md).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark 4 rejects
-    unless read as a long; we read nanos-as-long and rebuild a proper
-    microsecond timestamp (exact: the synthetic data is micro-precision).
-    The conf is set per-read so this works under any caller's session.
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) (readable only as a
+    long under ``nanosAsLong``) in some testdata generations and as a
+    plain TIMESTAMP(MICROS) in others, so normalize by the *actual*
+    physical type rather than assuming one: a long is nanos → rebuild a
+    microsecond timestamp; a timestamp passes through untouched.  Either
+    way callers always see ``ts: timestamp`` and the normalization is a
+    zero-shuffle projection that Catalyst folds into the scan.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Epoch arithmetic (functions/time.py) casts NTZ→LTZ; pin the session
+    # timezone so that cast is the identity on the wall clock regardless
+    # of which session the caller built.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        (ts_type,) = [t for c, t in df.dtypes if c == "ts"]
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
