@@ -4131,7 +4131,19 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    ed = edges.join(deg, "src")
+    # Persist the (edge, out-degree) relation *hash-partitioned by dst*:
+    # every power iteration probes it, and without the persist each
+    # iteration re-executes the whole edge-build lineage (per-order
+    # collect_set + pair expansion + distinct).  This is the GraphX/Pregel
+    # pattern — materialize the topology once, iterate over it.  The dst
+    # partitioning makes each iteration's groupBy(dst) a ZERO-shuffle
+    # aggregation (the cached layout already satisfies the distribution),
+    # and the rank table — one row per node, orders of magnitude smaller
+    # than the edge set — broadcasts into the probe join, so an iteration
+    # touches the network only for the ~|nodes| broadcast.  At a node
+    # count too big to broadcast, bucket both sides by src instead
+    # (sources/sinks.py:save_bucketed_table) for a co-located join.
+    ed = edges.join(F.broadcast(deg), "src").repartition("dst").persist()
 
     rank = None  # uniform 1e6 start folds into the first contribution
     for it in range(2):
@@ -4141,7 +4153,7 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             contrib = ed.join(
-                rank.withColumnRenamed("node", "src"), "src"
+                F.broadcast(rank.withColumnRenamed("node", "src")), "src"
             ).select("dst", F.expr("r div d").alias("c"))
         rank = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.expr("150000 + (85 * sum(c)) div 100").alias("r")

@@ -413,14 +413,17 @@ def decontaminate(
     ``n_grams`` is the doc's distinct-gram count and ``hit_frac = n_hits /
     n_grams``.
 
-    Scale: everything before the final groupBy is map-side.  Within-doc gram
-    dedup happens in the array domain (``array_distinct`` per row — no
-    (id, gram) shuffle), ``n_grams`` is read off the array length before the
-    explode, and the eval vocabulary (small by construction: eval sets are
-    thousands of docs, not billions) broadcasts into the probe join.  The
-    only shuffle is the groupBy over gram HITS — rows that matched the eval
-    set, a vanishing fraction of the corpus.  At 100 TB the train side
-    streams through gram generation + broadcast probe in one pass.
+    Scale: two map-side passes over the train corpus, near-zero shuffle.
+    Pass 1 explodes per-doc DISTINCT grams (``array_distinct`` in the array
+    domain — no (id, gram) dedup shuffle) and inner-joins the broadcast
+    eval vocabulary, so only gram HITS — a vanishing fraction of the
+    corpus — reach the per-doc aggregate.  Pass 2 reads ``n_grams`` off
+    the gram-array length with no explode at all, and the tiny
+    contaminated-docs aggregate broadcasts back onto it.  Carrying
+    ``n_grams`` through pass 1 instead would either re-evaluate the gram
+    expression per consumer (Generate + Project both inline it) or force
+    a groupBy over ALL grams (full-corpus shuffle); 2× map CPU for ~0
+    shuffle is the right trade at 100 TB.
     """
     # Gram generation is CPU-bound map work: if the input arrives in fewer
     # splits than the cluster has slots (single-file small inputs), fan out
@@ -429,22 +432,23 @@ def decontaminate(
     from killrweather_spark.sources.readers import fan_out
 
     train_df = fan_out(train_df)
-    eval_df = fan_out(eval_df)
     eval_grams = (
         word_ngram_set(eval_df, text_col, id_col, n).select("gram").distinct()
     )
-    train = train_df.select(
-        F.col(id_col), _distinct_grams(text_col, n).alias("__grams")
-    ).select(F.col(id_col), F.size("__grams").alias("n_grams"),
-             F.explode("__grams").alias("gram"))
-    return (
-        train.join(F.broadcast(eval_grams), "gram")
-        .groupBy(id_col, "n_grams")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .select(
-            id_col,
-            "n_grams",
-            "n_hits",
-            (F.col("n_hits") / F.col("n_grams")).alias("hit_frac"),
+    hits = (
+        train_df.select(
+            F.col(id_col), F.explode(_distinct_grams(text_col, n)).alias("gram")
         )
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    sizes = train_df.select(
+        F.col(id_col), F.size(_distinct_grams(text_col, n)).alias("n_grams")
+    )
+    return sizes.join(F.broadcast(hits), id_col).select(
+        id_col,
+        "n_grams",
+        "n_hits",
+        (F.col("n_hits") / F.col("n_grams")).alias("hit_frac"),
     )
