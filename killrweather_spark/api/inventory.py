@@ -4135,14 +4135,17 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every power iteration probes it, and without the persist each
     # iteration re-executes the whole edge-build lineage (per-order
     # collect_set + pair expansion + distinct).  This is the GraphX/Pregel
-    # pattern — materialize the topology once, iterate over it.  The dst
-    # partitioning makes each iteration's groupBy(dst) a ZERO-shuffle
-    # aggregation (the cached layout already satisfies the distribution),
-    # and the rank table — one row per node, orders of magnitude smaller
-    # than the edge set — broadcasts into the probe join, so an iteration
-    # touches the network only for the ~|nodes| broadcast.  At a node
-    # count too big to broadcast, bucket both sides by src instead
-    # (sources/sinks.py:save_bucketed_table) for a co-located join.
+    # pattern — materialize the topology once, iterate over it.  The rank
+    # table — one row per node, orders of magnitude smaller than the edge
+    # set — broadcasts into the probe join, so no iteration ever
+    # sort-merge-shuffles the edge set; the dst layout keeps the
+    # contribution shuffle's map side dense and evenly sized.  (Under AQE
+    # a local cache does not statically republish its partitioning, so
+    # the groupBy(dst) exchange stays in the plan; on a cluster the same
+    # intent is a table bucketed by dst —
+    # sources/sinks.py:save_bucketed_table — which DOES elide it.  At a
+    # node count too big to broadcast, bucket both sides by src for a
+    # co-located probe join instead.)
     ed = edges.join(F.broadcast(deg), "src").repartition("dst").persist()
 
     rank = None  # uniform 1e6 start folds into the first contribution

@@ -207,3 +207,29 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     joined = fact.join(dim, "day")
     plan = checks.formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_decontaminate_probe_is_broadcast_only(spark):
+    """The decontamination pass must never shuffle the train corpus for a
+    join: the eval vocabulary and the contaminated-docs aggregate both
+    broadcast.  Static exchanges: the two fan-out repartitions (one per
+    map pass; ReuseExchange merges them at runtime), the vocab distinct,
+    and the hits-only per-doc aggregate — nothing proportional to the
+    corpus crosses the network for a join."""
+    df = REGISTRY["decontaminate_ngrams"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert checks.node_count(df, "BroadcastHashJoin") >= 2, plan
+    assert checks.node_count(df, "SortMergeJoin") == 0, plan
+    assert checks.shuffle_count(df) <= 4, plan
+
+
+def test_pagerank_iterations_broadcast_rank_over_cached_topology(spark):
+    """Power iterations run over the persisted edge relation (no
+    re-execution of the edge-build lineage) and probe the per-node rank
+    table via broadcast — the edge set is never sort-merge-shuffled for
+    a join in any iteration."""
+    df = REGISTRY["pagerank_copurchase"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert checks.node_count(df, "BroadcastHashJoin") >= 1, plan
+    assert checks.node_count(df, "SortMergeJoin") == 0, plan
