@@ -5135,3 +5135,51 @@ def q_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("10000 * 2 * dev2 > 29652 * mad4"))
         .select("event_type", "year", "month", "day", "cents", "med2", "mad4")
     )
+
+
+def _collocations_oracle() -> str:
+    from killrweather_spark.functions.text import collocations_sql
+
+    return collocations_sql(min_pair_count=5)
+
+
+@register(
+    "collocation_lift",
+    _collocations_oracle(),
+    survey_ref="beyond-ref: collocation extraction (text.py:collocations) — "
+    "adjacent-bigram lift = p(w1,w2)/(p(w1)p(w2)), the PMI ranking without "
+    "the log; only integer counts ever shuffle, unigram vocab broadcasts",
+)
+def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocations ('new york'-style fixed phrases) for
+    vocabulary/boilerplate analysis: bigram and unigram counting passes
+    share the tokenization expression, and the lift is one double division
+    of exact integer counts — bit-identical across engines."""
+    from killrweather_spark.functions.text import collocations
+
+    return collocations(load_table(spark, sf_dir, "documents"))
+
+
+def _kmeans_oracle() -> str:
+    from killrweather_spark.functions.similarity import kmeans_assign_step_sql
+
+    return kmeans_assign_step_sql()
+
+
+@register(
+    "kmeans_assign_step",
+    _kmeans_oracle(),
+    survey_ref="beyond-ref: one Lloyd iteration over the embeddings table "
+    "(similarity.py:kmeans_assign_step) — M-step integer-floor centroids + "
+    "E-step broadcast nearest-centroid argmin; iterative ML as composed "
+    "DataFrame plans (clustering exemplar alongside pagerank_copurchase)",
+)
+def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-refinement step for embedding curation (e.g. SemDeDup-style
+    semantic bucketing): centroids from the current labels, then exact
+    integer squared-L2 reassignment.  All arithmetic is order-free int64,
+    so the assignment is reproducible at any parallelism."""
+    from killrweather_spark.functions.similarity import kmeans_assign_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign_step(emb)

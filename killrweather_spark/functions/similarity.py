@@ -338,3 +338,91 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
     return df.select(
         F.col(id_col), scale.alias("scale"), codes.alias("codes")
     )
+
+
+def kmeans_assign_step(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """One Lloyd iteration over an embedding column: M-step (centroid of
+    each current label) + E-step (reassign every vector to its nearest
+    centroid, squared-L2), composed as DataFrame plans — the second
+    iterative-algorithm exemplar next to PageRank (clustering instead of
+    message passing).
+
+    Determinism at scale: components quantize to int64 (×10⁶) and each
+    centroid coordinate is an exact FLOOR division of integer sums —
+    ``(s - ((s % n + n) % n)) div n`` — written identically on both
+    engines because Spark's ``div`` truncates toward zero while a naive
+    SQL floor-div would floor, and centroid sums can be negative.
+    Distances are integer sums of squares: reduction-order free, so the
+    assignment is bit-identical on any cluster size.
+
+    Scale: the centroid table is (labels × dims) rows — broadcast.  The
+    E-step joins it to the exploded components on ``pos`` (a bounded
+    labels-fold fan-out that partial-aggregates straight back down to
+    (vector, candidate) partial distances) and one windowed argmin per
+    vector.  Iterating = feeding ``new_label`` back in; at a label count
+    too big to broadcast, prune candidates with the IVF cells instead
+    (:func:`ivf_cosine_topk`).
+    """
+    comp = df.select(
+        F.col(id_col), F.col(label_col),
+        F.posexplode(vec_col).alias("pos0", "v"),
+    ).select(
+        id_col, label_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v").cast("double") * QUANT).cast("bigint").alias("q"),
+    )
+    cent = (
+        comp.groupBy(label_col, "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col(label_col).alias("cand"),
+            "pos",
+            F.expr("(s - ((s % n + n) % n)) div n").alias("c"),
+        )
+    )
+    dist = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, label_col, "cand")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+             .alias("d2"))
+    )
+    w = Window.partitionBy(id_col).orderBy("d2", "cand")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col(label_col).alias("old_label"),
+            F.col("cand").alias("new_label"),
+            F.col("d2").alias("dist2"),
+        )
+    )
+
+
+def kmeans_assign_step_sql() -> str:
+    """DuckDB oracle for :func:`kmeans_assign_step` — identical quantize /
+    floor-division / argmin arithmetic over the same table."""
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, label, i.i AS pos,
+             CAST(ROUND(CAST(embedding[i.i] AS DOUBLE) * {QUANT}) AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)
+    ),
+    cent AS (
+      SELECT label AS cand, pos,
+             (s - ((s % n + n) % n)) // n AS c
+      FROM (SELECT label, pos, SUM(q) AS s, COUNT(*) AS n
+            FROM comp GROUP BY label, pos)
+    ),
+    dist AS (
+      SELECT comp.vec_id, comp.label, cent.cand,
+             SUM((comp.q - cent.c) * (comp.q - cent.c)) AS d2
+      FROM comp JOIN cent ON comp.pos = cent.pos
+      GROUP BY comp.vec_id, comp.label, cent.cand
+    )
+    SELECT vec_id, label AS old_label, cand AS new_label, d2 AS dist2
+    FROM dist
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cand) = 1
+    """

@@ -121,3 +121,100 @@ def add_rolling_fingerprint(df: DataFrame, text_col: str, out: str = "fingerprin
         .withColumn(out, rolling_min_fingerprint(F.col("__fp_src"), gram))
         .drop("__fp_src")
     )
+
+
+def collocations(df: DataFrame, text_col: str = "text",
+                 min_pair_count: int = 5) -> DataFrame:
+    """Collocation extraction: adjacent-token bigrams scored by lift —
+    p(w1,w2) / (p(w1)·p(w2)) — the PMI argument without the log (monotone
+    in PMI, so ranking/thresholding is identical) and therefore computable
+    as one exact product of integer counts per pair.
+
+    Scale: tokens leave the scan only as *counts* — the unigram and bigram
+    tables shuffle (string, bigint) rows with map-side partial aggregation,
+    never document text.  The unigram vocabulary (sub-linear in corpus
+    size) broadcasts onto the bigram table twice, and the two 1-row totals
+    broadcast as scalar-subquery stand-ins.  The lift expression is a
+    single double division whose operands are exact integers in identical
+    association order on both engines — bit-stable.
+    """
+    from killrweather_spark.sources.readers import fan_out
+
+    docs = fan_out(df)
+    toks = tokens(F.col(text_col))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("u"))
+    )
+    # sequence(1, size-1) must be guarded: Spark infers a NEGATIVE step
+    # when size-1 < 1 and would emit a descending sequence, not an empty one.
+    pairs = (
+        docs.select(toks.alias("t"))
+        .select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), "
+                        "i -> struct(t[i-1] as w1, t[i] as w2))"
+                    ),
+                ).otherwise(F.expr("array()").cast(
+                    "array<struct<w1:string,w2:string>>"))
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("b")
+    )
+    tot_u = uni.agg(F.sum("u").cast("bigint").alias("N"))
+    tot_b = big.agg(F.sum("b").cast("bigint").alias("M"))
+    return (
+        big.filter(F.col("b") >= min_pair_count)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                     F.col("u").alias("u1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                     F.col("u").alias("u2"))), "w2")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "w1",
+            "w2",
+            F.col("b").alias("pair_count"),
+            (
+                (F.col("b").cast("double") * F.col("N") * F.col("N"))
+                / (F.col("M").cast("double") * F.col("u1") * F.col("u2"))
+            ).alias("lift"),
+        )
+    )
+
+
+def collocations_sql(min_pair_count: int = 5) -> str:
+    """DuckDB oracle for :func:`collocations` (1-based array indexing;
+    ``generate_series(1, 0)`` is already empty so no size guard needed)."""
+    return f"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS u
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS b
+      FROM (
+        SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS i(i)
+      ) GROUP BY w1, w2
+    ),
+    tot_u AS (SELECT CAST(SUM(u) AS BIGINT) AS N FROM uni),
+    tot_b AS (SELECT CAST(SUM(b) AS BIGINT) AS M FROM big)
+    SELECT big.w1, big.w2, big.b AS pair_count,
+           (CAST(big.b AS DOUBLE) * tot_u.N * tot_u.N)
+             / (CAST(tot_b.M AS DOUBLE) * u1.u * u2.u) AS lift
+    FROM big
+    JOIN uni u1 ON u1.w = big.w1
+    JOIN uni u2 ON u2.w = big.w2, tot_u, tot_b
+    WHERE big.b >= {min_pair_count}
+    """

