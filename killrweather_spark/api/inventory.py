@@ -306,22 +306,29 @@ def q_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "point_lookup",
     f"""
-    SELECT event_id, ts, event_type, value
+    SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
     FROM ({_EV_CAL_SQL})
     WHERE user_id = 7 AND year = 2024 AND month = 1 AND day = 5
     """,
     survey_ref="P2 key-equality predicate (TemperatureActor.scala:57-58)",
 )
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temporal outputs ship as epoch-microsecond bigints: pandas
+    # materializes Spark and DuckDB timestamps at different unit/dtype
+    # (ns-datetime64 vs us, object date vs Timestamp), so a raw temporal
+    # column can hash-mismatch even when values are identical.  Integers
+    # are representation-proof.
     ev = _events_calendar(spark, sf_dir)
     hit = point_lookup(ev, {"user_id": 7, "year": 2024, "month": 1, "day": 5})
-    return hit.select("event_id", "ts", "event_type", "value")
+    return hit.select(
+        "event_id", epoch_us("ts").alias("ts_us"), "event_type", "value"
+    )
 
 
 @register(
     "current_weather",
     """
-    SELECT event_id, user_id, ts, event_type, value
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
     FROM events
     WHERE user_id = 7
     ORDER BY ts DESC, event_id DESC
@@ -332,7 +339,8 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_current_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return latest_row(ev, {"user_id": 7}, ["ts", "event_id"]).select(
-        "event_id", "user_id", "ts", "event_type", "value"
+        "event_id", "user_id", epoch_us("ts").alias("ts_us"),
+        "event_type", "value"
     )
 
 
@@ -687,7 +695,7 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "date_format_parts",
     """
-    SELECT DISTINCT CAST(ts AS DATE) AS d,
+    SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d,
            CAST(year(ts) AS INT) AS year,
            CAST(dayofyear(ts) AS INT) AS day_of_year,
            strftime(ts, '%A, %B %d, %Y') AS formatted
@@ -696,9 +704,11 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="F3/F4 date part extraction + formatting (AggregationActor.scala:43-60)",
 )
 def q_date_format_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dates ship as ISO strings (see point_lookup note: raw DATE columns
+    # materialize as object-dtype vs datetime64 across engines).
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 3)
     return ev.select(
-        F.to_date("ts").alias("d"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
         F.year("ts").alias("year"),
         F.dayofyear("ts").alias("day_of_year"),
         F.date_format("ts", "EEEE, MMMM dd, yyyy").alias("formatted"),
@@ -708,7 +718,7 @@ def q_date_format_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "date_sequence",
     """
-    SELECT CAST(u.d AS DATE) AS day_date
+    SELECT strftime(CAST(u.d AS DATE), '%Y-%m-%d') AS day_date
     FROM (
       SELECT unnest(generate_series(CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE),
                                     INTERVAL 1 DAY)) AS d
@@ -723,8 +733,8 @@ def q_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
     )
     return bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day_date")
-    )
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("day_date"))
 
 
 @register(
@@ -841,8 +851,8 @@ def q_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hourly_tumbling_window",
     """
-    SELECT date_trunc('hour', ts) AS window_start,
-           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
            event_type,
            COUNT(*) AS n,
            SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
@@ -866,7 +876,11 @@ def q_hourly_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value"
             ),
         ],
-    ).select("window_start", "window_end", "event_type", "n", "total_value")
+    ).select(
+        epoch_us("window_start").alias("window_start_us"),
+        epoch_us("window_end").alias("window_end_us"),
+        "event_type", "n", "total_value",
+    )
 
 
 @register(
@@ -885,8 +899,8 @@ def q_hourly_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM m
     )
-    SELECT user_id, MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 6 HOUR AS session_end,
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 6 HOUR) AS session_end_us,
            COUNT(*) AS n_events
     FROM g GROUP BY user_id, sid
     """,
@@ -898,7 +912,12 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return session_agg(
         ev, "ts", "6 hours", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
-    ).select("user_id", "session_start", "session_end", "n_events")
+    ).select(
+        "user_id",
+        epoch_us("session_start").alias("session_start_us"),
+        epoch_us("session_end").alias("session_end_us"),
+        "n_events",
+    )
 
 
 @register(
@@ -960,7 +979,8 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
                                  ORDER BY o_orderkey DESC) = 1
     ), l AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 10)
-    SELECT l.event_id, l.user_id, l.ts, r.o_orderkey, r.o_totalprice
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           r.o_orderkey, r.o_totalprice
     FROM l ASOF LEFT JOIN r
       ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate
     """,
@@ -976,7 +996,7 @@ def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts")
     )
     orders = load_table(spark, sf_dir, "orders")
-    return asof_join(
+    out = asof_join(
         ev,
         orders,
         key_left="user_id",
@@ -985,6 +1005,10 @@ def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="o_orderdate",
         payload=["o_orderkey", "o_totalprice"],
         dedupe_right_by="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id", epoch_us("ts").alias("ts_us"),
+        "o_orderkey", "o_totalprice",
     )
 
 
@@ -1946,7 +1970,8 @@ def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM m
     )
-    SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 6 HOUR AS session_end,
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 6 HOUR) AS session_end_us,
            COUNT(*) AS n_events
     FROM g GROUP BY user_id, sid
     """,
@@ -1970,8 +1995,8 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = run_stream_to_batch(agg, tempfile.mkdtemp(), name, "complete")
     return result.select(
         "user_id",
-        F.col("session_window.start").alias("session_start"),
-        F.col("session_window.end").alias("session_end"),
+        epoch_us(F.col("session_window.start")).alias("session_start_us"),
+        epoch_us(F.col("session_window.end")).alias("session_end_us"),
         "n_events",
     )
 
@@ -2004,7 +2029,7 @@ def q_streaming_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_hourly_counts",
     """
-    SELECT date_trunc('hour', ts) AS window_start,
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
            event_type, COUNT(*) AS n
     FROM events
     GROUP BY 1, 2
@@ -2027,7 +2052,8 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
     result = run_stream_to_batch(agg, tempfile.mkdtemp(), name, "complete")
     return result.select(
-        F.col("window.start").alias("window_start"), "event_type", "n"
+        epoch_us(F.col("window.start")).alias("window_start_us"),
+        "event_type", "n",
     )
 
 
@@ -2935,8 +2961,9 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, event_type,
-           ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+             AS valid_to_us,
            CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 THEN 1 ELSE 0 END AS is_current
     FROM changes
@@ -2967,8 +2994,8 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changes.select(
         "user_id",
         "event_type",
-        F.col("ts").alias("valid_from"),
-        nxt.alias("valid_to"),
+        epoch_us("ts").alias("valid_from_us"),
+        epoch_us(nxt).alias("valid_to_us"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
 
@@ -3107,7 +3134,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     )
-    SELECT s.user_id, s.day,
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
            d.cents IS NOT NULL AS observed,
            LAST_VALUE(d.cents IGNORE NULLS)
              OVER (PARTITION BY s.user_id ORDER BY s.day
@@ -3154,7 +3181,7 @@ def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(daily, ["user_id", "day"], "left")
         .select(
             "user_id",
-            "day",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("cents").isNotNull().alias("observed"),
             (F.last("cents", ignorenulls=True).over(w) / 100.0).alias(
                 "filled_value"
@@ -3178,7 +3205,7 @@ def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
     )
     SELECT user_id, CAST(value AS DOUBLE) AS last_value,
-           ts AS last_ts, event_id AS last_event_id
+           epoch_us(ts) AS last_ts_us, event_id AS last_event_id
     FROM ranked WHERE rn = 1 AND NOT is_delete
     """,
     survey_ref="S3/S4 extension: the reference's upsert-by-PK sink "
@@ -3223,11 +3250,15 @@ def q_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
-    return merge_changes(
+    merged = merge_changes(
         snapshot,
         changes,
         keys=["user_id"],
         order_by=["ts", "event_id"],
+    )
+    return merged.select(
+        "user_id", "last_value",
+        epoch_us("last_ts").alias("last_ts_us"), "last_event_id",
     )
 
 
@@ -3269,7 +3300,8 @@ def q_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
       FROM j
     )
-    SELECT user_id, day, cents IS NOT NULL AS observed,
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           cents IS NOT NULL AS observed,
            CASE
              WHEN cents IS NOT NULL THEN cents / 100.0
              WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
@@ -3344,7 +3376,7 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / ((F.col("next_i") - F.col("prev_i")) * F.lit(100.0))
     return ctx.select(
         "user_id",
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("cents").isNotNull().alias("observed"),
         F.when(F.col("cents").isNotNull(), F.col("cents") / 100.0)
         .when(
@@ -3744,7 +3776,8 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cohort_week, n_users AS cohort_size
       FROM cells WHERE week_age = 0
     )
-    SELECT c.cohort_week, c.week_age, c.n_users, s.cohort_size,
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           c.week_age, c.n_users, s.cohort_size,
            CAST(1000000 * c.n_users AS BIGINT) // s.cohort_size
              AS retained_micro
     FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
@@ -3789,7 +3822,8 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_users) div cohort_size").cast("bigint"),
         )
         .select(
-            "cohort_week", "week_age", "n_users", "cohort_size",
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_age", "n_users", "cohort_size",
             "retained_micro",
         )
     )
@@ -4486,9 +4520,9 @@ def q_hist_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
       FROM changes
     )
-    SELECT p.event_id, p.user_id, p.ts,
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
            CAST(ROUND(p.value * 100) AS BIGINT) AS value_cents,
-           i.state_type, i.valid_from
+           i.state_type, epoch_us(i.valid_from) AS valid_from_us
     FROM events p JOIN intervals i
       ON p.user_id = i.user_id
      AND p.ts >= i.valid_from
@@ -4543,10 +4577,10 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        "ts",
+        epoch_us("ts").alias("ts_us"),
         "value_cents",
         F.col("state_type"),
-        F.col("valid_from"),
+        epoch_us("valid_from").alias("valid_from_us"),
     )
 
 
@@ -4788,7 +4822,7 @@ def q_top_paths_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hopping_window_counts",
     """
-    SELECT date_trunc('hour', ts) - to_hours(k.k) AS window_start,
+    SELECT epoch_us(date_trunc('hour', ts) - to_hours(k.k)) AS window_start_us,
            CAST(COUNT(*) AS BIGINT) AS n,
            SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
     FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
@@ -4813,7 +4847,10 @@ def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_cents"
             ),
         )
-        .select(F.col("w.start").alias("window_start"), "n", "value_cents")
+        .select(
+            epoch_us(F.col("w.start")).alias("window_start_us"),
+            "n", "value_cents",
+        )
     )
 
 
@@ -4958,7 +4995,7 @@ def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_hopping_counts",
     """
-    SELECT date_trunc('hour', ts) - to_hours(k.k) AS window_start,
+    SELECT epoch_us(date_trunc('hour', ts) - to_hours(k.k)) AS window_start_us,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
     GROUP BY 1
@@ -4985,7 +5022,9 @@ def q_streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_hopping_{uuid.uuid4().hex[:8]}"
     result = run_stream_to_batch(agg, tempfile.mkdtemp(), name, "complete")
-    return result.select(F.col("window.start").alias("window_start"), "n")
+    return result.select(
+        epoch_us(F.col("window.start")).alias("window_start_us"), "n"
+    )
 
 
 @register(

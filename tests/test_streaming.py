@@ -260,3 +260,57 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         for k in {0, 1, 2}
     }
     assert got == want
+
+
+def test_stateful_agg_on_rocksdb_state_store(spark, tmp_path):
+    """The scale-grade state backend: the same update-mode stateful sum
+    that models the Cassandra counter runs on RocksDBStateStoreProvider
+    (state spills off-heap/disk instead of growing the JVM heap — the
+    backend you'd run with 100M+ keys) and drains to the identical
+    batch answer.  Unlike transformWithState, plain stateful aggregation
+    needs no protobuf, so this runs everywhere."""
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [{"k": i % 5, "cents": 100 + i} for i in range(40)]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:20]))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows[20:]))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("k bigint, cents bigint")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        agg = stream.groupBy("k").agg(F.sum("cents").alias("total"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocksdb_totals")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["k"], r["total"])
+            for r in spark.table("rocksdb_totals").collect()
+        }
+        want = {
+            (r["k"], r["total"])
+            for r in spark.createDataFrame(rows)
+            .groupBy("k").agg(F.sum("cents").alias("total")).collect()
+        }
+        assert got == want
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
