@@ -1879,10 +1879,12 @@ def q_anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFra
       SELECT e.vec_id,
              CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
       FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS i(i)
-    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id)
+    ), nrm AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS norm2
+                 FROM comp GROUP BY vec_id)
     SELECT d.lang, COUNT(*) AS n_docs,
-           SUM(n.norm2) AS total_norm2,
-           MIN(n.norm2) AS min_norm2, MAX(n.norm2) AS max_norm2
+           CAST(SUM(n.norm2) AS BIGINT) AS total_norm2,
+           CAST(MIN(n.norm2) AS BIGINT) AS min_norm2,
+           CAST(MAX(n.norm2) AS BIGINT) AS max_norm2
     FROM documents d JOIN nrm n ON n.vec_id = d.doc_id
     GROUP BY d.lang
     """,
@@ -2581,7 +2583,7 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         F.lead("value").over(w).alias("next_value"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.first("event_id").over(w).alias("first_event"),
         F.last("event_id").over(w_all).alias("last_event"),
     )
@@ -2895,17 +2897,17 @@ def q_quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 'orders.o_custkey->customer' AS fk,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'lineitem.l_orderkey->orders' AS fk,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+           CAST(SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
     FROM lineitem l LEFT JOIN orders ok ON l.l_orderkey = ok.o_orderkey
     UNION ALL
     SELECT 'events.user_id->customer' AS fk,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     """,
     survey_ref="beyond-reference data-quality: referential-integrity audit — "
@@ -3764,7 +3766,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity AS (
       SELECT DISTINCT e.user_id, f.cohort_week,
              CAST(date_diff('day', f.cohort_week,
-                            CAST(date_trunc('week', e.ts) AS DATE)) AS INT)
+                            CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT)
                // 7 AS week_age
       FROM events e JOIN first_ev f ON e.user_id = f.user_id
     ),
@@ -3846,8 +3848,8 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY event_type, next_type
     )
     SELECT from_type, to_type, n,
-           CAST(1000000 * n AS BIGINT)
-             // SUM(n) OVER (PARTITION BY from_type) AS p_micro
+           CAST(CAST(1000000 * n AS BIGINT)
+             // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_micro
     FROM pairs
     """,
     survey_ref="§2.5 extension: first-order Markov transition matrix over "
@@ -3909,7 +3911,8 @@ from killrweather_spark.operators.runtime_filter import _SALTS  # noqa: E402
         AND l.l_suppkey IN (SELECT k FROM keys)
     )
     SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
-           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents
     FROM pre GROUP BY l_returnflag
     """,
     survey_ref="J-family extension: explicit Bloom-style runtime-filter "
@@ -4221,9 +4224,9 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY user_id
     )
     SELECT user_id, n AS n_days,
-           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
                 ELSE (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
-           END AS slope_micro
+           END AS BIGINT) AS slope_micro
     FROM m
     """,
     survey_ref="§2.4 extension: per-group least-squares trend — OLS slope "
@@ -4267,7 +4270,7 @@ def q_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_diff('day', MAX(o_orderdate), DATE '1998-12-31')
                   AS BIGINT) AS recency_days,
              CAST(COUNT(*) AS BIGINT) AS frequency,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
       FROM orders GROUP BY o_custkey
     ),
     scored AS (
@@ -4824,7 +4827,8 @@ def q_top_paths_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT epoch_us(date_trunc('hour', ts) - to_hours(k.k)) AS window_start_us,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
     FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
     GROUP BY 1
     """,
@@ -4901,7 +4905,8 @@ def q_pandas_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           (1000000 * SUM(cents * dt_s)) // SUM(dt_s) AS twap_micro,
+           CAST((1000000 * SUM(cents * dt_s)) // SUM(dt_s) AS BIGINT)
+             AS twap_micro,
            CAST(SUM(dt_s) AS BIGINT) AS span_s
     FROM seq WHERE dt_s IS NOT NULL
     GROUP BY user_id
@@ -5072,7 +5077,7 @@ _MAD_DAILY_SQL = """
       SELECT event_type,
              CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
              CAST(day(ts) AS INT) AS day,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2, 3, 4
 """
 

@@ -169,9 +169,11 @@ def top_terms_per_stratum(
         stratum_tf.join(F.broadcast(keep_terms), "term")
         .withColumn(
             "rank",
+            # bigint: SQL window ranks are 64-bit — keeps the dtype
+            # identical across engines for the value compare
             F.row_number().over(
                 Window.partitionBy("stratum").orderBy(F.desc("tf"), F.asc("term"))
-            ),
+            ).cast("bigint"),
         )
         .filter(F.col("rank") <= k)
     )

@@ -444,7 +444,8 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     sizes = train_df.select(
-        F.col(id_col), F.size(_distinct_grams(text_col, n)).alias("n_grams")
+        F.col(id_col),
+        F.size(_distinct_grams(text_col, n)).cast("bigint").alias("n_grams"),
     )
     return sizes.join(F.broadcast(hits), id_col).select(
         id_col,

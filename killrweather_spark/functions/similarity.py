@@ -418,7 +418,7 @@ def kmeans_assign_step_sql() -> str:
     ),
     dist AS (
       SELECT comp.vec_id, comp.label, cent.cand,
-             SUM((comp.q - cent.c) * (comp.q - cent.c)) AS d2
+             CAST(SUM((comp.q - cent.c) * (comp.q - cent.c)) AS BIGINT) AS d2
       FROM comp JOIN cent ON comp.pos = cent.pos
       GROUP BY comp.vec_id, comp.label, cent.cand
     )
