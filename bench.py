@@ -46,6 +46,8 @@ HEADLINE = [
     "simhash",
     "text_quality",
     "cosine_topk",
+    "kmeans_assign_step",
+    "collocation_lift",
     "pack_sequences",
     "repetition_metrics",
     # behavioral / retrieval / graph flagships
