@@ -41,6 +41,7 @@ HEADLINE = [
     "local_supplier_volume",
     # LLM-data-pipeline: dedup, similarity, text analysis
     "decontaminate_ngrams",
+    "dataset_card",
     "dedup_exact_groups",
     "minhash_lsh_pairs",
     "simhash",

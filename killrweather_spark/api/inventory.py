@@ -43,7 +43,7 @@ from killrweather_spark.operators.aggregates import (
     top_k,
 )
 from killrweather_spark.operators.lookups import latest_row, point_lookup
-from killrweather_spark.sources.readers import load_table
+from killrweather_spark.sources.readers import fan_out, load_table
 
 
 @dataclass(frozen=True)
@@ -5227,3 +5227,226 @@ def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign_step(emb)
+
+
+_PRED_LANG_SQL = r"""
+      SELECT doc_id, lang, source,
+             CASE WHEN zh > 0 THEN 'zh'
+                  WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                  WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                  WHEN fr >= es AND fr > 0 THEN 'fr'
+                  WHEN es > 0 THEN 'es'
+                  ELSE 'unknown' END AS predicted
+      FROM (
+        SELECT doc_id, lang, source,
+               len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS en,
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
+               len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|y)\b')) AS es,
+               len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+        FROM documents
+      )
+"""
+
+
+@register(
+    "lang_confusion_matrix",
+    f"""
+    WITH pred AS ({_PRED_LANG_SQL}),
+    cells AS (
+      SELECT lang AS declared, predicted, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, predicted
+    )
+    SELECT declared, predicted, n,
+           CAST(CAST(1000000 * n AS BIGINT)
+             // SUM(n) OVER (PARTITION BY declared) AS BIGINT) AS row_micro
+    FROM cells
+    """,
+    survey_ref="beyond-ref data-quality: declared-vs-detected language "
+    "confusion matrix — metadata audit over the lang_id heuristic; "
+    "|langs|² cells, map-side partials, the normalizing window is free",
+)
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the corpus's declared `lang` metadata disagrees with detected
+    language — the screen that catches mislabeled crawl segments before
+    they skew a language-balanced training mix.  One scan, one tiny
+    aggregate; row shares as exact integer micro-fractions."""
+    from killrweather_spark.functions.text import lang_id
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("declared"),
+            lang_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return cells.withColumn(
+        "row_micro",
+        F.expr(
+            "(1000000 * n) div (sum(n) over (partition by declared))"
+        ).cast("bigint"),
+    )
+
+
+@register(
+    "eval_contamination_report",
+    """
+    WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    eg AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ev) s,
+           UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ),
+    tg AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT string_split(text, ' ') AS w FROM tr) s,
+           UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ),
+    hits AS (SELECT gram FROM tg WHERE gram IN (SELECT gram FROM eg))
+    SELECT eg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN h.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           CAST(CAST(1000000 * SUM(CASE WHEN h.gram IS NOT NULL THEN 1 ELSE 0
+                                   END) AS BIGINT) // COUNT(*) AS BIGINT)
+             AS contam_micro
+    FROM eg LEFT JOIN hits h ON eg.gram = h.gram
+    GROUP BY eg.doc_id
+    """,
+    survey_ref="beyond-ref: eval-side contamination report — the inverse "
+    "direction of decontaminate_ngrams (which eval items are compromised "
+    "and how badly); train corpus streams map-side against the broadcast "
+    "eval vocabulary, only vocabulary-sized sets ever shuffle",
+)
+def q_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval document: what fraction of its distinct word-8-grams occur
+    anywhere in the training corpus.  The train side is one map pass with
+    a broadcast probe (never shuffled); the hit set is bounded by the eval
+    vocabulary, so every join in the report is a broadcast."""
+    from killrweather_spark.functions.dedup import _distinct_grams
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = fan_out(d.filter(F.col("doc_id") % 10 != 0))
+    eval_grams = ev.select(
+        "doc_id", F.explode(_distinct_grams("text", 8)).alias("gram")
+    )
+    vocab = eval_grams.select("gram").distinct()
+    hit_grams = (
+        tr.select(F.explode(_distinct_grams("text", 8)).alias("gram"))
+        .join(F.broadcast(vocab), "gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        eval_grams.join(F.broadcast(hit_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+        )
+        .withColumn(
+            "contam_micro",
+            F.expr("(1000000 * n_hit) div n_grams").cast("bigint"),
+        )
+    )
+
+
+@register(
+    "dataset_card",
+    r"""
+    WITH per_doc AS (
+      SELECT source, lang,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+               AS n_toks
+      FROM documents
+    ),
+    fp_counts AS (
+      SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS c
+      FROM per_doc GROUP BY source, fp
+    ),
+    dups AS (
+      SELECT source,
+             CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+               AS n_dup_docs
+      FROM fp_counts GROUP BY source
+    ),
+    base AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en
+      FROM per_doc GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.total_tokens,
+           CAST(b.total_tokens // b.n_docs AS BIGINT) AS mean_tokens,
+           b.n_langs,
+           CAST(CAST(1000000 * b.n_en AS BIGINT) // b.n_docs AS BIGINT)
+             AS english_micro,
+           CAST(CAST(1000000 * d.n_dup_docs AS BIGINT) // b.n_docs AS BIGINT)
+             AS dup_micro
+    FROM base b JOIN dups d ON b.source = d.source
+    """,
+    survey_ref="beyond-ref: per-source dataset card — the one-scan corpus "
+    "summary (docs, tokens, language purity, exact-dup rate) a training-"
+    "data pipeline publishes with every snapshot; composes fingerprint + "
+    "token counting, two aggregations keyed by source",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet rows: per source, document/token volume, language
+    mix purity, and the exact-duplicate share (docs whose normalized
+    fingerprint appears more than once within the source).  Integer
+    micro-fractions; the fingerprint aggregate shuffles digests, never
+    text."""
+    from killrweather_spark.functions.text import (
+        normalized_fingerprint,
+        token_count,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "source",
+        "lang",
+        normalized_fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).cast("bigint").alias("n_toks"),
+    )
+    fp_counts = per_doc.groupBy("source", "fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    dups = fp_counts.groupBy("source").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).cast("bigint").alias("n_dup_docs")
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint").alias("n_en"),
+    )
+    return (
+        base.join(F.broadcast(dups), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr("total_tokens div n_docs").cast("bigint").alias(
+                "mean_tokens"
+            ),
+            "n_langs",
+            F.expr("(1000000 * n_en) div n_docs").cast("bigint").alias(
+                "english_micro"
+            ),
+            F.expr("(1000000 * n_dup_docs) div n_docs").cast("bigint").alias(
+                "dup_micro"
+            ),
+        )
+    )
