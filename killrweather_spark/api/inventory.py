@@ -2704,7 +2704,7 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id)
     SELECT term,
            COUNT(*) AS df,
-           LIST(doc_id ORDER BY doc_id) AS postings
+           array_to_string(LIST(doc_id ORDER BY doc_id), ',') AS postings
     FROM tf
     GROUP BY term
     HAVING COUNT(*) >= 20
@@ -2722,11 +2722,18 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    # Postings ship as a comma-joined string, not array<bigint>: the
+    # correctness harness canonicalizes rows with a pandas sort, and list
+    # cells are unhashable there.  Numeric sort happens before the join so
+    # the string is deterministic.
     return (
         tf.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(doc_id)),"
+                " x -> cast(x as string)), ',')"
+            ).alias("postings"),
         )
         .filter(F.col("df") >= 20)
     )
@@ -2868,11 +2875,12 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale,
-           CASE WHEN amax > 0
-                THEN list_transform(embedding,
-                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / amax) AS INT))
-                ELSE list_transform(embedding, x -> 0)
-           END AS codes
+           array_to_string(
+             CASE WHEN amax > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / amax) AS INT))
+                  ELSE list_transform(embedding, x -> 0)
+             END, ',') AS codes
     FROM (
       SELECT vec_id, embedding,
              list_max(list_transform(embedding,
@@ -2889,7 +2897,16 @@ def q_quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.functions.similarity import quantize_int8
 
     e = load_table(spark, sf_dir, "embeddings")
-    return quantize_int8(e, "vec_id", "embedding")
+    q = quantize_int8(e, "vec_id", "embedding")
+    # Codes ship comma-joined (see inverted_index): list cells break the
+    # harness's pandas canonical sort; the library function keeps the array.
+    return q.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "array_join(transform(codes, x -> cast(x as string)), ',')"
+        ).alias("codes"),
+    )
 
 
 @register(
