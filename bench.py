@@ -55,6 +55,8 @@ HEADLINE = [
     "bm25_search",
     "funnel_conversion",
     "cohort_retention",
+    "rolling_dau_wau",
+    "shingle_containment_pairs",
     "pagerank_copurchase",
 ]
 

@@ -671,20 +671,40 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    # orders→customer→nation→region are all small relative to lineitem at any
-    # SF ratio: broadcast the dims so lineitem never shuffles before the agg.
-    joined = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # Pre-aggregate lineitem to per-order partials BEFORE the orders join:
+    # integer-cents sums re-aggregate exactly, and the l⋈o exchange then
+    # carries one row per order instead of one per line (~4× fewer bytes —
+    # at 100 TB orders is too big to broadcast, so that exchange is the
+    # query's bottleneck).  customer/nation/region broadcast onto orders
+    # map-side; at bench scale AQE turns the slim l⋈o into a broadcast too.
+    rev_fp = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    lagg = (
+        l.select("l_orderkey", rev_fp.alias("rev_cents"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("rev_cents").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    o_dim = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("o_orderkey"),
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
     )
-    rev_fp = F.round(l.l_extendedprice * (1 - l.l_discount) * 10000).cast("bigint")
-    return joined.groupBy(
-        r.r_name.alias("region"), n.n_name.alias("nation")
-    ).agg(
-        (F.sum(rev_fp) / 10000.0).alias("revenue"),
-        F.count(F.lit(1)).alias("n_lines"),
+    return (
+        lagg.join(o_dim, lagg.l_orderkey == o_dim.o_orderkey)
+        .groupBy("region", "nation")
+        .agg(
+            (F.sum("rev_cents") / 10000.0).alias("revenue"),
+            F.sum("n_lines").alias("n_lines"),
+        )
     )
 
 
@@ -1314,6 +1334,42 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return word_bigram_jaccard_pairs(docs, block_col="source", threshold=0.2)
+
+
+@register(
+    "shingle_containment_pairs",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents) s,
+           UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM sh a
+      JOIN sh b ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           n_inter / LEAST(sa.n_sh, sb.n_sh) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / LEAST(sa.n_sh, sb.n_sh) >= 0.1
+    """,
+    survey_ref="beyond-ref dedup family: word-3-gram CONTAINMENT pairs "
+    "(dedup.py:containment_pairs) — |A∩B|/min(|A|,|B|), the asymmetric "
+    "score that catches a doc embedded inside a larger one, which Jaccard "
+    "dilutes toward 0 as the size ratio grows; same blocked gram-keyed "
+    "self-join plan as the Jaccard op, never cartesian",
+)
+def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, block_col="source", n=3, threshold=0.1)
 
 
 @register(
@@ -2324,6 +2380,34 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_metrics(docs)
+
+
+@register(
+    "boilerplate_prefixes",
+    """
+    SELECT prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM (
+      SELECT array_to_string(t[1:5], ' ') AS prefix, source
+      FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t, source
+            FROM documents)
+      WHERE len(t) >= 5
+    )
+    GROUP BY prefix
+    HAVING COUNT(*) >= 2
+    """,
+    survey_ref="beyond-ref curation family: shared 5-token document "
+    "prefixes (curation.py:boilerplate_prefixes) — the templated-header "
+    "screen that near-dup scoring misses because docs diverge after the "
+    "boilerplate opening; map-side prefix extraction + one small count "
+    "shuffle keyed by the prefix string",
+)
+def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import boilerplate_prefixes
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_prefixes(docs, k=5, min_docs=2)
 
 
 @register(
@@ -3571,6 +3655,55 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "rolling_dau_wau",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+    days AS (SELECT DISTINCT day FROM du),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    )
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+    survey_ref="§2.4/§2.5 extension: rolling 7-day distinct-user window "
+    "(DAU/WAU stickiness) — exact sliding distinct counts, which a plain "
+    "RANGE frame cannot express because COUNT(DISTINCT) is not a window "
+    "aggregate",
+)
+def q_rolling_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct users per day.  Instead of a per-day
+    range self-join (quadratic in days) or a window COUNT(DISTINCT)
+    (unsupported), each deduped (day, user) row is exploded to the ≤7
+    window-end days it contributes to — a BOUNDED 7× multiplier on the
+    already day-level-deduped table, not on raw events — then one distinct
+    count per window day.  All shuffles carry (date, bigint) pairs; at
+    100 TB raw events reduce to |days|×|users| rows before any widening."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"),
+        "user_id",
+    )
+    # inner join back to real event days drops the phantom window-ends
+    # after the last day; countDistinct dedups map-side first
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
 
 
 @register(

@@ -414,6 +414,37 @@ def redact_pii_sql(text_expr: str = "text") -> tuple[str, str]:
 # repetition metrics (boilerplate / degenerate-text scoring)
 # --------------------------------------------------------------------------
 
+def boilerplate_prefixes(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 3,
+    source_col: str = "source",
+) -> DataFrame:
+    """Shared ``k``-token document prefixes — the cheap screen for
+    templated headers ("subscribe to our newsletter …", license banners)
+    that near-dup scoring misses because the documents diverge after the
+    boilerplate opening.
+
+    Plan: map-side prefix extraction (token array → first-``k`` join),
+    then ONE count shuffle keyed by the prefix string.  Prefix strings are
+    short and high-cardinality, so the shuffle is small and unskewed; at
+    100 TB this runs at scan speed.
+    """
+    toks = tokens(F.col(text_col))
+    prefix = F.array_join(F.slice(toks, 1, k), " ")
+    return (
+        df.filter(F.size(toks) >= k)
+        .select(prefix.alias("prefix"), F.col(source_col))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(source_col).alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def repetition_metrics(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -423,49 +454,64 @@ def repetition_metrics(
     most-frequent token's share, and the most-frequent word-bigram's share
     — the standard "is this boilerplate / a degenerate generation" filters.
 
-    Plan: tokenize + explode (narrow) → hash-aggregate per (doc, term) and
-    per (doc, bigram) with map-side partials → per-doc merge. All counts
-    are integers; the ratios are single int/int divisions, so results are
-    bit-identical across engines and partitionings. The shuffle is keyed by
-    doc id — uniform, and carries counts, never text.
+    Plan: every stat here is a function of ONE document, so nothing needs
+    to leave the row: sort the token (and bigram) array and the mode's
+    frequency is the longest run, found with a linear ``aggregate`` fold.
+    The whole query is a map-only projection — one scan, zero shuffles,
+    zero joins — versus the naive explode → two doc-keyed aggregations →
+    join shape, which ships every (doc, term) pair through the exchange.
+    All counts are integers; the ratios are single int/int divisions, so
+    results are bit-identical across engines and partitionings.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
-    )
-    per_term = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    tok_stats = per_term.groupBy(id_col).agg(
-        F.sum("tf").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct_tokens"),
-        F.max("tf").alias("top_tf"),
-    )
-    grams = (
-        df.withColumn("__toks", tokens(F.col(text_col)))
-        .filter(F.size("__toks") >= 2)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(__toks) - 1),"
-                    " i -> concat(__toks[i - 1], ' ', __toks[i]))"
-                )
-            ).alias("bigram"),
+
+    def max_run(sorted_arr: Column) -> Column:
+        # Longest run of equal adjacent values in a sorted array == max
+        # per-value frequency.  JVM-side fold; state is (prev, run, best).
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            run = (
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            ).cast("bigint")
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+    # Bigrams come from DOCUMENT order; sorting happens after, and only so
+    # the run-length fold can read off each value's frequency.
+    bigrams = F.array_sort(
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1),"
+            " i -> concat(__toks[i - 1], ' ', __toks[i]))"
         )
     )
-    bigram_stats = (
-        grams.groupBy(id_col, "bigram")
-        .agg(F.count(F.lit(1)).alias("bf"))
-        .groupBy(id_col)
-        .agg(F.sum("bf").alias("n_bigrams"), F.max("bf").alias("top_bf"))
-    )
+    n_tokens = F.size("__toks").cast("bigint")
+    n_bigrams = F.size("__bigrams").cast("bigint")
     return (
-        tok_stats.join(bigram_stats, id_col, "left")
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        # empty docs drop out, matching the explode/aggregate formulation
+        # (a doc with no tokens contributes no (doc, term) rows there)
+        .filter(F.size("__toks") >= 1)
+        .withColumn("__bigrams", F.when(F.size("__toks") >= 2, bigrams))
         .select(
-            id_col,
-            "n_tokens",
-            "n_distinct_tokens",
-            (F.col("n_distinct_tokens") / F.col("n_tokens")).alias("distinct_ratio"),
-            (F.col("top_tf") / F.col("n_tokens")).alias("top_token_ratio"),
-            (F.col("top_bf") / F.col("n_bigrams")).alias("top_bigram_ratio"),
+            F.col(id_col),
+            n_tokens.alias("n_tokens"),
+            F.size(F.array_distinct("__toks")).cast("bigint")
+            .alias("n_distinct_tokens"),
+            (
+                F.size(F.array_distinct("__toks")).cast("bigint") / n_tokens
+            ).alias("distinct_ratio"),
+            (max_run(F.array_sort(F.col("__toks"))) / n_tokens)
+            .alias("top_token_ratio"),
+            (max_run(F.col("__bigrams")) / n_bigrams).alias("top_bigram_ratio"),
         )
     )
 

@@ -397,6 +397,60 @@ def _distinct_grams(text_col: str, n: int):
     return F.array_distinct(grams)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by word-``n``-gram containment:
+    ``|A∩B| / min(|A|, |B|)`` — the score that catches SUBSET duplication
+    (one doc quoted or embedded inside a larger one), which symmetric
+    Jaccard dilutes toward 0 as the size ratio grows.
+
+    Same blocked-pair plan as :func:`word_bigram_jaccard_pairs`: per-doc
+    distinct grams are built in the array domain (map-side, no dedup
+    shuffle), the self-join is keyed by (gram[, block]) so it never goes
+    cartesian, and intersection counts are integers — the one division is
+    deterministic on both engines.
+    """
+    base_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    sh = (
+        df.select(*base_cols, _distinct_grams(text_col, n).alias("__grams"))
+        .select(*base_cols, F.explode("__grams").alias("gram"))
+        # referenced 3× below (sizes + both join sides): persist so the
+        # tokenize→explode lineage runs once
+        .persist()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.gram") == F.col("b.gram")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment", F.col("n_inter") / F.least("n_a", "n_b")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "containment")
+    )
+
+
 def decontaminate(
     train_df: DataFrame,
     eval_df: DataFrame,

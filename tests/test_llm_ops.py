@@ -420,3 +420,53 @@ def test_collocations_finds_planted_phrase(spark):
            for r in collocations(df, min_pair_count=5).collect()}
     assert ("crimson", "tide") in got
     assert got[("crimson", "tide")] > 1.0
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc pasted verbatim inside a longer one must score
+    containment 1.0 even though Jaccard is tiny."""
+    from killrweather_spark.functions.dedup import containment_pairs
+
+    small = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, small, "a"), (2, f"{filler} {small} {filler}", "a"),
+         (3, filler, "a")],
+        ["doc_id", "text", "source"],
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in containment_pairs(df, block_col="source",
+                                      n=3, threshold=0.5).collect()}
+    assert got.get((1, 2)) == 1.0
+    # the all-filler doc only pairs with the embedding doc, never the small
+    assert (1, 3) not in got
+
+
+def test_boilerplate_prefixes_flags_shared_header(spark):
+    from killrweather_spark.functions.curation import boilerplate_prefixes
+
+    header = "subscribe to our newsletter today please"
+    rows = [(i, f"{header} unique tail {i} content", "web") for i in range(4)]
+    rows += [(10, "completely different text with no shared prefix", "web")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["prefix"]: r["n_docs"]
+           for r in boilerplate_prefixes(df, k=5, min_docs=3).collect()}
+    assert got == {"subscribe to our newsletter today": 4}
+
+
+def test_rolling_dau_wau_invariants(spark):
+    """WAU must dominate DAU every day, and equal DAU on day 1; a user
+    active only on day 0 still counts toward day 6's WAU but not day 7's."""
+    import datetime
+
+    from killrweather_spark.api.inventory import REGISTRY
+    from tests.conftest import SF001
+
+    out = {r["day"]: r for r in
+           REGISTRY["rolling_dau_wau"].fn(spark, SF001).collect()}
+    assert out, "no days returned"
+    for day, r in out.items():
+        assert r["wau"] >= r["dau"], day
+        assert 0 < r["stickiness"] <= 1.0, day
+    first = min(out)
+    assert out[first]["wau"] == out[first]["dau"]
