@@ -357,19 +357,22 @@ def kmeans_assign_step(df: DataFrame, id_col: str = "vec_id",
     Distances are integer sums of squares: reduction-order free, so the
     assignment is bit-identical on any cluster size.
 
-    Scale: the centroid table is (labels × dims) rows — broadcast.  The
-    E-step joins it to the exploded components on ``pos`` (a bounded
-    labels-fold fan-out that partial-aggregates straight back down to
-    (vector, candidate) partial distances) and one windowed argmin per
-    vector.  Iterating = feeding ``new_label`` back in; at a label count
-    too big to broadcast, prune candidates with the IVF cells instead
-    (:func:`ivf_cosine_topk`).
+    Scale: the M-step is the only shuffle — (labels × dims) centroid cells
+    with map-side partial aggregation.  The centroids then fold into ONE
+    broadcast row (an array of (cand, coords) structs), and the E-step is a
+    single per-row JVM expression: ``array_min(transform(cents, c →
+    struct(Σ(q−c)², cand)))`` — the struct ordering (d2, then cand) IS the
+    deterministic argmin tiebreak, so no explode, no fan-out join, no
+    window, zero extra shuffles.  Per-row work is O(labels·dims) inside
+    whole-stage codegen.  Iterating = feeding ``new_label`` back in; at a
+    label count too big for one broadcast row, prune candidates with the
+    IVF cells instead (:func:`ivf_cosine_topk`).
     """
     comp = df.select(
-        F.col(id_col), F.col(label_col),
+        F.col(label_col),
         F.posexplode(vec_col).alias("pos0", "v"),
     ).select(
-        id_col, label_col,
+        label_col,
         (F.col("pos0") + 1).alias("pos"),
         F.round(F.col("v").cast("double") * QUANT).cast("bigint").alias("q"),
     )
@@ -382,21 +385,33 @@ def kmeans_assign_step(df: DataFrame, id_col: str = "vec_id",
             F.expr("(s - ((s % n + n) % n)) div n").alias("c"),
         )
     )
-    dist = (
-        comp.join(F.broadcast(cent), "pos")
-        .groupBy(id_col, label_col, "cand")
-        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
-             .alias("d2"))
+    cents_one = (
+        cent.groupBy("cand")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cand", F.transform("pc", lambda s: s["c"]).alias("arr"))
+        .agg(F.sort_array(F.collect_list(F.struct("cand", "arr"))).alias("cents"))
     )
-    w = Window.partitionBy(id_col).orderBy("d2", "cand")
+    qdf = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("old_label"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * QUANT).cast("bigint"),
+        ).alias("qv"),
+    )
+    best = F.expr(
+        "array_min(transform(cents, c -> struct("
+        "aggregate(zip_with(qv, c.arr, (a, b) -> (a - b) * (a - b)), "
+        "cast(0 as bigint), (s, x) -> s + x) as d2, c.cand as cand)))"
+    )
     return (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        qdf.crossJoin(F.broadcast(cents_one))
+        .withColumn("best", best)
         .select(
             id_col,
-            F.col(label_col).alias("old_label"),
-            F.col("cand").alias("new_label"),
-            F.col("d2").alias("dist2"),
+            "old_label",
+            F.col("best.cand").alias("new_label"),
+            F.col("best.d2").alias("dist2"),
         )
     )
 
