@@ -5600,3 +5600,400 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Classic analytic shapes, batch 2 (TPC-H Q3/Q4/Q10/Q18 forms) + LLM-pipeline
+# additions: token commonness, incremental dedup, chunk-level dedup, SemDeDup
+# --------------------------------------------------------------------------
+
+@register(
+    "unshipped_revenue_topk",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+    survey_ref="J1/A-family (TPC-H Q3 shape): top unshipped-revenue orders — "
+    "both date filters push to the scans, per-order pre-aggregation slims "
+    "the key join, TakeOrderedAndProject bounds the sort at k rows",
+)
+def q_unshipped_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders placed before the cutoff whose lines ship after it, ranked by
+    outstanding revenue.  Integer-cents revenue makes the top-k set (and
+    the hash) deterministic; the orderkey tiebreak pins ties."""
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    lagg = (
+        l.select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev_cents").alias("rev_cents"))
+    )
+    return (
+        lagg.join(o, lagg.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "late_shipment_priorities",
+    """
+    SELECT o.o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    survey_ref="J-family semi join with non-equi residual (TPC-H Q4 shape): "
+    "EXISTS → LeftSemi hash join on the order key, the +90-day lateness "
+    "predicate evaluates as a join residual — no fact-side pre-aggregation "
+    "or distinct needed, and the priority rollup is a 5-group aggregate",
+)
+def q_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders (by priority) had at least one line shipped more
+    than 90 days after the order date — the classic EXISTS-probe shape.
+    Semi-join semantics mean multi-line matches count the order once."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.expr("o_orderdate + INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@register(
+    "returned_revenue_by_customer",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS lost_revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, custkey ASC
+    LIMIT 20
+    """,
+    survey_ref="J1/A-family (TPC-H Q10 shape): returned-item revenue per "
+    "customer — returnflag filter pushes to the fact scan, customer/nation "
+    "broadcast, top-20 via TakeOrderedAndProject with key tiebreak",
+)
+def q_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customers who returned the most revenue in a year window.  At
+    100 TB the only exchange is lineitem⋈orders on orderkey (bucket both
+    to erase it); dims ride along as broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg((F.sum(cents) / 100.0).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "large_volume_orders",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name, o.o_orderkey AS orderkey,
+           SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) / 100.0 AS total_qty
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+    HAVING SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) > 25000
+    """,
+    survey_ref="A-family HAVING over a join (TPC-H Q18 shape): large-volume "
+    "orders — aggregate-then-filter; the quantity rollup happens on the "
+    "orderkey join key so the groupBy reuses the join exchange",
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds the threshold, with their
+    customer.  Pre-aggregating lineitem per order BEFORE joining pushes the
+    HAVING below the join: only qualifying orders (a tiny fraction) reach
+    the orders/customer side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    lagg = (
+        l.select(
+            "l_orderkey",
+            F.round(F.col("l_quantity") * 100).cast("bigint").alias("qc"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("qc").alias("qty_cents"))
+        .filter(F.col("qty_cents") > 25000)
+    )
+    return (
+        lagg.join(o, lagg.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            (F.col("qty_cents") / 100.0).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "token_commonness",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t
+      FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(t)
+    ),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS dfr FROM tok GROUP BY t)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST((1000000 * SUM(dfr)) // COUNT(*) AS BIGINT) AS mean_df_micro
+    FROM tok JOIN dfreq USING (t)
+    GROUP BY doc_id
+    """,
+    survey_ref="beyond-ref text-quality: mean document-frequency of a doc's "
+    "distinct terms — the integer-exact 'commonness' quality proxy (a "
+    "rare-garble screen that needs no log/perplexity float path); vocab "
+    "aggregates then broadcasts back onto the per-doc term table",
+)
+def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality proxy: documents whose tokens are all corpus-rare are likely
+    garble; all-common suggests boilerplate.  Shuffles carry (term) and
+    (doc, term) rows — never text — and the document-frequency vocabulary
+    is sub-linear in corpus size, so it broadcasts (at extreme vocab width
+    fall back to a term-partitioned sort-merge join)."""
+    from killrweather_spark.functions.text import tokens
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("dfr"))
+    return (
+        tok.join(F.broadcast(dfreq), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.expr("(1000000 * sum(dfr)) div count(1)")
+            .cast("bigint")
+            .alias("mean_df_micro"),
+        )
+    )
+
+
+@register(
+    "new_batch_dup_screen",
+    """
+    WITH fps AS (
+      SELECT doc_id, doc_id % 4 = 0 AS is_new,
+             list_min(list_transform(
+               generate_series(1, greatest(length(text) - 7, 1)),
+               i -> md5(substr(text, i, 8)))) AS fp
+      FROM documents
+    )
+    SELECT n.doc_id AS doc_id, n.fp AS fp
+    FROM fps n
+    WHERE n.is_new
+      AND EXISTS (SELECT 1 FROM fps c WHERE NOT c.is_new AND c.fp = n.fp)
+    """,
+    survey_ref="beyond-ref incremental dedup: new-snapshot docs whose "
+    "winnowing fingerprint (min md5 8-gram, text.py:rolling_min_fingerprint "
+    "— robust to local edits, unlike the exact-hash screen) already exists "
+    "in the corpus — fingerprint semi join; the new batch (small) probes "
+    "the stored corpus fingerprints, so only digests shuffle and the "
+    "corpus side never rewrites (the skip-list pattern for rolling crawl "
+    "ingestion)",
+)
+def q_new_batch_dup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: which docs of an incoming batch (modeled as
+    ``doc_id % 4 = 0``) collide with the existing corpus under the
+    winnowing min-gram fingerprint.  LeftSemi on the digest — at 100 TB
+    partition the stored corpus fingerprints by digest prefix so each
+    incremental batch probes only matching partitions."""
+    from killrweather_spark.functions.text import add_rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = add_rolling_fingerprint(docs, "text", out="fp", gram=8).select(
+        "doc_id", (F.col("doc_id") % 4 == 0).alias("is_new"), "fp"
+    )
+    newb = fps.filter(F.col("is_new")).select("doc_id", "fp")
+    corpus = fps.filter(~F.col("is_new")).select("fp")
+    return newb.join(corpus, "fp", "left_semi").select("doc_id", "fp")
+
+
+@register(
+    "chunk_dup_share",
+    """
+    WITH chunks AS (
+      SELECT doc_id, md5(substr(text, i.i * 150 + 1, 200)) AS h
+      FROM documents,
+           unnest(generate_series(0,
+             greatest(CAST(ceil((length(text) - 50) / 150.0) AS INT) - 1, 0)
+           )) AS i(i)
+    ),
+    cnt AS (SELECT h, COUNT(*) AS c FROM chunks GROUP BY h),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_chunks,
+             SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM chunks JOIN cnt USING (h) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_dup AS BIGINT) AS n_dup_chunks,
+           CAST((1000000 * n_dup) // n_chunks AS BIGINT) AS dup_micro
+    FROM per
+    """,
+    survey_ref="beyond-ref chunk-level dedup: per-document share of "
+    "200-char chunks (stride 150) that occur more than once corpus-wide — "
+    "the sub-document boilerplate screen; composes the chunker "
+    "(curation.py:chunk_documents) with a digest-count broadcast-back",
+)
+def q_chunk_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication: a doc can be globally unique while 80% of
+    its chunks are copy-pasted boilerplate.  Chunk hashes aggregate to
+    counts (digests shuffle, never text); the count table joins back onto
+    the per-doc chunk stream.  At 100 TB both sides are digest-partitioned
+    — the join co-locates."""
+    from killrweather_spark.functions.curation import chunk_documents
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    chunks = chunk_documents(docs).select(
+        "doc_id", F.md5(F.col("chunk_text")).alias("h")
+    )
+    cnt = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        chunks.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr("(1000000 * n_dup_chunks) div n_chunks")
+            .cast("bigint")
+            .alias("dup_micro"),
+        )
+    )
+
+
+@register(
+    "semantic_dup_candidates",
+    """
+    WITH comp AS (
+      SELECT e.vec_id, e.label, i.i AS pos,
+             CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS i(i)
+    ),
+    nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id),
+    dots AS (
+      SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+             SUM(a.q * b.q) AS dot
+      FROM comp a JOIN comp b
+        ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT label, a_id AS vec_a, b_id AS vec_b,
+           dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cosine
+    FROM dots
+    JOIN nrm na ON na.vec_id = a_id
+    JOIN nrm nb ON nb.vec_id = b_id
+    WHERE dot / (SQRT(na.norm2) * SQRT(nb.norm2)) >= 0.30
+    """,
+    survey_ref="beyond-ref SemDeDup-shape semantic dedup: near-dup pairs "
+    "restricted to the same embedding cluster — the cluster bound turns "
+    "the corpus-quadratic pair scan into per-cluster quadratics; pair "
+    "cosines are per-row zip_with/aggregate expressions (no explode)",
+)
+def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style pruning candidates: pairs in the same cluster
+    (label ≙ kmeans cell) with cosine ≥ τ.  The self-join keys on label so
+    each task sees one cluster's vectors; the cosine is a single JVM
+    expression over the two quantized arrays — the only shuffle is the
+    label hash partition.  At 100 TB cluster count scales with corpus size
+    so per-cluster work stays constant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    base = emb.select("vec_id", "label", qv.alias("qv")).withColumn(
+        "norm2",
+        F.aggregate(
+            F.col("qv"),
+            F.lit(0).cast("bigint"),
+            lambda s, x: s + x * x,
+        ),
+    )
+    a = base.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        F.col("norm2").alias("na"),
+    )
+    b = base.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        F.col("norm2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / (F.sqrt("na") * F.sqrt("nb")))
+        .filter(F.col("cosine") >= 0.30)
+        .select("label", "vec_a", "vec_b", "cosine")
+    )
