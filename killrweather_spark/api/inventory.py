@@ -5997,3 +5997,174 @@ def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.30)
         .select("label", "vec_a", "vec_b", "cosine")
     )
+
+
+@register(
+    "orders_per_customer_histogram",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+    survey_ref="A-family count-of-counts over an outer join (TPC-H Q13 "
+    "shape): customer order-frequency distribution — LEFT OUTER keeps the "
+    "zero-order customers that an inner join would silently drop; the "
+    "second aggregate is tiny (distinct counts ≤ max orders/customer)",
+)
+def q_orders_per_customer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed 0, 1, 2, … orders.  COUNT(o_orderkey) —
+    not COUNT(*) — so a customer with no match counts 0.  At 100 TB:
+    aggregate orders per custkey FIRST (shuffles one row per customer),
+    then outer-join the much smaller counts table to customer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust_orders = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_cust = (
+        c.join(per_cust_orders, c.c_custkey == per_cust_orders.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+@register(
+    "supplier_variety_by_parttype",
+    """
+    SELECT p.p_brand AS brand, p.p_type AS type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 30
+    GROUP BY p.p_brand, p.p_type
+    """,
+    survey_ref="A-family COUNT(DISTINCT) over a join (TPC-H Q16 shape): "
+    "supplier variety per brand/type — part broadcasts onto the fact, the "
+    "distinct expands to a two-phase (partial-distinct, merge) aggregate",
+)
+def q_supplier_variety_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per part brand/type — the dedup-inside-
+    aggregate shape.  Spark plans COUNT(DISTINCT) as expand + two-stage
+    aggregation: partial distinct on (group, suppkey) map-side, so the
+    shuffle carries unique pairs, not raw lines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("type"))
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    """,
+    survey_ref="J/A-family scalar subquery + anti join (TPC-H Q22 shape): "
+    "above-average-balance customers with no recent orders — the 1-row "
+    "average broadcasts as a scalar filter, NOT EXISTS plans as LeftAnti "
+    "against the date-pruned orders slice",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-value customers: balance above the positive-balance
+    average, no order since the cutoff.  The average is a broadcast scalar
+    (no driver collect); the anti join probes only the pruned recent-orders
+    partition — at 100 TB that date filter is the difference between
+    scanning a month and scanning a decade."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal"))
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """
+    WITH unit AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(ROUND(l.l_extendedprice * 100 / l.l_quantity) AS BIGINT)
+               AS unit_cents
+      FROM lineitem l
+      WHERE l.l_quantity > 0
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_cents) AS min_cents FROM unit
+      GROUP BY l_partkey
+    )
+    SELECT u.l_partkey AS partkey, p.p_name AS part_name,
+           MIN(u.l_suppkey) AS suppkey, u.unit_cents / 100.0 AS best_unit_price
+    FROM unit u
+    JOIN best b ON u.l_partkey = b.l_partkey AND u.unit_cents = b.min_cents
+    JOIN part p ON u.l_partkey = p.p_partkey
+    WHERE p.p_size >= 45
+    GROUP BY u.l_partkey, p.p_name, u.unit_cents
+    """,
+    survey_ref="J/A-family decorrelated min-join-back (TPC-H Q2 shape): the "
+    "supplier achieving each part's best observed unit price — the "
+    "correlated 'WHERE price = (SELECT MIN ...)' decorrelates into a "
+    "per-part MIN aggregate joined back on (partkey, min); both sides "
+    "share the partkey exchange, part dim broadcasts",
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-price supplier per (large) part.  The min-aggregate and the
+    join-back key on the same partkey so AQE reuses one exchange; ties on
+    price resolve to the lowest suppkey, making the row set deterministic."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
+    unit = l.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100 / F.col("l_quantity"))
+        .cast("bigint")
+        .alias("unit_cents"),
+    )
+    best = unit.groupBy("l_partkey").agg(F.min("unit_cents").alias("min_cents"))
+    return (
+        unit.join(
+            best,
+            (unit.l_partkey == best.l_partkey)
+            & (unit.unit_cents == best.min_cents),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("unit_cents"),
+        )
+        .agg(F.min("l_suppkey").alias("suppkey"))
+        .select(
+            "partkey",
+            "part_name",
+            "suppkey",
+            (F.col("unit_cents") / 100.0).alias("best_unit_price"),
+        )
+    )
