@@ -233,3 +233,56 @@ def test_pagerank_iterations_broadcast_rank_over_cached_topology(spark):
     assert "InMemoryTableScan" in plan, plan
     assert checks.node_count(df, "BroadcastHashJoin") >= 1, plan
     assert checks.node_count(df, "SortMergeJoin") == 0, plan
+
+
+def test_batch2_decision_support_plans(spark):
+    # Q3 shape: bounded top-k, both date filters pushed to their scans
+    q3 = REGISTRY["unshipped_revenue_topk"].fn(spark, SF01)
+    p3 = checks.formatted_plan(q3)
+    assert "TakeOrderedAndProject" in p3, p3
+    assert checks.has_pushed_filters(q3, "GreaterThan(l_shipdate"), p3
+    assert checks.has_pushed_filters(q3, "LessThan(o_orderdate"), p3
+    # Q4 shape: EXISTS stays a semi join (never an inner + distinct)
+    q4 = REGISTRY["late_shipment_priorities"].fn(spark, SF01)
+    p4 = checks.formatted_plan(q4)
+    assert "LeftSemi" in p4, p4
+    # Q22 shape: NOT EXISTS stays anti, the scalar average broadcasts
+    q22 = REGISTRY["idle_rich_customers"].fn(spark, SF01)
+    p22 = checks.formatted_plan(q22)
+    assert "LeftAnti" in p22, p22
+    assert checks.uses_broadcast_join(q22), p22
+    # Q13 shape: zero-order customers require an outer join
+    q13 = REGISTRY["orders_per_customer_histogram"].fn(spark, SF01)
+    assert "LeftOuter" in checks.formatted_plan(q13)
+
+
+def test_incremental_and_chunk_dedup_plans(spark):
+    # incremental screen: the digest probe is a semi join
+    scr = REGISTRY["new_batch_dup_screen"].fn(spark, SF01)
+    assert "LeftSemi" in checks.formatted_plan(scr)
+    # chunk-dup: the digest-count aggregation partial-aggregates map-side
+    cds = REGISTRY["chunk_dup_share"].fn(spark, SF01)
+    assert checks.has_partial_aggregation(cds)
+
+
+def test_semantic_dedup_joins_on_cluster_key_without_explode(spark):
+    # the pair scan must key on label (hash join), with no posexplode
+    # fan-out feeding it — cosines are per-row array expressions
+    df = REGISTRY["semantic_dup_candidates"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert "Generate" not in plan, plan
+    assert checks.shuffle_count(df) <= 2, plan
+
+
+def test_kmeans_estep_is_shuffle_free_after_centroid_agg(spark):
+    # M-step: explode + centroid aggregates; E-step: broadcast + per-row
+    # argmin expression — no window, no join fan-out.  All exchanges in the
+    # plan carry at most (labels × dims) rows: the (label,pos) rollup, the
+    # per-label array fold, and the 1-row global centroid fold.
+    df = REGISTRY["kmeans_assign_step"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert checks.shuffle_count(df) <= 3, plan
+    # the 1-row centroid table arrives via broadcast (cross-with-one-row
+    # plans as BroadcastNestedLoopJoin, which is fine at cardinality 1)
+    assert "BroadcastExchange" in plan, plan
