@@ -58,6 +58,13 @@ HEADLINE = [
     "rolling_dau_wau",
     "shingle_containment_pairs",
     "pagerank_copurchase",
+    # batch-2 decision-support + dedup flagships
+    "unshipped_revenue_topk",
+    "returned_revenue_by_customer",
+    "token_commonness",
+    "new_batch_dup_screen",
+    "chunk_dup_share",
+    "semantic_dup_candidates",
 ]
 
 
