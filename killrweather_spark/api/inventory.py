@@ -6168,3 +6168,200 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("unit_cents") / 100.0).alias("best_unit_price"),
         )
     )
+
+
+@register(
+    "tokenizer_fertility",
+    r"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                AS BIGINT) AS ws_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS chars,
+           CAST((1000000 * SUM(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\s]'))))
+                // SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                AS BIGINT) AS fertility_micro,
+           CAST((1000000 * SUM(length(text)))
+                // SUM(len(regexp_extract_all(lower(text),
+                     '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+                AS BIGINT) AS chars_per_token_micro
+    FROM documents
+    GROUP BY source
+    """,
+    survey_ref="beyond-ref text-analysis: tokenizer fertility per source — "
+    "sub-word (BPE-ish) vs word token counts and chars-per-token; the "
+    "budgeting statistic that prices a corpus in training tokens (maps "
+    "source selection to compute cost); map-only count projections, one "
+    "tiny per-source aggregate",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many sub-word tokens a source costs per word and per char —
+    high fertility flags text the tokenizer fragments (code, tables,
+    non-Latin).  Counts reduce map-side; only (source, 3×bigint) rows
+    shuffle; ratios are integer micro floor-divisions, bit-stable."""
+    from killrweather_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per = docs.select(
+        "source",
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe"),
+        token_count(F.col("text")).cast("bigint").alias("ws"),
+        F.length("text").cast("bigint").alias("ch"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("ch").alias("chars"),
+        )
+        .select(
+            "source",
+            "bpe_tokens",
+            "ws_tokens",
+            "chars",
+            F.expr("(1000000 * bpe_tokens) div ws_tokens")
+            .cast("bigint")
+            .alias("fertility_micro"),
+            F.expr("(1000000 * chars) div bpe_tokens")
+            .cast("bigint")
+            .alias("chars_per_token_micro"),
+        )
+    )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE pairs AS ({_DUP_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS node, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    survey_ref="beyond-ref dedup reporting: duplicate-cluster size "
+    "distribution — count-of-counts over the connected components; the "
+    "shape of this histogram (few giant clusters vs many pairs) decides "
+    "the keep-one-per-cluster data loss, so it ships with every dedup run",
+)
+def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes: composes the Jaccard dup
+    graph and hash-min components, then two tiny aggregates (per-component
+    size, then count-of-sizes).  The histogram is bounded by the largest
+    cluster — bytes shuffled after the component step are negligible."""
+    from killrweather_spark.functions.curation import connected_components
+    from killrweather_spark.functions.dedup import word_bigram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = word_bigram_jaccard_pairs(docs, block_col="source", threshold=0.08)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "embedding_outliers",
+    """
+    WITH comp AS (
+      SELECT e.vec_id, e.label, i.i AS pos,
+             CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS i(i)
+    ),
+    cent AS (
+      SELECT label, pos, (s - ((s % n + n) % n)) // n AS c
+      FROM (SELECT label, pos, SUM(q) AS s, COUNT(*) AS n
+            FROM comp GROUP BY label, pos)
+    ),
+    dist AS (
+      SELECT comp.vec_id, comp.label,
+             CAST(SUM((comp.q - cent.c) * (comp.q - cent.c)) AS BIGINT) AS d2
+      FROM comp JOIN cent ON comp.label = cent.label AND comp.pos = cent.pos
+      GROUP BY comp.vec_id, comp.label
+    ),
+    stats AS (
+      SELECT label, SUM(d2) AS sum_d2, COUNT(*) AS n FROM dist GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.d2
+    FROM dist d JOIN stats s ON d.label = s.label
+    WHERE d.d2 * s.n * 20 > 21 * s.sum_d2
+    """,
+    survey_ref="beyond-ref embedding quality: per-cluster distance outliers "
+    "— vectors whose squared distance to their own centroid exceeds 1.05× the "
+    "cluster mean (cross-multiplied: 20·d2·n > 21·Σd2, exact integers, no "
+    "division) — the mislabeled/noise screen that runs before SemDeDup "
+    "pruning; centroid + threshold tables are label-sized broadcasts",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality screen: distance² to own-cluster centroid,
+    flagged against an integer cross-multiplied 1.05×-mean threshold.  Reuses
+    the kmeans centroid arithmetic; the per-label moments broadcast back,
+    so the big table is scanned once and never re-shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v").cast("double") * 1_000_000).cast("bigint").alias("q"),
+    )
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("label", "pos", F.expr("(s - ((s % n + n) % n)) div n").alias("c"))
+    )
+    cent_arr = (
+        cent.groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda x: x["c"]).alias("carr"))
+    )
+    qdf = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+        ).alias("qv"),
+    )
+    dist = qdf.join(F.broadcast(cent_arr), "label").select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("carr"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda s, x: s + x,
+        ).alias("d2"),
+    )
+    stats = dist.groupBy("label").agg(
+        F.sum("d2").alias("sum_d2"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .filter(F.col("d2") * F.col("n") * 20 > 21 * F.col("sum_d2"))
+        .select("vec_id", "label", "d2")
+    )
