@@ -5856,7 +5856,9 @@ def q_new_batch_dup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental batch probes only matching partitions."""
     from killrweather_spark.functions.text import add_rolling_fingerprint
 
-    docs = load_table(spark, sf_dir, "documents")
+    # min-gram hashing is the CPU hot spot: spread the narrow single-file
+    # read across all task slots before it (no-op on a real multi-split scan)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     fps = add_rolling_fingerprint(docs, "text", out="fp", gram=8).select(
         "doc_id", (F.col("doc_id") % 4 == 0).alias("is_new"), "fp"
     )
