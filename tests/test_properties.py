@@ -180,3 +180,67 @@ def test_cms_estimate_dominates_exact_and_stays_tight(spark):
         # over w per row; 3 rows of 1024 buckets on sf0.001 (6k items)
         # leaves ~6 expected colliding items per bucket — allow 10x slack
         assert r.cms_n - r.exact_n <= max(60, n_total)
+
+
+def test_chunk_dup_share_bounds_and_coverage(spark):
+    # dup_micro is a floor fraction in [0, 1e6]; every document appears
+    from killrweather_spark.api.inventory import REGISTRY
+
+    rows = REGISTRY["chunk_dup_share"].fn(spark, SF001).collect()
+    n_docs = load_table(spark, SF001, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r.dup_micro <= 1_000_000
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+
+
+def test_semantic_dup_candidates_within_cluster_and_bounded(spark):
+    from killrweather_spark.api.inventory import REGISTRY
+
+    rows = REGISTRY["semantic_dup_candidates"].fn(spark, SF001).collect()
+    emb = load_table(spark, SF001, "embeddings")
+    label_of = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert label_of[r.vec_a] == label_of[r.vec_b] == r.label
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+
+
+def test_kmeans_estep_matches_bruteforce_numpy(spark):
+    # independent reimplementation: quantize, integer-floor centroids,
+    # exact integer distances, (d2, cand) argmin
+    import numpy as np
+
+    from killrweather_spark.api.inventory import REGISTRY
+
+    emb = load_table(spark, SF001, "embeddings").collect()
+    ids = np.array([r.vec_id for r in emb])
+    labels = np.array([r.label for r in emb])
+    Q = np.array(
+        [[round(float(x) * 1_000_000) for x in r.embedding] for r in emb],
+        dtype=np.int64,
+    )
+    cents = {}
+    for lab in np.unique(labels):
+        s = Q[labels == lab].sum(axis=0)
+        n = (labels == lab).sum()
+        cents[lab] = np.floor_divide(s, n)  # floor == (s - ((s%n+n)%n))//n
+    expected = {}
+    for i, vid in enumerate(ids):
+        best = min(
+            (int(((Q[i] - c) ** 2).sum()), int(lab)) for lab, c in cents.items()
+        )
+        expected[int(vid)] = best
+    got = {
+        r.vec_id: (r.dist2, r.new_label)
+        for r in REGISTRY["kmeans_assign_step"].fn(spark, SF001).collect()
+    }
+    assert got == expected
+
+
+def test_new_batch_dup_screen_subset_of_new_batch(spark):
+    from killrweather_spark.api.inventory import REGISTRY
+
+    rows = REGISTRY["new_batch_dup_screen"].fn(spark, SF001).collect()
+    for r in rows:
+        assert r.doc_id % 4 == 0  # only new-batch docs are ever flagged
