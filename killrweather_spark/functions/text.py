@@ -140,17 +140,19 @@ def collocations(df: DataFrame, text_col: str = "text",
     """
     from killrweather_spark.sources.readers import fan_out
 
-    docs = fan_out(df)
-    toks = tokens(F.col(text_col))
+    # tokenize once: the regex pass feeds both the unigram and the bigram
+    # aggregation, so materialize the token arrays instead of re-scanning
+    # (at 100 TB this is the tokenized intermediate you'd checkpoint anyway)
+    docs = fan_out(df).select(tokens(F.col(text_col)).alias("t")).persist()
     uni = (
-        docs.select(F.explode(toks).alias("w"))
+        docs.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("u"))
     )
     # sequence(1, size-1) must be guarded: Spark infers a NEGATIVE step
     # when size-1 < 1 and would emit a descending sequence, not an empty one.
     pairs = (
-        docs.select(toks.alias("t"))
+        docs
         .select(
             F.explode(
                 F.when(
