@@ -6367,3 +6367,174 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d2") * F.col("n") * 20 > 21 * F.col("sum_d2"))
         .select("vec_id", "label", "d2")
     )
+
+
+@register(
+    "filter_funnel",
+    r"""
+    WITH m AS (
+      SELECT doc_id, length(text) AS nc,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|a|and|of|to|in|is)\b')) AS stop
+      FROM documents
+    ),
+    staged AS (
+      SELECT CASE WHEN tok < 25 THEN 'too_short'
+                  WHEN nc > 450 THEN 'too_long'
+                  WHEN stop * 20 < tok THEN 'low_stopword'
+                  ELSE 'kept' END AS stage
+      FROM m
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(1000000 * COUNT(*) AS BIGINT)
+                // (SELECT COUNT(*) FROM m) AS BIGINT) AS share_micro
+    FROM staged GROUP BY stage
+    """,
+    survey_ref="beyond-ref corpus curation: quality filter funnel — ordered "
+    "rule gates (too_short → too_long → low_stopword → kept) with "
+    "first-failure attribution; the per-rule drop report every filtering "
+    "pipeline publishes (Gopher-rules shape).  One scan, one tiny "
+    "aggregate; the denominator is a broadcast scalar",
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which rule drops how much of the corpus: rules apply in a fixed
+    order, each doc is attributed to the FIRST rule it fails (so the
+    funnel sums to 100%).  All rule inputs are integer counts — the
+    funnel is bit-stable and comparable across snapshots."""
+    from killrweather_spark.functions.text import STOPWORDS, tokens
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    m = docs.select(
+        F.length("text").alias("nc"),
+        F.size(tokens(F.col("text"))).alias("tok"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(STOPWORDS["en"]), 0)
+        ).alias("stop"),
+    )
+    staged = m.select(
+        F.when(F.col("tok") < 25, F.lit("too_short"))
+        .when(F.col("nc") > 450, F.lit("too_long"))
+        .when(F.col("stop") * 20 < F.col("tok"), F.lit("low_stopword"))
+        .otherwise(F.lit("kept"))
+        .alias("stage")
+    )
+    total = m.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "n_docs",
+            F.expr("(1000000 * n_docs) div n_total")
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+    )
+
+
+@register(
+    "lsh_recall_eval",
+    """
+    WITH grams AS (
+      SELECT DISTINCT d.doc_id, substr(d.text, i.i, 6) AS shingle
+      FROM documents d,
+           unnest(generate_series(1, greatest(length(d.text) - 5, 1))) AS i(i)
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+      FROM grams a JOIN grams b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT da, db FROM inter
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+      WHERE ni * 5 >= sa.n + sb.n - ni
+    ),
+    hashed AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS h
+      FROM grams
+    ), sig AS (
+      SELECT doc_id,
+             {minhash_mins}
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.b,
+             CASE b.b WHEN 0 THEN h0 || '_' || h1 || '_' || h2 || '_' || h3
+                      WHEN 1 THEN h4 || '_' || h5 || '_' || h6 || '_' || h7
+                      WHEN 2 THEN h8 || '_' || h9 || '_' || h10 || '_' || h11
+                      ELSE h12 || '_' || h13 || '_' || h14 || '_' || h15
+             END AS bucket
+      FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST((1000000 * SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS recall_micro
+    FROM truth t
+    LEFT JOIN cand c ON c.doc_a = t.da AND c.doc_b = t.db
+    """.format(
+        minhash_mins=",\n             ".join(
+            f"MIN(({a} * h + {b}) % 2147483647) AS h{i}"
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        )
+    ),
+    survey_ref="beyond-ref dedup QA: LSH recall evaluation — fraction of "
+    "true char-6-gram Jaccard >= 0.2 pairs the 4x4 MinHash bands recover; "
+    "the measured s-curve point that justifies the band parameters before "
+    "a production dedup run.  Integer cross-multiplied Jaccard threshold; "
+    "at 100 TB this runs on a stratified corpus sample, not the full table",
+)
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much the LSH screen misses: exact-Jaccard ground truth (the
+    quadratic path, affordable on an eval sample) left-joined with the
+    banded candidates, reduced to one (n_true, n_caught, recall) row."""
+    from killrweather_spark.functions.dedup import char_shingles, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = char_shingles(docs, "text", "doc_id", gram=6).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("da"), "shingle")
+    b = grams.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    truth = (
+        inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("da"),
+                                            F.col("n").alias("na"))), "da")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("db"),
+                                       F.col("n").alias("nb"))), "db")
+        .filter(F.col("ni") * 5 >= F.col("na") + F.col("nb") - F.col("ni"))
+        .select("da", "db")
+    )
+    cand = minhash_lsh_pairs(docs)
+    joined = truth.join(
+        cand,
+        (truth.da == cand.doc_a) & (truth.db == cand.doc_b),
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum(F.when(F.col("doc_a").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_caught"),
+        F.expr(
+            "(1000000 * sum(case when doc_a is not null then 1 else 0 end))"
+            " div count(1)"
+        )
+        .cast("bigint")
+        .alias("recall_micro"),
+    )
