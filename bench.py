@@ -65,6 +65,7 @@ HEADLINE = [
     "new_batch_dup_screen",
     "chunk_dup_share",
     "semantic_dup_candidates",
+    "filter_funnel",
 ]
 
 

@@ -5963,16 +5963,19 @@ def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     label hash partition.  At 100 TB cluster count scales with corpus size
     so per-cluster work stays constant."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # quantized components fit int32 (|q| <= ~1e6): carrying int arrays
+    # through the per-label pair shuffle halves its bytes; products widen
+    # to bigint inside the fold, so the arithmetic stays exact
     qv = F.transform(
         F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("int"),
     )
     base = emb.select("vec_id", "label", qv.alias("qv")).withColumn(
         "norm2",
         F.aggregate(
             F.col("qv"),
             F.lit(0).cast("bigint"),
-            lambda s, x: s + x * x,
+            lambda s, x: s + x.cast("bigint") * x,
         ),
     )
     a = base.select(
@@ -5988,7 +5991,7 @@ def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm2").alias("nb"),
     )
     dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x.cast("bigint") * y),
         F.lit(0).cast("bigint"),
         lambda s, x: s + x,
     )
