@@ -205,31 +205,34 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """SimHash fingerprint as a bit-string column ``simhash``.
 
     Token multiset → per-bit ±1 votes (bit j read from md5 hex nibble j) →
-    sign of the vote sum.  The token is hashed ONCE per row and all ``bits``
-    votes are conditional aggregates over the same rows (no bit fan-out, no
-    per-bit md5 recompute — measured 3.2 s → 0.6 s at sf0.1): one groupBy
-    with map-side partials, then a row-local bit-string assembly.  Near-dup
+    sign of the vote sum.  Fully row-local: the token array is hashed ONCE
+    per row (one ``transform`` → md5 array), then each bit's vote is an
+    in-row ``aggregate`` fold over that array — no explode, no groupBy, no
+    shuffle at all.  The fingerprint is a map-only projection that fuses
+    into the scan; at 100 TB it rides along with ingest for free.  Near-dup
     docs differ in few bits → group by prefix or Hamming-join downstream.
     """
     from killrweather_spark.sources.readers import fan_out
 
     df = fan_out(df)
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-        ).alias("tok"),
-    ).select(id_col, F.md5("tok").alias("hx"))
-    aggs = [
-        F.sum(
-            F.when(
-                F.expr(f"instr('0123456789abcdef', substr(hx, {j + 1}, 1))") >= 9,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    votes = toks.groupBy(id_col).agg(*aggs)
+    hx = F.transform(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0),
+        lambda t: F.md5(t),
+    )
+    row = df.select(F.col(id_col), hx.alias("hx"))
+
+    def _vote(j):  # closure factory: F.aggregate requires a binary lambda
+        return lambda acc, h: acc + F.when(
+            F.substring(h, j + 1, 1).isin(*"89abcdef"), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    votes = row.select(
+        id_col,
+        *[
+            F.aggregate(F.col("hx"), F.lit(0), _vote(j)).alias(f"s{j}")
+            for j in range(bits)
+        ],
+    )
     bit_chars = [
         F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(bits)
