@@ -260,3 +260,24 @@ def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path, events):
     assert "PushedFilters: [" in plan and "wsid" in plan.split(
         "PushedFilters", 1
     )[1][:120]
+
+
+def test_cassandra_adapter_falls_back_to_parquet(spark, tmp_path):
+    # no connector jar in this container: the adapter must gate cleanly and
+    # round-trip through the parquet fallback with identical rows
+    from killrweather_spark.sources import cassandra as cass
+    from tests.conftest import SF001
+
+    assert cass.connector_available(spark) is False
+    df = cass.read_table(spark, "isd_weather_data", "events",
+                         fallback_dir=SF001)
+    assert df.count() > 0
+    out = str(tmp_path / "cass_fallback")
+    cass.write_table(df.limit(10), "isd_weather_data", "events_copy",
+                     fallback_dir=out)
+    back = spark.read.parquet(out + "/events_copy.parquet")
+    assert back.count() == 10
+    import pytest
+
+    with pytest.raises(ValueError):
+        cass.read_table(spark, "ks", "t")  # no fallback dir → explicit error
