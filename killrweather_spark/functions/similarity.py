@@ -441,3 +441,47 @@ def kmeans_assign_step_sql() -> str:
     FROM dist
     QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cand) = 1
     """
+
+
+def kmeans_iterate(
+    df: DataFrame,
+    n_iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Run ``n_iters`` Lloyd iterations by feeding each step's ``new_label``
+    back into :func:`kmeans_assign_step`.
+
+    Iterative algorithms as DataFrame plans: each iteration adds one
+    (labels × dims)-bounded centroid aggregation + a broadcast argmin
+    projection to the lineage.  Every ``checkpoint_every`` iterations the
+    frame is localCheckpoint()-ed to truncate the growing plan — the same
+    policy the pagerank operator documents (without it, analysis time
+    grows superlinearly in iterations; with it, each segment replans from
+    a materialized base).  Labels converge monotonically in total
+    within-cluster distance (Lloyd's guarantee — asserted in
+    ``tests/test_llm_ops.py``).
+
+    Returns (id, label, dist2) with the final assignment.
+    """
+    cur = df.select(
+        F.col(id_col), F.col(vec_col), F.col(label_col).alias("label")
+    )
+    for i in range(n_iters):
+        step = kmeans_assign_step(cur, id_col, vec_col, "label")
+        cur = (
+            cur.select(id_col, vec_col)
+            .join(
+                step.select(
+                    id_col,
+                    F.col("new_label").alias("label"),
+                    "dist2",
+                ),
+                id_col,
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            cur = cur.localCheckpoint(eager=True)
+    return cur.select(id_col, "label", "dist2")

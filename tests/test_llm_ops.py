@@ -470,3 +470,26 @@ def test_rolling_dau_wau_invariants(spark):
         assert 0 < r["stickiness"] <= 1.0, day
     first = min(out)
     assert out[first]["wau"] == out[first]["dau"]
+
+
+def test_kmeans_iterate_monotone_and_checkpointed(spark):
+    from killrweather_spark.functions.similarity import (
+        kmeans_assign_step,
+        kmeans_iterate,
+    )
+    from killrweather_spark.sources.readers import load_table
+    from tests.conftest import SF001
+
+    emb = load_table(spark, SF001, "embeddings")
+    # total within-cluster distance after step i, computed via the step op
+    one = kmeans_assign_step(emb)
+    d1 = one.agg(F.sum("dist2")).collect()[0][0]
+    it2 = kmeans_iterate(emb, 2, checkpoint_every=1)
+    # re-run the step FROM the 2-iteration labels: total distance must not
+    # exceed the 1-step total (Lloyd monotonicity)
+    relabeled = emb.drop("label").join(
+        it2.select("vec_id", "label"), "vec_id"
+    )
+    d2 = kmeans_assign_step(relabeled).agg(F.sum("dist2")).collect()[0][0]
+    assert d2 <= d1
+    assert it2.count() == emb.count()
