@@ -235,3 +235,34 @@ def test_sql_scalar_functions_inline_into_codegen(spark):
         "FROM raw_weather_data"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multi_station_client_loop(spark):
+    # the demo client's six-query loop (KillrWeatherClientApp.scala:93-127)
+    # against the combined two-station file: per-station isolation — each
+    # station's answers must equal its single-file answers
+    import gzip
+    import statistics as st
+
+    combined = read_raw_csv(spark, "/root/reference/data/load/ny-sf-2008.csv.gz")
+    eng = WeatherEngine(spark, combined)
+    eng.refresh_daily_tiers()
+    stations = [r.wsid for r in combined.select("wsid").distinct().collect()]
+    assert len(stations) == 2
+
+    # independent ground truth per station from the gz file
+    temps: dict[str, list[float]] = {}
+    with gzip.open("/root/reference/data/load/ny-sf-2008.csv.gz", "rt") as f:
+        for line in f:
+            p = line.strip().split(",")
+            if int(p[2]) == 1 and int(p[3]) == 1:
+                temps.setdefault(p[0], []).append(float(p[5]))
+    for wsid in stations:
+        row = eng.get_daily_temperature(wsid, 2008, 1, 1).collect()[0]
+        assert row.high == max(temps[wsid])
+        assert row.low == min(temps[wsid])
+        assert abs(row.mean - st.mean(temps[wsid])) < 1e-9
+        cw = eng.get_current_weather(wsid).collect()[0]
+        assert cw.wsid == wsid  # latest row never leaks across stations
+        topk = eng.get_top_k_precipitation(wsid, 2008, k=10).collect()
+        assert len(topk) == 10
