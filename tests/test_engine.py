@@ -264,5 +264,5 @@ def test_multi_station_client_loop(spark):
         assert abs(row.mean - st.mean(temps[wsid])) < 1e-9
         cw = eng.get_current_weather(wsid).collect()[0]
         assert cw.wsid == wsid  # latest row never leaks across stations
-        topk = eng.get_top_k_precipitation(wsid, 2008, k=10).collect()
-        assert len(topk) == 10
+        topk = eng.get_top_k_precipitation(wsid, 2008, k=10).collect()[0]
+        assert topk.wsid == wsid and len(topk.top) == 10
