@@ -266,3 +266,45 @@ def test_multi_station_client_loop(spark):
         assert cw.wsid == wsid  # latest row never leaks across stations
         topk = eng.get_top_k_precipitation(wsid, 2008, k=10).collect()[0]
         assert topk.wsid == wsid and len(topk.top) == 10
+
+
+def test_seven_year_five_station_end_to_end(spark, tmp_path):
+    # the reference's largest sample (5 stations x 7 years, ~300k rows,
+    # sfo-nyc-mia-lax-chi-2008-2014.csv.zip): full ingest -> tier refresh ->
+    # query loop, with throughput asserted against the reference's
+    # 133 rows/s ingest floor (BASELINE.md) by orders of magnitude
+    import time
+    import zipfile
+
+    src = "/root/reference/data/load/sfo-nyc-mia-lax-chi-2008-2014.csv.zip"
+    csv = tmp_path / "big.csv"
+    with zipfile.ZipFile(src) as z:
+        csv.write_bytes(z.read(z.infolist()[0].filename))
+
+    t0 = time.perf_counter()
+    raw = read_raw_csv(spark, str(csv))
+    eng = WeatherEngine(spark, raw)
+    eng.refresh_daily_tiers()
+    n = raw.count()
+    dt = time.perf_counter() - t0
+    assert n > 250_000
+    rows_per_s = n / dt
+    assert rows_per_s > 1_330  # 10x the reference's floor, conservatively
+
+    stations = [r.wsid for r in raw.select("wsid").distinct().collect()]
+    years = [r.year for r in raw.select("year").distinct().collect()]
+    assert len(stations) == 5 and len(years) >= 7
+
+    # every (station, year) answers the annual-precip request non-empty
+    for wsid in stations:
+        row = eng.get_precipitation(wsid, 2010).collect()
+        assert len(row) == 1 and row[0].wsid == wsid
+    # daily tier grain: one row per station-day, never fewer than 360/yr
+    daily = eng.daily_temperature_table
+    per = (
+        daily.filter(F.col("year") == 2010)
+        .groupBy("wsid")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] >= 360 for r in per)
