@@ -2851,8 +2851,12 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            n,
-           (n * sxy - sx * sy) / 1.0e2
-             / (SQRT((n * sxx - sx * sx) / 1.0e2) * SQRT((n * syy - sy * sy) / 1.0e2))
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              AS corr_qty_price
     FROM (
       SELECT l_returnflag, COUNT(*) AS n,
@@ -2876,10 +2880,14 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are exact bigints (order-independent), so the one double expression
     at the end is bit-reproducible across engines and partitionings.
 
-    Moment magnitudes: price is whole-dollar fixed point (≤1e5), so
-    sum(y²) ≈ 1e10·rows — safe in int64 up to ~1e8 rows/group; quantity is
-    cents.  Beyond that, promote the moment accumulators to DECIMAL(38,0)
-    (exact on both engines) or pre-aggregate per partition key first."""
+    Moment magnitudes: the int64 SUMs are safe to ~1e8 rows/group, but the
+    final cross products (n·Σy², Σx·Σy) overflow int64 already at ~1e5
+    rows/group — so every moment converts to double FIRST (int64→double is
+    a correctly-rounded hardware conversion on both engines) and the whole
+    scalar step runs in IEEE doubles in identical operation order:
+    overflow-free to 1e308 and bit-identical cross-engine.  (Exact wide
+    integers — DECIMAL(38,0)/HUGEINT — were tried and differ by 1 ULP in
+    the wide→double conversion between engines.)"""
     l = load_table(spark, sf_dir, "lineitem")
     qx = F.round(F.col("l_quantity") * 100).cast("bigint")
     py = F.round(F.col("l_extendedprice")).cast("bigint")
@@ -2891,9 +2899,11 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(py * py).alias("syy"),
         F.sum(qx * py).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / 1.0e2
-    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / 1.0e2)
-    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) / 1.0e2)
+    d = "double"
+    wn, wsx, wsy = (F.col(c).cast(d) for c in ("n", "sx", "sy"))
+    num = wn * F.col("sxy").cast(d) - wsx * F.col("sy").cast(d)
+    dx = F.sqrt(wn * F.col("sxx").cast(d) - wsx * F.col("sx").cast(d))
+    dy = F.sqrt(wn * F.col("syy").cast(d) - wsy * F.col("sy").cast(d))
     return m.select(
         "l_returnflag", "n", (num / (dx * dy)).alias("corr_qty_price")
     )
@@ -6444,6 +6454,7 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT d.doc_id, substr(d.text, i.i, 6) AS shingle
       FROM documents d,
            unnest(generate_series(1, greatest(length(d.text) - 5, 1))) AS i(i)
+      WHERE d.doc_id < 500
     ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
@@ -6504,7 +6515,10 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded candidates, reduced to one (n_true, n_caught, recall) row."""
     from killrweather_spark.functions.dedup import char_shingles, minhash_lsh_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    # deterministic eval sample: the exact-Jaccard truth side is quadratic,
+    # so bound it to a fixed id slice (the whole corpus at sf0.01, a sample
+    # beyond) — recall is a corpus statistic, it doesn't need every pair
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     grams = char_shingles(docs, "text", "doc_id", gram=6).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("da"), "shingle")
