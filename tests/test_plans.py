@@ -286,3 +286,11 @@ def test_kmeans_estep_is_shuffle_free_after_centroid_agg(spark):
     # the 1-row centroid table arrives via broadcast (cross-with-one-row
     # plans as BroadcastNestedLoopJoin, which is fine at cardinality 1)
     assert "BroadcastExchange" in plan, plan
+
+
+def test_simhash_is_map_only(spark):
+    # fingerprint = scan → (fan-out) → projections; no explode, no aggregate
+    df = REGISTRY["simhash"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert "Generate" not in plan, plan
+    assert "HashAggregate" not in plan, plan
