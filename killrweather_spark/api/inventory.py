@@ -6555,3 +6555,123 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_micro"),
     )
+
+
+@register(
+    "lag_features",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL})
+    SELECT user_id, year, month, day, day_cents,
+           LAG(day_cents, 1) OVER w AS lag1_cents,
+           LAG(day_cents, 7) OVER w AS lag7_cents,
+           CAST((1000000 * SUM(day_cents) OVER (
+                  PARTITION BY user_id ORDER BY year, month, day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                // COUNT(*) OVER (
+                  PARTITION BY user_id ORDER BY year, month, day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trail7_mean_micro
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY year, month, day)
+    """,
+    survey_ref="§2.5 extension: forecasting feature matrix — lag-1/lag-7 and "
+    "trailing-7-day mean per user-day, all frames sharing ONE window shuffle "
+    "(same partition+order); the feature-engineering stage of a forecasting "
+    "pipeline as a single pass over the daily tier",
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning prep: each user-day row carries its lagged and
+    trailing-window features.  All three features use the identical window
+    spec, so Catalyst evaluates them in one Window operator over one
+    exchange; the trailing mean is an integer micro floor — bit-stable."""
+    from pyspark.sql import Window
+
+    daily = (
+        _events_calendar(spark, sf_dir)
+        .groupBy("user_id", "year", "month", "day")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "day_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("year", "month", "day")
+    trail = w.rowsBetween(-6, 0)
+    return daily.select(
+        "user_id",
+        "year",
+        "month",
+        "day",
+        "day_cents",
+        F.lag("day_cents", 1).over(w).alias("lag1_cents"),
+        F.lag("day_cents", 7).over(w).alias("lag7_cents"),
+        F.expr(
+            "cast((1000000 * sum(day_cents) over (partition by user_id "
+            "order by year, month, day rows between 6 preceding and current "
+            "row)) div count(1) over (partition by user_id order by year, "
+            "month, day rows between 6 preceding and current row) as bigint)"
+        ).alias("trail7_mean_micro"),
+    )
+
+
+@register(
+    "dow_seasonality",
+    f"""
+    WITH daily AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    per_dow AS (
+      SELECT user_id, dow, SUM(cents) AS s, COUNT(*) AS n
+      FROM daily GROUP BY user_id, dow
+    ),
+    overall AS (
+      SELECT user_id, SUM(s) AS st, SUM(n) AS nt FROM per_dow GROUP BY user_id
+    )
+    SELECT p.user_id, CAST(p.dow AS INT) AS dow,
+           CAST(p.n AS BIGINT) AS n_events,
+           CAST((1000000 * p.s * o.nt) // (p.n * o.st) AS BIGINT)
+             AS seasonal_micro
+    FROM per_dow p JOIN overall o ON p.user_id = o.user_id
+    WHERE o.st > 0
+    """,
+    survey_ref="§2.4/§2.8 extension: day-of-week seasonality index per user "
+    "— mean(dow)/mean(overall) as one exact integer cross-ratio (no "
+    "division until the final micro floor); dow from epoch-day mod 7 so "
+    "both engines agree on week phase (their DAYOFWEEK builtins do not)",
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: index >1e6 means the weekday runs above
+    the user's average.  The ratio of means becomes (s·nt)/(n·st) — a
+    single integer cross-multiplication, order-free and engine-exact
+    (1e6·s·nt stays in int64 to ~1e10 cents × 1e6 events per user; past
+    that, drop the micro factor to 1e3 or promote the cross product to
+    the IEEE-double path corr_stats uses).
+    Note the deliberate epoch-day dow: Spark's dayofweek() is 1=Sunday,
+    DuckDB's dayofweek() is 0=Sunday — a cross-engine trap."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7).alias("dow"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    per_dow = daily.groupBy("user_id", "dow").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    overall = per_dow.groupBy("user_id").agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt")
+    )
+    return (
+        per_dow.join(F.broadcast(overall), "user_id")
+        .filter(F.col("st") > 0)
+        .select(
+            "user_id",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.expr("(1000000 * s * nt) div (n * st)")
+            .cast("bigint")
+            .alias("seasonal_micro"),
+        )
+    )
