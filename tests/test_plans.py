@@ -294,3 +294,11 @@ def test_simhash_is_map_only(spark):
     plan = checks.formatted_plan(df)
     assert "Generate" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_lag_features_shares_one_window(spark):
+    # lag1/lag7/trailing-mean share the identical window spec → exactly one
+    # Window operator, and only the daily-agg + window exchanges
+    df = REGISTRY["lag_features"].fn(spark, SF01)
+    assert checks.node_count(df, "Window") == 1, checks.formatted_plan(df)
+    assert checks.shuffle_count(df) <= 2, checks.formatted_plan(df)
