@@ -6560,7 +6560,10 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lag_features",
     f"""
-    WITH daily AS ({_DAILY_CENTS_SQL})
+    WITH daily AS (
+      SELECT user_id, year, month, day, CAST(day_cents AS BIGINT) AS day_cents
+      FROM ({_DAILY_CENTS_SQL})
+    )
     SELECT user_id, year, month, day, day_cents,
            LAG(day_cents, 1) OVER w AS lag1_cents,
            LAG(day_cents, 7) OVER w AS lag7_cents,
