@@ -5980,6 +5980,9 @@ def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * 1_000_000).cast("int"),
     )
+    # both sides of the self-join read this projection: persist it so the
+    # quantize + norm pass runs once (at scale this is the precomputed
+    # quantized index stored next to the vectors)
     base = emb.select("vec_id", "label", qv.alias("qv")).withColumn(
         "norm2",
         F.aggregate(
@@ -5987,7 +5990,7 @@ def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda s, x: s + x.cast("bigint") * x,
         ),
-    )
+    ).persist()
     a = base.select(
         F.col("label"),
         F.col("vec_id").alias("vec_a"),
