@@ -66,6 +66,12 @@ HEADLINE = [
     "chunk_dup_share",
     "semantic_dup_candidates",
     "filter_funnel",
+    # round-2 feature-engineering / eval-hygiene flagships
+    "lag_features",
+    "dow_seasonality",
+    "eval_contamination_report",
+    # re-blocked entity resolution (deletion-neighborhood blocking)
+    "fuzzy_name_pairs",
 ]
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from killrweather_spark.plans.caching import persist_once
+
 from killrweather_spark.functions.text import TOKEN_RE, token_count, tokens
 
 
@@ -222,7 +224,7 @@ def connected_components(
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    edges = edges.persist()
+    edges = edges.transform(persist_once)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from killrweather_spark.plans.caching import persist_once
+
 from killrweather_spark.functions.text import normalized_fingerprint
 
 
@@ -143,7 +145,7 @@ def lsh_candidate_pairs(
     # side (measured 5.2 s → 0.9 s at sf0.1).  Signatures are tiny — one row
     # of 16 ints per doc — exactly what you'd persist as the dedup index at
     # 100 TB anyway.
-    signatures = signatures.persist()
+    signatures = signatures.transform(persist_once)
     rpb = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -219,7 +221,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0),
         lambda t: F.md5(t),
     )
-    row = df.select(F.col(id_col), hx.alias("hx"))
+    # Token-less docs (empty/punctuation-only text, NULL text) emit no
+    # fingerprint: the vote fold over an empty array would produce sum 0 on
+    # every bit (an all-'1' fingerprint) and NULL text an all-'0' one —
+    # spurious rows the explode/groupBy formulation (and the DuckDB oracle's
+    # unnest) never had, and worse, every token-less doc would pair with
+    # every other at Hamming distance 0 downstream. size(NULL array) is NULL
+    # so the > 0 filter drops both cases.
+    row = df.select(F.col(id_col), hx.alias("hx")).filter(F.size("hx") > 0)
 
     def _vote(j):  # closure factory: F.aggregate requires a binary lambda
         return lambda acc, h: acc + F.when(
@@ -268,7 +277,7 @@ def simhash_hamming_pairs(
     for sz in sizes:
         starts.append(s)
         s += sz
-    fp = simhash(df, text_col, id_col, bits).persist()
+    fp = simhash(df, text_col, id_col, bits).transform(persist_once)
     bands = fp.select(
         F.col(id_col),
         F.col("simhash"),
@@ -336,7 +345,7 @@ def word_bigram_jaccard_pairs(
         .distinct()
         # referenced 3× below (sizes + both join sides): persist so the
         # tokenize→explode→distinct lineage runs once
-        .persist()
+        .transform(persist_once)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -425,7 +434,7 @@ def containment_pairs(
         .select(*base_cols, F.explode("__grams").alias("gram"))
         # referenced 3× below (sizes + both join sides): persist so the
         # tokenize→explode lineage runs once
-        .persist()
+        .transform(persist_once)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from killrweather_spark.plans.caching import persist_once
+
 QUANT = 1_000_000  # fixed-point scale for float32 embeddings
 
 
@@ -57,7 +59,7 @@ def cosine_topk(
     # comp is referenced by the query side, the corpus side, and the norms:
     # persist the quantized index so the explode runs once (at scale this is
     # the precomputed component index you'd store next to the vectors).
-    comp = quantized_components(df, id_col, vec_col).persist()
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
     nrm = norms(comp, id_col)
 
     qcomp = comp.filter(query_ids_filter(F.col(id_col))).select(
@@ -202,7 +204,7 @@ def ivf_cosine_topk(
     skipping; here cells live in a column and the same restriction happens
     via the candidate join.
     """
-    comp = quantized_components(df, id_col, vec_col).persist()
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
     nrm = norms(comp, id_col)
     cent = comp.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cell"), "pos", F.col("q").alias("cq")
@@ -274,9 +276,9 @@ def ann_cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact (quantized) cosine ranking within candidates."""
-    buckets = lsh_buckets(df, n_planes, id_col, vec_col).persist()
+    buckets = lsh_buckets(df, n_planes, id_col, vec_col).transform(persist_once)
     withb = df.join(buckets, id_col)
-    comp = quantized_components(withb, id_col, vec_col).persist()
+    comp = quantized_components(withb, id_col, vec_col).transform(persist_once)
     nrm = norms(comp, id_col)
     b = buckets
     qb = b.filter(query_ids_filter(F.col(id_col))).select(

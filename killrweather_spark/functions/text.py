@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from killrweather_spark.plans.caching import persist_once
+
 TOKEN_RE = "[a-z0-9]+"
 PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
 # tiny per-language stopword sets: enough signal for the n-gram heuristic
@@ -143,7 +145,7 @@ def collocations(df: DataFrame, text_col: str = "text",
     # tokenize once: the regex pass feeds both the unigram and the bigram
     # aggregation, so materialize the token arrays instead of re-scanning
     # (at 100 TB this is the tokenized intermediate you'd checkpoint anyway)
-    docs = fan_out(df).select(tokens(F.col(text_col)).alias("t")).persist()
+    docs = fan_out(df).select(tokens(F.col(text_col)).alias("t")).transform(persist_once)
     uni = (
         docs.select(F.explode("t").alias("w"))
         .groupBy("w")

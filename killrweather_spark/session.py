@@ -45,6 +45,12 @@ def get_session(
         # any table size; maxRecordsPerFile on writes bounds the other side
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR job scheduling: the reference serves queries concurrently via
+        # collectAsync + pipeTo (TemperatureActor.scala:59-60); FIFO mode
+        # would let one full-scan batch job convoy every point lookup behind
+        # it.  Serving threads tag their jobs into a named pool
+        # (api/serving.py); pools materialize on first use.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")

@@ -31,6 +31,38 @@ from pyspark.sql import DataFrame, SparkSession
 CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
 
 
+def cassandra_options(
+    keyspace: str,
+    table: str,
+    direct_join: bool = True,
+) -> dict[str, str]:
+    """The DSv2 option contract for a Cassandra read/write, buildable (and
+    unit-testable) without the connector on the classpath.
+
+    - ``keyspace``/``table`` name the target exactly as the reference's
+      ``sc.cassandraTable(keyspace, table)`` does
+      (``TemperatureActor.scala:56``).
+    - ``directJoinSetting=on`` keeps key-equality joins on the partition
+      key as connector direct joins (per-key CQL reads) instead of a full
+      scan + shuffle — the DSv2 form of the reference's hand-built
+      single-partition ``.where(wsid = ?)`` reads
+      (``KafkaStreamingActor.scala:47-50`` data-locality rationale).
+
+    Predicate pushdown and column pruning need no options: the connector's
+    DSv2 relation reports them to Catalyst, so ``filter``/``select`` reach
+    CQL exactly like the reference's ``.select(...).where(...)`` strings.
+    """
+    if not keyspace:
+        raise ValueError("keyspace must be non-empty")
+    if not table:
+        raise ValueError("table must be non-empty")
+    return {
+        "keyspace": keyspace,
+        "table": table,
+        "directJoinSetting": "on" if direct_join else "off",
+    }
+
+
 def connector_available(spark: SparkSession) -> bool:
     """True when the spark-cassandra-connector classes are loadable in this
     session's JVM (jar shipped via ``--packages``/``--jars``)."""
@@ -56,7 +88,7 @@ def read_table(
     if connector_available(spark):
         return (
             spark.read.format(CASSANDRA_FORMAT)
-            .options(keyspace=keyspace, table=table)
+            .options(**cassandra_options(keyspace, table))
             .load()
         )
     if fallback_dir is None:
@@ -88,7 +120,7 @@ def write_table(
     if connector_available(spark):
         (
             df.write.format(CASSANDRA_FORMAT)
-            .options(keyspace=keyspace, table=table)
+            .options(**cassandra_options(keyspace, table))
             .mode("append")
             .save()
         )

@@ -47,6 +47,37 @@ RAW_TOPIC = "killrweather.raw"  # reference.conf:156
 # sources
 # --------------------------------------------------------------------------
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str = RAW_TOPIC,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The Kafka *source* option contract, buildable (and unit-testable)
+    without a broker or the kafka package on the classpath.
+
+    Mirrors the reference's consumer config (topic ``killrweather.raw``,
+    ``reference.conf:156``; group/offset handling subsumed by Spark's
+    checkpointed offsets, T6).  ``maxOffsetsPerTrigger`` is the
+    backpressure bound the reference got from its 1-thread receiver.
+    """
+    if not bootstrap_servers:
+        raise ValueError("bootstrap_servers must be non-empty")
+    if not topic:
+        raise ValueError("topic must be non-empty")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # replayed batches must converge: never silently drop poisoned
+        # offsets on restart (at-least-once source + idempotent sinks, T7)
+        "failOnDataLoss": "true",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_lines(
     spark: SparkSession, bootstrap_servers: str, topic: str = RAW_TOPIC
 ) -> DataFrame:
@@ -54,13 +85,13 @@ def kafka_lines(
 
     Requires the spark-sql-kafka package on the classpath; this container has
     no broker, so tests use :func:`file_lines` — the parse/agg/sink graph
-    downstream is identical either way.
+    downstream is identical either way.  The option strings themselves are
+    built by :func:`kafka_source_options` and unit-tested in-container so a
+    broken option can't hide behind the broker gate.
     """
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
+        .options(**kafka_source_options(bootstrap_servers, topic))
         .load()
     )
     return raw.select(F.col("value").cast("string").alias("value"))
@@ -76,6 +107,35 @@ def file_lines(spark: SparkSession, path: str) -> DataFrame:
 # pipeline
 # --------------------------------------------------------------------------
 
+def kafka_sink_options(
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    batch_size: int = 100,
+) -> dict[str, str]:
+    """The Kafka *sink* option contract (unit-testable without a broker).
+
+    The reference's publisher batches 100 messages per async send
+    (``batch.send.size=100``, ``reference.conf:160``,
+    ``KafkaDataIngestionApp.scala:76-79``) — the modern client equivalent is
+    ``kafka.batch.size``/``kafka.linger.ms`` on the producer; exactly-once
+    replay protection comes from the checkpoint, not the producer.
+    """
+    if not bootstrap_servers:
+        raise ValueError("bootstrap_servers must be non-empty")
+    if not topic:
+        raise ValueError("topic must be non-empty")
+    if not checkpoint_dir:
+        raise ValueError("checkpoint_dir must be non-empty")
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+        "kafka.batch.size": str(batch_size * 1024),
+        "kafka.linger.ms": "5",
+    }
+
+
 def kafka_sink(
     df: DataFrame, bootstrap_servers: str, topic: str, checkpoint_dir: str
 ) -> StreamingQuery:
@@ -83,13 +143,12 @@ def kafka_sink(
     publish, ``KafkaDataIngestionApp.scala:113-118``) — the engine-side
     equivalent is one option'd writeStream; batching/async are the Kafka
     client's own ``linger.ms``/``batch.size``.  Broker-gated: this container
-    has none, so only the graph construction is exercised in tests."""
+    has none, so graph construction runs in tests while the option strings
+    are unit-tested via :func:`kafka_sink_options`."""
     payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
     return (
         payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+        .options(**kafka_sink_options(bootstrap_servers, topic, checkpoint_dir))
         .start()
     )
 

@@ -493,3 +493,70 @@ def test_kmeans_iterate_monotone_and_checkpointed(spark):
     d2 = kmeans_assign_step(relabeled).agg(F.sum("dist2")).collect()[0][0]
     assert d2 <= d1
     assert it2.count() == emb.count()
+
+
+def test_simhash_drops_tokenless_docs(spark):
+    """Empty / punctuation-only / NULL text must emit NO fingerprint row
+    (matching the explode/groupBy formulation and the DuckDB oracle, whose
+    unnest drops them) — otherwise every token-less doc pairs with every
+    other at Hamming distance 0 downstream."""
+    from killrweather_spark.functions.dedup import simhash, simhash_hamming_pairs
+
+    rows = [
+        ("a", "hello world foo"),
+        ("b", "hello world bar"),
+        ("c", "!!! ... ???"),
+        ("d", None),
+        ("e", ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert sorted(r["doc_id"] for r in simhash(df).collect()) == ["a", "b"]
+    pairs = simhash_hamming_pairs(df, max_distance=16).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {("a", "b")}
+
+
+def test_semdedup_cluster_cap_bounds_pair_work(spark, tmp_path):
+    """Skew guard for semantic_dup_candidates: a single degenerate cluster
+    (every vector in one label) must NOT re-create the all-pairs scan.  The
+    md5 sub-bucketing bounds each task's pair count near cap²/2, and the
+    DuckDB oracle — replicating the identical bucketing — stays value-exact
+    on the skewed fixture."""
+    import hashlib
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from killrweather_spark.api.inventory import REGISTRY, SEMDEDUP_CLUSTER_CAP
+    from tests.oracle_harness import compare
+
+    n, dims = 600, 8
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(n, dims)).astype("float32")
+    fixture = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]], 0) for i in range(n)],
+        "vec_id: bigint, embedding: array<float>, label: int",
+    )
+    sf_dir = str(tmp_path / "skewed")
+    fixture.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # the bucketing formula (shared by Spark and the oracle) keeps every
+    # bucket near the cap even though ALL rows share one label
+    n_sub = max(math.ceil(n / SEMDEDUP_CLUSTER_CAP), 1)
+    assert n_sub >= 2, "fixture must actually trigger the split"
+    sizes = [0] * n_sub
+    for i in range(n):
+        sizes[int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n_sub] += 1
+    assert max(sizes) <= 2 * SEMDEDUP_CLUSTER_CAP
+    scanned_pairs = sum(s * (s - 1) // 2 for s in sizes)
+    assert scanned_pairs < 0.3 * n * (n - 1) // 2
+
+    spec = REGISTRY["semantic_dup_candidates"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    diff = compare("semantic_dup_candidates", spec.fn(spark, sf_dir), con, spec.sql)
+    assert diff.ok, diff.messages
+    assert diff.spark_rows > 0, "fixture should produce some candidate pairs"
