@@ -6791,6 +6791,157 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cross_source_dup_matrix",
+    """
+    WITH fp AS (
+      SELECT d.doc_id, MIN(md5(substr(d.text, i.i, 8))) AS fingerprint,
+             MIN(d.source) AS source
+      FROM documents d,
+           unnest(generate_series(1, greatest(length(d.text) - 7, 1))) AS i(i)
+      GROUP BY d.doc_id
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+     AND a.source <= b.source
+    GROUP BY 1, 2
+    """,
+    survey_ref="beyond-ref dedup reporting: cross-source duplication matrix "
+    "— near-dup pair counts per (source, source) cell from winnowing "
+    "fingerprint collisions; the mirror-site / re-crawl overlap report a "
+    "corpus-mix decision needs before weighting sources",
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: near-dup pair counts per
+    (source_a, source_b) cell, detected by rolling-min-fingerprint
+    collision (the same winnowing fingerprint `doc_fingerprint` /
+    `new_batch_dup_screen` use).  Diagonal cells are within-source dup
+    pressure; off-diagonal cells expose mirror sites and re-crawls — the
+    numbers that decide corpus-mix down-weighting.
+
+    Scale: one map-only fingerprint pass (no explode — the min-gram fold is
+    a per-row expression), then a self-join keyed on the 128-bit
+    fingerprint — uniform keys, group sizes bounded by duplicate
+    multiplicity; the output is |sources|² cells at most.  The doc_a <
+    doc_b constraint with source-ordering keeps each unordered pair in
+    exactly one cell."""
+    from killrweather_spark.functions.text import add_rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = add_rolling_fingerprint(docs, "text").select("doc_id", "fingerprint", "source")
+    a = fp.select(
+        F.col("doc_id").alias("da"),
+        F.col("fingerprint").alias("fp"),
+        F.col("source").alias("source_a"),
+    )
+    b = fp.select(
+        F.col("doc_id").alias("db"),
+        F.col("fingerprint").alias("fp"),
+        F.col("source").alias("source_b"),
+    )
+    return (
+        a.join(b, "fp")
+        .filter((F.col("da") < F.col("db")) & (F.col("source_a") <= F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
+
+
+@register(
+    "minhash_similarity_estimate",
+    """
+    WITH grams AS (
+      SELECT DISTINCT d.doc_id, substr(d.text, i.i, 6) AS shingle
+      FROM documents d,
+           unnest(generate_series(1, greatest(length(d.text) - 5, 1))) AS i(i)
+    ), hashed AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS h
+      FROM grams
+    ), sig AS (
+      SELECT doc_id,
+             {minhash_mins}
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.b,
+             CASE b.b WHEN 0 THEN h0 || '_' || h1 || '_' || h2 || '_' || h3
+                      WHEN 1 THEN h4 || '_' || h5 || '_' || h6 || '_' || h7
+                      WHEN 2 THEN h8 || '_' || h9 || '_' || h10 || '_' || h11
+                      ELSE h12 || '_' || h13 || '_' || h14 || '_' || h15
+             END AS bucket
+      FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(({match_sum}) * 62500 AS BIGINT) AS jaccard_est_micro
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    """.format(
+        minhash_mins=",\n             ".join(
+            f"MIN(({a} * h + {b}) % 2147483647) AS h{i}"
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ),
+        match_sum=" + ".join(
+            f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+        ),
+    ),
+    survey_ref="beyond-ref dedup verification: signature-level Jaccard "
+    "estimate for LSH candidate pairs — matching-minhash fraction "
+    "(E[match] = J), integer micro units; ranks candidates without "
+    "re-touching document text, the cheap verifier between the band join "
+    "and an exact-Jaccard pass",
+)
+def q_minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard for every LSH candidate pair from the signatures
+    alone: fraction of the 16 minhash components that agree (an unbiased
+    estimator of J — each permutation's min matches with probability J).
+
+    This is the standard middle stage of a production dedup pipeline:
+    band-join → signature estimate (this op — integer-exact, touches only
+    the 16-int signature table, never the text) → exact verify only above
+    a threshold.  Scale: the signature table is persisted once (shared
+    with the band join via `persist_once`), candidate pairs join back on
+    doc id — two small hash joins, no text movement."""
+    from killrweather_spark.functions.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        char_shingles(docs, "text", "doc_id", gram=6), "doc_id", 16
+    ).transform(persist_once)
+    pairs = lsh_candidate_pairs(sig, "doc_id", 16, 4)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)],
+    )
+    matches = None
+    for i in range(16):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches * 62500).cast("bigint").alias("jaccard_est_micro"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------
