@@ -560,3 +560,53 @@ def test_semdedup_cluster_cap_bounds_pair_work(spark, tmp_path):
     diff = compare("semantic_dup_candidates", spec.fn(spark, sf_dir), con, spec.sql)
     assert diff.ok, diff.messages
     assert diff.spark_rows > 0, "fixture should produce some candidate pairs"
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """The signature estimate is E[match]=J per permutation: identical docs
+    must score 1.0 exactly, and a planted near-dup must score far above an
+    unrelated pair that happens to share a band."""
+    from killrweather_spark.functions.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from killrweather_spark.api.inventory import REGISTRY
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet empty street tonight"
+    )
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup → est 1.0
+        (3, base.replace("dog", "cat")),  # near dup → high est
+        (4, "completely different content with nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signatures(char_shingles(df, "text", "doc_id", 6), "doc_id", 16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", 16, 4)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)],
+    )
+    matches = None
+    for i in range(16):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    est = {
+        (r["doc_a"], r["doc_b"]): r["m"]
+        for r in pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("m")).collect()
+    }
+    assert est[(1, 2)] == 16  # exact dup: every permutation's min matches
+    assert est.get((1, 3), 0) >= 10  # one-word edit keeps most minima
+    # estimates are bounded micro-fractions in the registered query too
+    out = REGISTRY["minhash_similarity_estimate"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out and all(0 <= r["jaccard_est_micro"] <= 1_000_000 for r in out)

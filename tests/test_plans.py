@@ -302,3 +302,38 @@ def test_lag_features_shares_one_window(spark):
     df = REGISTRY["lag_features"].fn(spark, SF01)
     assert checks.node_count(df, "Window") == 1, checks.formatted_plan(df)
     assert checks.shuffle_count(df) <= 2, checks.formatted_plan(df)
+
+
+def test_cross_source_dup_matrix_is_generate_free(spark):
+    # fingerprint = per-row min-gram fold (transform/aggregate expressions,
+    # no explode); the matrix join keys on the 128-bit fingerprint
+    df = REGISTRY["cross_source_dup_matrix"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert "Generate" not in plan, plan
+
+
+def test_minhash_estimate_never_touches_text_after_signatures(spark):
+    # the estimator joins candidates back to the 16-int signature table —
+    # the document text column must not appear above the signature aggregate
+    df = REGISTRY["minhash_similarity_estimate"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    ests = [ln for ln in plan.splitlines() if "jaccard_est_micro" in ln]
+    assert ests and all("text" not in ln for ln in ests), plan
+
+
+def test_entire_registry_stays_out_of_row_python(spark):
+    """No row-at-a-time Python UDF in ANY registered query: building every
+    plan is driver-side only, so this sweeps all 152 queries cheaply.  The
+    sanctioned Python paths (mapInPandas / applyInPandas / WithState) plan
+    as Arrow nodes (MapInPandas, FlatMapGroupsInPandas*), never
+    BatchEvalPython."""
+    bad = []
+    for name, spec in REGISTRY.items():
+        try:
+            plan = checks.formatted_plan(spec.fn(spark, SF01))
+        except Exception as e:  # noqa: BLE001 — surface as a failure below
+            bad.append((name, f"plan build failed: {e}"))
+            continue
+        if "BatchEvalPython" in plan:
+            bad.append((name, "BatchEvalPython in plan"))
+    assert not bad, bad
