@@ -72,6 +72,10 @@ HEADLINE = [
     "eval_contamination_report",
     # re-blocked entity resolution (deletion-neighborhood blocking)
     "fuzzy_name_pairs",
+    # round-3 decision-support additions
+    "promo_discount_revenue",   # Q6: the scan-throughput canary
+    "nation_market_share",      # Q8: 8-table star, integer share division
+    "minhash_similarity_estimate",
 ]
 
 

@@ -6942,6 +6942,361 @@ def q_minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "promo_discount_revenue",
+    """
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+           / 100.0 AS revenue_change
+    FROM lineitem
+    WHERE year(l_shipdate) = 1996
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey_ref="A-family single-scan filter aggregate (TPC-H Q6 shape): "
+    "revenue change from hypothetically dropping small discounts — three "
+    "pushed predicates, no join, one global aggregate; per-row cents "
+    "rounding keeps the float product reduction-order-free",
+)
+def q_promo_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-bound aggregate — every predicate pushes to
+    the parquet scan (year range, discount band, quantity cap), zero
+    joins, one partial+final aggregate pair.  The canary query for scan
+    throughput: at 100 TB its cost IS the I/O, so any plan regression
+    (a filter that stops pushing, a lost partial agg) is obvious."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.year("l_shipdate") == 1996)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 100
+                    ).cast("bigint")
+                )
+                / 100.0
+            ).alias("revenue_change")
+        )
+    )
+
+
+@register(
+    "nation_trade_volume",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      AND year(l.l_shipdate) IN (1996, 1997)
+    GROUP BY 1, 2, 3
+    """,
+    survey_ref="J-family bidirectional trade flow (TPC-H Q7 shape): "
+    "supplier-nation → customer-nation shipping volume — the nation pair "
+    "disjunction filters across two broadcast dimension copies",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: trade volume between two nations, both directions, by
+    ship year.  lineitem×orders is the only key-to-key shuffle join;
+    customer/supplier and BOTH nation copies broadcast.  The nation-pair
+    disjunction is applied after the dim joins attach names — Catalyst
+    still prunes to the two nations on each broadcast side."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev_cents = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "bigint"
+        )
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg((rev_cents / 100.0).alias("volume"))
+    )
+
+
+@register(
+    "nation_market_share",
+    """
+    WITH market AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+             ns.n_name AS supp_nation,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region r   ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT order_year,
+           CAST((1000000 * SUM(CASE WHEN supp_nation = 'NATION_5'
+                                    THEN rev_cents ELSE 0 END))
+                // SUM(rev_cents) AS BIGINT) AS share_micro
+    FROM market
+    GROUP BY order_year
+    HAVING SUM(rev_cents) > 0
+    """,
+    survey_ref="J/A-family market share (TPC-H Q8 shape): one nation's "
+    "share of a region's market for one part type, per year — conditional "
+    "integer-cents numerator over total denominator, division deferred to "
+    "one exact integer ratio per year",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_5's share of the ASIA PROMO market per order year.
+    The share is computed as one integer division of two exact cents sums
+    per year — never a float ratio aggregated across rows.  All
+    dimensions broadcast; lineitem×orders is the single big join.
+
+    Integer margin: micro-scaling multiplies a cents sum by 1e6, so the
+    numerator stays below 2⁶³ while yearly market revenue < ~9e12 cents
+    (~$90 B/year) — far above any single-market year; beyond that, drop to
+    per-month shares or widen to DECIMAL(38)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    market = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("supp_nation"),
+            rev_cents.alias("rev_cents"),
+        )
+    )
+    return (
+        market.groupBy("order_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("rev_cents"))
+                .otherwise(F.lit(0))
+            ).alias("__num"),
+            F.sum("rev_cents").alias("__den"),
+        )
+        .filter(F.col("__den") > 0)
+        .select(
+            "order_year",
+            F.expr("(1000000 * __num) div __den").alias("share_micro"),
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH srev AS (
+      SELECT l.l_suppkey AS suppkey,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS rev_cents
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+           srev.rev_cents / 100.0 AS total_revenue
+    FROM srev JOIN supplier s ON s.s_suppkey = srev.suppkey
+    WHERE srev.rev_cents = (SELECT MAX(rev_cents) FROM srev)
+    """,
+    survey_ref="A/J-family top-supplier (TPC-H Q15 shape): quarterly "
+    "revenue view + scalar-max filter — exact integer cents make the "
+    "max/tie semantics deterministic (the float version can split ties "
+    "engine-by-engine)",
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum revenue in 1996 Q1.  The
+    revenue 'view' is a per-suppkey aggregate (one shuffle, supplier-count
+    rows); the max arrives as a broadcast one-row aggregate, never a
+    driver collect; ties keep every maximal supplier exactly as the
+    integer-cents compare dictates."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    srev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "bigint"
+            )
+        ).alias("rev_cents")
+    ).transform(persist_once)
+    mx = srev.agg(F.max("rev_cents").alias("mx"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "suppkey",
+            F.col("s_name").alias("name"),
+            (F.col("rev_cents") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH pavg AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS sq,
+             COUNT(*) AS nq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 700.0
+           AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pavg  ON l.l_partkey = pavg.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND CAST(l.l_quantity AS BIGINT) * 5 * pavg.nq < pavg.sq
+    """,
+    survey_ref="A/J-family correlated-average filter (TPC-H Q17 shape): "
+    "revenue of small-quantity orders vs the part's own average — the "
+    "correlated subquery decorrelates to a per-part aggregate joined back; "
+    "the 0.2×avg threshold cross-multiplies to exact integers (quantities "
+    "are whole units)",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: yearly revenue lost if small-quantity Brand#4 orders
+    stopped (sum of their extendedprice / 7 years).  The per-part average
+    decorrelates into one groupBy(l_partkey) aggregate joined back on the
+    same key — both sides hash on partkey so the exchange is shared/reused.
+    qty < 0.2·avg cross-multiplies to ``qty·5·n < Σqty`` in exact bigints
+    (quantities are integral units), so no float threshold can flip a row
+    between engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    pavg = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sq"),
+        F.count(F.lit(1)).alias("nq"),
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pavg, "l_partkey")
+        .filter(F.col("l_quantity").cast("bigint") * 5 * F.col("nq") < F.col("sq"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                / 700.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    """
+    SELECT SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey_ref="J-family disjunctive pushdown (TPC-H Q19 shape): OR of "
+    "brand/size/quantity conjunctions across the join — Catalyst derives "
+    "the per-side implied filters (brand∈{...} onto part, qty∈[1,30] onto "
+    "lineitem) so both scans prune before the join",
+)
+def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR-of-ANDs predicate mixing part and
+    lineitem columns.  The interesting plan property is predicate
+    *inference*: Catalyst extracts the common implications (brand IN the
+    three brands → part scan; quantity in the union range → lineitem scan)
+    below the join, then applies the exact disjunction above it — without
+    that, the join would carry every lineitem row."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            / 100.0
+        ).alias("revenue")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

@@ -62,7 +62,12 @@ def main() -> None:
           f"reference SLA floor: 133 rows/s)")
 
     # ---- client loop (≙ KillrWeatherClientApp.scala:93-127) --------------
-    engine = WeatherEngine(spark, raw)
+    from killrweather_spark.model.schemas import WEATHER_STATION
+
+    stations = spark.read.schema(WEATHER_STATION).csv(
+        "/root/reference/data/weather_stations.csv"
+    )
+    engine = WeatherEngine(spark, raw, stations=stations)
     engine.refresh_daily_tiers()
     for i in range(n_loops):
         t = time.perf_counter()
@@ -82,6 +87,26 @@ def main() -> None:
             f"sky='{sky['condition'][:30]}'"
         )
         assert loop_s < 30.0, "6-query loop blew the reference's per-query budget"
+
+    # ---- async client loop (≙ collectAsync + pipeTo overlapping queries,
+    # TemperatureActor.scala:59-60; client cadence KillrWeatherClientApp:56-60)
+    from concurrent.futures import wait
+
+    from killrweather_spark.api.serving import AsyncWeatherEngine
+
+    with AsyncWeatherEngine(engine) as aeng:
+        t = time.perf_counter()
+        futures = []
+        for _ in range(3):  # three clients, all 18 queries in flight at once
+            futures.extend(aeng.client_loop(WSID, 2008, 6, 15))
+        wait(futures)
+        rows = [f.result() for f in futures]
+        dt = time.perf_counter() - t
+        print(
+            f"[async] 3 clients × 6 queries overlapped in {dt:.2f}s "
+            f"(FAIR pool; sequential budget would be {len(rows) * 5:.0f}s); "
+            f"all non-empty: {all(len(r) >= 1 for r in rows)}"
+        )
     spark.stop()
 
 

@@ -337,3 +337,26 @@ def test_entire_registry_stays_out_of_row_python(spark):
         if "BatchEvalPython" in plan:
             bad.append((name, "BatchEvalPython in plan"))
     assert not bad, bad
+
+
+def test_disjunctive_predicate_pushes_to_both_scans(spark):
+    # TPC-H Q19's defining plan property: Catalyst extracts the per-side
+    # parts of the OR-of-ANDs and pushes them below the join — the
+    # lineitem scan must carry the quantity-range disjunction and the part
+    # scan the brand/size disjunction
+    df = REGISTRY["disjunctive_predicate_revenue"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[(.*?)\]", plan))
+    assert "l_quantity" in pushed, plan
+    assert "p_brand" in pushed and "p_size" in pushed, plan
+
+
+def test_q17_decorrelates_to_shared_partkey_exchange(spark):
+    # the correlated per-part average must plan as aggregate + join-back,
+    # not a per-row subquery; no NestedLoop anywhere
+    df = REGISTRY["small_quantity_revenue"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+    assert "HashAggregate" in plan
