@@ -315,3 +315,44 @@ def test_seven_year_five_station_end_to_end(spark, tmp_path):
         .collect()
     )
     assert all(r["count"] >= 360 for r in per)
+
+
+def test_nearest_stations_matches_python_haversine(spark):
+    """K-nearest stations to downtown San Francisco vs an independent
+    Python haversine over the same CSV; plan must use the bounded-heap
+    TakeOrderedAndProject, not a full sort."""
+    import csv
+
+    from killrweather_spark.model.schemas import WEATHER_STATION
+    from killrweather_spark.plans import checks
+
+    stations = spark.read.schema(WEATHER_STATION).csv(
+        "/root/reference/data/weather_stations.csv"
+    )
+    eng = WeatherEngine(spark, read_raw_csv(spark, REF_CSV_GZ), stations=stations)
+    sf_lat, sf_lon, k = 37.7749, -122.4194, 5
+    got = eng.nearest_stations(sf_lat, sf_lon, k=k)
+    rows = got.collect()
+
+    def hav(lat, lon):
+        r = 6371.0088
+        p1, p2 = math.radians(sf_lat), math.radians(lat)
+        dp, dl = math.radians(lat - sf_lat), math.radians(lon - sf_lon)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * r * math.asin(math.sqrt(a))
+
+    expected = []
+    with open("/root/reference/data/weather_stations.csv") as f:
+        for rec in csv.reader(f):
+            try:
+                lat, lon = float(rec[5]), float(rec[6])
+            except (ValueError, IndexError):
+                continue
+            expected.append((hav(lat, lon), rec[0]))
+    expected.sort()
+    assert [r["id"] for r in rows] == [sid for _, sid in expected[:k]]
+    assert rows[0]["distance_km"] == pytest.approx(expected[0][0])
+    assert all(
+        rows[i]["distance_km"] <= rows[i + 1]["distance_km"] for i in range(k - 1)
+    )
+    assert "TakeOrderedAndProject" in checks.formatted_plan(got)
