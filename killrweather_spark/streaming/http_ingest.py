@@ -1,0 +1,122 @@
+"""S8: HTTP ingest endpoint — the reference's akka-http feeder, rebuilt.
+
+Reference: ``KafkaDataIngestionApp.scala:120-160`` exposes
+``POST /weather/data`` where the ``X-DATA-FEED`` header names the upload;
+each line of the body becomes one Kafka message on the raw topic (via
+``KafkaPublisherActor``, batched 100/send).
+
+Spark-first rebuild: the engine's stream source is either a Kafka topic or
+the file-source staging directory (``streaming/pipeline.py:file_lines`` —
+the same downstream graph either way).  This endpoint is therefore a thin
+stdlib HTTP server that lands each POST body as one file in the staging
+directory — one upload ≙ one batch of topic messages, picked up by the next
+microbatch.  No web framework: ``http.server`` is enough for a feeder whose
+real throughput path is Spark's, not the socket's, and the container has no
+broker to publish to anyway (point :func:`killrweather_spark.streaming.
+pipeline.kafka_sink` at a broker to switch the landing zone).
+
+Durability contract mirrors the reference's at-least-once feeder: the file
+is written to a temp name and atomically renamed into the staging dir, so
+the file source never reads a half-written batch.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import tempfile
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+INGEST_PATH = "/weather/data"          # KafkaDataIngestionApp.scala:131
+FEED_HEADER = "X-DATA-FEED"            # KafkaDataIngestionApp.scala:134
+
+
+class _IngestHandler(BaseHTTPRequestHandler):
+    # self.server is the ThreadingHTTPServer; IngestHttpServer attaches its
+    # land() callable onto it at construction time.
+
+    def do_POST(self) -> None:  # noqa: N802 — http.server API
+        if self.path != INGEST_PATH:
+            self._reply(404, b"unknown path\n")
+            return
+        feed = self.headers.get(FEED_HEADER)
+        if not feed:
+            # the reference rejects unnamed feeds the same way
+            # (KafkaDataIngestionApp.scala:133-137: header is required)
+            self._reply(400, f"missing {FEED_HEADER} header\n".encode())
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        if self.headers.get("Content-Encoding") == "gzip":
+            # the reference's feeds are .csv.gz files (ClientHelper.scala:68)
+            body = gzip.decompress(body)
+        n_lines = self.server.land(feed, body)
+        self._reply(200, f"{n_lines}\n".encode())
+
+    def _reply(self, code: int, body: bytes) -> None:
+        self.send_response(code)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt: str, *args) -> None:  # quiet test output
+        pass
+
+
+class IngestHttpServer:
+    """``POST /weather/data`` → one atomically-landed file per upload.
+
+    ``port=0`` binds an ephemeral port (read it back from ``.port`` — the
+    pattern tests use).  ``land()`` is also the programmatic entry for
+    feeders that skip HTTP.
+    """
+
+    def __init__(self, staging_dir: str, host: str = "127.0.0.1", port: int = 0):
+        self.staging_dir = staging_dir
+        os.makedirs(staging_dir, exist_ok=True)
+        self._httpd = ThreadingHTTPServer((host, port), _IngestHandler)
+        self._httpd.land = self.land  # type: ignore[attr-defined]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def land(self, feed: str, body: bytes) -> int:
+        """Write one upload's lines as a staged file; returns line count.
+
+        Tempfile + rename keeps the file source from ever listing a
+        half-written batch (rename is atomic within a filesystem)."""
+        lines = [ln for ln in body.decode("utf-8").splitlines() if ln.strip()]
+        safe_feed = "".join(c if c.isalnum() or c in "-_." else "_" for c in feed)
+        fd, tmp = tempfile.mkstemp(dir=self.staging_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(lines))
+            if lines:
+                f.write("\n")
+        final = os.path.join(
+            self.staging_dir, f"{uuid.uuid4().hex[:12]}_{safe_feed}.csv"
+        )
+        os.rename(tmp, final)
+        return len(lines)
+
+    def start(self) -> "IngestHttpServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="ingest-http", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "IngestHttpServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

@@ -1,0 +1,89 @@
+"""S8: the HTTP ingest endpoint, end-to-end into the parse pipeline.
+
+Mirrors the reference's feeder contract (``KafkaDataIngestionApp.scala:
+120-160``): ``POST /weather/data`` with ``X-DATA-FEED`` naming the upload,
+body lines become raw-topic messages — here, one atomically-landed staging
+file the stream's file source reads as a microbatch.
+"""
+
+from __future__ import annotations
+
+import gzip
+import http.client
+import os
+
+import pytest
+
+from killrweather_spark.streaming.http_ingest import (
+    FEED_HEADER,
+    INGEST_PATH,
+    IngestHttpServer,
+)
+
+LINES = (
+    "724940:23234,2008,01,01,00,11.7,-0.6,1023.8,50,7.2,2,0.0,0.0\n"
+    "724940:23234,2008,01,01,01,11.1,-0.6,1023.4,80,4.6,2,0.0,0.0\n"
+)
+
+
+def _post(port: int, body: bytes, headers: dict[str, str]):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    try:
+        conn.request("POST", INGEST_PATH, body=body, headers=headers)
+        resp = conn.getresponse()
+        return resp.status, resp.read()
+    finally:
+        conn.close()
+
+
+def test_post_lands_atomic_staging_file(tmp_path):
+    staging = str(tmp_path / "incoming")
+    with IngestHttpServer(staging) as srv:
+        status, body = _post(
+            srv.port, LINES.encode(), {FEED_HEADER: "sf-2008.csv"}
+        )
+        assert status == 200 and body == b"2\n"
+        files = os.listdir(staging)
+        assert len(files) == 1 and files[0].endswith("_sf-2008.csv.csv")
+        assert not files[0].endswith(".tmp")
+        content = open(os.path.join(staging, files[0])).read()
+        assert content == LINES
+
+
+def test_gzip_body_and_missing_header(tmp_path):
+    staging = str(tmp_path / "incoming")
+    with IngestHttpServer(staging) as srv:
+        # the reference's feeds are .csv.gz — gzip bodies decompress
+        status, body = _post(
+            srv.port,
+            gzip.compress(LINES.encode()),
+            {FEED_HEADER: "feed.gz", "Content-Encoding": "gzip"},
+        )
+        assert status == 200 and body == b"2\n"
+        # the header is required, as in the reference
+        status, body = _post(srv.port, LINES.encode(), {})
+        assert status == 400 and FEED_HEADER.encode() in body
+        # unknown path rejected
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+        conn.request("POST", "/other", body=b"x", headers={FEED_HEADER: "f"})
+        assert conn.getresponse().status == 404
+        conn.close()
+    assert len(os.listdir(staging)) == 1
+
+
+def test_posted_lines_flow_through_parse_pipeline(spark, tmp_path):
+    """The landed file is exactly what the stream's file source reads:
+    parse it through the same pipeline stage and check typed rows."""
+    from killrweather_spark.streaming.pipeline import parsed_observations
+
+    staging = str(tmp_path / "incoming")
+    with IngestHttpServer(staging) as srv:
+        status, _ = _post(srv.port, LINES.encode(), {FEED_HEADER: "batch1"})
+        assert status == 200
+    lines_df = spark.read.text(staging).withColumnRenamed("value", "value")
+    obs = parsed_observations(lines_df).collect()
+    assert len(obs) == 2
+    row = {(r["hour"]): r for r in obs}[0]
+    assert row["wsid"] == "724940:23234"
+    assert row["temperature"] == pytest.approx(11.7)
+    assert row["sky_condition_text"] is None  # corrected 13-field parse
