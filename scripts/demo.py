@@ -5,17 +5,18 @@ Kafka; ``KillrWeatherClientApp.scala:93-127`` then fires six queries every
 2 s: current weather, daily temperature, monthly hi/low, precipitation,
 top-k precipitation, station lookup.
 
-Here the feeder stages the same files into the streaming ingest pipeline
-(file source ≙ the Kafka topic; point ``kafka_lines`` at a broker to switch),
-and the client loop runs against the resulting raw table through
-``WeatherEngine``.
+Here the feeder POSTs the same ``.csv.gz`` files through the S8 HTTP
+endpoint (``streaming/http_ingest.py`` ≙ the akka-http ``/weather/data``
+route), which lands them in the staging dir the streaming file source reads
+(≙ the Kafka topic; point ``kafka_lines`` at a broker to switch), and the
+client loop — sync then async/overlapped — runs against the resulting raw
+table through ``WeatherEngine``.
 
 Run: ``python scripts/demo.py [n_loops]``
 """
 
 from __future__ import annotations
 
-import shutil
 import sys
 import tempfile
 import time
@@ -41,10 +42,31 @@ def main() -> None:
     n_loops = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     spark = get_session(app_name="killrweather_demo")
 
-    # ---- feeder (≙ KafkaDataIngestionApp): stage the csv.gz files --------
+    # ---- feeder (≙ KafkaDataIngestionApp): POST the csv.gz files through
+    # the S8 HTTP endpoint; each upload lands atomically in the staging dir
+    # the stream's file source reads (≙ publishing the lines to the topic)
+    import http.client
+
+    from killrweather_spark.streaming.http_ingest import (
+        FEED_HEADER,
+        INGEST_PATH,
+        IngestHttpServer,
+    )
+
     incoming = tempfile.mkdtemp(prefix="kw_incoming_")
-    for gz in Path(DATA).glob("*.csv.gz"):
-        shutil.copy(gz, incoming)
+    with IngestHttpServer(incoming) as srv:
+        for gz in Path(DATA).glob("*.csv.gz"):
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+            conn.request(
+                "POST",
+                INGEST_PATH,
+                body=gz.read_bytes(),
+                headers={FEED_HEADER: gz.name, "Content-Encoding": "gzip"},
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.read()
+            print(f"[feeder] POST {gz.name}: {resp.read().decode().strip()} lines")
+            conn.close()
     work = tempfile.mkdtemp(prefix="kw_tables_")
     raw_path, precip_path = f"{work}/raw", f"{work}/daily_precip"
 
