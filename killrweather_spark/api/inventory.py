@@ -6800,18 +6800,28 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d,
            unnest(generate_series(1, greatest(length(d.text) - 7, 1))) AS i(i)
       GROUP BY d.doc_id
+    ),
+    cnt AS (
+      SELECT fingerprint, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM fp GROUP BY fingerprint, source
     )
-    SELECT a.source AS source_a, b.source AS source_b,
-           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
-    FROM fp a JOIN fp b
-      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
-     AND a.source <= b.source
-    GROUP BY 1, 2
+    SELECT source_a, source_b, CAST(SUM(pairs) AS BIGINT) AS n_dup_pairs
+    FROM (
+      SELECT a.source AS source_a, b.source AS source_b, a.n * b.n AS pairs
+      FROM cnt a JOIN cnt b
+        ON a.fingerprint = b.fingerprint AND a.source < b.source
+      UNION ALL
+      SELECT source, source, n * (n - 1) / 2 AS pairs
+      FROM cnt WHERE n >= 2
+    )
+    GROUP BY source_a, source_b
     """,
     survey_ref="beyond-ref dedup reporting: cross-source duplication matrix "
     "— near-dup pair counts per (source, source) cell from winnowing "
-    "fingerprint collisions; the mirror-site / re-crawl overlap report a "
-    "corpus-mix decision needs before weighting sources",
+    "fingerprint collisions, computed combinatorially from per-"
+    "(fingerprint, source) counts (aggregate-first: no doc-level pair "
+    "self-join exists, so an all-duplicates corpus cannot go quadratic); "
+    "the mirror-site / re-crawl overlap report behind corpus-mix weighting",
 )
 def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which sources duplicate each other: near-dup pair counts per
@@ -6821,31 +6831,44 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pressure; off-diagonal cells expose mirror sites and re-crawls — the
     numbers that decide corpus-mix down-weighting.
 
-    Scale: one map-only fingerprint pass (no explode — the min-gram fold is
-    a per-row expression), then a self-join keyed on the 128-bit
-    fingerprint — uniform keys, group sizes bounded by duplicate
-    multiplicity; the output is |sources|² cells at most.  The doc_a <
-    doc_b constraint with source-ordering keeps each unordered pair in
-    exactly one cell."""
+    Scale — aggregate first, never pair docs: the output is cells, so the
+    pair counts come combinatorially from per-(fingerprint, source) doc
+    counts: cross cells are n_a·n_b, diagonal cells C(n,2).  A doc-level
+    self-join would be quadratic inside a hot fingerprint the moment a
+    corpus is duplicate-heavy (exactly the pathology this report exists to
+    find); the counts table has at most |sources| rows per fingerprint, so
+    its fingerprint-keyed join is bounded by 20²/fingerprint regardless of
+    duplication.  One map-only fingerprint pass (per-row min-gram fold, no
+    explode) + two ordinary aggregations."""
     from killrweather_spark.functions.text import add_rolling_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = add_rolling_fingerprint(docs, "text").select("doc_id", "fingerprint", "source")
-    a = fp.select(
-        F.col("doc_id").alias("da"),
-        F.col("fingerprint").alias("fp"),
-        F.col("source").alias("source_a"),
+    fp = add_rolling_fingerprint(docs, "text").select("fingerprint", "source")
+    cnt = (
+        fp.groupBy("fingerprint", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .transform(persist_once)
     )
-    b = fp.select(
-        F.col("doc_id").alias("db"),
-        F.col("fingerprint").alias("fp"),
+    a = cnt.select(
+        F.col("fingerprint"), F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    b = cnt.select(
+        F.col("fingerprint"), F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    cross = (
+        a.join(b, "fingerprint")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", (F.col("na") * F.col("nb")).alias("pairs"))
+    )
+    diag = cnt.filter(F.col("n") >= 2).select(
+        F.col("source").alias("source_a"),
         F.col("source").alias("source_b"),
+        (F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
     )
     return (
-        a.join(b, "fp")
-        .filter((F.col("da") < F.col("db")) & (F.col("source_a") <= F.col("source_b")))
+        cross.unionAll(diag)
         .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+        .agg(F.sum("pairs").cast("bigint").alias("n_dup_pairs"))
     )
 
 

@@ -244,3 +244,35 @@ def test_new_batch_dup_screen_subset_of_new_batch(spark):
     rows = REGISTRY["new_batch_dup_screen"].fn(spark, SF001).collect()
     for r in rows:
         assert r.doc_id % 4 == 0  # only new-batch docs are ever flagged
+
+
+@given(
+    name=st.text(alphabet="abcdefgh#0123", min_size=1, max_size=16),
+    pos=st.integers(min_value=0, max_value=32),
+    op=st.sampled_from(["substitute", "insert", "delete"]),
+    ch=st.sampled_from("abcdefgh#0123"),
+)
+@settings(max_examples=200, deadline=None)
+def test_deletion_neighborhood_covers_every_single_edit(name, pos, op, ch):
+    """The blocking lemma fuzzy_name_pairs relies on: for ANY string and
+    ANY single edit, the original and the edited string share at least one
+    deletion variant (the string itself or a 1-char deletion) — so the
+    variant equi-join has 100% recall at edit distance ≤ 1 by construction,
+    not by tuning.  Pure-Python over the same variant definition the Spark
+    expression implements."""
+
+    def variants(s: str) -> set[str]:
+        return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+    i = pos % (len(name) + (1 if op == "insert" else 0)) if name or op == "insert" else 0
+    if op == "substitute":
+        edited = name[:i] + ch + name[i + 1 :] if name else ch
+    elif op == "insert":
+        edited = name[:i] + ch + name[i:]
+    else:  # delete
+        if not name:
+            edited = name
+        else:
+            edited = name[:i] + name[i + 1 :]
+    # lev(name, edited) <= 1 by construction
+    assert variants(name) & variants(edited), (name, edited)
