@@ -49,10 +49,16 @@ class _IngestHandler(BaseHTTPRequestHandler):
             return
         length = int(self.headers.get("Content-Length", 0))
         body = self.rfile.read(length)
-        if self.headers.get("Content-Encoding") == "gzip":
-            # the reference's feeds are .csv.gz files (ClientHelper.scala:68)
-            body = gzip.decompress(body)
-        n_lines = self.server.land(feed, body)
+        try:
+            if self.headers.get("Content-Encoding") == "gzip":
+                # the reference's feeds are .csv.gz (ClientHelper.scala:68)
+                body = gzip.decompress(body)
+            n_lines = self.server.land(feed, body)
+        except (gzip.BadGzipFile, UnicodeDecodeError, OSError) as e:
+            # malformed upload: reject it without landing a partial file —
+            # a clean 400 instead of a dropped connection
+            self._reply(400, f"bad payload: {type(e).__name__}\n".encode())
+            return
         self._reply(200, f"{n_lines}\n".encode())
 
     def _reply(self, code: int, body: bytes) -> None:

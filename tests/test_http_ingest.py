@@ -87,3 +87,19 @@ def test_posted_lines_flow_through_parse_pipeline(spark, tmp_path):
     assert row["wsid"] == "724940:23234"
     assert row["temperature"] == pytest.approx(11.7)
     assert row["sky_condition_text"] is None  # corrected 13-field parse
+
+
+def test_malformed_payload_rejected_cleanly(tmp_path):
+    staging = str(tmp_path / "incoming")
+    with IngestHttpServer(staging) as srv:
+        # claims gzip but isn't
+        status, body = _post(
+            srv.port,
+            b"not gzip at all",
+            {FEED_HEADER: "bad.gz", "Content-Encoding": "gzip"},
+        )
+        assert status == 400 and b"bad payload" in body
+        # invalid utf-8 lines
+        status, body = _post(srv.port, b"\xff\xfe\xfd", {FEED_HEADER: "bin"})
+        assert status == 400
+    assert os.listdir(staging) == []  # nothing landed
