@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from killrweather_spark.functions.dedup import MINHASH_PERMS
@@ -82,6 +82,42 @@ def register(name: str, sql: str | None, survey_ref: str = ""):
 # 128 keeps sf0.01 clusters (~50 members) whole while the sf0.1 sweep
 # (~200 members/cluster) exercises the split path against the oracle.
 SEMDEDUP_CLUSTER_CAP = 128
+
+
+def semdedup_n_sub(count_col: Column) -> Column:
+    """Sub-bucket count for a cluster of ``count_col`` members:
+    ``max(ceil(n / cap), 1)``.  Shared by the query and the scale-guard
+    tests so the guard can never drift from the shipped formula."""
+    return F.greatest(
+        F.ceil(count_col / F.lit(float(SEMDEDUP_CLUSTER_CAP))).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+
+
+def semdedup_sub_bucket(id_col: Column, n_sub_col: Column) -> Column:
+    """Deterministic md5 sub-bucket — 8 md5 hex digits read as an integer,
+    mod the cluster's sub-count; bit-identical in DuckDB via
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT``."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % n_sub_col
+    )
+
+
+def deletion_variants(name_col: Column) -> Column:
+    """The deletion-neighborhood blocking keys for edit distance ≤ 1: the
+    string itself plus every single-character deletion (SymSpell).  Any
+    lev ≤ 1 pair provably shares one (Hypothesis-proved in
+    ``test_properties.py``).  Shared by ``fuzzy_name_pairs`` and the
+    scale-guard test."""
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(name_col)),
+        lambda i: F.concat(
+            name_col.substr(F.lit(1), i - 1),
+            name_col.substr(i + 1, F.length(name_col)),
+        ),
+    )
+    return F.concat(F.array(name_col), deletions)
 
 
 def _events_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3770,20 +3806,11 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear at any corpus size.  Nation stays in the key to keep the
     original within-nation pair semantics."""
     c = load_table(spark, sf_dir, "customer")
-    deletions = F.transform(
-        F.sequence(F.lit(1), F.length("c_name")),
-        lambda i: F.concat(
-            F.col("c_name").substr(F.lit(1), i - 1),
-            F.col("c_name").substr(i + 1, F.length("c_name")),
-        ),
-    )
     v = c.select(
         "c_custkey",
         "c_name",
         "c_nationkey",
-        F.explode(
-            F.concat(F.array(F.col("c_name")), deletions)
-        ).alias("variant"),
+        F.explode(deletion_variants(F.col("c_name"))).alias("variant"),
     )
     a = v.select(
         F.col("c_custkey").alias("custkey_a"),
@@ -6067,18 +6094,10 @@ def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic md5 sub-bucket — cross-engine-exact because both
     # engines read the same 8 md5 hex digits as an integer.
     sizes = base.groupBy("label").agg(
-        F.greatest(
-            F.ceil(F.count(F.lit(1)) / F.lit(float(SEMDEDUP_CLUSTER_CAP))).cast(
-                "bigint"
-            ),
-            F.lit(1).cast("bigint"),
-        ).alias("n_sub")
+        semdedup_n_sub(F.count(F.lit(1))).alias("n_sub")
     )
     base = base.join(F.broadcast(sizes), "label").withColumn(
-        "sub",
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % F.col("n_sub"),
+        "sub", semdedup_sub_bucket(F.col("vec_id"), F.col("n_sub"))
     )
     a = base.select(
         F.col("label"),
@@ -6971,7 +6990,8 @@ def q_minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
            / 100.0 AS revenue_change
     FROM lineitem
-    WHERE year(l_shipdate) = 1996
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -6988,8 +7008,13 @@ def q_promo_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a filter that stops pushing, a lost partial agg) is obvious."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
+        # range form, not year(l_shipdate) == 1996: a function-wrapped
+        # predicate can't reach the parquet reader, and this query's whole
+        # point is that every filter lands in PushedFilters (plan-asserted
+        # in test_plans.py)
         l.filter(
-            (F.year("l_shipdate") == 1996)
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -7022,7 +7047,8 @@ def q_promo_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
     WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
         OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
-      AND year(l.l_shipdate) IN (1996, 1997)
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY 1, 2, 3
     """,
     survey_ref="J-family bidirectional trade flow (TPC-H Q7 shape): "
@@ -7036,7 +7062,10 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction is applied after the dim joins attach names — Catalyst
     still prunes to the two nations on each broadcast side."""
     l = load_table(spark, sf_dir, "lineitem").filter(
-        F.year("l_shipdate").isin(1996, 1997)
+        # range predicate (pushes to the scan) — the year() projection only
+        # appears post-scan in the group key
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")

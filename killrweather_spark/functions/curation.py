@@ -24,8 +24,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from killrweather_spark.plans.caching import persist_once
-
 from killrweather_spark.functions.text import TOKEN_RE, token_count, tokens
 
 
@@ -224,7 +222,11 @@ def connected_components(
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    edges = edges.transform(persist_once)
+    # plain persist(), NOT persist_once: this function owns the lifecycle
+    # (it unpersists on every exit path), and persist_once would skip
+    # persisting when a caller already cached an identical plan — making
+    # the unconditional unpersist below evict the CALLER's cache.
+    edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

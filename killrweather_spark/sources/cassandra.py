@@ -34,7 +34,7 @@ CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
 def cassandra_options(
     keyspace: str,
     table: str,
-    direct_join: bool = True,
+    direct_join: bool | None = True,
 ) -> dict[str, str]:
     """The DSv2 option contract for a Cassandra read/write, buildable (and
     unit-testable) without the connector on the classpath.
@@ -47,6 +47,9 @@ def cassandra_options(
       scan + shuffle — the DSv2 form of the reference's hand-built
       single-partition ``.where(wsid = ?)`` reads
       (``KafkaStreamingActor.scala:47-50`` data-locality rationale).
+      It is a READ-side knob: pass ``direct_join=None`` to omit it (the
+      write path does — a join-strategy option on a writer is at best dead
+      config and at worst rejected by a strict connector version).
 
     Predicate pushdown and column pruning need no options: the connector's
     DSv2 relation reports them to Catalyst, so ``filter``/``select`` reach
@@ -56,11 +59,10 @@ def cassandra_options(
         raise ValueError("keyspace must be non-empty")
     if not table:
         raise ValueError("table must be non-empty")
-    return {
-        "keyspace": keyspace,
-        "table": table,
-        "directJoinSetting": "on" if direct_join else "off",
-    }
+    opts = {"keyspace": keyspace, "table": table}
+    if direct_join is not None:
+        opts["directJoinSetting"] = "on" if direct_join else "off"
+    return opts
 
 
 def connector_available(spark: SparkSession) -> bool:
@@ -120,7 +122,7 @@ def write_table(
     if connector_available(spark):
         (
             df.write.format(CASSANDRA_FORMAT)
-            .options(**cassandra_options(keyspace, table))
+            .options(**cassandra_options(keyspace, table, direct_join=None))
             .mode("append")
             .save()
         )

@@ -47,7 +47,19 @@ class _IngestHandler(BaseHTTPRequestHandler):
             # (KafkaDataIngestionApp.scala:133-137: header is required)
             self._reply(400, f"missing {FEED_HEADER} header\n".encode())
             return
-        length = int(self.headers.get("Content-Length", 0))
+        raw_len = self.headers.get("Content-Length")
+        if raw_len is None:
+            # no chunked support — an absent length would silently land an
+            # empty file while the body bytes rot in the socket
+            self._reply(411, b"Content-Length required\n")
+            return
+        try:
+            length = int(raw_len)
+        except ValueError:
+            length = -1
+        if length < 0:
+            self._reply(400, b"bad Content-Length\n")
+            return
         body = self.rfile.read(length)
         try:
             if self.headers.get("Content-Encoding") == "gzip":
@@ -97,7 +109,12 @@ class IngestHttpServer:
         half-written batch (rename is atomic within a filesystem)."""
         lines = [ln for ln in body.decode("utf-8").splitlines() if ln.strip()]
         safe_feed = "".join(c if c.isalnum() or c in "-_." else "_" for c in feed)
-        fd, tmp = tempfile.mkstemp(dir=self.staging_dir, suffix=".tmp")
+        # leading-dot temp name: Spark's file listing skips hidden files
+        # ('.'/'_' prefixes), so neither a streaming microbatch nor a batch
+        # read can see the half-written upload — only the renamed final
+        # file is ever listed, and an aborted write leaves an invisible
+        # orphan instead of poisoning the staging dir
+        fd, tmp = tempfile.mkstemp(dir=self.staging_dir, prefix=".", suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             f.write("\n".join(lines))
             if lines:

@@ -71,6 +71,8 @@ def test_cassandra_options_contract():
         "directJoinSetting": "on",
     }
     assert cassandra_options("k", "t", direct_join=False)["directJoinSetting"] == "off"
+    # the write path omits the read-side join knob entirely
+    assert "directJoinSetting" not in cassandra_options("k", "t", direct_join=None)
     with pytest.raises(ValueError):
         cassandra_options("", "t")
     with pytest.raises(ValueError):

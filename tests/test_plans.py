@@ -360,3 +360,13 @@ def test_q17_decorrelates_to_shared_partkey_exchange(spark):
     plan = checks.formatted_plan(df)
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
     assert "HashAggregate" in plan
+
+
+def test_q6_canary_pushes_every_predicate(spark):
+    # promo_discount_revenue exists to measure scan throughput; all three
+    # predicates (shipdate range, discount band, quantity cap) must reach
+    # the parquet reader as PushedFilters
+    df = REGISTRY["promo_discount_revenue"].fn(spark, SF01)
+    assert checks.has_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity"), (
+        checks.formatted_plan(df)
+    )

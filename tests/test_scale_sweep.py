@@ -46,18 +46,13 @@ def _fuzzy_candidate_pairs(spark, sf_dir: str) -> int:
 
     from killrweather_spark.sources.readers import load_table
 
+    from killrweather_spark.api.inventory import deletion_variants
+
     c = load_table(spark, sf_dir, "customer")
-    deletions = F.transform(
-        F.sequence(F.lit(1), F.length("c_name")),
-        lambda i: F.concat(
-            F.col("c_name").substr(F.lit(1), i - 1),
-            F.col("c_name").substr(i + 1, F.length("c_name")),
-        ),
-    )
     groups = (
         c.select(
             "c_nationkey",
-            F.explode(F.concat(F.array(F.col("c_name")), deletions)).alias("v"),
+            F.explode(deletion_variants(F.col("c_name"))).alias("v"),
         )
         .groupBy("c_nationkey", "v")
         .agg(F.count(F.lit(1)).alias("g"))
@@ -86,27 +81,20 @@ def test_semdedup_buckets_bounded_at_sf01(spark):
     no (label, sub) task bucket may exceed 2× the cap."""
     from pyspark.sql import functions as F
 
-    from killrweather_spark.api.inventory import SEMDEDUP_CLUSTER_CAP
+    from killrweather_spark.api.inventory import (
+        SEMDEDUP_CLUSTER_CAP,
+        semdedup_n_sub,
+        semdedup_sub_bucket,
+    )
     from killrweather_spark.sources.readers import load_table
 
     emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
     sizes = emb.groupBy("label").agg(
-        F.greatest(
-            F.ceil(
-                F.count(F.lit(1)) / F.lit(float(SEMDEDUP_CLUSTER_CAP))
-            ).cast("bigint"),
-            F.lit(1).cast("bigint"),
-        ).alias("n_sub")
+        semdedup_n_sub(F.count(F.lit(1))).alias("n_sub")
     )
     buckets = (
         emb.join(F.broadcast(sizes), "label")
-        .withColumn(
-            "sub",
-            F.conv(
-                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
-            ).cast("bigint")
-            % F.col("n_sub"),
-        )
+        .withColumn("sub", semdedup_sub_bucket(F.col("vec_id"), F.col("n_sub")))
         .groupBy("label", "sub")
         .count()
     )
