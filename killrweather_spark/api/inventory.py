@@ -6985,6 +6985,63 @@ def q_minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_topk_precip",
+    f"""
+    SELECT user_id, year, month, day,
+           day_cents / 100.0 AS precipitation
+    FROM ({_DAILY_CENTS_SQL})
+    ORDER BY day_cents DESC, user_id, year, month, day
+    LIMIT 10
+    """,
+    survey_ref="A5/T2 streaming form of top-k precipitation "
+    "(PrecipitationActor.scala:46-54 served continuously): complete-mode "
+    "stateful daily accumulation + sort-limit over the state — the "
+    "standing top-k the demo client polls every 2 s, maintained "
+    "incrementally instead of recomputed per ask",
+)
+def q_streaming_topk_precip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous top-10 wettest station-days: the streaming pipeline's
+    stateful daily sum with a complete-mode ``orderBy().limit(k)`` on top —
+    Spark allows the sort exactly because complete mode re-emits the whole
+    (k-bounded) result each trigger, so the sink always holds the current
+    top-k.  Integer-cents state + a total tiebreak order make the emitted
+    SET identical to the batch oracle's regardless of how the input splits
+    into microbatches.  At scale the state is (station×day) keyed — the
+    same footprint as the daily tier — and the sort input is the state
+    store's aggregate output, never raw rows."""
+    import tempfile
+    import uuid
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.select(
+            "user_id",
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "year", "month", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+        .orderBy(
+            F.desc("day_cents"), "user_id", "year", "month", "day"
+        )
+        .limit(10)
+    )
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    result = run_stream_to_batch(agg, tempfile.mkdtemp(), name, "complete")
+    return result.select(
+        "user_id",
+        "year",
+        "month",
+        "day",
+        (F.col("day_cents") / 100.0).alias("precipitation"),
+    )
+
+
+@register(
     "promo_discount_revenue",
     """
     SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
