@@ -30,7 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from killrweather_spark.functions.dedup import MINHASH_PERMS
+from killrweather_spark.functions.dedup import GRAM_DF_CAP, MINHASH_PERMS
 from killrweather_spark.functions.time import epoch_us
 from killrweather_spark.model.schemas import SKY_CONDITION_ROWS
 from killrweather_spark.operators.aggregates import (
@@ -1349,15 +1349,25 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(docs, bits=16, max_distance=2)
 
 
-@register(
-    "ngram_jaccard_pairs",
-    r"""
-    WITH sh AS (
+# The gram-keyed verifier self-joins carry the GRAM_DF_CAP prefix filter on
+# both engines (dedup.py:gram_df_cap): grams in > cap documents per block are
+# dropped before sizes AND the join, bounding every join key's fan-out at
+# cap² — one hot "of the"-class bigram would otherwise contribute O(df²)
+# join rows.  The SQL templates interpolate the shared constant so the two
+# sides can never drift.
+_NGRAM_JACCARD_SQL = r"""
+    WITH sh0 AS (
       SELECT DISTINCT d.doc_id, d.source, concat(d.toks[i.i], ' ', d.toks[i.i + 1]) AS shingle
       FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
             FROM documents) d,
            unnest(generate_series(1, greatest(len(d.toks) - 1, 1))) AS i(i)
       WHERE len(d.toks) >= 2
+    ), hot AS (
+      SELECT shingle, source FROM sh0 GROUP BY shingle, source
+      HAVING COUNT(*) > {max_df}
+    ), sh AS (
+      SELECT s.* FROM sh0 s WHERE NOT EXISTS (
+        SELECT 1 FROM hot h WHERE h.shingle = s.shingle AND h.source = s.source)
     ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -1371,8 +1381,14 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
-    """,
-    survey_ref="beyond-ref: n-gram Jaccard near-dup verification (blocked pairs)",
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _NGRAM_JACCARD_SQL.format(max_df=GRAM_DF_CAP),
+    survey_ref="beyond-ref: n-gram Jaccard near-dup verification (blocked "
+    "pairs) with the GRAM_DF_CAP prefix filter mirrored in the oracle",
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.functions.dedup import word_bigram_jaccard_pairs
@@ -1381,14 +1397,45 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_bigram_jaccard_pairs(docs, block_col="source", threshold=0.2)
 
 
+# Low-cap variant that actually FIRES at driver scale (max per-(gram, source)
+# df at sf0.01 is 8, so cap=5 drops the boilerplate grams and both engines
+# compute scores in the visibly-reduced universe) — the driver-correctness
+# row for the prefix filter itself, not just its no-op shape.
+_NGRAM_DF_CAPPED = 5
+
+
+@register(
+    "ngram_jaccard_df_capped",
+    _NGRAM_JACCARD_SQL.format(max_df=_NGRAM_DF_CAPPED),
+    survey_ref="beyond-ref: GRAM_DF_CAP prefix filter exercised with a cap "
+    "that fires at sf0.01 (dedup.py:gram_df_cap) — hot boilerplate grams "
+    "dropped before sizes and the self-join on both engines",
+)
+def q_ngram_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.dedup import word_bigram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return word_bigram_jaccard_pairs(
+        docs, block_col="source", threshold=0.2, max_df=_NGRAM_DF_CAPPED
+    )
+
+
 @register(
     "shingle_containment_pairs",
-    """
-    WITH sh AS (
+    f"""
+    WITH sh0 AS (
       SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS gram
       FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents) s,
            UNNEST(generate_series(1, len(w) - 2)) AS t(i)
       WHERE len(w) >= 3
+    ),
+    hot AS (
+      SELECT gram, source FROM sh0 GROUP BY gram, source
+      HAVING COUNT(*) > {GRAM_DF_CAP}
+    ),
+    sh AS (
+      SELECT s.* FROM sh0 s WHERE NOT EXISTS (
+        SELECT 1 FROM hot h WHERE h.gram = s.gram AND h.source = s.source)
     ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -7466,8 +7513,10 @@ DRIVER_WINDOW = [
     "dedup_exact_groups",
     "minhash_lsh_pairs",
     "simhash",
-    "simhash_hamming_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_df_capped",     # r04: GRAM_DF_CAP prefix filter, cap fires
+                                   # at sf0.01 (simhash_hamming_pairs rotates
+                                   # to oracle-pytest; simhash stays windowed)
     "new_batch_dup_screen",        # round-2 flagship: incremental crawl screen
     "semantic_dup_candidates",     # round-2 flagship: SemDeDup w/ cluster cap
     # text analysis family

@@ -319,18 +319,66 @@ def simhash_hamming_pairs(
 # n-gram Jaccard (verifier stage)
 # --------------------------------------------------------------------------
 
+# Document-frequency cap for the gram-keyed verifier self-joins (the standard
+# prefix-filter trade).  A gram appearing in d documents contributes O(d²)
+# rows to the (gram[, block]) self-join, so one stop-word-heavy gram ("of
+# the"-class bigrams, boilerplate headers) turns the verifier quadratic in
+# corpus size — the same constant-ish-key pathology as unblocked fuzzy
+# matching, one level down.  Dropping grams with df > cap bounds every join
+# key's fan-out at cap², making total join output ≤ n_grams · cap² — linear
+# in corpus size for fixed cap.  Recall cost is negligible and quantifiable:
+# true near-dups share MANY grams, almost all of them rare (a pair flagged
+# only by ubiquitous grams was a false positive to begin with); scores are
+# computed in the capped gram universe on BOTH engines, so the oracle stays
+# value-exact.  1,000 keeps every gram at the bench SFs (max per-key df ≈ 8
+# at sf0.01) while bounding 100 TB skew; the quadratic-growth property test
+# (`test_properties.py::test_gram_df_cap_bounds_candidate_growth`) pins the
+# linear-vs-quadratic behavior on a stop-word-heavy fixture.
+GRAM_DF_CAP = 1000
+
+
+def gram_df_cap(
+    sh: DataFrame, key_cols: list[str], max_df: int | None
+) -> DataFrame:
+    """Drop (id, gram) rows whose join key appears in more than ``max_df``
+    documents.  ``sh`` must be DISTINCT per (id, key) so ``count(*)`` per key
+    IS document frequency.
+
+    Plan shape: one partial-aggregated groupBy over ``sh`` builds the hot-key
+    list — tiny by heavy-tail construction (only keys with df > cap survive)
+    — then a broadcast LEFT ANTI join filters ``sh`` map-side.  No extra
+    full-width shuffle; the hot list at 100 TB is KBs (there are only so many
+    stop-gram combinations).
+    """
+    if max_df is None:
+        return sh
+    hot = (
+        sh.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select(*key_cols)
+    )
+    return sh.join(F.broadcast(hot), key_cols, "left_anti")
+
+
 def word_bigram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_col: str | None = None,
     threshold: float = 0.2,
+    max_df: int | None = GRAM_DF_CAP,
 ) -> DataFrame:
     """Exact Jaccard over word-bigram shingle sets for blocked pairs.
 
     ``block_col`` bounds the candidate space (LSH bucket / source / shard);
     inter/union counts are integers, the division is one deterministic
     double op, so the threshold filter is reproducible.
+
+    ``max_df`` is the :data:`GRAM_DF_CAP` prefix filter: grams in more than
+    ``max_df`` documents (per block) are dropped BEFORE sizes and the
+    self-join, so both the candidate volume and the scores live in the
+    capped gram universe (mirrored exactly in the DuckDB oracle).
     """
     tokens_expr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     bigrams = F.expr(
@@ -346,6 +394,9 @@ def word_bigram_jaccard_pairs(
         # referenced 3× below (sizes + both join sides): persist so the
         # tokenize→explode→distinct lineage runs once
         .transform(persist_once)
+    )
+    sh = gram_df_cap(
+        sh, ["shingle"] + ([block_col] if block_col else []), max_df
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -416,6 +467,7 @@ def containment_pairs(
     block_col: str | None = None,
     n: int = 5,
     threshold: float = 0.6,
+    max_df: int | None = GRAM_DF_CAP,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by word-``n``-gram containment:
     ``|A∩B| / min(|A|, |B|)`` — the score that catches SUBSET duplication
@@ -426,7 +478,9 @@ def containment_pairs(
     distinct grams are built in the array domain (map-side, no dedup
     shuffle), the self-join is keyed by (gram[, block]) so it never goes
     cartesian, and intersection counts are integers — the one division is
-    deterministic on both engines.
+    deterministic on both engines.  ``max_df`` is the :data:`GRAM_DF_CAP`
+    prefix filter (see :func:`gram_df_cap`): hot boilerplate grams are
+    dropped before sizes and the join on both engines.
     """
     base_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
     sh = (
@@ -436,6 +490,7 @@ def containment_pairs(
         # tokenize→explode lineage runs once
         .transform(persist_once)
     )
+    sh = gram_df_cap(sh, ["gram"] + ([block_col] if block_col else []), max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     cond = (F.col("a.gram") == F.col("b.gram")) & (

@@ -276,3 +276,55 @@ def test_deletion_neighborhood_covers_every_single_edit(name, pos, op, ch):
             edited = name[:i] + name[i + 1 :]
     # lev(name, edited) <= 1 by construction
     assert variants(name) & variants(edited), (name, edited)
+
+
+def _stopword_chain_docs(spark, n: int):
+    """Stop-word-heavy fixture: every doc carries the hot 'the of' bigram
+    (df = n), and doc i shares exactly one RARE bigram
+    ('pair{i+1} pair{i+1}', df = 2) with doc i+1 — quadratic candidate
+    volume uncapped, linear chain capped."""
+    rows = [(i, f"the of pair{i} pair{i} pair{i + 1} pair{i + 1}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_gram_df_cap_bounds_candidate_growth(spark):
+    """The GRAM_DF_CAP prefix filter turns the gram-keyed verifier join's
+    candidate volume from quadratic to linear on a boilerplate-heavy corpus:
+    uncapped, every doc pair shares the hot gram (C(n,2) pairs); capped, only
+    the n-1 chained rare-gram pairs survive.  Doubling n exactly doubles the
+    capped output while quadrupling the uncapped one."""
+    from killrweather_spark.functions.dedup import word_bigram_jaccard_pairs
+
+    for n in (20, 40):
+        df = _stopword_chain_docs(spark, n)
+        capped = word_bigram_jaccard_pairs(df, threshold=0.0, max_df=5).count()
+        uncapped = word_bigram_jaccard_pairs(df, threshold=0.0, max_df=None).count()
+        assert capped == n - 1, (n, capped)
+        assert uncapped == n * (n - 1) // 2, (n, uncapped)
+
+
+def test_gram_df_cap_keeps_true_near_dup_recall(spark):
+    """True near-dups share many RARE grams, so the df cap costs them
+    nothing: an identical-text pair keeps Jaccard 1.0 with the cap on, for
+    both the Jaccard and the containment verifier."""
+    from killrweather_spark.functions.dedup import (
+        containment_pairs,
+        word_bigram_jaccard_pairs,
+    )
+
+    n = 12
+    rows = [(i, f"the of filler{i} filler{i}") for i in range(n)]
+    dup = "alpha beta gamma delta epsilon zeta"
+    rows += [(100, f"the of {dup}"), (101, f"the of {dup}")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in word_bigram_jaccard_pairs(df, threshold=0.5, max_df=5).collect()
+    }
+    assert jac == {(100, 101): 1.0}
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, n=3, threshold=0.5, max_df=5).collect()
+    }
+    assert (100, 101) in cont and cont[(100, 101)] == 1.0
