@@ -57,17 +57,54 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def fan_out(df: DataFrame, slots: int | None = None) -> DataFrame:
-    """Round-robin repartition when the input has fewer splits than the
-    cluster has task slots — CPU-bound map stages (shingling, hashing,
-    tokenizing) otherwise run on a fraction of the cores.
+# fan_out treats a file-backed input below this many bytes per task slot as
+# "narrow": the scan cannot keep every core busy through a CPU-bound map
+# stage (one small parquet file is one row group — byte-range splits beyond
+# it produce empty tasks), and the round-robin shuffle it buys costs at most
+# slots × 8 MiB.  Above it, Spark's own split packing (maxPartitionBytes +
+# minPartitionNum = defaultParallelism) already yields >= slots real splits.
+FAN_OUT_BYTES_PER_SLOT = 8 << 20
 
-    On a production table the scan already yields >= slots splits and this
-    returns ``df`` unchanged; it only pays the shuffle for narrow inputs
-    (single-file reads, post-coalesce lineages) where the shuffle is small
-    by construction.
+
+def fan_out(df: DataFrame, slots: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input is too narrow to keep every
+    task slot busy — CPU-bound map stages (shingling, hashing, tokenizing)
+    otherwise run on a fraction of the cores.
+
+    Narrowness is decided WITHOUT converting the plan to an RDD (the old
+    ``df.rdd.getNumPartitions()`` probe forced a full analysis pass and
+    bypassed AQE's view of the scan on every shingle/hash query): for
+    file-backed inputs — every hot-path caller — the decision is a pure
+    driver-side stat of the scan's input files against a byte threshold.
+    On a production table the files exceed it and this returns ``df``
+    unchanged with zero planning cost; only in-memory lineages (local
+    collections, post-shuffle intermediates in tests) fall back to the
+    RDD-partition probe, and those are small by construction.
     """
+    from urllib.parse import unquote, urlparse
+
     target = slots or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file plans land in the fallback
+        files = []
+    if files:
+        total = 0
+        for uri in files:
+            p = urlparse(uri)
+            if p.scheme not in ("", "file"):
+                break  # remote store: sizes unknown driver-side, use probe
+            try:
+                total += os.stat(unquote(p.path)).st_size
+            except OSError:
+                break
+        else:
+            if total < target * FAN_OUT_BYTES_PER_SLOT:
+                return df.repartition(target)
+            return df
+    # cold path: in-memory / non-statable lineage — the probe's plan→RDD
+    # conversion is acceptable here because these inputs never sit on the
+    # per-query hot path (file scans above never reach this line)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -139,13 +139,17 @@ def test_decontaminate_invariant_to_partitioning(spark, n_parts):
 
 
 def test_fan_out_is_noop_on_wide_inputs(spark):
-    from killrweather_spark.sources.readers import fan_out
+    from killrweather_spark.sources.readers import fan_out, load_table
 
     slots = spark.sparkContext.defaultParallelism
     wide = spark.range(1000).repartition(slots + 4)
     assert fan_out(wide) is wide  # already >= slots: untouched lineage
     narrow = spark.range(1000).coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() == slots
+    # file-backed hot path: a small parquet scan is spread to all slots via
+    # the stat-based byte threshold — no plan→RDD conversion involved
+    docs = load_table(spark, SF001, "documents")
+    assert fan_out(docs).rdd.getNumPartitions() == slots
 
 
 @given(
