@@ -79,6 +79,49 @@ HEADLINE = [
 ]
 
 
+# Regression gate thresholds: a shared-subset query counts as regressed only
+# when BOTH hold — ratio catches real slowdowns, the absolute floor keeps
+# sub-second queries' scheduler noise (±0.1 s) from firing the gate.
+REGRESSION_RATIO = 1.5
+REGRESSION_FLOOR_SEC = 0.25
+
+
+def _interleaved(names: list[str]) -> list[str]:
+    """Alternate the older half of the headline set with the newer half.
+
+    The r3 bench ran queries in accretion order, so in-process contention
+    from newly-added queries (JVM heap pressure, accumulated persisted
+    lineages) landed entirely on the LATER measurements and read as a +11%
+    drift on the shared subset.  Interleaving spreads session-lifetime
+    effects evenly across old and new queries, so a shared-subset regression
+    now means the query itself got slower, not that it ran later.
+    """
+    mid = (len(names) + 1) // 2
+    older, newer = names[:mid], names[mid:]
+    out: list[str] = []
+    for i in range(mid):
+        out.append(older[i])
+        if i < len(newer):
+            out.append(newer[i])
+    return out
+
+
+def _prior_bench(sf: float) -> tuple[str, dict[str, float]] | None:
+    """Most recent driver-recorded BENCH_r{N}.json at the SAME scale factor
+    (cross-SF timings are not comparable)."""
+    root = Path(__file__).resolve().parent
+    for p in sorted(root.glob("BENCH_r*.json"), reverse=True):
+        try:
+            d = json.loads(p.read_text())
+            parsed = d.get("parsed") or d
+            q = parsed.get("queries")
+        except (json.JSONDecodeError, AttributeError, OSError):
+            continue
+        if q and parsed.get("sf") == sf:
+            return p.name, q
+    return None
+
+
 def main() -> None:
     from killrweather_spark.api.inventory import REGISTRY
     from killrweather_spark.session import get_session
@@ -98,7 +141,7 @@ def main() -> None:
     # costs (codegen compile, broadcast build, file listing); run 2 is the
     # repeatable cost a resident engine pays — the number that scales.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in _interleaved(HEADLINE):
         spec = REGISTRY.get(name)
         if spec is None:
             continue
@@ -111,6 +154,32 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # Regression gate (bench_diff built in): compare the shared subset
+    # against the most recent recorded round at the same SF and attribute
+    # drift per query, so a slowdown is named in the bench output itself
+    # instead of waiting for a human to diff two JSON files.
+    regressions: dict[str, list[float]] = {}
+    prior_name = None
+    prior = _prior_bench(sf)
+    if prior is not None:
+        prior_name, prior_q = prior
+        for k, now in timings.items():
+            then = prior_q.get(k)
+            if (
+                then is not None
+                and now > then * REGRESSION_RATIO
+                and now - then > REGRESSION_FLOOR_SEC
+            ):
+                regressions[k] = [then, now]
+        if regressions:
+            print(
+                f"bench regression gate vs {prior_name}: "
+                + ", ".join(
+                    f"{k} {a:.2f}s->{b:.2f}s" for k, (a, b) in regressions.items()
+                ),
+                file=sys.stderr,
+            )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +189,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "vs_prior": prior_name,
+                "regressions": regressions,
             }
         )
     )
