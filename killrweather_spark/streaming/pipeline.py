@@ -331,10 +331,12 @@ def start_cdc_apply(
     ``KafkaStreamingActor.scala:45``, lifted to files).  Readers take
     ``cdc_snapshot_path(dir)`` — the highest complete version.
 
-    At 100 TB the full-rewrite-per-batch becomes partition-pruned: merge
-    only the partitions the batch touches (see
-    ``operators/cdc.py`` scale notes) and version per partition.  The
-    merge kernel and the versioning contract are unchanged.
+    This full-rewrite form is right when the delta is a large fraction of
+    the snapshot (backfills, replays).  For the 100 TB steady state — a
+    GB-scale batch touching a sliver of the snapshot — use
+    :func:`start_cdc_apply_pruned`: it merges ONLY the partitions the batch
+    touches and versions per partition, with the same merge kernel and the
+    same replay-deterministic versioning contract.
     """
     trig = trigger or {"processingTime": "1 second"}
 
@@ -360,6 +362,166 @@ def start_cdc_apply(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(**trig)
         .start()
+    )
+
+
+def start_cdc_apply_pruned(
+    changes: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_by: list[str],
+    partition_col: str,
+    delete_col: str = "is_delete",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Partition-pruned CDC apply: each microbatch merges ONLY the snapshot
+    partitions it touches — the 100 TB form of :func:`start_cdc_apply`.
+
+    Layout: ``snapshot_dir/<partition_col>=<val>/v=<batch_id>/*.parquet``
+    plus a ``_manifest_v=<batch_id>.json`` mapping every partition directory
+    to its current version.  Per batch:
+
+    1. read the previous manifest (highest epoch BELOW this batch's, so a
+       replayed batch deterministically recomputes from the same base);
+    2. collect the batch's distinct partition values — a bounded, small
+       list by the CDC contract (a delta batch touches few partitions;
+       ``partition_col`` is typically a date or a key bucket);
+    3. read ONLY those partitions' current version directories, run
+       ``merge_changes`` (one shuffle over touched-partitions ∪ delta,
+       never the full snapshot), and stage the result partitioned by
+       ``partition_col``;
+    4. move each staged partition to its ``v=<batch_id>`` directory —
+       touched partitions whose keys were all deleted get an empty version
+       directory so the deletion is visible to readers;
+    5. atomically (tempfile + rename) write the new manifest: untouched
+       partitions carry their old version forward BY REFERENCE — their
+       files are never rewritten, read, or even listed.
+
+    Exactly-once on replay: a replayed batch rewrites its own ``v=`` dirs
+    and its own manifest from the same below-epoch base, so double-apply is
+    impossible (same contract as the full-rewrite form).  Readers use
+    :func:`cdc_pruned_snapshot`, which unions each partition's manifest
+    version — the manifest rename is the atomic cut, so a reader never sees
+    a half-applied batch.
+
+    ``partition_col`` must be one of the snapshot's payload columns with
+    filesystem-simple values (int bucket, ``yyyy-MM-dd`` date): directory
+    names are ``str(value)``, matching Spark's own partition encoding for
+    those types.
+    """
+    import json
+    import shutil
+    import tempfile
+
+    trig = trigger or {"processingTime": "1 second"}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from killrweather_spark.operators.cdc import merge_changes
+
+        out_cols = [c for c in batch_df.columns if c != delete_col]
+        manifest = _latest_manifest(snapshot_dir, below=epoch_id) or {}
+        touched = [
+            r[0]
+            for r in batch_df.select(partition_col).distinct().collect()
+        ]
+        touched_dirs = [f"{partition_col}={v}" for v in touched]
+        prev_paths = [
+            os.path.join(snapshot_dir, d, f"v={manifest[d]}")
+            for d in touched_dirs
+            if d in manifest
+        ]
+        prev_paths = [p for p in prev_paths if _has_parquet(p)]
+        if prev_paths:
+            # partition-dir values are re-inferred on read (e.g. "3" → int);
+            # pin the column back to the changelog's declared type so the
+            # merge union never sees a type drift
+            ptype = batch_df.schema[partition_col].dataType
+            snap = (
+                spark.read.option("basePath", snapshot_dir)
+                .parquet(*prev_paths)
+                .drop("v")
+                .withColumn(partition_col, F.col(partition_col).cast(ptype))
+                .select(*out_cols)
+            )
+        else:
+            snap = batch_df.select(*out_cols).limit(0)
+        merged = merge_changes(
+            snap, batch_df, keys=keys, order_by=order_by, delete_col=delete_col
+        )
+        stage = os.path.join(snapshot_dir, f"_stage_v={epoch_id}")
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+        for d in touched_dirs:
+            dst = os.path.join(snapshot_dir, d, f"v={epoch_id}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            src = os.path.join(stage, d)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+            else:
+                # every key in this partition was deleted: an empty version
+                # directory records the tombstone
+                os.makedirs(dst, exist_ok=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        new_manifest = {**manifest, **{d: epoch_id for d in touched_dirs}}
+        fd, tmp = tempfile.mkstemp(dir=snapshot_dir, prefix="._manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_manifest, f)
+        os.rename(tmp, os.path.join(snapshot_dir, f"_manifest_v={epoch_id}.json"))
+
+    os.makedirs(snapshot_dir, exist_ok=True)
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**trig)
+        .start()
+    )
+
+
+def _has_parquet(path: str) -> bool:
+    try:
+        return any(n.endswith(".parquet") for n in os.listdir(path))
+    except FileNotFoundError:
+        return False
+
+
+def _latest_manifest(
+    snapshot_dir: str, below: int | None = None
+) -> dict[str, int] | None:
+    import json
+
+    try:
+        epochs = [
+            int(n[len("_manifest_v="): -len(".json")])
+            for n in os.listdir(snapshot_dir)
+            if n.startswith("_manifest_v=") and n.endswith(".json")
+        ]
+    except FileNotFoundError:
+        return None
+    if below is not None:
+        epochs = [e for e in epochs if e < below]
+    if not epochs:
+        return None
+    with open(os.path.join(snapshot_dir, f"_manifest_v={max(epochs)}.json")) as f:
+        return json.load(f)
+
+
+def cdc_pruned_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Current snapshot under :func:`start_cdc_apply_pruned`'s layout: the
+    union of every partition's manifest version (empty version dirs =
+    fully-deleted partitions are skipped)."""
+    manifest = _latest_manifest(snapshot_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no CDC manifest under {snapshot_dir}")
+    paths = [
+        os.path.join(snapshot_dir, d, f"v={v}") for d, v in manifest.items()
+    ]
+    paths = [p for p in paths if _has_parquet(p)]
+    if not paths:
+        return None  # fully-empty snapshot: no schema to return
+    return (
+        spark.read.option("basePath", snapshot_dir).parquet(*paths).drop("v")
     )
 
 

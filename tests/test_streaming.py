@@ -9,6 +9,7 @@ graph); thresholds are replaced by exact equality with the batch computation.
 from __future__ import annotations
 
 import gzip
+import os
 import pathlib
 
 import pytest
@@ -314,3 +315,100 @@ def test_stateful_agg_on_rocksdb_state_store(spark, tmp_path):
                 "spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_cdc_pruned_apply_merges_only_touched_partitions(spark, tmp_path):
+    """Partition-pruned CDC: batch 2 touches only pb=1 and pb=2, so pb=0
+    keeps its batch-0 version directory untouched (never rewritten, never
+    read); the manifest carries it forward by reference.  Final snapshot
+    equals a one-shot batch merge of the whole changelog, a fully-deleted
+    partition vanishes, and a checkpointed restart changes zero bytes."""
+    import hashlib
+    import json as _json
+    import pathlib
+
+    from killrweather_spark.operators.cdc import merge_changes
+    from killrweather_spark.streaming.pipeline import (
+        _latest_manifest,
+        cdc_pruned_snapshot,
+        start_cdc_apply_pruned,
+    )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    batch1 = [
+        {"k": 1, "pb": 0, "payload": "a1", "is_delete": False, "ts": 10, "seq": 1},
+        {"k": 2, "pb": 0, "payload": "b1", "is_delete": False, "ts": 11, "seq": 2},
+        {"k": 3, "pb": 1, "payload": "c1", "is_delete": False, "ts": 12, "seq": 3},
+        {"k": 5, "pb": 1, "payload": "e1", "is_delete": False, "ts": 13, "seq": 4},
+        {"k": 9, "pb": 2, "payload": "z1", "is_delete": False, "ts": 14, "seq": 5},
+    ]
+    batch2 = [
+        {"k": 3, "pb": 1, "payload": "c2", "is_delete": False, "ts": 20, "seq": 6},
+        {"k": 5, "pb": 1, "payload": "e1", "is_delete": True, "ts": 21, "seq": 7},
+        {"k": 4, "pb": 1, "payload": "d1", "is_delete": False, "ts": 22, "seq": 8},
+        {"k": 9, "pb": 2, "payload": "z1", "is_delete": True, "ts": 23, "seq": 9},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in batch1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in batch2))
+
+    schema = "k int, pb int, payload string, is_delete boolean, ts long, seq long"
+    snap_dir = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = start_cdc_apply_pruned(
+            stream, snap_dir, ckpt,
+            keys=["k"], order_by=["ts", "seq"], partition_col="pb",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = sorted(
+        (r.k, r.pb, r.payload)
+        for r in cdc_pruned_snapshot(spark, snap_dir).select("k", "pb", "payload").collect()
+    )
+    assert got == [(1, 0, "a1"), (2, 0, "b1"), (3, 1, "c2"), (4, 1, "d1")]
+
+    # equals a one-shot batch merge of the full changelog
+    all_changes = spark.createDataFrame(
+        [tuple(r.values()) for r in batch1 + batch2], schema
+    )
+    empty = all_changes.drop("is_delete").limit(0)
+    ref = sorted(
+        (r.k, r.pb, r.payload)
+        for r in merge_changes(
+            empty, all_changes, keys=["k"], order_by=["ts", "seq"]
+        ).select("k", "pb", "payload").collect()
+    )
+    assert got == ref
+
+    # pruning: pb=0 was only ever written by batch 0 — exactly one version
+    # dir, and the manifest carries it forward while pb=1/pb=2 advance
+    assert sorted(os.listdir(os.path.join(snap_dir, "pb=0"))) == ["v=0"]
+    manifest = _latest_manifest(snap_dir)
+    assert manifest == {"pb=0": 0, "pb=1": 1, "pb=2": 1}
+    # fully-deleted partition: tombstone version dir exists and is empty
+    assert os.listdir(os.path.join(snap_dir, "pb=2", "v=1")) == []
+
+    def tree_hash() -> dict[str, str]:
+        out = {}
+        for p in sorted(pathlib.Path(snap_dir).rglob("*")):
+            if p.is_file():
+                out[str(p)] = hashlib.md5(p.read_bytes()).hexdigest()
+        return out
+
+    before = tree_hash()
+    run()  # restart over the same checkpoint: nothing reprocessed
+    assert tree_hash() == before
+    got2 = sorted(
+        (r.k, r.pb, r.payload)
+        for r in cdc_pruned_snapshot(spark, snap_dir).select("k", "pb", "payload").collect()
+    )
+    assert got2 == got
