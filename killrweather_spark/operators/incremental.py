@@ -58,22 +58,35 @@ def incremental_refresh(
     key_cols: Sequence[str],
     date_cols: Sequence[str],
     aggs: Sequence[Column],
+    units: Sequence[int] | None = None,
 ) -> int:
-    """Refresh the tier for every calendar unit >= the watermark.
+    """Refresh the tier for every calendar unit >= the watermark, or — when
+    ``units`` is given — for exactly those ``date_key`` units.
 
     ``raw`` must carry ``key_cols + date_cols``; ``aggs`` are the same
     aggregate expressions a full rebuild would use.  Each refreshed unit is
     recomputed WHOLE from raw (idempotent — re-running the refresh, or
     replaying late rows for the newest day, converges to the same tier:
     the at-least-once-safe property the reference got from keyed upserts,
-    SURVEY T7).  The watermark unit itself is always recomputed so late
-    arrivals for the most recent day are folded in.  Returns the number of
-    refreshed calendar units.
+    SURVEY T7).  Returns the number of refreshed calendar units.
+
+    The two modes serve the two maintenance shapes:
+
+    - **watermark** (default, nightly-cron form): everything at-or-after
+      the tier's newest unit recomputes, so late rows for the most recent
+      day fold in without bookkeeping;
+    - **units** (ingest write-back form, ≙ ``TemperatureActor.scala:76-77``
+      updating exactly the queried key): the caller names the units its new
+      batch touches — including units OLDER than the watermark, which the
+      watermark mode cannot reach — and nothing else is read or rewritten.
     """
-    wm = tier_watermark(spark, tier_path)
     dk = date_key(date_cols)
-    if wm is not None:
-        raw = raw.filter(dk >= F.lit(wm))
+    if units is not None:
+        raw = raw.filter(dk.isin([int(u) for u in units]))
+    else:
+        wm = tier_watermark(spark, tier_path)
+        if wm is not None:
+            raw = raw.filter(dk >= F.lit(wm))
     fresh = raw.groupBy(*key_cols, *date_cols).agg(*aggs).withColumn(
         "date_key", date_key(date_cols)
     )

@@ -356,3 +356,64 @@ def test_nearest_stations_matches_python_haversine(spark):
         rows[i]["distance_km"] <= rows[i + 1]["distance_km"] for i in range(k - 1)
     )
     assert "TakeOrderedAndProject" in checks.formatted_plan(got)
+
+
+def test_ingest_raw_updates_only_new_tier_partitions(spark, tmp_path):
+    """Incremental tier maintenance (≙ TemperatureActor.scala:76-77 per-key
+    write-back): ingesting a new day recomputes ONLY that day's tier
+    partitions — day 1's directories are byte-identical before and after —
+    and the monthly query immediately reflects the new day."""
+    import hashlib
+    import pathlib
+
+    schema = (
+        "wsid string, year int, month int, day int, hour int, "
+        "temperature double, one_hour_precip double"
+    )
+    day1 = [
+        ("s1", 2008, 1, 1, 0, 10.0, 0.0),
+        ("s1", 2008, 1, 1, 12, 14.0, 1.5),
+        ("s2", 2008, 1, 1, 6, -2.0, 0.5),
+    ]
+    day2 = [
+        ("s1", 2008, 1, 2, 3, 20.0, 2.0),
+        ("s2", 2008, 1, 2, 9, -8.0, 0.0),
+    ]
+    temp_dir = str(tmp_path / "daily_temp")
+    precip_dir = str(tmp_path / "daily_precip")
+    eng = WeatherEngine(
+        spark,
+        spark.createDataFrame(day1, schema),
+        daily_temperature_path=temp_dir,
+        daily_precip_path=precip_dir,
+    )
+    eng.refresh_daily_tiers()
+    assert eng.daily_temperature_table.count() == 2  # (s1, s2) × day 1
+    hi0 = eng.get_monthly_hilow_temperature("s1", 2008, 1).first()
+    assert (hi0.high, hi0.low) == (14.0, 10.0)
+
+    def day1_hashes() -> dict[str, str]:
+        out = {}
+        for root in (temp_dir, precip_dir):
+            for p in sorted(pathlib.Path(root).glob("date_key=20080101/*")):
+                if p.is_file():
+                    out[str(p)] = hashlib.md5(p.read_bytes()).hexdigest()
+        assert out, "day-1 tier partition missing"
+        return out
+
+    before = day1_hashes()
+    eng.ingest_raw(spark.createDataFrame(day2, schema))
+
+    # only the new day's partitions were written; day 1 is byte-identical
+    assert day1_hashes() == before
+    assert sorted(
+        d.name for d in pathlib.Path(temp_dir).glob("date_key=*")
+    ) == ["date_key=20080101", "date_key=20080102"]
+
+    # queries read the maintained tier: monthly hi/low now spans both days
+    hi = eng.get_monthly_hilow_temperature("s1", 2008, 1).first()
+    assert (hi.high, hi.low) == (20.0, 10.0)
+    lo = eng.get_monthly_hilow_temperature("s2", 2008, 1).first()
+    assert (lo.high, lo.low) == (-2.0, -8.0)
+    precip = eng.get_precipitation("s1", 2008).first()
+    assert precip.total == 3.5
