@@ -76,6 +76,9 @@ HEADLINE = [
     "promo_discount_revenue",   # Q6: the scan-throughput canary
     "nation_market_share",      # Q8: 8-table star, integer share division
     "minhash_similarity_estimate",
+    # round-4 additions
+    "ngram_jaccard_df_capped",  # the DF-capped verifier join
+    "media_decode_dims",        # real PNG decode over the Arrow batch path
 ]
 
 

@@ -1,11 +1,13 @@
 """Multimodal column handling: image/audio/video as opaque binary + metadata.
 
 The engine treats media as ``content: binary`` plus a typed metadata struct
-(mime, byte size, modality) — the schema/partitioning/batching plumbing is
-real and tested; the actual codec step is STUBBED (`NotImplementedError`)
-because decode libraries (PIL/ffmpeg/torchaudio) are not in this container.
-A deterministic fake decoder stands in so the Arrow-batch plumbing
-(``mapInPandas`` signature, schema, batch shape) is exercised end-to-end.
+(mime, byte size, modality).  The schema/partitioning/batching plumbing is
+real and tested, and so is the container-header decode:
+:func:`decode_media` genuinely parses PNG/JPEG/GIF headers (format + pixel
+dimensions) in pure Python.  Only full PIXEL decode — the step that needs
+PIL/ffmpeg/torchaudio, absent from this container — is replaced by
+deterministic stand-ins (:func:`frame_stats`, :func:`fake_embedding`)
+behind the same Arrow ``mapInPandas`` contract.
 
 Scale design: ``mapInPandas`` streams Arrow record batches through Python —
 memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -40,12 +42,121 @@ def attach_binary_content(df: DataFrame, text_col: str = "text",
     )
 
 
-def decode_media(content: bytes) -> object:
-    """Real decoder hook — image/audio libs are not available here."""
-    raise NotImplementedError(
-        "media decode requires codec libraries not present in this "
-        "environment; use fake_frame_stats (deterministic stub) instead"
-    )
+def _make_media_decoder():
+    """Build :func:`decode_media` as a locally-defined function so
+    cloudpickle serializes it BY VALUE into mapInPandas closures — Python
+    workers don't necessarily have this package on their import path (the
+    driver may run from any cwd), and a by-reference pickle would make the
+    executor try to import it."""
+
+    def decode_media(content: bytes) -> dict:
+        """Decode a media payload's container header: format + pixel
+        dimensions for PNG / JPEG / GIF, pure Python over the actual byte
+        layout (PNG IHDR chunk, JPEG SOFn marker scan, GIF logical screen
+        descriptor) — no codec library needed for the metadata path.  Full
+        pixel decode (the step that DOES need PIL/ffmpeg) plugs in behind
+        the same hook; everything above it — Arrow batching, schema,
+        partitioning — is identical either way.
+
+        Raises ``ValueError`` on unknown or corrupt containers, so
+        malformed payloads surface as classifiable errors instead of
+        silent garbage.
+        """
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            # IHDR is required to be the first chunk: 8-byte signature, 4-byte
+            # length, 'IHDR', then big-endian u32 width, u32 height
+            if len(content) < 24 or content[12:16] != b"IHDR":
+                raise ValueError("corrupt PNG: missing IHDR")
+            return {
+                "format": "png",
+                "width": int.from_bytes(content[16:20], "big"),
+                "height": int.from_bytes(content[20:24], "big"),
+            }
+        if content[:3] == b"GIF" and content[3:6] in (b"87a", b"89a"):
+            # logical screen descriptor: little-endian u16 width, u16 height
+            if len(content) < 10:
+                raise ValueError("corrupt GIF: truncated screen descriptor")
+            return {
+                "format": "gif",
+                "width": int.from_bytes(content[6:8], "little"),
+                "height": int.from_bytes(content[8:10], "little"),
+            }
+        if content[:2] == b"\xff\xd8":  # JPEG SOI
+            i = 2
+            while i + 9 <= len(content):
+                if content[i] != 0xFF:
+                    raise ValueError("corrupt JPEG: lost marker sync")
+                marker = content[i + 1]
+                if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                seg_len = int.from_bytes(content[i + 2: i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    # SOFn frame header: [len][precision][u16 height][u16 width]
+                    return {
+                        "format": "jpeg",
+                        "height": int.from_bytes(content[i + 5: i + 7], "big"),
+                        "width": int.from_bytes(content[i + 7: i + 9], "big"),
+                    }
+                i += 2 + seg_len
+            raise ValueError("corrupt JPEG: no SOF marker before EOF")
+        raise ValueError("unknown media container")
+
+    return decode_media
+
+
+decode_media = _make_media_decoder()
+
+
+def synth_png(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Deterministic real-PNG payload synthesis for the decode path: each
+    doc gets a structurally valid PNG header (signature + IHDR) whose
+    dimensions derive from md5(text) — ``1 + hex[0:4] % 512`` wide,
+    ``1 + hex[4:8] % 512`` tall — so the DuckDB oracle can predict the
+    decoded dimensions arithmetically while :func:`decode_media` genuinely
+    parses them out of the bytes."""
+    import hashlib
+
+    schema = f"{id_col} bigint, content binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                h = hashlib.md5(str(text).encode("utf-8")).hexdigest()
+                w = 1 + int(h[0:4], 16) % 512
+                ht = 1 + int(h[4:8], 16) % 512
+                ihdr = w.to_bytes(4, "big") + ht.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "content": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def media_dimensions(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode over binary payloads: (id, format, width,
+    height) via :func:`decode_media` — the real header parse, not a stub.
+    Memory bounded by the Arrow batch size; binary columns never cross the
+    JVM row-by-row."""
+    schema = f"{id_col} bigint, format string, width int, height int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode_media(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [m["format"] for m in metas],
+                    "width": pd.Series([m["width"] for m in metas], dtype="int32"),
+                    "height": pd.Series([m["height"] for m in metas], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(batches, schema)
 
 
 def frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -127,10 +127,12 @@ def test_approx_count_distinct_within_rsd(spark):
         assert abs(approx[k] - e) <= max(0.1 * e, 2), (k, approx[k], e)
 
 
-def test_decode_media_is_explicitly_stubbed():
+def test_decode_media_rejects_truncated_png():
+    # real parser now (see test_decode_media_parses_real_container_headers);
+    # a truncated PNG signature-plus-garbage is a classifiable error
     import pytest
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_media(b"\x89PNG...")
 
 
@@ -610,3 +612,59 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert out and all(0 <= r["jaccard_est_micro"] <= 1_000_000 for r in out)
+
+
+def test_decode_media_parses_real_container_headers():
+    """decode_media is a real header parser, not a stub: hand-built PNG /
+    GIF / JPEG byte layouts decode to their true dimensions, and corrupt or
+    unknown containers raise ValueError (classifiable ingest errors)."""
+    import pytest as _pytest
+
+    from killrweather_spark.functions.multimodal import decode_media
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (320).to_bytes(4, "big") + (200).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+    )
+    assert decode_media(png) == {"format": "png", "width": 320, "height": 200}
+
+    gif = b"GIF89a" + (64).to_bytes(2, "little") + (48).to_bytes(2, "little")
+    assert decode_media(gif) == {"format": "gif", "width": 64, "height": 48}
+
+    jpg = (
+        b"\xff\xd8"
+        # APP0 before the frame header: the SOF scan must skip it by length
+        + b"\xff\xe0" + (18).to_bytes(2, "big") + b"JFIF" + b"\x00" * 12
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (240).to_bytes(2, "big") + (360).to_bytes(2, "big") + b"\x00" * 12
+    )
+    assert decode_media(jpg) == {"format": "jpeg", "width": 360, "height": 240}
+
+    for bad in (b"not media", b"\x89PNG\r\n\x1a\nXXXXXXXX", b"\xff\xd8\xff\xe0\x00\x04\x00\x00"):
+        with _pytest.raises(ValueError):
+            decode_media(bad)
+
+
+def test_media_dimensions_roundtrips_synth_png(spark):
+    """synth_png writes structurally valid PNG bytes; media_dimensions
+    decodes them back over the Arrow batch path — the dims must equal the
+    md5-derived values the synthesizer embedded."""
+    import hashlib
+
+    from killrweather_spark.functions.multimodal import (
+        media_dimensions,
+        synth_png,
+    )
+    from killrweather_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF001, "documents").limit(50)
+    got = {
+        r.doc_id: (r.format, r.width, r.height)
+        for r in media_dimensions(synth_png(docs)).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        h = hashlib.md5(row.text.encode()).hexdigest()
+        exp = ("png", 1 + int(h[0:4], 16) % 512, 1 + int(h[4:8], 16) % 512)
+        assert got[row.doc_id] == exp
