@@ -7188,9 +7188,15 @@ def q_promo_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: trade volume between two nations, both directions, by
     ship year.  lineitem×orders is the only key-to-key shuffle join;
-    customer/supplier and BOTH nation copies broadcast.  The nation-pair
-    disjunction is applied after the dim joins attach names — Catalyst
-    still prunes to the two nations on each broadcast side."""
+    nation (25 rows, SF-invariant) always broadcasts.  customer/supplier
+    broadcast here because at bench SFs they sit far under the broadcast
+    threshold — but they scale linearly with SF, so at the 100 TB tier the
+    explicit hint would be wrong: there, leave them unhinted and let
+    size-based planning/AQE pick shuffle-hash on the key (or pre-filter the
+    dims to the two nations first, which re-shrinks them to broadcastable).
+    The nation-pair disjunction is applied after the dim joins attach
+    names — Catalyst still prunes to the two nations on each broadcast
+    side."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         # range predicate (pushes to the scan) — the year() projection only
         # appears post-scan in the group key
@@ -7265,8 +7271,13 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: NATION_5's share of the ASIA PROMO market per order year.
     The share is computed as one integer division of two exact cents sums
-    per year — never a float ratio aggregated across rows.  All
-    dimensions broadcast; lineitem×orders is the single big join.
+    per year — never a float ratio aggregated across rows.
+    lineitem×orders is the single big join.  nation/region (constant-size)
+    and the PROMO-filtered part always broadcast; customer/supplier
+    broadcast at bench SFs but scale linearly with SF — at the 100 TB tier
+    drop those two hints and let AQE/size-based planning choose
+    shuffle-hash on the key instead (the hint is a bench-scale
+    optimization, not the scale-invariant plan).
 
     Integer margin: micro-scaling multiplies a cents sum by 1e6, so the
     numerator stays below 2⁶³ while yearly market revenue < ~9e12 cents

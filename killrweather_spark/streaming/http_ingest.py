@@ -27,15 +27,26 @@ import os
 import tempfile
 import threading
 import uuid
+import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 INGEST_PATH = "/weather/data"          # KafkaDataIngestionApp.scala:131
 FEED_HEADER = "X-DATA-FEED"            # KafkaDataIngestionApp.scala:134
 
+# Upload guardrails: a client declaring a large Content-Length then stalling
+# would otherwise pin a handler thread forever, and an oversized (or
+# gzip-bomb) body would materialize whole in driver memory.  The cap applies
+# to the body AND to the decompressed output (enforced *during* inflation
+# via zlib's bounded decompress, so a bomb never materializes); 64 MiB
+# covers the reference's largest yearly .csv.gz feed with wide margin.
+MAX_BODY_BYTES = 64 << 20
+SOCKET_TIMEOUT_SEC = 30.0
+
 
 class _IngestHandler(BaseHTTPRequestHandler):
     # self.server is the ThreadingHTTPServer; IngestHttpServer attaches its
     # land() callable onto it at construction time.
+    timeout = SOCKET_TIMEOUT_SEC  # per-connection socket timeout
 
     def do_POST(self) -> None:  # noqa: N802 — http.server API
         if self.path != INGEST_PATH:
@@ -60,13 +71,29 @@ class _IngestHandler(BaseHTTPRequestHandler):
         if length < 0:
             self._reply(400, b"bad Content-Length\n")
             return
-        body = self.rfile.read(length)
+        if length > MAX_BODY_BYTES:
+            self._reply(413, b"payload too large\n")
+            return
         try:
+            # socket timeout (class attr above) bounds a stalled sender: a
+            # short read here raises instead of hanging the handler thread
+            body = self.rfile.read(length)
+            if len(body) < length:
+                self._reply(400, b"truncated body\n")
+                return
             if self.headers.get("Content-Encoding") == "gzip":
-                # the reference's feeds are .csv.gz (ClientHelper.scala:68)
-                body = gzip.decompress(body)
+                # the reference's feeds are .csv.gz (ClientHelper.scala:68);
+                # bounded inflation: zlib stops at the cap, so a gzip bomb
+                # is rejected without ever materializing its output
+                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                body = d.decompress(body, MAX_BODY_BYTES + 1)
+                if len(body) > MAX_BODY_BYTES or d.unconsumed_tail:
+                    self._reply(413, b"decompressed payload too large\n")
+                    return
             n_lines = self.server.land(feed, body)
-        except (gzip.BadGzipFile, UnicodeDecodeError, OSError) as e:
+        except (
+            gzip.BadGzipFile, zlib.error, UnicodeDecodeError, OSError, TimeoutError,
+        ) as e:
             # malformed upload: reject it without landing a partial file —
             # a clean 400 instead of a dropped connection
             self._reply(400, f"bad payload: {type(e).__name__}\n".encode())

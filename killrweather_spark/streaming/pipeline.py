@@ -296,7 +296,15 @@ def run_stream_to_batch(
     output_mode: str = "complete",
 ) -> DataFrame:
     """Drain a bounded stream with availableNow into a memory sink and return
-    the result as a batch DataFrame (deterministic test/oracle path)."""
+    the result as a batch DataFrame (deterministic test/oracle path).
+
+    Leak-free by construction: the drained result is detached from the
+    memory sink (eager ``localCheckpoint``), so the uuid-named sink table is
+    dropped from the session catalog and the one-shot checkpoint directory
+    is deleted before returning — repeated bench/sweep runs accumulate
+    neither temp views nor checkpoint dirs."""
+    import shutil
+
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
@@ -307,7 +315,10 @@ def run_stream_to_batch(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name)
+    out = spark.table(query_name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(query_name)
+    shutil.rmtree(checkpoint_dir, ignore_errors=True)
+    return out
 
 
 def start_cdc_apply(

@@ -103,3 +103,33 @@ def test_malformed_payload_rejected_cleanly(tmp_path):
         status, body = _post(srv.port, b"\xff\xfe\xfd", {FEED_HEADER: "bin"})
         assert status == 400
     assert os.listdir(staging) == []  # nothing landed
+
+
+def test_oversized_and_bomb_uploads_rejected(tmp_path):
+    """Upload guardrails: a declared Content-Length above the cap is refused
+    before reading the body, and a gzip bomb (tiny upload, huge inflation)
+    is refused during bounded inflation — neither materializes in memory or
+    lands a file."""
+    from killrweather_spark.streaming.http_ingest import MAX_BODY_BYTES
+
+    staging = str(tmp_path / "incoming")
+    with IngestHttpServer(staging) as srv:
+        # oversized declared length: 413 without draining the body
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+        conn.putrequest("POST", INGEST_PATH)
+        conn.putheader(FEED_HEADER, "big")
+        conn.putheader("Content-Length", str(MAX_BODY_BYTES + 1))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+
+        # gzip bomb: ~70 MiB of zeros compresses to ~70 KiB; the bounded
+        # zlib inflate stops at the cap and rejects
+        bomb = gzip.compress(b"\0" * (MAX_BODY_BYTES + (1 << 20)))
+        assert len(bomb) < 1 << 21
+        status, body = _post(
+            srv.port, bomb, {FEED_HEADER: "bomb.gz", "Content-Encoding": "gzip"}
+        )
+        assert status == 413 and b"too large" in body
+    assert os.listdir(staging) == []

@@ -322,8 +322,13 @@ def test_minhash_estimate_never_touches_text_after_signatures(spark):
 
 
 def test_entire_registry_stays_out_of_row_python(spark):
-    """No row-at-a-time Python UDF in ANY registered query: building every
-    plan is driver-side only, so this sweeps all 152 queries cheaply.  The
+    """No row-at-a-time Python UDF in ANY registered query — the sweep
+    covers the whole REGISTRY (``len(REGISTRY)`` entries), so new queries
+    are gated automatically.  For batch queries only the plan is built
+    (driver-side, cheap); the streaming-family ops' ``spec.fn`` drains a
+    bounded availableNow stream to produce their result DataFrame, so those
+    entries execute rather than merely plan — the gate still holds because
+    the drained result's plan would surface any BatchEvalPython.  The
     sanctioned Python paths (mapInPandas / applyInPandas / WithState) plan
     as Arrow nodes (MapInPandas, FlatMapGroupsInPandas*), never
     BatchEvalPython."""
