@@ -79,6 +79,8 @@ HEADLINE = [
     # round-4 additions
     "ngram_jaccard_df_capped",  # the DF-capped verifier join
     "media_decode_dims",        # real PNG decode over the Arrow batch path
+    "nation_profit_by_year",    # Q9 shape: 5-table profit rollup
+    "waiting_orders_suppliers", # Q21 shape: semi+anti double correlation
 ]
 
 

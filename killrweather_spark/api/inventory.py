@@ -7331,6 +7331,133 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_profit_by_year",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+               - CAST(ROUND(p.p_retailprice * 60) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT)) AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY 1, 2
+    """,
+    survey_ref="J/A-family product-line profit (TPC-H Q9 shape, adapted: no "
+    "partsupp table in the testdata, so supply cost is proxied as 60% of "
+    "p_retailprice — the plan shape, a 5-table join grouped by (nation, "
+    "year), is the point): exact integer-cents profit so both engines agree "
+    "bit-for-bit",
+)
+def q_nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year over the
+    part-filtered fact.  lineitem×orders is the one key-to-key shuffle;
+    the PROMO-filtered part, supplier, and nation broadcast (part/supplier
+    at bench SF only — at the 100 TB tier leave them to AQE, as with
+    Q7/Q8).  Profit = revenue cents − cost cents with integer
+    accumulation (quantity is integral by TPC-H construction), so the sum
+    is reduction-order-free."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    profit = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint") - F.round(F.col("p_retailprice") * 60).cast(
+        "bigint"
+    ) * F.col("l_quantity").cast("bigint")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("profit_cents"))
+    )
+
+
+@register(
+    "waiting_orders_suppliers",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) > 90
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM late l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    """,
+    survey_ref="J-family double-correlated EXISTS / NOT EXISTS on the same "
+    "fact (TPC-H Q21 shape, adapted: late = shipped > 90 days after order "
+    "date, since the testdata carries no commit/receipt dates): the "
+    "defining semi-join + anti-join pair planned as LeftSemi + LeftAnti, "
+    "never a subquery-per-row",
+)
+def q_waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order.  The correlated EXISTS becomes a LeftSemi join
+    and the NOT EXISTS a LeftAnti join, both keyed on l_orderkey — two
+    hash joins on the same uniform key, no per-row subquery, no skewed
+    key (orders have bounded line counts by construction).  The late-lines
+    projection is computed once and persisted: it feeds the probe side AND
+    the anti-join build side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+        )
+        .select("l_orderkey", "l_suppkey")
+        .transform(persist_once)
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
     "top_supplier_revenue",
     """
     WITH srev AS (
