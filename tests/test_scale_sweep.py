@@ -101,3 +101,54 @@ def test_semdedup_buckets_bounded_at_sf01(spark):
     assert sizes.filter(F.col("n_sub") >= 2).count() > 0, "cap never engaged"
     max_bucket = buckets.agg(F.max("count")).collect()[0][0]
     assert max_bucket <= 2 * SEMDEDUP_CLUSTER_CAP
+
+
+def _gram_pair_volume(spark, sf_dir: str, max_df: int | None) -> int:
+    """Join-output volume of the word-bigram verifier's (shingle, source)
+    self-join: Σ C(df, 2) over join keys after the optional DF cap — built
+    from the SAME gram_df_cap helper the shipped query uses."""
+    from pyspark.sql import functions as F
+
+    from killrweather_spark.functions.dedup import gram_df_cap
+    from killrweather_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(__toks) - 1, 1)),"
+        " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
+    )
+    sh = (
+        docs.select("doc_id", "source", toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select("doc_id", "source", F.explode(bigrams).alias("shingle"))
+        .distinct()
+    )
+    sh = gram_df_cap(sh, ["shingle", "source"], max_df)
+    dfreq = sh.groupBy("shingle", "source").agg(F.count(F.lit(1)).alias("g"))
+    row = dfreq.agg(
+        F.sum(F.col("g") * (F.col("g") - 1) / 2).alias("pairs")
+    ).collect()[0]
+    return int(row["pairs"])
+
+
+def test_gram_df_cap_keeps_join_volume_linear_across_sf(spark):
+    """The round-3 verdict's named hazard: hot grams make the verifier
+    self-join quadratic in corpus size.  With the cap engaged (cap=5, the
+    driver-window ngram_jaccard_df_capped configuration), join-output volume
+    must grow ~linearly sf0.01→sf0.1 (10× docs → ~10×, never ~100×) and
+    must sit strictly below the uncapped volume's growth."""
+    capped01 = _gram_pair_volume(spark, "/root/testdata/sf0.01", 5)
+    capped1 = _gram_pair_volume(spark, "/root/testdata/sf0.1", 5)
+    uncapped01 = _gram_pair_volume(spark, "/root/testdata/sf0.01", None)
+    uncapped1 = _gram_pair_volume(spark, "/root/testdata/sf0.1", None)
+    assert capped01 > 0 and capped1 > 0
+    growth_capped = capped1 / capped01
+    growth_uncapped = uncapped1 / uncapped01
+    assert growth_capped < 30, (
+        f"capped join volume grew {growth_capped:.1f}× for 10× docs"
+    )
+    assert growth_capped < growth_uncapped, (
+        f"cap did not curb growth: {growth_capped:.1f}× vs "
+        f"uncapped {growth_uncapped:.1f}×"
+    )
