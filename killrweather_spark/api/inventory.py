@@ -2333,6 +2333,77 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_order_shard",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(concat('epoch0', CAST(doc_id AS VARCHAR))) AS k,
+             CAST(CAST(concat('0x',
+                    substr(md5(concat('epoch0', CAST(doc_id AS VARCHAR))), 1, 15))
+                  AS BIGINT) % 8 AS INT) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+    survey_ref="beyond-ref curation: deterministic training-order sharding "
+    "(curation.py:training_order) — md5 shard bucket + per-shard md5 rank "
+    "replaces orderBy(rand()) (a full global sort, unreproducible under "
+    "retry) with one shuffle on a uniform key; a new salt is a new "
+    "independent epoch permutation with zero RNG state",
+)
+def q_training_order_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import training_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return training_order(docs, n_shards=8, salt="epoch0")
+
+
+@register(
+    "semantic_eval_screen",
+    """
+    WITH comp AS (
+      SELECT vec_id, i.i AS pos,
+             CAST(ROUND(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)
+    ), nrm AS (SELECT vec_id, SUM(q * q) AS n2 FROM comp GROUP BY vec_id),
+    dots AS (
+      SELECT t.vec_id AS train_id, e.vec_id AS eval_id, SUM(t.q * e.q) AS dot
+      FROM comp t
+      JOIN comp e ON t.pos = e.pos
+                 AND t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT train_id, eval_id,
+             dot / (SQRT(tn.n2) * SQRT(en.n2)) AS cosine
+      FROM dots
+      JOIN nrm tn ON tn.vec_id = train_id
+      JOIN nrm en ON en.vec_id = eval_id
+      WHERE dot / (SQRT(tn.n2) * SQRT(en.n2)) >= 0.35
+    )
+    SELECT train_id, eval_id, cosine FROM sims
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY train_id
+                               ORDER BY cosine DESC, eval_id) = 1
+    """,
+    survey_ref="beyond-ref decontamination: embedding-space eval screen "
+    "(similarity.py:semantic_screen) — the complement of the exact n-gram "
+    "decontaminate pass: paraphrased eval leakage shares no n-grams but "
+    "lands next to the eval item in embedding space.  Eval component index "
+    "broadcasts (small by construction); train side streams through one "
+    "partial-aggregated dot-product groupBy; integer-quantized arithmetic "
+    "end-to-end so the oracle is value-exact",
+)
+def q_semantic_eval_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import semantic_screen
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_screen(emb, lambda c: c % 10 == 0, threshold=0.35)
+
+
+@register(
     "quantile_filter_docs",
     """
     SELECT doc_id, text, lang, source, n_chars, q_rank

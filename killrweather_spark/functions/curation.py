@@ -106,6 +106,43 @@ def stratified_sample(
     )
 
 
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Deterministic global training order for corpus sharding: every doc
+    gets a ``(shard, pos)`` such that reading shards round-robin by ``pos``
+    replays one fixed pseudo-random permutation of the corpus.
+
+    - ``shard`` = md5(salt ‖ id) bucket — uniform, so shards are balanced
+      and any worker count divides the corpus evenly;
+    - ``pos``   = md5-rank WITHIN the shard — a per-shard window, never a
+      global sort (a global ``row_number`` would be one task; this is one
+      shuffle on the shard key and streams within partitions);
+    - ``salt``  reshuffles between epochs with zero state: a new salt is a
+      new independent permutation, reproducible on any cluster size.
+
+    Writers partition output by ``shard`` sorted by ``pos``; the training
+    loader streams shard files round-robin.  This is the content-addressed
+    replacement for ``orderBy(rand())`` — which is both a full sort and
+    unreproducible under retry.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint")
+        % F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__key"), id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__key")
+    )
+
+
 # --------------------------------------------------------------------------
 # per-stratum quantile filter
 # --------------------------------------------------------------------------

@@ -487,3 +487,61 @@ def kmeans_iterate(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
             cur = cur.localCheckpoint(eager=True)
     return cur.select(id_col, "label", "dist2")
+
+
+def semantic_screen(
+    df: DataFrame,
+    eval_filter,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train-vs-eval semantic contamination screen: every TRAIN vector
+    whose cosine similarity to ANY eval vector reaches ``threshold``,
+    with the best-matching eval id — the embedding-space complement of
+    the exact n-gram ``decontaminate`` pass (paraphrased eval leakage has
+    no shared n-grams but lands next to the eval item in embedding space).
+
+    Same broadcast shape as :func:`cosine_topk` with the roles reversed:
+    the EVAL component index (small by construction — eval suites are
+    thousands of items, not billions) broadcasts; the train side streams
+    through one partial-aggregated dot-product groupBy.  Integer-quantized
+    arithmetic end-to-end, so the DuckDB oracle reproduces every value.
+
+    Output: (train_id, eval_id, cosine) — the single best eval match per
+    contaminated train vector (ties break on eval id).
+    """
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+    nrm = norms(comp, id_col)
+
+    is_eval = eval_filter(F.col(id_col))
+    ecomp = comp.filter(is_eval).select(
+        F.col(id_col).alias("eval_id"), "pos", F.col("q").alias("qe")
+    )
+    tcomp = comp.filter(~is_eval).select(
+        F.col(id_col).alias("train_id"), "pos", F.col("q").alias("qt")
+    )
+    dots = (
+        tcomp.join(F.broadcast(ecomp), "pos")
+        .groupBy("train_id", "eval_id")
+        .agg(F.sum(F.col("qt") * F.col("qe")).alias("dot"))
+    )
+    tn = nrm.select(F.col(id_col).alias("train_id"), F.col("norm2").alias("tnorm2"))
+    en = nrm.select(F.col(id_col).alias("eval_id"), F.col("norm2").alias("enorm2"))
+    sims = (
+        dots.join(tn, "train_id")
+        .join(F.broadcast(en), "eval_id")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("tnorm2")) * F.sqrt(F.col("enorm2"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("train_id", "eval_id", "cosine")
+    )
