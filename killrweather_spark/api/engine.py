@@ -104,6 +104,16 @@ class WeatherEngine:
                 self.daily_precip_path
             ).drop("date_key")
             return
+        # drop the previous refresh's cache entries eagerly — reassignment
+        # alone leaves them pinned in executor storage until the context
+        # cleaner runs, so a long-lived engine doing N ingests would
+        # accumulate up to 2N stale cached tier copies
+        for old in (self._daily_temp, self._daily_precip):
+            if old is not None:
+                try:
+                    old.unpersist()
+                except Exception:  # noqa: BLE001 — uncached frames are fine
+                    pass
         self._daily_temp = daily_stats(self.raw, DAY_KEYS, "temperature")
         self._daily_precip = daily_sum(
             self.raw, DAY_KEYS, "one_hour_precip", out="precipitation"
@@ -122,10 +132,24 @@ class WeatherEngine:
         tier paths configured, ONLY those tier partitions rewrite, even for
         late rows older than the watermark (pinned by
         ``test_engine.py::test_ingest_raw_updates_only_new_tier_partitions``)."""
-        from killrweather_spark.operators.incremental import date_key
+        from killrweather_spark.operators.incremental import (
+            date_key,
+            tier_watermark,
+        )
 
         self.raw = self.raw.unionByName(new_raw.select(*self.raw.columns))
         if self.daily_temperature_path and self.daily_precip_path:
+            # Units mode is only valid once the tiers are materialized: on a
+            # never-refreshed engine it would write just the new batch's
+            # units and silently drop every pre-existing raw day (and set
+            # the watermark past them, making watermark-mode backfill
+            # impossible).  Bootstrap with a full build first.
+            if (
+                tier_watermark(self.spark, self.daily_temperature_path) is None
+                or tier_watermark(self.spark, self.daily_precip_path) is None
+            ):
+                self.refresh_daily_tiers()
+                return
             touched = [
                 r.dk
                 for r in new_raw.select(

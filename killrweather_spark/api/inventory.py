@@ -2240,13 +2240,25 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word-bigram Jaccard candidate pairs at a loose threshold: the dup graph
 # for clustering (same pipeline as ngram_jaccard_pairs, lower cut so the
 # graph has multi-hop components worth clustering).
-_DUP_PAIRS_SQL = r"""
-    WITH sh AS (
+# The Spark side (word_bigram_jaccard_pairs) applies GRAM_DF_CAP by
+# default, so every consumer of this shared pair template mirrors the cap
+# too — without it, dedup_components / canonical_docs /
+# dup_cluster_size_histogram would diverge from their oracles on any
+# corpus where a (shingle, source) document frequency crosses the cap
+# (invisible at bench SFs where max df ≈ 8, real at scale).
+_DUP_PAIRS_SQL = rf"""
+    WITH sh0 AS (
       SELECT DISTINCT d.doc_id, d.source, concat(d.toks[i.i], ' ', d.toks[i.i + 1]) AS shingle
       FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
             FROM documents) d,
            unnest(generate_series(1, greatest(len(d.toks) - 1, 1))) AS i(i)
       WHERE len(d.toks) >= 2
+    ), hot AS (
+      SELECT shingle, source FROM sh0 GROUP BY shingle, source
+      HAVING COUNT(*) > {GRAM_DF_CAP}
+    ), sh AS (
+      SELECT s.* FROM sh0 s WHERE NOT EXISTS (
+        SELECT 1 FROM hot h WHERE h.shingle = s.shingle AND h.source = s.source)
     ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter

@@ -83,22 +83,32 @@ def _make_media_decoder():
             }
         if content[:2] == b"\xff\xd8":  # JPEG SOI
             i = 2
-            while i + 9 <= len(content):
+            while i + 1 < len(content):
                 if content[i] != 0xFF:
                     raise ValueError("corrupt JPEG: lost marker sync")
-                marker = content[i + 1]
+                # any number of 0xFF FILL bytes may pad before a marker
+                # (ITU T.81 B.1.1.2) — skip them, the marker is the first
+                # non-FF byte
+                j = i + 1
+                while j < len(content) and content[j] == 0xFF:
+                    j += 1
+                if j >= len(content):
+                    break
+                marker = content[j]
                 if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
-                    i += 2  # standalone markers carry no length
+                    i = j + 1  # standalone markers carry no length
                     continue
-                seg_len = int.from_bytes(content[i + 2: i + 4], "big")
+                if j + 8 >= len(content):
+                    break
+                seg_len = int.from_bytes(content[j + 1: j + 3], "big")
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     # SOFn frame header: [len][precision][u16 height][u16 width]
                     return {
                         "format": "jpeg",
-                        "height": int.from_bytes(content[i + 5: i + 7], "big"),
-                        "width": int.from_bytes(content[i + 7: i + 9], "big"),
+                        "height": int.from_bytes(content[j + 4: j + 6], "big"),
+                        "width": int.from_bytes(content[j + 6: j + 8], "big"),
                     }
-                i += 2 + seg_len
+                i = j + 1 + seg_len
             raise ValueError("corrupt JPEG: no SOF marker before EOF")
         raise ValueError("unknown media container")
 

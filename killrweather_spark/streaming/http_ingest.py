@@ -84,12 +84,26 @@ class _IngestHandler(BaseHTTPRequestHandler):
             if self.headers.get("Content-Encoding") == "gzip":
                 # the reference's feeds are .csv.gz (ClientHelper.scala:68);
                 # bounded inflation: zlib stops at the cap, so a gzip bomb
-                # is rejected without ever materializing its output
-                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-                body = d.decompress(body, MAX_BODY_BYTES + 1)
-                if len(body) > MAX_BODY_BYTES or d.unconsumed_tail:
-                    self._reply(413, b"decompressed payload too large\n")
-                    return
+                # is rejected without ever materializing its output.
+                # RFC 1952 allows MULTI-MEMBER files (pigz / cat of .gz
+                # parts) — loop members via unused_data; and a TRUNCATED
+                # stream returns partial output with NO exception (eof
+                # False), so completeness must be checked explicitly or a
+                # cut-off upload would land partial data with a 200.
+                out, remaining = b"", body
+                while True:
+                    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                    out += d.decompress(remaining, MAX_BODY_BYTES + 1 - len(out))
+                    if len(out) > MAX_BODY_BYTES or d.unconsumed_tail:
+                        self._reply(413, b"decompressed payload too large\n")
+                        return
+                    if not d.eof:
+                        self._reply(400, b"bad payload: truncated gzip\n")
+                        return
+                    remaining = d.unused_data.lstrip(b"\0")  # zero padding ok
+                    if not remaining:
+                        break
+                body = out
             n_lines = self.server.land(feed, body)
         except (
             gzip.BadGzipFile, zlib.error, UnicodeDecodeError, OSError, TimeoutError,

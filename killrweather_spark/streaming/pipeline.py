@@ -409,9 +409,14 @@ def start_cdc_apply_pruned(
        partitions carry their old version forward BY REFERENCE — their
        files are never rewritten, read, or even listed.
 
-    Exactly-once on replay: a replayed batch rewrites its own ``v=`` dirs
-    and its own manifest from the same below-epoch base, so double-apply is
-    impossible (same contract as the full-rewrite form).  Readers use
+    Exactly-once on replay: a batch whose manifest already exists is
+    detected as fully applied and SKIPPED (recompute is deterministic, so
+    rewriting would only re-create identical bytes — and deleting the
+    live ``v=`` dirs first would break the atomic cut for concurrent
+    readers); a batch that crashed mid-apply left no manifest, so its
+    partial ``v=`` dirs are unreferenced and safely overwritten from the
+    same below-epoch base.  Double-apply is impossible either way (same
+    contract as the full-rewrite form).  Readers use
     :func:`cdc_pruned_snapshot`, which unions each partition's manifest
     version — the manifest rename is the atomic cut, so a reader never sees
     a half-applied batch.
@@ -419,67 +424,22 @@ def start_cdc_apply_pruned(
     ``partition_col`` must be one of the snapshot's payload columns with
     filesystem-simple values (int bucket, ``yyyy-MM-dd`` date): directory
     names are ``str(value)``, matching Spark's own partition encoding for
-    those types.
+    those types.  It must also be STABLE per key (part of the key, or
+    functionally dependent on it — a date-partitioned fact keyed by
+    (date, id), a hash bucket of the key): a change that moves a key to a
+    new partition value only touches the NEW partition, so the old copy
+    would survive as a stale duplicate.  Mutable-partition changelogs
+    belong on the full-rewrite form (:func:`start_cdc_apply`), which sees
+    the whole snapshot every batch.
     """
-    import json
-    import shutil
-    import tempfile
-
     trig = trigger or {"processingTime": "1 second"}
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        from killrweather_spark.operators.cdc import merge_changes
-
-        out_cols = [c for c in batch_df.columns if c != delete_col]
-        manifest = _latest_manifest(snapshot_dir, below=epoch_id) or {}
-        touched = [
-            r[0]
-            for r in batch_df.select(partition_col).distinct().collect()
-        ]
-        touched_dirs = [f"{partition_col}={v}" for v in touched]
-        prev_paths = [
-            os.path.join(snapshot_dir, d, f"v={manifest[d]}")
-            for d in touched_dirs
-            if d in manifest
-        ]
-        prev_paths = [p for p in prev_paths if _has_parquet(p)]
-        if prev_paths:
-            # partition-dir values are re-inferred on read (e.g. "3" → int);
-            # pin the column back to the changelog's declared type so the
-            # merge union never sees a type drift
-            ptype = batch_df.schema[partition_col].dataType
-            snap = (
-                spark.read.option("basePath", snapshot_dir)
-                .parquet(*prev_paths)
-                .drop("v")
-                .withColumn(partition_col, F.col(partition_col).cast(ptype))
-                .select(*out_cols)
-            )
-        else:
-            snap = batch_df.select(*out_cols).limit(0)
-        merged = merge_changes(
-            snap, batch_df, keys=keys, order_by=order_by, delete_col=delete_col
+        cdc_apply_pruned_batch(
+            batch_df, epoch_id, snapshot_dir,
+            keys=keys, order_by=order_by, partition_col=partition_col,
+            delete_col=delete_col,
         )
-        stage = os.path.join(snapshot_dir, f"_stage_v={epoch_id}")
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
-        for d in touched_dirs:
-            dst = os.path.join(snapshot_dir, d, f"v={epoch_id}")
-            shutil.rmtree(dst, ignore_errors=True)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            src = os.path.join(stage, d)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
-            else:
-                # every key in this partition was deleted: an empty version
-                # directory records the tombstone
-                os.makedirs(dst, exist_ok=True)
-        shutil.rmtree(stage, ignore_errors=True)
-        new_manifest = {**manifest, **{d: epoch_id for d in touched_dirs}}
-        fd, tmp = tempfile.mkstemp(dir=snapshot_dir, prefix="._manifest")
-        with os.fdopen(fd, "w") as f:
-            json.dump(new_manifest, f)
-        os.rename(tmp, os.path.join(snapshot_dir, f"_manifest_v={epoch_id}.json"))
 
     os.makedirs(snapshot_dir, exist_ok=True)
     return (
@@ -488,6 +448,85 @@ def start_cdc_apply_pruned(
         .trigger(**trig)
         .start()
     )
+
+
+def cdc_apply_pruned_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    snapshot_dir: str,
+    keys: list[str],
+    order_by: list[str],
+    partition_col: str,
+    delete_col: str = "is_delete",
+) -> None:
+    """One pruned CDC batch application (the ``foreachBatch`` body of
+    :func:`start_cdc_apply_pruned`, callable directly for tests/backfills).
+    """
+    import json
+    import shutil
+    import tempfile
+
+    spark = batch_df.sparkSession
+    from killrweather_spark.operators.cdc import merge_changes
+
+    if os.path.exists(
+        os.path.join(snapshot_dir, f"_manifest_v={epoch_id}.json")
+    ):
+        # replay of a fully-applied batch (crash after manifest rename
+        # but before checkpoint commit): recompute is deterministic, so
+        # the on-disk state is already exactly what this batch would
+        # write — and touching the live v= dirs here would break the
+        # atomic cut for concurrent readers.  No-op.
+        return
+    out_cols = [c for c in batch_df.columns if c != delete_col]
+    manifest = _latest_manifest(snapshot_dir, below=epoch_id) or {}
+    touched = [
+        r[0]
+        for r in batch_df.select(partition_col).distinct().collect()
+    ]
+    touched_dirs = [f"{partition_col}={v}" for v in touched]
+    prev_paths = [
+        os.path.join(snapshot_dir, d, f"v={manifest[d]}")
+        for d in touched_dirs
+        if d in manifest
+    ]
+    prev_paths = [p for p in prev_paths if _has_parquet(p)]
+    if prev_paths:
+        # partition-dir values are re-inferred on read (e.g. "3" → int);
+        # pin the column back to the changelog's declared type so the
+        # merge union never sees a type drift
+        ptype = batch_df.schema[partition_col].dataType
+        snap = (
+            spark.read.option("basePath", snapshot_dir)
+            .parquet(*prev_paths)
+            .drop("v")
+            .withColumn(partition_col, F.col(partition_col).cast(ptype))
+            .select(*out_cols)
+        )
+    else:
+        snap = batch_df.select(*out_cols).limit(0)
+    merged = merge_changes(
+        snap, batch_df, keys=keys, order_by=order_by, delete_col=delete_col
+    )
+    stage = os.path.join(snapshot_dir, f"_stage_v={epoch_id}")
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+    for d in touched_dirs:
+        dst = os.path.join(snapshot_dir, d, f"v={epoch_id}")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        src = os.path.join(stage, d)
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+        else:
+            # every key in this partition was deleted: an empty version
+            # directory records the tombstone
+            os.makedirs(dst, exist_ok=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    new_manifest = {**manifest, **{d: epoch_id for d in touched_dirs}}
+    fd, tmp = tempfile.mkstemp(dir=snapshot_dir, prefix="._manifest")
+    with os.fdopen(fd, "w") as f:
+        json.dump(new_manifest, f)
+    os.rename(tmp, os.path.join(snapshot_dir, f"_manifest_v={epoch_id}.json"))
 
 
 def _has_parquet(path: str) -> bool:
@@ -521,7 +560,13 @@ def _latest_manifest(
 def cdc_pruned_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """Current snapshot under :func:`start_cdc_apply_pruned`'s layout: the
     union of every partition's manifest version (empty version dirs =
-    fully-deleted partitions are skipped)."""
+    fully-deleted partitions are skipped).
+
+    A fully-deleted snapshot still returns an EMPTY DataFrame (schema
+    recovered from any superseded version's files) rather than None, so
+    callers can ``.select()``/``.count()`` unconditionally."""
+    import glob as _glob
+
     manifest = _latest_manifest(snapshot_dir)
     if manifest is None:
         raise FileNotFoundError(f"no CDC manifest under {snapshot_dir}")
@@ -529,10 +574,26 @@ def cdc_pruned_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
         os.path.join(snapshot_dir, d, f"v={v}") for d, v in manifest.items()
     ]
     paths = [p for p in paths if _has_parquet(p)]
-    if not paths:
-        return None  # fully-empty snapshot: no schema to return
+    if paths:
+        return (
+            spark.read.option("basePath", snapshot_dir)
+            .parquet(*paths)
+            .drop("v")
+        )
+    # every live partition is a tombstone: recover the payload schema from
+    # any historical version's files and return an empty frame of it
+    any_files = _glob.glob(
+        os.path.join(_glob.escape(snapshot_dir), "*", "v=*", "*.parquet")
+    )
+    if not any_files:
+        raise FileNotFoundError(
+            f"snapshot under {snapshot_dir} has no data files in any version"
+        )
     return (
-        spark.read.option("basePath", snapshot_dir).parquet(*paths).drop("v")
+        spark.read.option("basePath", snapshot_dir)
+        .parquet(any_files[0])
+        .drop("v")
+        .limit(0)
     )
 
 

@@ -417,3 +417,31 @@ def test_ingest_raw_updates_only_new_tier_partitions(spark, tmp_path):
     assert (lo.high, lo.low) == (-2.0, -8.0)
     precip = eng.get_precipitation("s1", 2008).first()
     assert precip.total == 3.5
+
+
+def test_ingest_raw_bootstraps_unmaterialized_tiers(spark, tmp_path):
+    """ingest_raw on a path-configured engine whose tiers were never
+    refreshed must bootstrap a FULL tier build first — otherwise only the
+    new batch's units would be written and every pre-existing raw day
+    silently dropped (with the watermark set past them)."""
+    schema = (
+        "wsid string, year int, month int, day int, hour int, "
+        "temperature double, one_hour_precip double"
+    )
+    preexisting = [("s1", 2007, 6, 10, 0, 25.0, 0.0)]
+    new_day = [("s1", 2008, 1, 2, 3, 5.0, 1.0)]
+    eng = WeatherEngine(
+        spark,
+        spark.createDataFrame(preexisting, schema),
+        daily_temperature_path=str(tmp_path / "t"),
+        daily_precip_path=str(tmp_path / "p"),
+    )
+    # no refresh_daily_tiers() call before the first ingest
+    eng.ingest_raw(spark.createDataFrame(new_day, schema))
+    days = {
+        (r.year, r.month, r.day)
+        for r in eng.daily_temperature_table.select("year", "month", "day").collect()
+    }
+    assert days == {(2007, 6, 10), (2008, 1, 2)}
+    hi = eng.get_monthly_hilow_temperature("s1", 2007, 6).first()
+    assert (hi.high, hi.low) == (25.0, 25.0)

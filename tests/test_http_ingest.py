@@ -133,3 +133,28 @@ def test_oversized_and_bomb_uploads_rejected(tmp_path):
         )
         assert status == 413 and b"too large" in body
     assert os.listdir(staging) == []
+
+
+def test_truncated_and_multimember_gzip(tmp_path):
+    """RFC 1952 edge cases: a gzip stream cut mid-body must 400 (zlib
+    returns partial output with NO exception — landing it would silently
+    drop data behind a 200), and a multi-member file (cat of .gz parts,
+    pigz output — the shape of real .csv.gz feeds) must decode ALL
+    members, not just the first."""
+    staging = str(tmp_path / "incoming")
+    with IngestHttpServer(staging) as srv:
+        whole = gzip.compress(LINES.encode())
+        status, body = _post(
+            srv.port, whole[: len(whole) - 8],
+            {FEED_HEADER: "cut.gz", "Content-Encoding": "gzip"},
+        )
+        assert status == 400 and b"truncated" in body
+        assert os.listdir(staging) == []
+
+        two = gzip.compress(LINES.encode()) + gzip.compress(b"extra,line\n")
+        status, body = _post(
+            srv.port, two, {FEED_HEADER: "multi.gz", "Content-Encoding": "gzip"}
+        )
+        assert status == 200 and body == b"3\n"
+        (f,) = os.listdir(staging)
+        assert open(os.path.join(staging, f)).read() == LINES + "extra,line\n"

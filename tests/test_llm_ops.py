@@ -642,6 +642,16 @@ def test_decode_media_parses_real_container_headers():
     )
     assert decode_media(jpg) == {"format": "jpeg", "width": 360, "height": 240}
 
+    # 0xFF fill bytes may pad before any marker (ITU T.81 B.1.1.2) — a
+    # valid file using them must decode, not "lose marker sync"
+    jpg_fill = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff" + b"\xe0" + (18).to_bytes(2, "big") + b"JFIF" + b"\x00" * 12
+        + b"\xff\xff" + b"\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (120).to_bytes(2, "big") + (160).to_bytes(2, "big") + b"\x00" * 12
+    )
+    assert decode_media(jpg_fill) == {"format": "jpeg", "width": 160, "height": 120}
+
     for bad in (b"not media", b"\x89PNG\r\n\x1a\nXXXXXXXX", b"\xff\xd8\xff\xe0\x00\x04\x00\x00"):
         with _pytest.raises(ValueError):
             decode_media(bad)

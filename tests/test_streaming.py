@@ -412,3 +412,67 @@ def test_cdc_pruned_apply_merges_only_touched_partitions(spark, tmp_path):
         for r in cdc_pruned_snapshot(spark, snap_dir).select("k", "pb", "payload").collect()
     )
     assert got2 == got
+
+
+def test_cdc_pruned_replay_after_manifest_is_noop(spark, tmp_path):
+    """Crash window between manifest rename and checkpoint commit: the
+    replayed batch must detect its own manifest and no-op — deleting the
+    live v= dirs before rewriting them (the old behavior) breaks the
+    atomic cut for concurrent readers.  Replay is driven directly through
+    the batch-apply function (Spark 4's commit-log guard forbids
+    simulating it by editing the checkpoint)."""
+    import hashlib
+    import pathlib
+
+    from killrweather_spark.streaming.pipeline import (
+        cdc_apply_pruned_batch,
+        cdc_pruned_snapshot,
+    )
+
+    schema = "k int, pb int, payload string, is_delete boolean, ts long, seq long"
+    snap_dir = str(tmp_path / "snapshot")
+    os.makedirs(snap_dir)
+    b0 = spark.createDataFrame([(1, 0, "a1", False, 10, 1)], schema)
+    b1 = spark.createDataFrame([(1, 0, "a2", False, 20, 2)], schema)
+    kw = dict(keys=["k"], order_by=["ts", "seq"], partition_col="pb")
+    cdc_apply_pruned_batch(b0, 0, snap_dir, **kw)
+    cdc_apply_pruned_batch(b1, 1, snap_dir, **kw)
+
+    def tree_hash():
+        return {
+            str(p): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted(pathlib.Path(snap_dir).rglob("*"))
+            if p.is_file()
+        }
+
+    before = tree_hash()
+    # batch 1's manifest is on disk; a crashed-before-checkpoint stream
+    # would now replay epoch 1 — it must no-op, byte for byte
+    cdc_apply_pruned_batch(b1, 1, snap_dir, **kw)
+    assert tree_hash() == before
+    got = [(r.k, r.payload) for r in
+           cdc_pruned_snapshot(spark, snap_dir).select("k", "payload").collect()]
+    assert got == [(1, "a2")]
+
+
+def test_cdc_pruned_snapshot_empty_after_full_deletion(spark, tmp_path):
+    """A changelog whose final batch deletes every key must leave a
+    readable EMPTY snapshot (schema recovered from historical versions),
+    not a None that crashes callers."""
+    from killrweather_spark.streaming.pipeline import (
+        cdc_apply_pruned_batch,
+        cdc_pruned_snapshot,
+    )
+
+    schema = "k int, pb int, payload string, is_delete boolean, ts long, seq long"
+    snap_dir = str(tmp_path / "snapshot")
+    os.makedirs(snap_dir)
+    kw = dict(keys=["k"], order_by=["ts", "seq"], partition_col="pb")
+    cdc_apply_pruned_batch(
+        spark.createDataFrame([(1, 0, "a1", False, 10, 1)], schema), 0, snap_dir, **kw)
+    cdc_apply_pruned_batch(
+        spark.createDataFrame([(1, 0, "a1", True, 20, 2)], schema), 1, snap_dir, **kw)
+    snap = cdc_pruned_snapshot(spark, snap_dir)
+    assert snap is not None
+    assert snap.count() == 0
+    assert set(snap.columns) >= {"k", "pb", "payload"}
