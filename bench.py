@@ -81,6 +81,8 @@ HEADLINE = [
     "media_decode_dims",        # real PNG decode over the Arrow batch path
     "nation_profit_by_year",    # Q9 shape: 5-table profit rollup
     "waiting_orders_suppliers", # Q21 shape: semi+anti double correlation
+    "semantic_eval_screen",     # broadcast eval screen over quantized dots
+    "training_order_shard",     # deterministic shard+pos corpus permutation
 ]
 
 

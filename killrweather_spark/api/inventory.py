@@ -7417,9 +7417,9 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_profit_by_year",
     """
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
-           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
-               - CAST(ROUND(p.p_retailprice * 60) AS BIGINT)
-                 * CAST(l.l_quantity AS BIGINT)) AS profit_cents
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                    - CAST(ROUND(p.p_retailprice * 60) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -7740,10 +7740,11 @@ DRIVER_WINDOW = [
     "join_multi_key",
     "join_dim_broadcast",
     "star_join_revenue",
-    # §2.8 scalar functions
+    # §2.8 scalar functions (date_sequence / coalesce_default rotate to
+    # oracle-pytest in r04 — the F family keeps date_format_parts +
+    # csv_roundtrip + json_extract driver rows — freeing two slots for the
+    # round-4 flagships below)
     "date_format_parts",
-    "date_sequence",
-    "coalesce_default",
     "sky_condition_lookup",
     # §2.5/2.6 windows & order
     "window_running_sum",
@@ -7777,6 +7778,9 @@ DRIVER_WINDOW = [
     "ann_lsh_cosine",
     # multimodal (Arrow mapInPandas path)
     "multimodal_embedding",
+    "media_decode_dims",           # r04: REAL container decode, oracle-exact
+    # decontamination (embedding-space complement of the n-gram pass)
+    "semantic_eval_screen",        # r04 flagship
     # curation / sketch families (no driver rows in r02)
     "pack_sequences",
     "approx_distinct_hll",
