@@ -1086,7 +1086,8 @@ def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e,
            unnest(generate_series(1, len(e.embedding))) AS i(i)
       WHERE e.vec_id < 100
-    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id)
+    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id
+               HAVING SUM(q * q) > 0)
     SELECT a_id AS vec_a, b_id AS vec_b,
            dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cosine
     FROM (
@@ -1102,11 +1103,14 @@ def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH bucketing is the 100 TB path, functions/similarity.py)",
 )
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from killrweather_spark.functions.similarity import norms, quantized_components
+    from killrweather_spark.functions.similarity import (
+        cosine_norms,
+        quantized_components,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     comp = quantized_components(emb).transform(persist_once)  # 3 consumers: nrm, a, b
-    nrm = norms(comp)
+    nrm = cosine_norms(comp)
     a = comp.select(F.col("vec_id").alias("a_id"), "pos", F.col("q").alias("qa"))
     b = comp.select(F.col("vec_id").alias("b_id"), "pos", F.col("q").alias("qb"))
     dots = (
@@ -1155,10 +1159,11 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS INT) AS n_chars_calc,
            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens,
            length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-             / len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS avg_token_len,
-           len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) / length(text) AS punct_ratio,
+             / NULLIF(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0) AS avg_token_len,
+           len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]'))
+             / NULLIF(length(text), 0) AS punct_ratio,
            len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b'))
-             / len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS stopword_ratio
+             / NULLIF(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0) AS stopword_ratio
     FROM documents
     """,
     survey_ref="beyond-ref: document quality scoring",
@@ -1472,7 +1477,8 @@ def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
       FROM embeddings e,
            unnest(generate_series(1, len(e.embedding))) AS i(i)
-    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id),
+    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id
+               HAVING SUM(q * q) > 0),
     dots AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q * b.q) AS dot
       FROM comp a
@@ -1504,7 +1510,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
       FROM embeddings e,
            unnest(generate_series(1, len(e.embedding))) AS i(i)
-    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id),
+    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id
+               HAVING SUM(q * q) > 0),
     sums AS (
       SELECT c.vec_id, j.j AS plane,
              SUM((strpos('0123456789abcdef',
@@ -1854,9 +1861,11 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
       FROM embeddings e,
            unnest(generate_series(1, len(e.embedding))) AS i(i)
-    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id),
+    ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id
+               HAVING SUM(q * q) > 0),
     cent AS (SELECT vec_id AS cell, pos, q AS cq FROM comp WHERE vec_id < 8),
-    cnorm AS (SELECT cell, SUM(cq * cq) AS cnorm2 FROM cent GROUP BY cell),
+    cnorm AS (SELECT cell, SUM(cq * cq) AS cnorm2 FROM cent GROUP BY cell
+             HAVING SUM(cq * cq) > 0),
     vdots AS (
       SELECT c.vec_id, ct.cell, SUM(c.q * ct.cq) AS dot
       FROM comp c JOIN cent ct ON ct.pos = c.pos
@@ -2380,7 +2389,8 @@ def q_training_order_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, i.i AS pos,
              CAST(ROUND(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)
-    ), nrm AS (SELECT vec_id, SUM(q * q) AS n2 FROM comp GROUP BY vec_id),
+    ), nrm AS (SELECT vec_id, SUM(q * q) AS n2 FROM comp GROUP BY vec_id
+               HAVING SUM(q * q) > 0),
     dots AS (
       SELECT t.vec_id AS train_id, e.vec_id AS eval_id, SUM(t.q * e.q) AS dot
       FROM comp t
@@ -6186,7 +6196,8 @@ def q_chunk_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bucketed e,
            unnest(generate_series(1, len(e.embedding))) AS i(i)
     ),
-    nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id),
+    nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id
+            HAVING SUM(q * q) > 0),
     dots AS (
       SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
              SUM(a.q * b.q) AS dot
@@ -6245,7 +6256,9 @@ def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda s, x: s + x.cast("bigint") * x,
         ),
-    ).transform(persist_once)
+        # zero-norm vectors: cosine undefined, and ANSI mode would throw on
+        # the division — excluded on both engines (oracle: HAVING > 0)
+    ).filter(F.col("norm2") > 0).transform(persist_once)
     # Cluster-size cap: one tiny row per label (broadcast), then a
     # deterministic md5 sub-bucket — cross-engine-exact because both
     # engines read the same 8 md5 hex digits as an integer.

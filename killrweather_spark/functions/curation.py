@@ -56,8 +56,15 @@ def deterministic_split(
     prefix = F.substring(hash_key(F.col(id_col)), 1, 4)
     expr = None
     for label, frac in boundaries:
-        bound = format(int(frac * 65536), "04x")
-        cond = prefix < F.lit(bound)
+        # frac >= 1.0 means "everything remaining": int(1.0·65536) formats
+        # to the 5-char '10000', which LEXICOGRAPHICALLY compares below
+        # most 4-char prefixes and would silently misassign — catch-all
+        # instead (same guard weighted_corpus_mix's keep_for applies)
+        cond = (
+            F.lit(True)
+            if frac >= 1.0
+            else prefix < F.lit(format(int(frac * 65536), "04x"))
+        )
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     return df.withColumn(out, expr.otherwise(F.lit(last_label)))
 
@@ -69,8 +76,12 @@ def split_thresholds_sql(
 ) -> str:
     """The oracle-SQL CASE expression mirroring :func:`deterministic_split`."""
     whens = " ".join(
-        f"WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4) < "
-        f"'{format(int(frac * 65536), '04x')}' THEN '{label}'"
+        (
+            f"WHEN TRUE THEN '{label}'"
+            if frac >= 1.0
+            else f"WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4) < "
+            f"'{format(int(frac * 65536), '04x')}' THEN '{label}'"
+        )
         for label, frac in boundaries
     )
     return f"CASE {whens} ELSE '{last_label}' END"

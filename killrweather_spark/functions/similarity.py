@@ -43,6 +43,17 @@ def norms(components: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def cosine_norms(components: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Norms for COSINE ranking: zero-norm vectors (all components quantize
+    to 0) are excluded — their cosine is undefined, and under Spark 4's
+    default ANSI mode the division would otherwise throw DIVIDE_BY_ZERO and
+    abort the whole query on one bad row.  Every cosine oracle mirrors the
+    exclusion with ``HAVING SUM(q * q) > 0``.  Norm STATISTICS
+    (docs_embedding_norms) keep the unfiltered :func:`norms` — a zero
+    vector is a legitimate data point there."""
+    return norms(components, id_col).filter(F.col("norm2") > 0)
+
+
 def cosine_topk(
     df: DataFrame,
     query_ids_filter,
@@ -60,7 +71,7 @@ def cosine_topk(
     # persist the quantized index so the explode runs once (at scale this is
     # the precomputed component index you'd store next to the vectors).
     comp = quantized_components(df, id_col, vec_col).transform(persist_once)
-    nrm = norms(comp, id_col)
+    nrm = cosine_norms(comp, id_col)
 
     qcomp = comp.filter(query_ids_filter(F.col(id_col))).select(
         F.col(id_col).alias("query_id"), "pos", F.col("q").alias("qa")
@@ -168,8 +179,12 @@ def ivf_cells(
     cent = comp.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cell"), "pos", F.col("q").alias("cq")
     )
-    cnorm = cent.groupBy("cell").agg(F.sum(F.col("cq") * F.col("cq")).alias("cnorm2"))
-    nrm = norms(comp, id_col)
+    cnorm = (
+        cent.groupBy("cell")
+        .agg(F.sum(F.col("cq") * F.col("cq")).alias("cnorm2"))
+        .filter(F.col("cnorm2") > 0)  # zero-norm centroid: cosine undefined
+    )
+    nrm = cosine_norms(comp, id_col)
     dots = (
         comp.join(F.broadcast(cent), "pos")
         .groupBy(id_col, "cell")
@@ -205,11 +220,15 @@ def ivf_cosine_topk(
     via the candidate join.
     """
     comp = quantized_components(df, id_col, vec_col).transform(persist_once)
-    nrm = norms(comp, id_col)
+    nrm = cosine_norms(comp, id_col)
     cent = comp.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cell"), "pos", F.col("q").alias("cq")
     )
-    cnorm = cent.groupBy("cell").agg(F.sum(F.col("cq") * F.col("cq")).alias("cnorm2"))
+    cnorm = (
+        cent.groupBy("cell")
+        .agg(F.sum(F.col("cq") * F.col("cq")).alias("cnorm2"))
+        .filter(F.col("cnorm2") > 0)  # zero-norm centroid: cosine undefined
+    )
 
     # per-query: its n_probe nearest cells
     qcomp = comp.filter(query_ids_filter(F.col(id_col))).select(
@@ -277,9 +296,11 @@ def ann_cosine_topk_lsh(
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact (quantized) cosine ranking within candidates."""
     buckets = lsh_buckets(df, n_planes, id_col, vec_col).transform(persist_once)
-    withb = df.join(buckets, id_col)
-    comp = quantized_components(withb, id_col, vec_col).transform(persist_once)
-    nrm = norms(comp, id_col)
+    # components come straight from df — joining the bucket column in first
+    # would cost a full extra shuffle of the corpus for a column the
+    # projection never reads (buckets only drive the candidate-pair join)
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+    nrm = cosine_norms(comp, id_col)
     b = buckets
     qb = b.filter(query_ids_filter(F.col(id_col))).select(
         F.col(id_col).alias("query_id"), "bucket"
@@ -512,7 +533,7 @@ def semantic_screen(
     contaminated train vector (ties break on eval id).
     """
     comp = quantized_components(df, id_col, vec_col).transform(persist_once)
-    nrm = norms(comp, id_col)
+    nrm = cosine_norms(comp, id_col)
 
     is_eval = eval_filter(F.col(id_col))
     ecomp = comp.filter(is_eval).select(

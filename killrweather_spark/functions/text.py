@@ -52,7 +52,14 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality scoring: length, token stats, punctuation and
-    stopword ratios, and a composite score.  All built-ins, one projection."""
+    stopword ratios, and a composite score.  All built-ins, one projection.
+
+    Ratios over token-less / empty documents are NULL: Spark 4 runs ANSI
+    mode by default, so a bare ``x / ntok`` would throw DIVIDE_BY_ZERO and
+    abort the whole scan on the first punctuation-only doc — ``try_divide``
+    keeps the per-row semantics (NULL = "no ratio defined") that a corpus
+    audit wants, on both engines (the oracle mirrors with NULLIF).
+    """
     t = F.col(text_col)
     ntok = token_count(t)
     alpha_chars = F.length(F.regexp_replace(F.lower(t), "[^a-z0-9]", ""))
@@ -62,9 +69,9 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "n_chars_calc": F.length(t),
             "n_tokens": ntok,
-            "avg_token_len": alpha_chars / ntok,
-            "punct_ratio": npunct / F.length(t),
-            "stopword_ratio": nstop / ntok,
+            "avg_token_len": F.try_divide(alpha_chars, ntok),
+            "punct_ratio": F.try_divide(npunct, F.length(t)),
+            "stopword_ratio": F.try_divide(nstop, ntok),
         }
     )
 
@@ -103,24 +110,31 @@ def normalized_fingerprint(col: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
 
 
-def rolling_min_fingerprint(col: Column, gram: int = 8) -> Column:
+def rolling_min_fingerprint(col_name: str, gram: int = 8) -> Column:
     """Winnowing-style content fingerprint: minimum md5 over all character
-    ``gram``-grams — robust to local edits, pure string ops.
+    ``gram``-grams of the named column — robust to local edits, pure
+    string ops.
 
     grams are generated JVM-side via ``transform(sequence(...))`` (no
-    explode): per-row bounded work, no shuffle.
+    explode): per-row bounded work, no shuffle.  Takes the column NAME
+    (the lambda-bearing expression is built with ``F.expr``, which needs a
+    resolvable identifier — an earlier revision hardcoded an internal
+    ``__fp_src`` reference, silently ignoring the argument).
     """
+    c = col_name
     return F.expr(
-        f"array_min(transform(sequence(1, greatest(length({{c}}) - {gram - 1}, 1)),"
-        f" i -> md5(substr({{c}}, i, {gram}))))".replace("{c}", "__fp_src")
+        f"array_min(transform(sequence(1, greatest(length({c}) - {gram - 1}, 1)),"
+        f" i -> md5(substr({c}, i, {gram}))))"
     )
 
 
 def add_rolling_fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint",
                             gram: int = 8) -> DataFrame:
+    """Attach the winnowing fingerprint of ``text_col`` (arbitrary column
+    names supported via a sanitized alias)."""
     return (
         df.withColumn("__fp_src", F.col(text_col))
-        .withColumn(out, rolling_min_fingerprint(F.col("__fp_src"), gram))
+        .withColumn(out, rolling_min_fingerprint("__fp_src", gram))
         .drop("__fp_src")
     )
 

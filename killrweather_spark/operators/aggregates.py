@@ -245,7 +245,12 @@ def hll_distinct(
         f"WHEN {dnz} >= 2 THEN 2 ELSE 3 END"
     )
     prepared = (
-        df.select(
+        # NULL values never count: md5(NULL) is NULL, and letting that row
+        # through would steal an empty-register slot and overestimate —
+        # COUNT(DISTINCT) / approx_count_distinct both ignore NULLs, and
+        # the oracle mirrors the same filter
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             *group_cols,
             F.md5(F.col(value_col).cast("string")).alias("__hx"),
         )
@@ -287,6 +292,7 @@ def hll_distinct_oracle_sql(
     WITH h AS (
       SELECT {group_col}, md5(CAST({value_col} AS VARCHAR)) AS hx
       FROM {table}
+      WHERE {value_col} IS NOT NULL
     ), pre AS (
       SELECT {group_col},
              (strpos('{_HEX}', substr(hx, 1, 1)) - 1) * 16
@@ -343,8 +349,12 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         aggs += [
             F.count(c).alias(f"__nn_{c}"),
             F.countDistinct(c).alias(f"__nd_{c}"),
-            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+            # try_cast: ANSI mode (Spark 4 default) would otherwise throw
+            # CAST_INVALID_INPUT on the first non-numeric string — a
+            # profile of a NEW table must tolerate string columns (null
+            # min/max), not crash on them
+            F.min(F.expr(f"try_cast({c} AS double)")).alias(f"__mn_{c}"),
+            F.max(F.expr(f"try_cast({c} AS double)")).alias(f"__mx_{c}"),
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(

@@ -71,7 +71,12 @@ def merge_changes(
     )
     chg = changes.select(
         *out_cols,
-        F.col(delete_col).cast("boolean").alias(delete_col),
+        # NULL in the delete flag means "not a delete" (an upsert), never
+        # "delete": without the coalesce, ~NULL filters the rank-1 row out
+        # and the key silently VANISHES as if deleted
+        F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)).alias(
+            delete_col
+        ),
         F.lit(1).alias("_src"),
         *[F.col(c).alias(f"_ord_{c}") for c in order_by],
     )

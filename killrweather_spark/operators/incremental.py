@@ -90,12 +90,19 @@ def incremental_refresh(
     fresh = raw.groupBy(*key_cols, *date_cols).agg(*aggs).withColumn(
         "date_key", date_key(date_cols)
     )
-    n_units = fresh.select("date_key").distinct().count()
-    if n_units:
-        (
-            fresh.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("date_key")
-            .parquet(tier_path)
-        )
+    # persist the (small: one row per key×unit) refreshed aggregate so the
+    # unit count and the write share one raw scan+shuffle — without it the
+    # nightly job pays the full aggregation twice (count job, then write)
+    fresh = fresh.persist()
+    try:
+        n_units = fresh.select("date_key").distinct().count()
+        if n_units:
+            (
+                fresh.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("date_key")
+                .parquet(tier_path)
+            )
+    finally:
+        fresh.unpersist()
     return n_units

@@ -87,7 +87,23 @@ def salted_join(
     small side ``n_salts``× (explode over the salt range), join on
     (keys + salt).  Total small-side inflation is ``n_salts``× — use when
     the small side is too big to broadcast but skew kills sort-merge.
+
+    Only join types that never null-extend the SMALL side are valid: each
+    small-side row exists ``n_salts`` times but a big-side row matches
+    exactly one replica, so ``right``/``full`` (and right-semi/anti) would
+    emit the n_salts-1 unmatched replicas as duplicate null-extended rows.
+    For those, swap the sides (salt the other input) or use a plain join
+    with AQE skew handling.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "cross",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} join types; {how!r} "
+            "would null-extend the replicated small side (one spurious row "
+            "per unmatched salt replica) — swap the join sides or use a "
+            "plain join with AQE skew handling"
+        )
     salt = F.pmod(
         F.hash(F.col(spread_col) if isinstance(spread_col, str) else spread_col),
         F.lit(n_salts),

@@ -678,3 +678,108 @@ def test_media_dimensions_roundtrips_synth_png(spark):
         h = hashlib.md5(row.text.encode()).hexdigest()
         exp = ("png", 1 + int(h[0:4], 16) % 512, 1 + int(h[4:8], 16) % 512)
         assert got[row.doc_id] == exp
+
+
+def test_ansi_edge_hardening(spark):
+    """Spark 4 runs ANSI mode by default; these ops must survive the edge
+    rows that a 100 TB corpus certainly contains instead of throwing
+    DIVIDE_BY_ZERO / CAST_INVALID_INPUT and killing the whole job."""
+    from killrweather_spark.functions.similarity import cosine_topk, semantic_screen
+    from killrweather_spark.functions.text import quality_metrics
+    from killrweather_spark.operators.aggregates import profile_columns
+
+    # empty / punctuation-only docs: ratios are NULL, no crash
+    docs = spark.createDataFrame(
+        [(1, "hello world."), (2, ""), (3, "!!!")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in quality_metrics(docs).collect()}
+    assert rows[1].stopword_ratio is not None
+    assert rows[2].avg_token_len is None and rows[2].punct_ratio is None
+    assert rows[3].stopword_ratio is None and rows[3].punct_ratio is not None
+
+    # zero-norm vectors: excluded from cosine ranking, no crash
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = cosine_topk(emb, lambda c: c < 1, k=5).collect()
+    assert {r.neighbor_id for r in got} == {1}  # zero vector never appears
+    scr = semantic_screen(emb, lambda c: c == 0, threshold=0.5).collect()
+    assert all(r.train_id != 2 for r in scr)
+
+    # string column profiling: null min/max, not CAST_INVALID_INPUT
+    prof = {r.column: r for r in profile_columns(
+        spark.createDataFrame([("w:1", 5.0), ("w:2", 7.0)], "wsid string, v double"),
+        ["wsid", "v"],
+    ).collect()}
+    assert prof["wsid"].min_val is None and prof["v"].max_val == 7.0
+
+
+def test_merge_changes_null_delete_flag_is_upsert(spark):
+    """NULL in the delete column means 'not a delete': the key must be
+    upserted, not silently vanish through the ~NULL filter."""
+    from killrweather_spark.operators.cdc import merge_changes
+
+    snap = spark.createDataFrame([(1, "old")], "k int, payload string")
+    chg = spark.createDataFrame(
+        [(1, "new", None, 5)], "k int, payload string, is_delete boolean, ts int"
+    )
+    got = merge_changes(snap, chg, keys=["k"], order_by=["ts"]).collect()
+    assert [(r.k, r.payload) for r in got] == [(1, "new")]
+
+
+def test_deterministic_split_full_fraction_boundary(spark):
+    """A boundary fraction of 1.0 must mean 'everything remaining' — the
+    naive hex threshold '10000' compares lexicographically below most
+    4-char prefixes and silently misassigned."""
+    from killrweather_spark.functions.curation import deterministic_split
+
+    df = spark.range(40).withColumnRenamed("id", "doc_id")
+    got = deterministic_split(
+        df, boundaries=(("train", 0.5), ("val", 1.0))
+    ).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in got}
+    assert "test" not in counts
+    assert counts.get("train", 0) + counts.get("val", 0) == 40
+    assert counts.get("val", 0) > 0
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would emit one spurious null-extended row per unmatched
+    salt replica of the small side — rejected with guidance."""
+    import pytest as _pytest
+
+    from killrweather_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k int, a string")
+    small = spark.createDataFrame([(1, "y")], "k int, b string")
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, ["k"], "k", n_salts=4, how=how)
+    assert salted_join(big, small, ["k"], "k", n_salts=4, how="inner").count() == 1
+
+
+def test_hll_distinct_ignores_nulls(spark):
+    """COUNT(DISTINCT) semantics: NULL values contribute nothing to the
+    estimate (previously a NULL stole an empty-register slot)."""
+    from killrweather_spark.operators.aggregates import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", None)], "grp string, v string"
+    )
+    est = hll_distinct(df, ["grp"], "v").first()["approx_distinct"]
+    assert abs(est - 2) < 0.2
+
+
+def test_rolling_min_fingerprint_uses_named_column(spark):
+    """Direct calls must fingerprint the NAMED column (a prior revision
+    hardcoded an internal alias and ignored the argument)."""
+    from killrweather_spark.functions.text import (
+        add_rolling_fingerprint,
+        rolling_min_fingerprint,
+    )
+
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id bigint, body string")
+    direct = df.withColumn("fp", rolling_min_fingerprint("body")).first()["fp"]
+    wrapped = add_rolling_fingerprint(df, "body").first()["fingerprint"]
+    assert direct == wrapped
