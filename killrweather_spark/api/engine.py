@@ -59,9 +59,26 @@ class WeatherEngine:
         self.daily_precip_path = daily_precip_path
         self._daily_temp: DataFrame | None = None
         self._daily_precip: DataFrame | None = None
+        # Serving is concurrent (AsyncWeatherEngine fans queries across a
+        # thread pool): tier (re)materialization must be serialized or two
+        # threads race the lazy refresh — duplicate rollups, one thread
+        # unpersisting frames another just cached, and in tier-path mode
+        # two dynamic overwrites interleaving on the same parquet path.
+        # Reads of the materialized frames need no lock (DataFrames are
+        # immutable plans).
+        import threading
+
+        self._tier_lock = threading.RLock()
+        self._views_registered = False
 
     # -- tier materialization (the reference's write-back, batch form) ------
     def refresh_daily_tiers(
+        self, cache: bool = True, units: list[int] | None = None
+    ) -> None:
+        with self._tier_lock:
+            return self._refresh_daily_tiers_locked(cache=cache, units=units)
+
+    def _refresh_daily_tiers_locked(
         self, cache: bool = True, units: list[int] | None = None
     ) -> None:
         """Materialize the daily temperature + precip tiers; later queries
@@ -137,6 +154,18 @@ class WeatherEngine:
             tier_watermark,
         )
 
+        self._tier_lock.acquire()  # raw rebind + refresh must be atomic
+        try:
+            self._ingest_raw_locked(new_raw, date_key, tier_watermark)
+            if self._views_registered:
+                # temp views snapshot DataFrame plans: re-register so SQL
+                # sees the post-ingest raw + tiers instead of silently
+                # serving stale pre-ingest data
+                self.register_views()
+        finally:
+            self._tier_lock.release()
+
+    def _ingest_raw_locked(self, new_raw, date_key, tier_watermark) -> None:
         self.raw = self.raw.unionByName(new_raw.select(*self.raw.columns))
         if self.daily_temperature_path and self.daily_precip_path:
             # Units mode is only valid once the tiers are materialized: on a
@@ -163,13 +192,17 @@ class WeatherEngine:
     @property
     def daily_temperature_table(self) -> DataFrame:
         if self._daily_temp is None:
-            self.refresh_daily_tiers()
+            with self._tier_lock:  # double-checked: one thread refreshes
+                if self._daily_temp is None:
+                    self.refresh_daily_tiers()
         return self._daily_temp
 
     @property
     def daily_precip_table(self) -> DataFrame:
         if self._daily_precip is None:
-            self.refresh_daily_tiers()
+            with self._tier_lock:
+                if self._daily_precip is None:
+                    self.refresh_daily_tiers()
         return self._daily_precip
 
     # -- §2.11 request surface ---------------------------------------------
@@ -184,11 +217,17 @@ class WeatherEngine:
         day: int | None = None,
     ) -> DataFrame:
         """GetCurrentWeather (WeatherStationActor.scala:43-48): latest raw row
-        for station (+ optional day).  Global limit(1) replaces the
-        reference's per-node-LIMIT workaround (P7)."""
+        for station (+ optional calendar narrowing).  Global limit(1)
+        replaces the reference's per-node-LIMIT workaround (P7).
+
+        Each of year/month/day narrows independently when supplied — a
+        year-only call returns that year's latest row.  (Previously a
+        partial date inserted ``col == NULL`` filters, which evaluate to
+        NULL for every row and returned a false NoDataAvailable.)"""
         key: dict[str, object] = {"wsid": wsid}
-        if year is not None:
-            key.update({"year": year, "month": month, "day": day})
+        for name, val in (("year", year), ("month", month), ("day", day)):
+            if val is not None:
+                key[name] = val
         return latest_row(self.raw, key, ["year", "month", "day", "hour"])
 
     def get_daily_temperature(
@@ -317,6 +356,7 @@ class WeatherEngine:
 
         from killrweather_spark.sources.readers import sky_condition_lookup_df
 
+        self._views_registered = True
         self.raw.createOrReplaceTempView("raw_weather_data")
         if self.stations is not None:
             self.stations.createOrReplaceTempView("weather_station")

@@ -1639,6 +1639,9 @@ def q_media_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T1-T7: streaming semantics (drained deterministically with availableNow)
 # --------------------------------------------------------------------------
 
+_EVENT_STAGE_DIRS: dict[str, str] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a bounded *stream* (parquet file source): the
     deterministic stand-in for the Kafka topic — the parse/agg/sink graph
@@ -1654,9 +1657,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly what load_table sees across testdata generations.
     schema = spark.read.parquet(path).schema
     # The file stream source wants a directory; stage the single parquet
-    # file behind a symlink (testdata itself is read-only).
-    stage = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(path, os.path.join(stage, "events.parquet"))
+    # file behind a symlink (testdata itself is read-only).  One stage dir
+    # per (process, sf_dir), cached — a fresh mkdtemp per invocation leaked
+    # a directory on every streaming registry query (bench/sweep runs call
+    # these repeatedly), against run_stream_to_batch's leak-free contract.
+    stage = _EVENT_STAGE_DIRS.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="stream_events_")
+        os.symlink(path, os.path.join(stage, "events.parquet"))
+        _EVENT_STAGE_DIRS[sf_dir] = stage
     stream = spark.readStream.schema(schema).parquet(stage)
     ts_type = dict(stream.dtypes)["ts"]
     if ts_type in ("bigint", "long"):

@@ -56,12 +56,24 @@ def shuffle_count(df: DataFrame) -> int:
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:
-    """HashAggregate appears both before and after the exchange (map-side
-    combine ≙ the Cassandra counter's commutative partial sums)."""
+    """A HashAggregate sits BELOW an Exchange in the operator tree (map-side
+    combine ≙ the Cassandra counter's commutative partial sums).
+
+    Scoped to the tree section of the formatted plan — the details section
+    repeats every node name, so a substring test over the whole text was
+    vacuously true for any plan containing one agg and one exchange (a
+    final-only aggregation would have passed the very check built to catch
+    it).  The tree prints parents first, so partial aggregation appears as
+    an Exchange line followed by a deeper HashAggregate line."""
     plan = formatted_plan(df)
-    first_agg = plan.find("HashAggregate")
-    exch = plan.find("Exchange")
-    return 0 <= first_agg and 0 <= exch and "HashAggregate" in plan[exch:]
+    tree = plan.split("\n\n", 1)[0]  # tree section only
+    lines = tree.splitlines()
+    exch_idxs = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    if not exch_idxs:
+        return False
+    return any(
+        "HashAggregate" in ln for ln in lines[min(exch_idxs) + 1:]
+    )
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

@@ -99,8 +99,10 @@ def kafka_lines(
 
 def file_lines(spark: SparkSession, path: str) -> DataFrame:
     """S6 as a stream: text files of CSV lines appearing in a directory
-    (each file ≙ a batch of Kafka messages; gzip transparent)."""
-    return spark.readStream.text(path).withColumnRenamed("value", "value")
+    (each file ≙ a batch of Kafka messages; gzip transparent).  The text
+    source already names its column ``value`` — the same contract as the
+    Kafka source after the cast, so the two are drop-in interchangeable."""
+    return spark.readStream.text(path)
 
 
 # --------------------------------------------------------------------------
@@ -170,6 +172,68 @@ def parsed_observations(lines: DataFrame) -> DataFrame:
     return parse_raw_lines(lines)
 
 
+def upsert_into_partitions(
+    batch_df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    key_cols: Sequence[str],
+) -> None:
+    """Keyed upsert of a changed-keys-only batch into a partitioned parquet
+    table: read ONLY the partitions the batch touches, keep their rows whose
+    key is NOT in the batch, union the batch, dynamic-overwrite those
+    partitions.
+
+    This is the correct sink body for an update-mode stateful aggregate —
+    the batch holds the new TOTAL for each CHANGED key only, so writing the
+    batch alone with dynamic overwrite would DELETE every unchanged key
+    that shares a partition (data loss the single-drain tests can't see).
+    Idempotent on replay: a replayed batch carries the same totals, and the
+    anti-join + union converges to the same partition contents.  Cost is
+    O(touched partitions), never a full-table rewrite — the same pruned
+    read-modify-write shape as :func:`cdc_apply_pruned_batch`.
+    """
+    from functools import reduce
+    from operator import and_, or_
+
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    out = batch_df
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException:
+        existing = None  # first batch: nothing to merge
+    if existing is not None:
+        # touched-partition values are a small driver-side list by
+        # construction (a microbatch spans few calendar partitions);
+        # equality literals on partition columns prune directories
+        touched = batch_df.select(*partition_cols).distinct().collect()
+        if touched:
+            pred = reduce(
+                or_,
+                [
+                    reduce(
+                        and_, [F.col(c) == r[c] for c in partition_cols]
+                    )
+                    for r in touched
+                ],
+            )
+            keep = (
+                existing.filter(pred)
+                .select(*batch_df.columns)
+                .join(
+                    batch_df.select(*key_cols), list(key_cols), "left_anti"
+                )
+            )
+            out = keep.unionByName(batch_df)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def daily_precip_updates(observations: DataFrame) -> DataFrame:
     """A4: streaming daily-precip accumulation.
 
@@ -211,14 +275,15 @@ def start_ingest(
 
     def upsert_precip(batch_df: DataFrame, epoch_id: int) -> None:
         # Update-mode batch contains the NEW TOTAL for each changed key
-        # (state store did the accumulation).  Overwriting the affected
-        # (year, month) partitions with the latest totals is idempotent on
-        # replay — the counter-table semantics without the double-count.
-        (
-            batch_df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("year", "month")
-            .parquet(precip_path)
+        # (state store did the accumulation).  Merge it into the touched
+        # (year, month) partitions keyed by (wsid, y, m, d) — writing the
+        # batch alone would delete every UNchanged station sharing the
+        # partition.  Idempotent on replay (counter semantics, no
+        # double-count).
+        upsert_into_partitions(
+            batch_df, precip_path,
+            partition_cols=("year", "month"),
+            key_cols=("wsid", "year", "month", "day"),
         )
 
     precip_q = (
@@ -273,11 +338,13 @@ def start_daily_temp_rollup(
             .withColumn("stdev", F.sqrt(F.col("variance")))
             .drop("__n", "__sx", "__sxx")
         )
-        (
-            finished.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("year", "month")
-            .parquet(out_path)
+        # changed-keys-only batch: MERGE into the touched partitions (see
+        # upsert_into_partitions — a bare dynamic overwrite would drop
+        # every unchanged (wsid, day) sharing the month)
+        upsert_into_partitions(
+            finished, out_path,
+            partition_cols=("year", "month"),
+            key_cols=("wsid", "year", "month", "day"),
         )
 
     return (
@@ -484,7 +551,14 @@ def cdc_apply_pruned_batch(
         r[0]
         for r in batch_df.select(partition_col).distinct().collect()
     ]
-    touched_dirs = [f"{partition_col}={v}" for v in touched]
+    # a NULL partition value stages under Spark's reserved directory name —
+    # mirror it so null-keyed rows are tracked instead of silently treated
+    # as a fully-deleted partition (str(None) would look for 'col=None')
+    touched_dirs = [
+        f"{partition_col}="
+        + ("__HIVE_DEFAULT_PARTITION__" if v is None else str(v))
+        for v in touched
+    ]
     prev_paths = [
         os.path.join(snapshot_dir, d, f"v={manifest[d]}")
         for d in touched_dirs

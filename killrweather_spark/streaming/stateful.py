@@ -32,8 +32,12 @@ def running_max_by_key(
     (the pattern for any custom monoid the built-in aggs don't cover:
     t-digests, HLL sketches, decaying counters...).  Emits the key's new
     maximum whenever it changes (update-mode semantics).
+
+    The key's output type is taken from the INPUT schema — hardcoding
+    bigint broke the operator on string keys like the engine's ``wsid``.
     """
-    out_schema = f"{key_col} bigint, max_{value_col} double"
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, max_{value_col} double"
     state_schema = "mx double"
 
     def fn(

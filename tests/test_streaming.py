@@ -476,3 +476,67 @@ def test_cdc_pruned_snapshot_empty_after_full_deletion(spark, tmp_path):
     assert snap is not None
     assert snap.count() == 0
     assert set(snap.columns) >= {"k", "pb", "payload"}
+
+
+def test_update_mode_upsert_preserves_unchanged_keys_across_batches(spark, tmp_path):
+    """The update-mode sinks emit only CHANGED keys per microbatch; the
+    partition upsert must merge them into the touched (year, month)
+    partitions — a bare dynamic overwrite would silently delete every
+    unchanged station sharing the partition (invisible to single-drain
+    tests).  Batch 1 carries stations A+B; batch 2 only A — B's totals
+    must survive, and A's must accumulate."""
+    from killrweather_spark.streaming.pipeline import start_ingest
+
+    src = tmp_path / "lines"
+    src.mkdir()
+    a, b = "711110:11111", "722220:22222"
+    (src / "b1.csv").write_text(
+        f"{a},2008,01,01,00,10.0,-0.6,1023.8,50,7.2,2,1.5,0.0\n"
+        f"{b},2008,01,02,00,12.0,-0.6,1023.8,50,7.2,2,2.5,0.0\n"
+    )
+    (src / "b2.csv").write_text(
+        f"{a},2008,01,01,06,11.0,-0.6,1023.8,50,7.2,2,0.5,0.0\n"
+    )
+    from killrweather_spark.streaming.pipeline import parsed_observations
+
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .withColumnRenamed("value", "value")
+    )
+    raw_path = str(tmp_path / "raw")
+    precip_path = str(tmp_path / "precip")
+    q1, q2 = start_ingest(
+        parsed_observations(lines), raw_path, precip_path,
+        str(tmp_path / "ckpt"), trigger={"availableNow": True},
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    got = {
+        (r.wsid, r.day): r.precipitation
+        for r in spark.read.parquet(precip_path).collect()
+    }
+    assert got == {(a, 1): 2.0, (b, 2): 2.5}
+
+
+def test_running_max_by_key_string_keys(spark, tmp_path):
+    """The stateful max operator must take the key's output type from the
+    input schema — a hardcoded bigint broke it on the engine's string
+    ``wsid`` keys."""
+    import json as _json
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+    from killrweather_spark.streaming.stateful import running_max_by_key
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [{"wsid": "a:1", "value": 1.0}, {"wsid": "a:1", "value": 3.0},
+            {"wsid": "b:2", "value": 2.0}]
+    (src / "r.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("wsid string, value double").json(str(src))
+    out = run_stream_to_batch(
+        running_max_by_key(stream, "wsid", "value"),
+        str(tmp_path / "ckpt"), "strkey_max", "update",
+    )
+    got = {r.wsid: r.max_value for r in out.collect()}
+    assert got == {"a:1": 3.0, "b:2": 2.0}
