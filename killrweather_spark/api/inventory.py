@@ -532,16 +532,23 @@ def q_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(day(ts) AS INT) AS day, CAST(hour(ts) AS INT) AS hour, value
       FROM events
     ), lined AS (
-      SELECT *, concat_ws(',', user_id, year, month, day, hour, value) AS line0
+      -- value rendered as fixed 2-dp decimal from exact cents: engines
+      -- print bare doubles differently outside [1e-3, 1e7) (Spark
+      -- '1.0E-4' vs DuckDB '0.0001'), which would diverge the md5
+      -- corruption selection below
+      SELECT *,
+             (CASE WHEN CAST(ROUND(value * 100) AS BIGINT) < 0 THEN '-' ELSE '' END || CAST(ABS(CAST(ROUND(value * 100) AS BIGINT)) // 100 AS VARCHAR) || '.' || lpad(CAST(ABS(CAST(ROUND(value * 100) AS BIGINT)) % 100 AS VARCHAR), 2, '0')) AS v2,
+             concat_ws(',', user_id, year, month, day, hour,
+                       (CASE WHEN CAST(ROUND(value * 100) AS BIGINT) < 0 THEN '-' ELSE '' END || CAST(ABS(CAST(ROUND(value * 100) AS BIGINT)) // 100 AS VARCHAR) || '.' || lpad(CAST(ABS(CAST(ROUND(value * 100) AS BIGINT)) % 100 AS VARCHAR), 2, '0'))) AS line0
       FROM cal
     ), corrupted AS (
       SELECT CASE WHEN substr(md5(line0), 1, 1) <= '3' THEN
                CASE WHEN substr(md5(line0), 2, 1) <= '5'
                       THEN concat_ws(',', user_id, year, month, day, hour,
-                                     'x' || CAST(value AS VARCHAR))
+                                     'x' || v2)
                     WHEN substr(md5(line0), 2, 1) <= 'a'
                       THEN concat_ws(',', user_id, year, month, day, hour)
-                    ELSE concat_ws(',', user_id, year, month, day, 99, value) END
+                    ELSE concat_ws(',', user_id, year, month, day, 99, v2) END
              ELSE line0 END AS line
       FROM lined
     ), parsed AS (
@@ -572,10 +579,15 @@ def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.sources.readers import csv_line_audit
 
     ev = _events_calendar(spark, sf_dir)
+    # fixed 2-dp rendering from exact cents — bare double-to-string is
+    # engine-specific outside [1e-3, 1e7) (Java '1.0E-4' vs DuckDB
+    # '0.0001') and would diverge the md5 corruption selection
+    v2 = F.expr("concat(CASE WHEN cast(round(value * 100) as bigint) < 0 THEN '-' ELSE '' END, cast(abs(cast(round(value * 100) as bigint)) div 100 as string), '.', lpad(cast(abs(cast(round(value * 100) as bigint)) % 100 as string), 2, '0'))")
     base = ev.select(
         "user_id", "year", "month", "day", "hour", "value",
+        v2.alias("v2"),
         F.concat_ws(
-            ",", "user_id", "year", "month", "day", "hour", "value"
+            ",", "user_id", "year", "month", "day", "hour", v2
         ).alias("line0"),
     )
     c1 = F.expr("substr(md5(line0), 1, 1)")
@@ -587,7 +599,7 @@ def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 c2 <= "5",
                 F.concat_ws(
                     ",", "user_id", "year", "month", "day", "hour",
-                    F.concat(F.lit("x"), F.col("value").cast("string")),
+                    F.concat(F.lit("x"), F.col("v2")),
                 ),
             )
             .when(
@@ -596,7 +608,7 @@ def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(
                 F.concat_ws(
-                    ",", "user_id", "year", "month", "day", F.lit(99), "value"
+                    ",", "user_id", "year", "month", "day", F.lit(99), "v2"
                 )
             ),
         )
@@ -644,7 +656,13 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ({_EV_CAL_SQL}) e
     JOIN (
       SELECT user_id, year, month, day,
-             MAX(value) AS high, MIN(value) AS low, AVG(value) AS mean
+             MAX(value) AS high, MIN(value) AS low,
+             -- exact algebraic mean: (cents-sum / 100) / n is two IEEE
+             -- ops in fixed operand order — plain AVG(double) is
+             -- reduction-order dependent and flips low bits once a
+             -- group spans partitions (the file's exactness contract)
+             (SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0)
+               / COUNT(*) AS mean
       FROM ({_EV_CAL_SQL})
       GROUP BY user_id, year, month, day
     ) d
@@ -657,7 +675,10 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_calendar(spark, sf_dir)
     keys = ["user_id", "year", "month", "day"]
-    daily = daily_stats(ev, keys, "value").select(*keys, "high", "low", "mean")
+    # exact path (not daily_stats' AVG): mirrors the oracle's algebraic mean
+    daily = daily_stats_exact(ev, keys, "value").select(
+        *keys, "high", "low", "mean"
+    )
     return (
         ev.join(daily, keys, "inner")
         .filter(F.col("user_id") < 20)
@@ -1178,25 +1199,35 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One language-heuristic template for BOTH lang queries (lang_id and
+# lang_confusion_matrix) — duplicated CASE chains drift when a regex is
+# edited in one copy, the hazard the shared-constant convention
+# (_DUP_PAIRS_SQL, GRAM_DF_CAP) exists to prevent.  Mirrors
+# functions/text.py:lang_id exactly.
+_PRED_LANG_SQL = r"""
+      SELECT doc_id, lang, source,
+             CASE WHEN zh > 0 THEN 'zh'
+                  WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                  WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                  WHEN fr >= es AND fr > 0 THEN 'fr'
+                  WHEN es > 0 THEN 'es'
+                  ELSE 'unknown' END AS predicted
+      FROM (
+        SELECT doc_id, lang, source,
+               len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS en,
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
+               len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|y)\b')) AS es,
+               len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+        FROM documents
+      )
+"""
+
+
 @register(
     "lang_id",
-    r"""
-    SELECT doc_id, lang,
-           CASE WHEN zh > 0 THEN 'zh'
-                WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-                WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-                WHEN fr >= es AND fr > 0 THEN 'fr'
-                WHEN es > 0 THEN 'es'
-                ELSE 'unknown' END AS predicted
-    FROM (
-      SELECT doc_id, lang,
-             len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS en,
-             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
-             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
-             len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|y)\b')) AS es,
-             len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
-      FROM documents
-    )
+    f"""
+    SELECT doc_id, lang, predicted FROM ({_PRED_LANG_SQL})
     """,
     survey_ref="beyond-ref: n-gram/stopword language-ID heuristic",
 )
@@ -3283,21 +3314,22 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_intervals",
     """
     WITH seq AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
       FROM events
     ),
     changes AS (
-      SELECT user_id, event_type, ts
+      SELECT user_id, event_type, ts, event_id
       FROM seq
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, event_type,
            epoch_us(ts) AS valid_from_us,
-           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
-             AS valid_to_us,
-           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS valid_to_us,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS is_current
     FROM changes
     """,
@@ -3322,7 +3354,9 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("event_type") != F.col("prev_type"))
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # interval close carries the SAME total order as change detection —
+    # ts alone is nondeterministic on tied timestamps (header contract)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w2)
     return changes.select(
         "user_id",
@@ -3552,7 +3586,11 @@ def q_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins, users whose latest change is an 'error' event are deleted,
     untouched users keep their snapshot row.  The oracle collapses the
     two phases into one ranked scan — semantically identical because the
-    snapshot itself is latest-wins over the pre-cutoff prefix."""
+    snapshot itself is latest-wins-WITH-DELETES over the pre-cutoff
+    prefix: a user whose latest pre-cutoff event is a delete is absent
+    from the snapshot (a CDC-maintained table holds no deleted keys), so
+    the snapshot build filters those rank-1 rows exactly as the oracle's
+    ``NOT is_delete`` does."""
     from killrweather_spark.operators.cdc import merge_changes
     from pyspark.sql.window import Window
 
@@ -3567,6 +3605,7 @@ def q_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("ts") < cutoff)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
+        .filter(F.col("event_type") != "error")
         .select(
             "user_id",
             F.col("value").cast("double").alias("last_value"),
@@ -4310,12 +4349,12 @@ from killrweather_spark.operators.runtime_filter import _SALTS  # noqa: E402
     WITH keys AS (
       SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_nationkey = 7
     ),
-    set1 AS (SELECT DISTINCT {bucket_sql('k', 'rfA|', 4096)} AS b FROM keys),
-    set2 AS (SELECT DISTINCT {bucket_sql('k', 'rfB|', 4096)} AS b FROM keys),
+    set1 AS (SELECT DISTINCT {bucket_sql('k', _SALTS[0], 4096)} AS b FROM keys),
+    set2 AS (SELECT DISTINCT {bucket_sql('k', _SALTS[1], 4096)} AS b FROM keys),
     pre AS (
       SELECT l.* FROM lineitem l
-      WHERE {bucket_sql('l.l_suppkey', 'rfA|', 4096)} IN (SELECT b FROM set1)
-        AND {bucket_sql('l.l_suppkey', 'rfB|', 4096)} IN (SELECT b FROM set2)
+      WHERE {bucket_sql('l.l_suppkey', _SALTS[0], 4096)} IN (SELECT b FROM set1)
+        AND {bucket_sql('l.l_suppkey', _SALTS[1], 4096)} IN (SELECT b FROM set2)
         AND l.l_suppkey IN (SELECT k FROM keys)
     )
     SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -4764,9 +4803,9 @@ _CMS_W = 1024
     WITH counters AS (
       SELECT r.row_id,
              CASE r.row_id
-               WHEN 0 THEN {bucket_sql('l_partkey', 'cmsA|', _CMS_W)}
-               WHEN 1 THEN {bucket_sql('l_partkey', 'cmsB|', _CMS_W)}
-               ELSE {bucket_sql('l_partkey', 'cmsC|', _CMS_W)}
+               WHEN 0 THEN {bucket_sql('l_partkey', _CMS_SALTS[0], _CMS_W)}
+               WHEN 1 THEN {bucket_sql('l_partkey', _CMS_SALTS[1], _CMS_W)}
+               ELSE {bucket_sql('l_partkey', _CMS_SALTS[2], _CMS_W)}
              END AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM lineitem CROSS JOIN (VALUES (0), (1), (2)) AS r(row_id)
@@ -4780,9 +4819,9 @@ _CMS_W = 1024
     probes AS (
       SELECT e.partkey, e.exact_n, r.row_id,
              CASE r.row_id
-               WHEN 0 THEN {bucket_sql('e.partkey', 'cmsA|', _CMS_W)}
-               WHEN 1 THEN {bucket_sql('e.partkey', 'cmsB|', _CMS_W)}
-               ELSE {bucket_sql('e.partkey', 'cmsC|', _CMS_W)}
+               WHEN 0 THEN {bucket_sql('e.partkey', _CMS_SALTS[0], _CMS_W)}
+               WHEN 1 THEN {bucket_sql('e.partkey', _CMS_SALTS[1], _CMS_W)}
+               ELSE {bucket_sql('e.partkey', _CMS_SALTS[2], _CMS_W)}
              END AS bucket
       FROM exact e CROSS JOIN (VALUES (0), (1), (2)) AS r(row_id)
     )
@@ -4812,9 +4851,9 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows3 = F.array(*[F.lit(i) for i in range(3)])
     bucket_case = (
         "CASE row_id WHEN 0 THEN {} WHEN 1 THEN {} ELSE {} END".format(
-            _bucket("l_partkey", "cmsA|", _CMS_W),
-            _bucket("l_partkey", "cmsB|", _CMS_W),
-            _bucket("l_partkey", "cmsC|", _CMS_W),
+            _bucket("l_partkey", _CMS_SALTS[0], _CMS_W),
+            _bucket("l_partkey", _CMS_SALTS[1], _CMS_W),
+            _bucket("l_partkey", _CMS_SALTS[2], _CMS_W),
         )
     )
     counters = (
@@ -4916,14 +4955,22 @@ def q_hist_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_point_in_time_join",
     """
     WITH seq AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
       FROM events
     ),
     changes AS (
-      SELECT user_id, event_type, ts FROM seq
-      WHERE prev_type IS NULL OR event_type <> prev_type
+      -- tied timestamps: the LAST change at an instant (max event_id) wins
+      -- the interval start, so valid_from is unique per user and the
+      -- containment join can never double-match a fact
+      SELECT user_id, event_type, ts FROM (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rnt
+        FROM seq
+        WHERE prev_type IS NULL OR event_type <> prev_type
+      ) WHERE rnt = 1
     ),
     intervals AS (
       SELECT user_id, event_type AS state_type,
@@ -4958,12 +5005,17 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(
             F.col("prev_type").isNull()
             | (F.col("event_type") != F.col("prev_type"))
         )
+        # tied timestamps: last change at the instant wins (asof_join's
+        # documented tie contract — unique right-side ts per key)
+        .withColumn("_rnt", F.row_number().over(wt))
+        .filter(F.col("_rnt") == 1)
         .select(
             F.col("user_id").alias("i_user"),
             F.col("event_type").alias("state_type"),
@@ -5537,9 +5589,10 @@ _MAD_DAILY_SQL = """
 def q_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Days whose total deviates from the per-type median by more than
     2·1.4826·MAD (the robust z-score): medians are exact order statistics
-    kept in scaled integers (med2 = 2·median, mad4 = 4·MAD-units), the
-    threshold 3·1.4826 becomes the integer ratio 44478/10000 — no float
-    anywhere, so both engines flag identical days.  Medians of millions
+    kept in scaled integers (med2 = 2·median, mad4 = 4·MAD-units), and the
+    2·1.4826 threshold becomes the integer ratio 29652/10000 (the literal
+    both engines' filters carry) — no float anywhere, so both engines flag
+    identical days.  Medians of millions
     of groups stay one window pass; the tiny median/MAD tables broadcast
     back onto the daily tier."""
     from pyspark.sql import Window
@@ -5636,25 +5689,6 @@ def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign_step(emb)
 
-
-_PRED_LANG_SQL = r"""
-      SELECT doc_id, lang, source,
-             CASE WHEN zh > 0 THEN 'zh'
-                  WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-                  WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-                  WHEN fr >= es AND fr > 0 THEN 'fr'
-                  WHEN es > 0 THEN 'es'
-                  ELSE 'unknown' END AS predicted
-      FROM (
-        SELECT doc_id, lang, source,
-               len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS en,
-               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
-               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
-               len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|y)\b')) AS es,
-               len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
-        FROM documents
-      )
-"""
 
 
 @register(
@@ -6187,11 +6221,26 @@ def q_chunk_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_dup_candidates",
     f"""
-    WITH sized AS (
+    WITH nonzero AS (
+      -- cluster sizes must count the SAME population the pair scan sees:
+      -- zero-norm vectors are excluded from cosine everywhere (nrm HAVING
+      -- below, Spark-side filter before sizes), so they must not inflate
+      -- n_sub / shift the md5 sub-bucketing either
+      SELECT vec_id, label, embedding
+      FROM embeddings e
+      WHERE (
+        SELECT SUM(CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000)
+                        AS BIGINT)
+                   * CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000)
+                          AS BIGINT))
+        FROM unnest(generate_series(1, len(e.embedding))) AS i(i)
+      ) > 0
+    ),
+    sized AS (
       SELECT e.vec_id, e.label, e.embedding,
              GREATEST(CAST(CEIL(COUNT(*) OVER (PARTITION BY e.label)
                                 / {SEMDEDUP_CLUSTER_CAP}.0) AS BIGINT), 1) AS n_sub
-      FROM embeddings e
+      FROM nonzero e
     ),
     bucketed AS (
       SELECT vec_id, label, embedding,
@@ -6377,8 +6426,13 @@ def q_supplier_variety_by_parttype(spark: SparkSession, sf_dir: str) -> DataFram
     """
     SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
-                         WHERE c2.c_acctbal > 0)
+    -- exact threshold: bal > avg ⇔ bal_cents·n > sum_cents (integer
+    -- cross-multiplication — a float AVG is reduction-order dependent and
+    -- can flip boundary customers between engines)
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+            * (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+          > (SELECT SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT))
+             FROM customer c2 WHERE c2.c_acctbal > 0)
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey
@@ -6400,12 +6454,19 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
     )
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "sum_cents"
+        ),
+        F.count(F.lit(1)).alias("n_pos"),
     )
     return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        c.crossJoin(F.broadcast(stats))
+        # bal > avg as exact integer cross-multiplication (order-free)
+        .filter(
+            F.round(F.col("c_acctbal") * 100).cast("bigint") * F.col("n_pos")
+            > F.col("sum_cents")
+        )
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select(F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal"))
     )

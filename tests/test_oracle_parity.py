@@ -20,3 +20,85 @@ def test_all_queries_match_oracle(spark):
         for r in failed
     )
     assert not failed, f"{len(failed)} queries diverged from oracle:\n{msg}"
+
+
+def test_edge_fixture_parity(spark, tmp_path):
+    """Latent cross-engine cases the shipped testdata never triggers,
+    exercised through the SAME harness: a zero-norm embedding sitting in a
+    cluster (must not shift SemDeDup's n_sub/bucketing or crash cosine),
+    and a user whose latest pre-cutoff event is a delete (must be absent
+    from the CDC snapshot on BOTH engines)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_harness import duck_connection, compare
+    from killrweather_spark.api.inventory import REGISTRY
+
+    fx = tmp_path / "fixture"
+    fx.mkdir()
+    for t in ("region nation customer supplier part orders lineitem "
+              "documents").split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", fx / f"{t}.parquet")
+
+    # embeddings: 2 clusters incl. one ZERO vector in cluster 0
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 0.0, 0.0], 0),   # zero-norm: excluded everywhere
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.95, 0.05, 0.0], 1),
+    ]
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }),
+        fx / "embeddings.parquet",
+    )
+
+    # events: u1 normal; u2's LATEST pre-cutoff event is a delete ('error');
+    # u3 deleted pre-cutoff then re-inserted by the change window; plus a
+    # TIED-timestamp pair for u1 (total-order tiebreak must hold)
+    import datetime as dt
+
+    def e(eid, ts, uid, typ, val):
+        return (eid, dt.datetime(2024, 1, ts[0], ts[1]), uid, typ, float(val), "{}")
+
+    events = [
+        e(1, (2, 0), 10, "click", 1.0),
+        e(2, (3, 0), 10, "purchase", 2.0),
+        e(3, (3, 0), 10, "click", 3.0),       # tied ts with event_id 2
+        e(4, (4, 0), 20, "click", 4.0),
+        e(5, (5, 0), 20, "error", 0.0),       # u20 deleted pre-cutoff
+        e(6, (6, 0), 30, "error", 0.0),       # u30 deleted pre-cutoff...
+        e(7, (20, 0), 30, "click", 7.0),      # ...re-inserted in the window
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([x[0] for x in events], pa.int64()),
+            "ts": pa.array([x[1] for x in events],
+                           pa.timestamp("us")),
+            "user_id": pa.array([x[2] for x in events], pa.int64()),
+            "event_type": pa.array([x[3] for x in events]),
+            "value": pa.array([x[4] for x in events], pa.float64()),
+            "props": pa.array([x[5] for x in events]),
+        }),
+        fx / "events.parquet",
+    )
+
+    con = duck_connection(str(fx))
+    for name in ("semantic_dup_candidates", "cosine_topk",
+                 "cdc_merge_snapshot"):
+        spec = REGISTRY[name]
+        d = compare(name, spec.fn(spark, str(fx)), con, spec.sql)
+        assert d.ok, (name, d.messages[:3])
+
+    # the semantics themselves, independent of the oracle:
+    snap = {r.user_id: r.last_event_id
+            for r in REGISTRY["cdc_merge_snapshot"].fn(spark, str(fx)).collect()}
+    assert 20 not in snap          # deleted key absent from the snapshot
+    assert snap[30] == 7           # delete then re-insert survives
+    assert snap[10] == 3           # tied ts broken by event_id DESC
