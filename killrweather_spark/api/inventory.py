@@ -1278,20 +1278,30 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_rolling_fingerprint(docs, "text").select("doc_id", "fingerprint")
 
 
-@register(
-    "minhash_lsh_pairs",
-    """
-    WITH grams AS (
+
+def _minhash_sig_sql(grams_where: str = "") -> str:
+    """The shingle→hash→signature→band→candidate CTE chain shared by all
+    three MinHash oracles (minhash_lsh_pairs, lsh_recall_eval,
+    minhash_similarity_estimate) — ONE source with MINHASH_PERMS
+    interpolated, so an edit to the shingle width, hash, or band shape can
+    never drift between them (the _PRED_LANG_SQL / _DUP_PAIRS_SQL
+    convention)."""
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % 2147483647) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return f"""grams AS (
       SELECT DISTINCT d.doc_id, substr(d.text, i.i, 6) AS shingle
       FROM documents d,
            unnest(generate_series(1, greatest(length(d.text) - 5, 1))) AS i(i)
+      {grams_where}
     ), hashed AS (
       SELECT doc_id,
              (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS h
       FROM grams
     ), sig AS (
       SELECT doc_id,
-             {minhash_mins}
+             {mins}
       FROM hashed GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, b.b,
@@ -1301,17 +1311,19 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE h12 || '_' || h13 || '_' || h14 || '_' || h15
              END AS bucket
       FROM sig, (SELECT unnest(range(0, 4)) AS b) b
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    """.format(
-        # same affine-permutation constants as the Spark side — single source
-        minhash_mins=",\n             ".join(
-            f"MIN(({a} * h + {b}) % 2147483647) AS h{i}"
-            for i, (a, b) in enumerate(MINHASH_PERMS)
-        )
-    ),
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_minhash_sig_sql()}
+    SELECT doc_a, doc_b FROM cand
+    """,
     survey_ref="beyond-ref: MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)",
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1320,36 +1332,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "simhash",
-    r"""
-    WITH toks AS (
-      SELECT d.doc_id, t.tok
-      FROM documents d,
-           unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS t(tok)
-    ), votes AS (
-      SELECT doc_id, j.j,
-             SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(tok), j.j + 1, 1)) >= 9
-                      THEN 1 ELSE -1 END) AS s
-      FROM toks, (SELECT unnest(range(0, 16)) AS j) j
-      GROUP BY doc_id, j.j
-    )
-    SELECT doc_id,
-           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
-    survey_ref="beyond-ref: SimHash 16-bit fingerprint (token bit votes)",
-)
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from killrweather_spark.functions.dedup import simhash
-
-    return simhash(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "simhash_hamming_pairs",
-    r"""
-    WITH toks AS (
+# The simhash fingerprint CTE chain (token explode → per-bit vote →
+# bit-string fold), shared by the `simhash` and `simhash_hamming_pairs`
+# oracles — one source (the _PRED_LANG_SQL convention).
+_SIMHASH_FP_SQL = r"""toks AS (
       SELECT d.doc_id, t.tok
       FROM documents d,
            unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS t(tok)
@@ -1363,7 +1349,27 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
       FROM votes GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "simhash",
+    f"""
+    WITH {_SIMHASH_FP_SQL}
+    SELECT doc_id, simhash FROM fp
+    """,
+    survey_ref="beyond-ref: SimHash 16-bit fingerprint (token bit votes)",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_hamming_pairs",
+    f"""
+    WITH {_SIMHASH_FP_SQL}
     SELECT doc_a, doc_b, hamming FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(len(list_filter(range(1, 17),
@@ -6818,13 +6824,9 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lsh_recall_eval",
-    """
-    WITH grams AS (
-      SELECT DISTINCT d.doc_id, substr(d.text, i.i, 6) AS shingle
-      FROM documents d,
-           unnest(generate_series(1, greatest(length(d.text) - 5, 1))) AS i(i)
-      WHERE d.doc_id < 500
-    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    f"""
+    WITH {_minhash_sig_sql("WHERE d.doc_id < 500")},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
       FROM grams a JOIN grams b
@@ -6836,28 +6838,6 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sa ON sa.doc_id = da
       JOIN sizes sb ON sb.doc_id = db
       WHERE ni * 5 >= sa.n + sb.n - ni
-    ),
-    hashed AS (
-      SELECT doc_id,
-             (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS h
-      FROM grams
-    ), sig AS (
-      SELECT doc_id,
-             {minhash_mins}
-      FROM hashed GROUP BY doc_id
-    ), bands AS (
-      SELECT doc_id, b.b,
-             CASE b.b WHEN 0 THEN h0 || '_' || h1 || '_' || h2 || '_' || h3
-                      WHEN 1 THEN h4 || '_' || h5 || '_' || h6 || '_' || h7
-                      WHEN 2 THEN h8 || '_' || h9 || '_' || h10 || '_' || h11
-                      ELSE h12 || '_' || h13 || '_' || h14 || '_' || h15
-             END AS bucket
-      FROM sig, (SELECT unnest(range(0, 4)) AS b) b
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
            CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
@@ -6866,12 +6846,7 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // COUNT(*) AS BIGINT) AS recall_micro
     FROM truth t
     LEFT JOIN cand c ON c.doc_a = t.da AND c.doc_b = t.db
-    """.format(
-        minhash_mins=",\n             ".join(
-            f"MIN(({a} * h + {b}) % 2147483647) AS h{i}"
-            for i, (a, b) in enumerate(MINHASH_PERMS)
-        )
-    ),
+    """,
     survey_ref="beyond-ref dedup QA: LSH recall evaluation — fraction of "
     "true char-6-gram Jaccard >= 0.2 pairs the 4x4 MinHash bands recover; "
     "the measured s-curve point that justifies the band parameters before "
@@ -7132,46 +7107,14 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_similarity_estimate",
-    """
-    WITH grams AS (
-      SELECT DISTINCT d.doc_id, substr(d.text, i.i, 6) AS shingle
-      FROM documents d,
-           unnest(generate_series(1, greatest(length(d.text) - 5, 1))) AS i(i)
-    ), hashed AS (
-      SELECT doc_id,
-             (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS h
-      FROM grams
-    ), sig AS (
-      SELECT doc_id,
-             {minhash_mins}
-      FROM hashed GROUP BY doc_id
-    ), bands AS (
-      SELECT doc_id, b.b,
-             CASE b.b WHEN 0 THEN h0 || '_' || h1 || '_' || h2 || '_' || h3
-                      WHEN 1 THEN h4 || '_' || h5 || '_' || h6 || '_' || h7
-                      WHEN 2 THEN h8 || '_' || h9 || '_' || h10 || '_' || h11
-                      ELSE h12 || '_' || h13 || '_' || h14 || '_' || h15
-             END AS bucket
-      FROM sig, (SELECT unnest(range(0, 4)) AS b) b
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
+    f"""
+    WITH {_minhash_sig_sql()}
     SELECT c.doc_a, c.doc_b,
-           CAST(({match_sum}) * 62500 AS BIGINT) AS jaccard_est_micro
+           CAST(((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) + (CASE WHEN sa.h8 = sb.h8 THEN 1 ELSE 0 END) + (CASE WHEN sa.h9 = sb.h9 THEN 1 ELSE 0 END) + (CASE WHEN sa.h10 = sb.h10 THEN 1 ELSE 0 END) + (CASE WHEN sa.h11 = sb.h11 THEN 1 ELSE 0 END) + (CASE WHEN sa.h12 = sb.h12 THEN 1 ELSE 0 END) + (CASE WHEN sa.h13 = sb.h13 THEN 1 ELSE 0 END) + (CASE WHEN sa.h14 = sb.h14 THEN 1 ELSE 0 END) + (CASE WHEN sa.h15 = sb.h15 THEN 1 ELSE 0 END)) * 62500 AS BIGINT) AS jaccard_est_micro
     FROM cand c
     JOIN sig sa ON sa.doc_id = c.doc_a
     JOIN sig sb ON sb.doc_id = c.doc_b
-    """.format(
-        minhash_mins=",\n             ".join(
-            f"MIN(({a} * h + {b}) % 2147483647) AS h{i}"
-            for i, (a, b) in enumerate(MINHASH_PERMS)
-        ),
-        match_sum=" + ".join(
-            f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16)
-        ),
-    ),
+    """,
     survey_ref="beyond-ref dedup verification: signature-level Jaccard "
     "estimate for LSH candidate pairs — matching-minhash fraction "
     "(E[match] = J), integer micro units; ranks candidates without "
