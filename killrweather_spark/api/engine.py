@@ -179,11 +179,16 @@ class WeatherEngine:
             ):
                 self.refresh_daily_tiers()
                 return
+            from killrweather_spark.streaming.pipeline import _collect_touched
+
             touched = [
                 r.dk
-                for r in new_raw.select(
-                    date_key(["year", "month", "day"]).alias("dk")
-                ).distinct().collect()
+                for r in _collect_touched(
+                    new_raw.select(
+                        date_key(["year", "month", "day"]).alias("dk")
+                    ),
+                    ["dk"],
+                )
             ]
             self.refresh_daily_tiers(units=touched)
         elif self._daily_temp is not None:

@@ -55,25 +55,40 @@ def shuffle_count(df: DataFrame) -> int:
     return node_count(df, "Exchange")
 
 
+def _tree_depth(line: str) -> int:
+    """Depth of a node line in the formatted plan's tree drawing: the column
+    where the operator token starts (branch glyphs ``+- : ~`` and spaces
+    precede it; node names begin with a letter or ``*``)."""
+    m = re.search(r"[A-Za-z*]", line)
+    return m.start() if m else -1
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
-    """A HashAggregate sits BELOW an Exchange in the operator tree (map-side
+    """A HashAggregate sits in the SUBTREE UNDER an Exchange (map-side
     combine ≙ the Cassandra counter's commutative partial sums).
 
-    Scoped to the tree section of the formatted plan — the details section
-    repeats every node name, so a substring test over the whole text was
-    vacuously true for any plan containing one agg and one exchange (a
-    final-only aggregation would have passed the very check built to catch
-    it).  The tree prints parents first, so partial aggregation appears as
-    an Exchange line followed by a deeper HashAggregate line."""
+    Scoped two ways: to the tree section of the formatted plan (the details
+    section repeats every node name, so a whole-text substring test was
+    vacuously true), and — per round-4 advice — to each Exchange's OWN
+    subtree via the tree's indentation depth: an aggregate in a *different*
+    subtree later in the printout (e.g. the build side of a join that sits
+    below a join's Exchange line) must not count as this Exchange's partial
+    aggregation.  A line belongs to the Exchange's subtree while its depth
+    stays strictly greater than the Exchange's."""
     plan = formatted_plan(df)
     tree = plan.split("\n\n", 1)[0]  # tree section only
     lines = tree.splitlines()
-    exch_idxs = [i for i, ln in enumerate(lines) if "Exchange" in ln]
-    if not exch_idxs:
-        return False
-    return any(
-        "HashAggregate" in ln for ln in lines[min(exch_idxs) + 1:]
-    )
+    for i, ln in enumerate(lines):
+        if "Exchange" not in ln:
+            continue
+        d = _tree_depth(ln)
+        for nxt in lines[i + 1:]:
+            nd = _tree_depth(nxt)
+            if nd <= d:
+                break  # left the Exchange's subtree
+            if "HashAggregate" in nxt:
+                return True
+    return False
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

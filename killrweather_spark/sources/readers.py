@@ -89,6 +89,11 @@ def fan_out(df: DataFrame, slots: int | None = None) -> DataFrame:
     except Exception:  # noqa: BLE001 — non-file plans land in the fallback
         files = []
     if files:
+        if len(files) >= target:
+            # many small files already yield >= target scan splits (each
+            # file is at least one split): a round-robin shuffle here would
+            # buy nothing and cost a full pass over the data
+            return df
         total = 0
         for uri in files:
             p = urlparse(uri)

@@ -42,6 +42,33 @@ from killrweather_spark.sources.readers import parse_raw_lines
 
 RAW_TOPIC = "killrweather.raw"  # reference.conf:156
 
+# Guard on the driver-side touched-partition lists (upsert_into_partitions /
+# cdc_apply_pruned_batch / WeatherEngine.ingest_raw): the pruned
+# read-modify-write contract assumes a microbatch touches FEW partitions
+# (calendar keys / date buckets — the reference's partition-key design,
+# create-timeseries.cql:46).  A misconfigured partition column (e.g. an id)
+# would silently turn the collect into a driver-side list of millions of
+# rows and the "pruned" write into a full-table rewrite; fail fast and name
+# the column instead.
+MAX_TOUCHED_PARTITIONS = 10_000
+
+
+def _collect_touched(df: DataFrame, cols: Sequence[str]):
+    """Distinct partition tuples of a microbatch, capped at
+    MAX_TOUCHED_PARTITIONS with a loud failure naming the columns."""
+    rows = (
+        df.select(*cols).distinct().limit(MAX_TOUCHED_PARTITIONS + 1).collect()
+    )
+    if len(rows) > MAX_TOUCHED_PARTITIONS:
+        raise ValueError(
+            f"batch touches more than {MAX_TOUCHED_PARTITIONS} distinct "
+            f"partitions of {list(cols)} — partition columns this granular "
+            "break the pruned upsert contract (each touched partition is a "
+            "driver-side list entry and a read-modify-write); partition on "
+            "a coarser key (calendar unit / key bucket) instead"
+        )
+    return rows
+
 
 # --------------------------------------------------------------------------
 # sources
@@ -205,9 +232,10 @@ def upsert_into_partitions(
         existing = None  # first batch: nothing to merge
     if existing is not None:
         # touched-partition values are a small driver-side list by
-        # construction (a microbatch spans few calendar partitions);
+        # construction (a microbatch spans few calendar partitions — the
+        # cap makes that assumption loud instead of trusted);
         # equality literals on partition columns prune directories
-        touched = batch_df.select(*partition_cols).distinct().collect()
+        touched = _collect_touched(batch_df, partition_cols)
         if touched:
             pred = reduce(
                 or_,
@@ -225,7 +253,13 @@ def upsert_into_partitions(
                     batch_df.select(*key_cols), list(key_cols), "left_anti"
                 )
             )
-            out = keep.unionByName(batch_df)
+            # Detach the merge input from the sink path BEFORE the overwrite
+            # action: the lazy self-read is safe under the local-FS committer
+            # (staged files commit after the read completes) but fragile on
+            # object-store committers with different staging order — the
+            # eager checkpoint materializes the kept rows first, bounded by
+            # the touched partitions' size (round-4 advice).
+            out = keep.unionByName(batch_df).localCheckpoint(eager=True)
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -547,10 +581,7 @@ def cdc_apply_pruned_batch(
         return
     out_cols = [c for c in batch_df.columns if c != delete_col]
     manifest = _latest_manifest(snapshot_dir, below=epoch_id) or {}
-    touched = [
-        r[0]
-        for r in batch_df.select(partition_col).distinct().collect()
-    ]
+    touched = [r[0] for r in _collect_touched(batch_df, [partition_col])]
     # a NULL partition value stages under Spark's reserved directory name —
     # mirror it so null-keyed rows are tracked instead of silently treated
     # as a fully-deleted partition (str(None) would look for 'col=None')
@@ -584,6 +615,27 @@ def cdc_apply_pruned_batch(
     )
     stage = os.path.join(snapshot_dir, f"_stage_v={epoch_id}")
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+    # Escaping validation (round-4 advice, medium): directory names here are
+    # str(value), but Spark percent-escapes special characters in partition
+    # dir names (':' → '%3A', etc.).  On a mismatch the move below would find
+    # no staged dir and silently write an empty tombstone — DELETING the
+    # partition's data.  Any staged partition dir not in the expected set
+    # means the values violate the documented filesystem-simple contract:
+    # raise before touching the live tree.
+    staged_dirs = {
+        d for d in os.listdir(stage)
+        if d.startswith(f"{partition_col}=") and os.path.isdir(os.path.join(stage, d))
+    }
+    unexpected = staged_dirs - set(touched_dirs)
+    if unexpected:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise ValueError(
+            f"partition column {partition_col!r} has values that Spark "
+            f"escapes in directory names ({sorted(unexpected)[:3]} vs "
+            "str(value)); pruned CDC requires filesystem-simple partition "
+            "values (int buckets, yyyy-MM-dd dates) — see "
+            "start_cdc_apply_pruned"
+        )
     for d in touched_dirs:
         dst = os.path.join(snapshot_dir, d, f"v={epoch_id}")
         shutil.rmtree(dst, ignore_errors=True)

@@ -540,3 +540,117 @@ def test_running_max_by_key_string_keys(spark, tmp_path):
     )
     got = {r.wsid: r.max_value for r in out.collect()}
     assert got == {"a:1": 3.0, "b:2": 2.0}
+
+
+def test_cdc_pruned_rejects_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark percent-escapes in directory names (':' →
+    '%3A') violate the pruned layout's str(value) contract; the batch apply
+    must FAIL LOUDLY instead of writing an empty tombstone over the
+    partition's data (round-4 advice, medium)."""
+    from killrweather_spark.streaming.pipeline import cdc_apply_pruned_batch
+
+    schema = "k int, pb string, payload string, is_delete boolean, ts long, seq long"
+    snap_dir = str(tmp_path / "snapshot")
+    os.makedirs(snap_dir)
+    kw = dict(keys=["k"], order_by=["ts", "seq"], partition_col="pb")
+    bad = spark.createDataFrame([(1, "a:b", "x", False, 10, 1)], schema)
+    with pytest.raises(ValueError, match="filesystem-simple"):
+        cdc_apply_pruned_batch(bad, 0, snap_dir, **kw)
+    # nothing half-applied: no manifest, no live partition dirs, no stage
+    assert [n for n in os.listdir(snap_dir) if not n.startswith("_stage")] == []
+
+
+def test_touched_partition_guard_fails_fast(spark, tmp_path, monkeypatch):
+    """A partition column fine-grained enough to exceed the touched-partition
+    cap must fail with an error naming the column — not silently collect an
+    unbounded driver-side list and rewrite the whole table."""
+    from killrweather_spark.streaming import pipeline
+
+    monkeypatch.setattr(pipeline, "MAX_TOUCHED_PARTITIONS", 5)
+    schema = "k int, pb int, payload string, is_delete boolean, ts long, seq long"
+    wide = spark.createDataFrame(
+        [(i, i, "x", False, 10, i) for i in range(10)], schema
+    )
+    with pytest.raises(ValueError, match="pb"):
+        pipeline.cdc_apply_pruned_batch(
+            wide, 0, str(tmp_path / "snap"),
+            keys=["k"], order_by=["ts", "seq"], partition_col="pb",
+        )
+    # upsert path shares the guard once a prior table exists on disk
+    tbl = str(tmp_path / "tbl")
+    wide.limit(1).write.partitionBy("pb").parquet(tbl)
+    with pytest.raises(ValueError, match="pb"):
+        pipeline.upsert_into_partitions(
+            wide, tbl, partition_cols=("pb",), key_cols=("k", "pb"),
+        )
+
+
+def test_update_mode_upsert_under_processing_time_trigger(spark, tmp_path):
+    """The reference's sink is a continuously-running 1 s-microbatch stream
+    (KillrWeatherApp.scala:89), not an availableNow drain: run the
+    two-microbatch preservation scenario under a live processingTime
+    trigger with concurrent tier reads, and assert untouched (year, month)
+    partitions stay byte-identical while touched ones merge."""
+    import hashlib
+    import time as _time
+
+    from killrweather_spark.streaming.pipeline import start_ingest
+
+    src = tmp_path / "lines"
+    src.mkdir()
+    a, b = "711110:11111", "722220:22222"
+    (src / "b1.csv").write_text(
+        f"{a},2008,01,01,00,10.0,-0.6,1023.8,50,7.2,2,1.5,0.0\n"
+        f"{b},2008,01,02,00,12.0,-0.6,1023.8,50,7.2,2,2.5,0.0\n"
+    )
+    lines = spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    raw_path = str(tmp_path / "raw")
+    precip_path = str(tmp_path / "precip")
+    q1, q2 = start_ingest(
+        parsed_observations(lines), raw_path, precip_path,
+        str(tmp_path / "ckpt"), trigger={"processingTime": "500 milliseconds"},
+    )
+
+    def read_precip() -> dict:
+        try:
+            return {
+                (r.wsid, r.month, r.day): r.precipitation
+                for r in spark.read.parquet(precip_path).collect()
+            }
+        except Exception:  # noqa: BLE001 — sink not yet written
+            return {}
+
+    def wait_for(expect: dict, timeout: float = 90.0) -> dict:
+        deadline = _time.monotonic() + timeout
+        got = read_precip()
+        while got != expect and _time.monotonic() < deadline:
+            _time.sleep(0.5)
+            got = read_precip()  # concurrent read against the live query
+        return got
+
+    try:
+        expect1 = {(a, 1, 1): 1.5, (b, 1, 2): 2.5}
+        assert wait_for(expect1) == expect1
+
+        def month1_hash() -> dict[str, str]:
+            root = pathlib.Path(precip_path) / "year=2008" / "month=1"
+            return {
+                p.name: hashlib.md5(p.read_bytes()).hexdigest()
+                for p in sorted(root.rglob("*"))
+                if p.is_file() and p.name.endswith(".parquet")
+            }
+
+        before = month1_hash()
+        assert before  # sanity: january partition materialized
+
+        # second microbatch touches ONLY month=2
+        (src / "b2.csv").write_text(
+            f"{a},2008,02,01,06,11.0,-0.6,1023.8,50,7.2,2,0.5,0.0\n"
+        )
+        expect2 = {**expect1, (a, 2, 1): 0.5}
+        assert wait_for(expect2) == expect2
+        # untouched partition: zero bytes changed under the live trigger
+        assert month1_hash() == before
+    finally:
+        q1.stop()
+        q2.stop()
