@@ -81,7 +81,10 @@ HEADLINE = [
     "media_decode_dims",        # real PNG decode over the Arrow batch path
     "nation_profit_by_year",    # Q9 shape: 5-table profit rollup
     "waiting_orders_suppliers", # Q21 shape: semi+anti double correlation
-    "semantic_eval_screen",     # broadcast eval screen over quantized dots
+    "semantic_eval_screen",     # dense eval screen (exact baseline)
+    # round-5 additions
+    "semantic_eval_screen_lsh", # LSH-bucketed eval screen (the scale path)
+    "semantic_screen_recall",   # measured recall of the LSH screen
     "training_order_shard",     # deterministic shard+pos corpus permutation
 ]
 

@@ -337,6 +337,121 @@ def ann_cosine_topk_lsh(
     )
 
 
+def eval_probe_buckets(
+    eval_buckets: DataFrame, n_planes: int, id_col: str = "eval_id"
+) -> DataFrame:
+    """Multi-probe expansion of the EVAL side's LSH buckets: the exact
+    bucket plus every 1-bit flip — ``n_planes + 1`` probe rows per eval
+    vector, all distinct strings (probe p flips exactly bit p; the exact
+    bucket flips none), so a (train, eval) pair can match at most ONE
+    probe and the candidate join needs no dedup shuffle.
+
+    Probing the SMALL side is the multi-probe trick that buys Hamming-1
+    recall without re-bucketing the corpus: the train side keeps one bucket
+    per vector (one narrow pass at index-build time), and the probe table
+    stays |eval| × (planes+1) rows — broadcastable by construction.
+    """
+    p = F.col("p")
+    flipped = F.concat(
+        F.expr("substr(bucket, 1, p - 1)"),
+        F.when(F.expr("substr(bucket, p, 1)") == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        ),
+        F.expr("substr(bucket, p + 1)"),
+    )
+    return eval_buckets.select(
+        id_col,
+        "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes))).alias("p"),
+    ).select(
+        id_col,
+        F.when(p == 0, F.col("bucket")).otherwise(flipped).alias("bucket"),
+    )
+
+
+def semantic_screen_lsh(
+    df: DataFrame,
+    eval_filter,
+    threshold: float = 0.8,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed train-vs-eval contamination screen — the 100 TB form of
+    :func:`semantic_screen`.
+
+    The exact screen's dot-product groupBy shuffles O(|train| · |eval|)
+    pair rows (1 B train docs × 10 k eval items = 10¹³ pairs — an outage,
+    not a plan).  Here both sides go through the deterministic hyperplane
+    bucketing (:func:`lsh_buckets`), the eval side expands to its bucket
+    plus every 1-bit flip (:func:`eval_probe_buckets` — Hamming-1
+    multi-probe on the small side), and exact quantized cosine runs ONLY
+    on same-bucket candidates.  Candidate volume is
+    ~|train| · |eval| · (planes+1) / 2^planes — planes is the dial that
+    keeps it linear-ish in |train| (20 planes at the 1 B × 10 k example:
+    ~2×10⁸ candidate pairs, a routine shuffle).  Recall vs the exact
+    screen is a measured corpus statistic (`semantic_screen_recall`), the
+    same QA contract `lsh_recall_eval` gives MinHash: near-duplicate
+    contamination (cosine → 1) is caught with high probability, borderline
+    pairs trade off against the candidate budget.
+
+    Join shape: the probe table broadcasts (|eval|·(planes+1) rows); the
+    candidate→component joins are keyed shuffles with NO broadcast hint —
+    at bench SF AQE converts them to broadcasts on its own, at 100 TB the
+    candidate list outgrows the driver and the keyed shuffle is the only
+    correct plan (the Q7/Q8 lesson, applied from the start).  Everything
+    is exact integer arithmetic end-to-end, so the approximate pipeline is
+    deterministic and the DuckDB oracle replays it value-exactly.
+
+    Output: (train_id, eval_id, cosine) — identical contract to
+    :func:`semantic_screen`.
+    """
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+    nrm = cosine_norms(comp, id_col)
+    buckets = lsh_buckets(df, n_planes, id_col, vec_col).transform(persist_once)
+
+    is_eval = eval_filter(F.col(id_col))
+    eprobes = eval_probe_buckets(
+        buckets.filter(is_eval).select(F.col(id_col).alias("eval_id"), "bucket"),
+        n_planes,
+    )
+    cand = (
+        buckets.filter(~is_eval)
+        .select(F.col(id_col).alias("train_id"), "bucket")
+        .join(F.broadcast(eprobes), "bucket")
+        .select("train_id", "eval_id")
+    )
+    tcomp = comp.select(F.col(id_col).alias("train_id"), "pos", F.col("q").alias("qt"))
+    ecomp = comp.filter(is_eval).select(
+        F.col(id_col).alias("eval_id"), "pos", F.col("q").alias("qe")
+    )
+    dots = (
+        cand.join(tcomp, "train_id")
+        .join(F.broadcast(ecomp), ["eval_id", "pos"])
+        .groupBy("train_id", "eval_id")
+        .agg(F.sum(F.col("qt") * F.col("qe")).alias("dot"))
+    )
+    tn = nrm.select(F.col(id_col).alias("train_id"), F.col("norm2").alias("tnorm2"))
+    en = nrm.select(F.col(id_col).alias("eval_id"), F.col("norm2").alias("enorm2"))
+    sims = (
+        dots.join(tn, "train_id")
+        .join(F.broadcast(en), "eval_id")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("tnorm2")) * F.sqrt(F.col("enorm2"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("train_id", "eval_id", "cosine")
+    )
+
+
 def quantize_int8(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Per-vector symmetric int8 quantization: ``code_i = round(127·x_i/amax)``.

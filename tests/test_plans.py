@@ -375,3 +375,54 @@ def test_q6_canary_pushes_every_predicate(spark):
     assert checks.has_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity"), (
         checks.formatted_plan(df)
     )
+
+
+def test_q7_q8_dimension_broadcasts_are_size_gated(spark, monkeypatch):
+    """maybe_broadcast applies the customer/supplier(/part) hints only under
+    a size estimate: at bench SF they broadcast; with the gate spoofed to 0
+    (simulating the 100 TB tier, auto-broadcast disabled to stand in for
+    dims that exceed Catalyst's own threshold) the hint must vanish and the
+    dim joins become keyed shuffle joins — the same query code plans both
+    tiers correctly (round-4 verdict fix)."""
+    from killrweather_spark.plans import hints
+
+    q7 = REGISTRY["nation_trade_volume"].fn(spark, SF01)
+    q8 = REGISTRY["nation_market_share"].fn(spark, SF01)
+    # bench SF: the gated dims fit — customer+supplier(+part) broadcast on
+    # top of the always-hinted nation copies
+    assert checks.node_count(q7, "BroadcastHashJoin") >= 4, checks.formatted_plan(q7)
+    assert checks.node_count(q8, "BroadcastHashJoin") >= 6, checks.formatted_plan(q8)
+
+    monkeypatch.setattr(hints, "BROADCAST_BYTES_THRESHOLD", 0)
+    old_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q7_big = REGISTRY["nation_trade_volume"].fn(spark, SF01)
+        q8_big = REGISTRY["nation_market_share"].fn(spark, SF01)
+        # only the two unconditional nation hints survive on each
+        assert checks.node_count(q7_big, "BroadcastHashJoin") == 2, (
+            checks.formatted_plan(q7_big)
+        )
+        assert checks.node_count(q8_big, "BroadcastHashJoin") == 3, (
+            checks.formatted_plan(q8_big)
+        )
+        # the de-hinted dims joined with a keyed shuffle strategy
+        plan7 = checks.formatted_plan(q7_big)
+        assert ("SortMergeJoin" in plan7) or ("ShuffledHashJoin" in plan7), plan7
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_auto)
+
+
+def test_maybe_broadcast_estimates_file_backed_sizes(spark):
+    from killrweather_spark.plans import hints
+
+    nation = load_table(spark, SF01, "nation")
+    est = hints.estimated_plan_bytes(nation)
+    assert 0 < est < (1 << 20)  # 25-row dim: a few KiB of parquet
+    hinted = hints.maybe_broadcast(nation)
+    joined = load_table(spark, SF01, "customer").join(
+        hinted, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    assert checks.uses_broadcast_join(joined)
+    unhinted = hints.maybe_broadcast(nation, threshold_bytes=0)
+    assert unhinted is nation
