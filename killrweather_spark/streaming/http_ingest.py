@@ -35,12 +35,55 @@ FEED_HEADER = "X-DATA-FEED"            # KafkaDataIngestionApp.scala:134
 
 # Upload guardrails: a client declaring a large Content-Length then stalling
 # would otherwise pin a handler thread forever, and an oversized (or
-# gzip-bomb) body would materialize whole in driver memory.  The cap applies
-# to the body AND to the decompressed output (enforced *during* inflation
-# via zlib's bounded decompress, so a bomb never materializes); 64 MiB
-# covers the reference's largest yearly .csv.gz feed with wide margin.
+# gzip-bomb) body would materialize whole in driver memory.  MAX_BODY_BYTES
+# bounds the on-the-wire body (compressed or plain — 64 MiB covers the
+# reference's largest yearly .csv.gz feed with wide margin).  Decompressed
+# gzip output never materializes in memory at all: it STREAMS to the staged
+# tempfile in bounded chunks (round-4 advice), so legitimate large feeds get
+# the much roomier MAX_DECOMPRESSED_BYTES while a bomb is cut off mid-stream
+# at that cap — per-chunk memory stays O(GZIP_CHUNK) either way.
 MAX_BODY_BYTES = 64 << 20
+MAX_DECOMPRESSED_BYTES = 512 << 20
+GZIP_CHUNK = 1 << 20
 SOCKET_TIMEOUT_SEC = 30.0
+
+
+class PayloadTooLarge(Exception):
+    """Decompressed output exceeded MAX_DECOMPRESSED_BYTES (HTTP 413)."""
+
+
+def _gunzip_chunks(body: bytes):
+    """Yield decompressed chunks of a (possibly multi-member) gzip body.
+
+    RFC 1952 edge handling mirrors the old whole-body path: multi-member
+    files (pigz / cat of .gz parts) loop via ``unused_data``; a TRUNCATED
+    stream raises ValueError (zlib returns partial output with NO exception
+    — ``eof`` must be checked explicitly or a cut-off upload would land
+    partial data with a 200); output past the cap raises
+    :class:`PayloadTooLarge` the moment the running total crosses it, so a
+    bomb's output exists only up to the cap and only on disk, never in
+    memory.  ``MAX_DECOMPRESSED_BYTES`` is read at call time (tests spoof
+    it).
+    """
+    total = 0
+    remaining = body
+    while True:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        data = remaining
+        while not d.eof:
+            chunk = d.decompress(data, GZIP_CHUNK)
+            total += len(chunk)
+            if total > MAX_DECOMPRESSED_BYTES:
+                raise PayloadTooLarge()
+            if chunk:
+                yield chunk
+            data = d.unconsumed_tail
+            if not d.eof and not data:
+                # decompressor wants more input but the body is exhausted
+                raise ValueError("truncated gzip stream")
+        remaining = d.unused_data.lstrip(b"\0")  # zero padding ok
+        if not remaining:
+            return
 
 
 class _IngestHandler(BaseHTTPRequestHandler):
@@ -83,34 +126,25 @@ class _IngestHandler(BaseHTTPRequestHandler):
                 return
             if self.headers.get("Content-Encoding") == "gzip":
                 # the reference's feeds are .csv.gz (ClientHelper.scala:68);
-                # bounded inflation: zlib stops at the cap, so a gzip bomb
-                # is rejected without ever materializing its output.
-                # RFC 1952 allows MULTI-MEMBER files (pigz / cat of .gz
-                # parts) — loop members via unused_data; and a TRUNCATED
-                # stream returns partial output with NO exception (eof
-                # False), so completeness must be checked explicitly or a
-                # cut-off upload would land partial data with a 200.
-                out, remaining = b"", body
-                while True:
-                    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-                    out += d.decompress(remaining, MAX_BODY_BYTES + 1 - len(out))
-                    if len(out) > MAX_BODY_BYTES or d.unconsumed_tail:
-                        self._reply(413, b"decompressed payload too large\n")
-                        return
-                    if not d.eof:
-                        self._reply(400, b"bad payload: truncated gzip\n")
-                        return
-                    remaining = d.unused_data.lstrip(b"\0")  # zero padding ok
-                    if not remaining:
-                        break
-                body = out
-            n_lines = self.server.land(feed, body)
+                # decompression streams straight into the staged tempfile —
+                # see _gunzip_chunks for the bomb / truncation / multi-member
+                # contract.  Nothing lands unless the whole stream inflates
+                # cleanly (the tempfile is unlinked on any failure).
+                n_lines = self.server.land_stream(feed, _gunzip_chunks(body))
+            else:
+                n_lines = self.server.land(feed, body)
+        except PayloadTooLarge:
+            self._reply(413, b"decompressed payload too large\n")
+            return
         except (
             gzip.BadGzipFile, zlib.error, UnicodeDecodeError, OSError, TimeoutError,
         ) as e:
             # malformed upload: reject it without landing a partial file —
             # a clean 400 instead of a dropped connection
             self._reply(400, f"bad payload: {type(e).__name__}\n".encode())
+            return
+        except ValueError:
+            self._reply(400, b"bad payload: truncated gzip\n")
             return
         self._reply(200, f"{n_lines}\n".encode())
 
@@ -137,6 +171,7 @@ class IngestHttpServer:
         os.makedirs(staging_dir, exist_ok=True)
         self._httpd = ThreadingHTTPServer((host, port), _IngestHandler)
         self._httpd.land = self.land  # type: ignore[attr-defined]
+        self._httpd.land_stream = self.land_stream  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property
@@ -144,11 +179,24 @@ class IngestHttpServer:
         return self._httpd.server_address[1]
 
     def land(self, feed: str, body: bytes) -> int:
-        """Write one upload's lines as a staged file; returns line count.
+        """Write one upload's lines as a staged file; returns line count."""
+        return self.land_stream(feed, (body,))
+
+    def land_stream(self, feed: str, chunks) -> int:
+        """Stream an upload's bytes (an iterable of chunks) into one staged
+        file, counting non-blank lines — the decompress-to-tempfile path
+        that keeps arbitrarily large feeds out of driver memory.
 
         Tempfile + rename keeps the file source from ever listing a
-        half-written batch (rename is atomic within a filesystem)."""
-        lines = [ln for ln in body.decode("utf-8").splitlines() if ln.strip()]
+        half-written batch (rename is atomic within a filesystem); any
+        failure mid-stream (bomb cap, truncated gzip, bad UTF-8) unlinks
+        the tempfile so nothing partial ever lands.  UTF-8 decoding is
+        incremental (multi-byte characters may straddle chunk boundaries);
+        line splitting normalizes ``\\r\\n``/``\\r`` and drops blank lines —
+        identical output to the old whole-body path.
+        """
+        import codecs
+
         safe_feed = "".join(c if c.isalnum() or c in "-_." else "_" for c in feed)
         # leading-dot temp name: Spark's file listing skips hidden files
         # ('.'/'_' prefixes), so neither a streaming microbatch nor a batch
@@ -156,15 +204,39 @@ class IngestHttpServer:
         # file is ever listed, and an aborted write leaves an invisible
         # orphan instead of poisoning the staging dir
         fd, tmp = tempfile.mkstemp(dir=self.staging_dir, prefix=".", suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write("\n".join(lines))
-            if lines:
-                f.write("\n")
-        final = os.path.join(
+        decoder = codecs.getincrementaldecoder("utf-8")()
+        n_lines = 0
+        buf = ""
+        try:
+            with os.fdopen(fd, "w") as f:
+
+                def emit(text: str, final: bool = False) -> None:
+                    nonlocal buf, n_lines
+                    buf += text.replace("\r\n", "\n").replace("\r", "\n")
+                    parts = buf.split("\n")
+                    buf = parts.pop()  # partial last line carries over
+                    if final and buf.strip():
+                        parts.append(buf)
+                        buf = ""
+                    for ln in parts:
+                        if ln.strip():
+                            f.write(ln + "\n")
+                            n_lines += 1
+
+                for chunk in chunks:
+                    emit(decoder.decode(chunk))
+                emit(decoder.decode(b"", True), final=True)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        final_path = os.path.join(
             self.staging_dir, f"{uuid.uuid4().hex[:12]}_{safe_feed}.csv"
         )
-        os.rename(tmp, final)
-        return len(lines)
+        os.rename(tmp, final_path)
+        return n_lines
 
     def start(self) -> "IngestHttpServer":
         self._thread = threading.Thread(

@@ -105,14 +105,18 @@ def test_malformed_payload_rejected_cleanly(tmp_path):
     assert os.listdir(staging) == []  # nothing landed
 
 
-def test_oversized_and_bomb_uploads_rejected(tmp_path):
+def test_oversized_and_bomb_uploads_rejected(tmp_path, monkeypatch):
     """Upload guardrails: a declared Content-Length above the cap is refused
     before reading the body, and a gzip bomb (tiny upload, huge inflation)
-    is refused during bounded inflation — neither materializes in memory or
-    lands a file."""
+    is cut off mid-stream at the decompressed cap — its output exists only
+    up to the cap and only in the (unlinked) tempfile, never in memory."""
+    from killrweather_spark.streaming import http_ingest
     from killrweather_spark.streaming.http_ingest import MAX_BODY_BYTES
 
     staging = str(tmp_path / "incoming")
+    # spoof the streamed cap down so the bomb leg stays fast: the handler
+    # reads both caps at call time
+    monkeypatch.setattr(http_ingest, "MAX_DECOMPRESSED_BYTES", 8 << 20)
     with IngestHttpServer(staging) as srv:
         # oversized declared length: 413 without draining the body
         conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
@@ -124,15 +128,41 @@ def test_oversized_and_bomb_uploads_rejected(tmp_path):
         assert resp.status == 413
         conn.close()
 
-        # gzip bomb: ~70 MiB of zeros compresses to ~70 KiB; the bounded
-        # zlib inflate stops at the cap and rejects
-        bomb = gzip.compress(b"\0" * (MAX_BODY_BYTES + (1 << 20)))
+        # gzip bomb: ~70 MiB of zeros compresses to ~70 KiB; streamed
+        # inflation crosses the (spoofed) cap and rejects
+        bomb = gzip.compress(b"\0" * (64 << 20))
         assert len(bomb) < 1 << 21
         status, body = _post(
             srv.port, bomb, {FEED_HEADER: "bomb.gz", "Content-Encoding": "gzip"}
         )
         assert status == 413 and b"too large" in body
     assert os.listdir(staging) == []
+
+
+def test_large_feed_streams_past_the_body_cap(tmp_path, monkeypatch):
+    """The round-4 advice follow-through: decompression streams to the
+    staged tempfile, so a legitimate feed whose DECOMPRESSED size exceeds
+    the on-the-wire body cap now lands fine (the old whole-body design
+    capped both at 64 MiB).  Caps are spoofed down to keep the test fast:
+    body cap 1 MiB, streamed cap 32 MiB, feed inflates to ~4 MiB."""
+    from killrweather_spark.streaming import http_ingest
+
+    monkeypatch.setattr(http_ingest, "MAX_BODY_BYTES", 1 << 20)
+    monkeypatch.setattr(http_ingest, "MAX_DECOMPRESSED_BYTES", 32 << 20)
+    n = 100_000
+    payload = "".join(f"stn{i},2008,01,01,00,{i % 30}.5\n" for i in range(n))
+    assert len(payload) > 2 << 20  # well past the spoofed 1 MiB body cap
+    compressed = gzip.compress(payload.encode())
+    assert len(compressed) < 1 << 20  # passes the (spoofed) body cap
+    staging = str(tmp_path / "incoming")
+    with IngestHttpServer(staging) as srv:
+        status, body = _post(
+            srv.port, compressed,
+            {FEED_HEADER: "big-feed.gz", "Content-Encoding": "gzip"},
+        )
+        assert status == 200 and body == f"{n}\n".encode()
+    (f,) = os.listdir(staging)
+    assert open(os.path.join(staging, f)).read() == payload
 
 
 def test_truncated_and_multimember_gzip(tmp_path):
