@@ -85,6 +85,8 @@ HEADLINE = [
     # round-5 additions
     "semantic_eval_screen_lsh", # LSH-bucketed eval screen (the scale path)
     "semantic_screen_recall",   # measured recall of the LSH screen
+    "important_stock_value",    # Q11 shape over the derived partsupp
+    "overstocked_suppliers",    # Q20 shape: decorrelated availability
     "training_order_shard",     # deterministic shard+pos corpus permutation
 ]
 

@@ -7874,6 +7874,225 @@ def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q11 / Q20 over a DERIVED partsupp
+# --------------------------------------------------------------------------
+# The driver fixture ships no partsupp table (the one gap the round-4
+# verdict flagged as blocking Q11/Q20, the last two classic plan shapes
+# absent from the registry).  Both engines therefore DERIVE the same
+# partsupp deterministically from part × |supplier| — the TPC-H generator's
+# own scheme (4 suppliers per part, round-robin over the supplier keyspace)
+# with md5-arithmetic quantities/costs, so the Spark table and the DuckDB
+# CTE are bit-identical and the oracles stay value-exact.  In production
+# partsupp is a real table; the derivation is map-only over part (zero
+# shuffles), so swapping a scan in preserves every plan below.
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents): four
+    suppliers per part — ``(p_partkey·4 + i) mod |supplier|``, distinct
+    because supplier keys are consecutive and |supplier| ≥ 4 — with
+    hash-uniform availability (1..9999) and cost (100..99999 cents) from
+    md5 nibbles of the (part, supplier) pair.  Map-only: one broadcast
+    1-row scalar (the supplier count) and JVM expressions end-to-end."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    n_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).alias("__n_supp"))
+    )
+    h = F.md5(
+        F.concat(
+            F.col("ps_partkey").cast("string"),
+            F.lit("_"),
+            F.col("ps_suppkey").cast("string"),
+        )
+    )
+    return (
+        part.crossJoin(F.broadcast(n_supp))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("__i"),
+            "__n_supp",
+        )
+        .select(
+            "ps_partkey",
+            ((F.col("ps_partkey") * 4 + F.col("__i")) % F.col("__n_supp"))
+            .cast("bigint")
+            .alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (1 + F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 9999)
+            .cast("int")
+            .alias("ps_availqty"),
+            (100 + F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % 99900)
+            .alias("ps_supplycost_cents"),
+        )
+    )
+
+
+_PARTSUPP_SQL = """ps_keys AS (
+      SELECT p.p_partkey AS ps_partkey,
+             (p.p_partkey * 4 + i.i) % (SELECT COUNT(*) FROM supplier)
+               AS ps_suppkey
+      FROM part p, (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    partsupp AS (
+      SELECT ps_partkey,
+             CAST(ps_suppkey AS BIGINT) AS ps_suppkey,
+             CAST(1 + ('0x' || substr(md5(CAST(ps_partkey AS VARCHAR) || '_'
+                       || CAST(ps_suppkey AS VARCHAR)), 1, 8))::BIGINT % 9999
+                  AS INT) AS ps_availqty,
+             CAST(100 + ('0x' || substr(md5(CAST(ps_partkey AS VARCHAR) || '_'
+                        || CAST(ps_suppkey AS VARCHAR)), 9, 8))::BIGINT % 99900
+                  AS BIGINT) AS ps_supplycost_cents
+      FROM ps_keys
+    )"""
+
+
+@register(
+    "important_stock_value",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    natsupp AS (
+      SELECT s.s_suppkey
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ),
+    val AS (
+      SELECT ps_partkey,
+             CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM partsupp JOIN natsupp ON ps_suppkey = s_suppkey
+      GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value_cents
+    FROM val
+    WHERE 2 * value_cents * (SELECT COUNT(*) FROM val)
+          > 3 * (SELECT SUM(value_cents) FROM val)
+    """,
+    survey_ref="J/A-family important stock (TPC-H Q11 shape): per-part "
+    "inventory value held by one nation's suppliers, filtered to parts "
+    "above 1.5x the average — the group-then-compare-to-global-scalar plan "
+    "shape, all integer cents (never a float fraction), the scalar "
+    "threshold a broadcast 1-row join, and the threshold expressed "
+    "relative to the part count so it stays selective at every SF",
+)
+def q_important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 over the derived partsupp.  The supplier dimension is
+    pre-filtered to ONE nation before joining — that filter re-shrinks a
+    linearly-growing dimension by |nations|, and the hint is still
+    size-gated (maybe_broadcast) for the tier where even 1/25th of the
+    suppliers outgrows a broadcast.  The global threshold is the
+    aggregate-to-one-row → broadcast crossJoin pattern (never a collect)."""
+    from killrweather_spark.plans.hints import maybe_broadcast
+
+    ps = derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natsupp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    val = (
+        ps.join(maybe_broadcast(natsupp), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    )
+    totals = val.agg(
+        F.count(F.lit(1)).alias("__n_parts"),
+        F.sum("value_cents").alias("__total_cents"),
+    )
+    return (
+        val.crossJoin(F.broadcast(totals))
+        .filter(
+            2 * F.col("value_cents") * F.col("__n_parts")
+            > 3 * F.col("__total_cents")
+        )
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@register(
+    "overstocked_suppliers",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN red_parts rp ON ps.ps_partkey = rp.p_partkey
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      WHERE 2 * ps.ps_availqty > sh.qty
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN eligible e ON e.ps_suppkey = s.s_suppkey
+    """,
+    survey_ref="J-family overstocked suppliers (TPC-H Q20 shape): suppliers "
+    "holding more than half a year's shipments of a name-filtered part — "
+    "the correlated-subquery-decorrelated-to-aggregate-join plan shape; "
+    "unshipped (part, supplier) pairs are excluded exactly as the "
+    "spec's NULL-comparing subquery excludes them; integer quantity "
+    "arithmetic (2*availqty > qty, l_quantity is integral)",
+)
+def q_overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 over the derived partsupp.  The correlated availability
+    subquery decorrelates into one (part, supplier)-keyed aggregate of the
+    date-pruned lineitem slice joined back to partsupp; the name-filtered
+    part list broadcasts under the size gate; supplier attaches by a keyed
+    join at the end (semi via the distinct eligible list)."""
+    from killrweather_spark.plans.hints import maybe_broadcast
+
+    ps = derived_partsupp(spark, sf_dir)
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty")
+    )
+    eligible = (
+        ps.join(maybe_broadcast(red), ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(2 * F.col("ps_availqty") > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(eligible, s.s_suppkey == F.col("ps_suppkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
@@ -7934,10 +8153,11 @@ DRIVER_WINDOW = [
     "dedup_exact_groups",
     "minhash_lsh_pairs",
     "simhash",
-    "ngram_jaccard_pairs",
     "ngram_jaccard_df_capped",     # r04: GRAM_DF_CAP prefix filter, cap fires
-                                   # at sf0.01 (simhash_hamming_pairs rotates
-                                   # to oracle-pytest; simhash stays windowed)
+                                   # at sf0.01 (r05: ngram_jaccard_pairs
+                                   # rotates to oracle-pytest — the capped
+                                   # form demonstrates the same join plus
+                                   # the cap; slot freed for TPC-H Q11)
     "new_batch_dup_screen",        # round-2 flagship: incremental crawl screen
     "semantic_dup_candidates",     # round-2 flagship: SemDeDup w/ cluster cap
     # text analysis family
@@ -7946,9 +8166,10 @@ DRIVER_WINDOW = [
     "token_counts",
     "doc_fingerprint",
     "decontaminate_ngrams",        # decontamination family had no driver row
-    # ANN / similarity family
+    # ANN / similarity family (r05: ann_lsh_cosine rotates to oracle-pytest
+    # — semantic_eval_screen_lsh demonstrates the same hyperplane machinery
+    # in-window; slot freed for TPC-H Q20)
     "cosine_topk",
-    "ann_lsh_cosine",
     # multimodal (Arrow mapInPandas path)
     "multimodal_embedding",
     "media_decode_dims",           # r04: REAL container decode, oracle-exact
@@ -7963,6 +8184,9 @@ DRIVER_WINDOW = [
     # TPC-H batch + feature engineering flagships
     "tpch_pricing_summary",
     "lag_features",
+    # r05: the two classic plan shapes unblocked by the derived partsupp
+    "important_stock_value",       # Q11: group vs global-scalar threshold
+    "overstocked_suppliers",       # Q20: decorrelated availability screen
 ]
 
 
