@@ -87,6 +87,7 @@ HEADLINE = [
     "semantic_screen_recall",   # measured recall of the LSH screen
     "important_stock_value",    # Q11 shape over the derived partsupp
     "overstocked_suppliers",    # Q20 shape: decorrelated availability
+    "shipmode_priority_counts", # Q12 shape: the 22nd/last classic shape
     "training_order_shard",     # deterministic shard+pos corpus permutation
 ]
 

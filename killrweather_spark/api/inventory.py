@@ -8092,6 +8092,85 @@ def q_overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shipmode_priority_counts",
+    """
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_shipdate,
+             CASE (('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR) || '_'
+                    || CAST(l.l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 5)
+               WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'RAIL'
+               WHEN 3 THEN 'TRUCK' ELSE 'AIR' END AS ship_mode
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT li.ship_mode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    WHERE li.ship_mode IN ('MAIL', 'SHIP')
+      AND li.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY li.ship_mode
+    """,
+    survey_ref="J/A-family shipmode priority classes (TPC-H Q12 shape — "
+    "the last of the 22 classic plan shapes): two-way CASE conditional "
+    "aggregation over the lineitem-orders join, grouped by a "
+    "low-cardinality mode attribute.  The fixture ships no l_shipmode / "
+    "commit/receipt dates, so the mode derives from md5(orderkey, "
+    "linenumber) identically on both engines (the derived-partsupp "
+    "convention) and the late-shipment predicate is a 30-day "
+    "ship-after-order lag — same plan shape, derivable columns",
+)
+def q_shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 over a derived ship mode.  The date range pushes to the
+    lineitem scan; the mode filter keeps 2/5 of the derived modes before
+    the single keyed join; the non-equi lag predicate rides the join as a
+    residual; one partial-aggregated groupBy of 2 groups ends the plan."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in ("MAIL", "SHIP", "RAIL", "TRUCK", "AIR")]),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit("_"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+            + 1
+        ).cast("int"),
+    )
+    li = l.select(
+        "l_orderkey", "l_shipdate", mode.alias("ship_mode")
+    ).filter(F.col("ship_mode").isin("MAIL", "SHIP"))
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------
