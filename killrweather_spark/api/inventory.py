@@ -7967,15 +7967,20 @@ _PARTSUPP_SQL = """ps_keys AS (
     )
     SELECT ps_partkey, value_cents
     FROM val
-    WHERE 2 * value_cents * (SELECT COUNT(*) FROM val)
-          > 3 * (SELECT SUM(value_cents) FROM val)
+    WHERE value_cents >
+          (3 * ((SELECT CAST(SUM(value_cents) AS BIGINT) FROM val)
+                // (SELECT COUNT(*) FROM val))) // 2
     """,
     survey_ref="J/A-family important stock (TPC-H Q11 shape): per-part "
     "inventory value held by one nation's suppliers, filtered to parts "
     "above 1.5x the average — the group-then-compare-to-global-scalar plan "
     "shape, all integer cents (never a float fraction), the scalar "
     "threshold a broadcast 1-row join, and the threshold expressed "
-    "relative to the part count so it stays selective at every SF",
+    "relative to the part count so it stays selective at every SF.  The "
+    "threshold is ONE scalar (3*(total div n)) div 2 — never a per-row "
+    "value*n cross-product, which would overflow int64 at high part "
+    "counts; headroom is bounded only by the total-cents sum (~9e18, the "
+    "same documented margin as Q8 — beyond it widen to DECIMAL(38))",
 )
 def q_important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 over the derived partsupp.  The supplier dimension is
@@ -8001,17 +8006,21 @@ def q_important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("value_cents")
         )
+        # consumed twice (threshold scalar + filter): persist so the
+        # partsupp derivation + join + aggregation run once per action
+        .transform(persist_once)
     )
+    # threshold folds to ONE bounded scalar before any per-row compare —
+    # a per-row value*n cross-product would overflow int64 at high part
+    # counts (ANSI mode would abort the query at exactly the 100 TB tier)
     totals = val.agg(
-        F.count(F.lit(1)).alias("__n_parts"),
-        F.sum("value_cents").alias("__total_cents"),
+        F.expr(
+            "(3 * (cast(sum(value_cents) as bigint) div count(1))) div 2"
+        ).alias("__threshold_cents")
     )
     return (
         val.crossJoin(F.broadcast(totals))
-        .filter(
-            2 * F.col("value_cents") * F.col("__n_parts")
-            > 3 * F.col("__total_cents")
-        )
+        .filter(F.col("value_cents") > F.col("__threshold_cents"))
         .select("ps_partkey", "value_cents")
     )
 

@@ -395,12 +395,14 @@ def semantic_screen_lsh(
     contamination (cosine → 1) is caught with high probability, borderline
     pairs trade off against the candidate budget.
 
-    Join shape: the probe table broadcasts (|eval|·(planes+1) rows); the
-    candidate→component joins are keyed shuffles with NO broadcast hint —
-    at bench SF AQE converts them to broadcasts on its own, at 100 TB the
-    candidate list outgrows the driver and the keyed shuffle is the only
-    correct plan (the Q7/Q8 lesson, applied from the start).  Everything
-    is exact integer arithmetic end-to-end, so the approximate pipeline is
+    Join shape: everything EVAL-sided broadcasts by the screen's own
+    premise (eval suites are thousands of items, not billions — the probe
+    table is |eval|·(planes+1) rows, the eval component/norm tables
+    |eval|·dims); the candidate→TRAIN-component join carries NO broadcast
+    hint — at bench SF AQE converts it on its own, at 100 TB the candidate
+    list outgrows the driver and the keyed shuffle is the only correct
+    plan (the Q7/Q8 lesson, applied from the start).  Everything is exact
+    integer arithmetic end-to-end, so the approximate pipeline is
     deterministic and the DuckDB oracle replays it value-exactly.
 
     Output: (train_id, eval_id, cosine) — identical contract to

@@ -64,30 +64,28 @@ def _tree_depth(line: str) -> int:
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:
-    """A HashAggregate sits in the SUBTREE UNDER an Exchange (map-side
-    combine ≙ the Cassandra counter's commutative partial sums).
+    """A HashAggregate is the DIRECT CHILD of an Exchange (map-side combine
+    ≙ the Cassandra counter's commutative partial sums).
 
     Scoped two ways: to the tree section of the formatted plan (the details
     section repeats every node name, so a whole-text substring test was
-    vacuously true), and — per round-4 advice — to each Exchange's OWN
-    subtree via the tree's indentation depth: an aggregate in a *different*
-    subtree later in the printout (e.g. the build side of a join that sits
-    below a join's Exchange line) must not count as this Exchange's partial
-    aggregation.  A line belongs to the Exchange's subtree while its depth
-    stays strictly greater than the Exchange's."""
+    vacuously true), and — per round-4 advice — to the Exchange's direct
+    child only.  The partial stage of a two-phase aggregate sits
+    immediately under its Exchange; accepting an aggregate anywhere in the
+    subtree re-admits the false positive the advice named (a final-only
+    aggregation over a join whose BUILD side happens to contain an
+    aggregate deeper inside the Exchange's subtree).  The tree prints
+    preorder, so an Exchange's direct child is exactly the next line, one
+    level deeper."""
     plan = formatted_plan(df)
     tree = plan.split("\n\n", 1)[0]  # tree section only
     lines = tree.splitlines()
     for i, ln in enumerate(lines):
-        if "Exchange" not in ln:
+        if "Exchange" not in ln or i + 1 >= len(lines):
             continue
-        d = _tree_depth(ln)
-        for nxt in lines[i + 1:]:
-            nd = _tree_depth(nxt)
-            if nd <= d:
-                break  # left the Exchange's subtree
-            if "HashAggregate" in nxt:
-                return True
+        child = lines[i + 1]
+        if _tree_depth(child) > _tree_depth(ln) and "HashAggregate" in child:
+            return True
     return False
 
 

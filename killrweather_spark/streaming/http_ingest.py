@@ -192,8 +192,11 @@ class IngestHttpServer:
         failure mid-stream (bomb cap, truncated gzip, bad UTF-8) unlinks
         the tempfile so nothing partial ever lands.  UTF-8 decoding is
         incremental (multi-byte characters may straddle chunk boundaries);
-        line splitting normalizes ``\\r\\n``/``\\r`` and drops blank lines —
-        identical output to the old whole-body path.
+        line splitting recognizes ``\\n``/``\\r\\n``/``\\r`` and drops blank
+        lines — deliberately the newline set Spark's text source itself
+        splits on, NOT Python's ``str.splitlines()`` superset (``\\x0c``,
+        ``\\u2028``, …), which would disagree with how the landed file is
+        read back.
         """
         import codecs
 
@@ -208,7 +211,9 @@ class IngestHttpServer:
         n_lines = 0
         buf = ""
         try:
-            with os.fdopen(fd, "w") as f:
+            # explicit UTF-8: the default locale encoding could differ
+            # (C/latin-1 containers), mis-encoding what Spark reads as UTF-8
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
 
                 def emit(text: str, final: bool = False) -> None:
                     nonlocal buf, n_lines
