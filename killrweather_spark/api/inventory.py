@@ -44,6 +44,7 @@ from killrweather_spark.operators.aggregates import (
 )
 from killrweather_spark.operators.lookups import latest_row, point_lookup
 from killrweather_spark.plans.caching import persist_once
+from killrweather_spark.plans.hints import maybe_broadcast
 from killrweather_spark.sources.readers import fan_out, load_table
 
 
@@ -704,7 +705,7 @@ def q_join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+        ev.join(maybe_broadcast(cust), ev.user_id == cust.c_custkey, "inner")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -755,7 +756,7 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     o_dim = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -2938,7 +2939,7 @@ def q_streaming_enrich_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")
     agg = (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+        ev.join(maybe_broadcast(cust), ev.user_id == cust.c_custkey, "inner")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -3582,8 +3583,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s), l.l_suppkey == s.s_suppkey)
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -3628,7 +3629,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
     total = F.sum(cents)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
             (promo / 100.0).alias("promo_revenue"),
             (total / 100.0).alias("total_revenue"),
@@ -6168,7 +6169,7 @@ def q_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFram
     ).cast("bigint")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),
@@ -6215,7 +6216,7 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lagg.join(o, lagg.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),
@@ -6563,7 +6564,7 @@ def q_supplier_variety_by_parttype(spark: SparkSession, sf_dir: str) -> DataFram
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("type"))
         .agg(
             F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
@@ -6672,7 +6673,7 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (unit.unit_cents == best.min_cents),
         )
         .drop(best.l_partkey)
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(maybe_broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy(
             F.col("l_partkey").alias("partkey"),
             F.col("p_name").alias("part_name"),
@@ -7450,7 +7451,6 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     both tiers (the round-4 verdict's Q7/Q8 fix).  The nation-pair
     disjunction is applied after the dim joins attach names — Catalyst
     still prunes to the two nations on each broadcast side."""
-    from killrweather_spark.plans.hints import maybe_broadcast
     l = load_table(spark, sf_dir, "lineitem").filter(
         # range predicate (pushes to the scan) — the year() projection only
         # appears post-scan in the group key
@@ -7553,8 +7553,6 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("bigint")
-    from killrweather_spark.plans.hints import maybe_broadcast
-
     market = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
@@ -7626,8 +7624,8 @@ def q_nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     ) * F.col("l_quantity").cast("bigint")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -7707,7 +7705,7 @@ def q_waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        waiting.join(maybe_broadcast(s), waiting.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -7757,7 +7755,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         srev.crossJoin(F.broadcast(mx))
         .filter(F.col("rev_cents") == F.col("mx"))
-        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
         .select(
             "suppkey",
             F.col("s_name").alias("name"),
@@ -7804,7 +7802,7 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nq"),
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .join(pavg, "l_partkey")
         .filter(F.col("l_quantity").cast("bigint") * 5 * F.col("nq") < F.col("sq"))
         .agg(
@@ -7843,7 +7841,7 @@ def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     that, the join would carry every lineitem row."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -7989,8 +7987,6 @@ def q_important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-gated (maybe_broadcast) for the tier where even 1/25th of the
     suppliers outgrows a broadcast.  The global threshold is the
     aggregate-to-one-row → broadcast crossJoin pattern (never a collect)."""
-    from killrweather_spark.plans.hints import maybe_broadcast
-
     ps = derived_partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -8066,8 +8062,6 @@ def q_overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-pruned lineitem slice joined back to partsupp; the name-filtered
     part list broadcasts under the size gate; supplier attaches by a keyed
     join at the end (semi via the distinct eligible list)."""
-    from killrweather_spark.plans.hints import maybe_broadcast
-
     ps = derived_partsupp(spark, sf_dir)
     red = (
         load_table(spark, sf_dir, "part")
