@@ -84,6 +84,7 @@ HEADLINE = [
     "semantic_eval_screen",     # dense eval screen (exact baseline)
     # round-5 additions
     "semantic_eval_screen_lsh", # LSH-bucketed eval screen (the scale path)
+    "semantic_eval_screen_banded",  # banded-OR variant (the recall dial)
     "semantic_screen_recall",   # measured recall of the LSH screen
     "important_stock_value",    # Q11 shape over the derived partsupp
     "overstocked_suppliers",    # Q20 shape: decorrelated availability

@@ -1572,6 +1572,20 @@ def _lsh_eval_screen_cand_sql(n_planes: int, eval_pred: str,
     )"""
 
 
+# threshold-filter + best-eval-per-train tail shared by both LSH screens
+_SCREEN_SIMS_TAIL = """sims AS (
+      SELECT train_id, eval_id,
+             dot / (SQRT(tn.norm2) * SQRT(en.norm2)) AS cosine
+      FROM lsh_pairs
+      JOIN nrm tn ON tn.vec_id = train_id
+      JOIN nrm en ON en.vec_id = eval_id
+      WHERE dot / (SQRT(tn.norm2) * SQRT(en.norm2)) >= 0.35
+    )
+    SELECT train_id, eval_id, cosine FROM sims
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY train_id
+                               ORDER BY cosine DESC, eval_id) = 1"""
+
+
 @register(
     "cosine_topk",
     f"""
@@ -2512,17 +2526,7 @@ def q_semantic_eval_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_EMB_COMP_NRM_SQL},
     {_lsh_buckets_sql(6)},
     {_lsh_eval_screen_cand_sql(6, "{v} % 10 = 0", "{v} % 10 != 0")},
-    sims AS (
-      SELECT train_id, eval_id,
-             dot / (SQRT(tn.norm2) * SQRT(en.norm2)) AS cosine
-      FROM lsh_pairs
-      JOIN nrm tn ON tn.vec_id = train_id
-      JOIN nrm en ON en.vec_id = eval_id
-      WHERE dot / (SQRT(tn.norm2) * SQRT(en.norm2)) >= 0.35
-    )
-    SELECT train_id, eval_id, cosine FROM sims
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY train_id
-                               ORDER BY cosine DESC, eval_id) = 1
+    {_SCREEN_SIMS_TAIL}
     """,
     survey_ref="beyond-ref decontamination: LSH-bucketed eval screen "
     "(similarity.py:semantic_screen_lsh) — the 100 TB replacement for the "
@@ -2539,6 +2543,59 @@ def q_semantic_eval_screen_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_screen_lsh(emb, lambda c: c % 10 == 0, threshold=0.35,
                                n_planes=6)
+
+
+def _banded_screen_cand_sql(n_bands: int, band_planes: int, eval_pred: str,
+                            train_pred: str) -> str:
+    """Banded-OR candidate CTEs replaying
+    ``similarity.py:semantic_screen_lsh_banded``: key on (band, band-bits)
+    over ``n_bands · band_planes`` hyperplane bits; a pair matching ANY
+    band is a candidate (deduped once before the exact verify)."""
+    return f"""bands AS (
+      SELECT vec_id, b.b AS band,
+             substr(bucket, b.b * {band_planes} + 1, {band_planes}) AS key
+      FROM buckets, (SELECT unnest(range(0, {n_bands})) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
+      FROM bands t JOIN bands e ON t.band = e.band AND t.key = e.key
+      WHERE {train_pred.format(v='t.vec_id')}
+        AND {eval_pred.format(v='e.vec_id')}
+    ),
+    lsh_pairs AS (
+      SELECT c.train_id, c.eval_id, SUM(a.q * b.q) AS dot
+      FROM cand c
+      JOIN comp a ON a.vec_id = c.train_id
+      JOIN comp b ON b.vec_id = c.eval_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "semantic_eval_screen_banded",
+    f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    {_lsh_buckets_sql(16)},
+    {_banded_screen_cand_sql(4, 4, "{v} % 10 = 0", "{v} % 10 != 0")},
+    {_SCREEN_SIMS_TAIL}
+    """,
+    survey_ref="beyond-ref decontamination: banded-OR LSH eval screen "
+    "(similarity.py:semantic_screen_lsh_banded) — the recall dial of the "
+    "family: 4 bands x 4 hyperplane bits, AND-within-band / "
+    "OR-across-bands (the MinHash 4x4 s-curve construction in embedding "
+    "space); a pair matching any band is exact-verified once.  Per-bit "
+    "agreement p gives candidate probability 1-(1-p^4)^4 — near-dup "
+    "contamination (p -> 1) caught with probability -> 1 at ~L/2^k of the "
+    "pair product in candidates.  Deterministic end-to-end, value-exact "
+    "oracle",
+)
+def q_semantic_eval_screen_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import semantic_screen_lsh_banded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_screen_lsh_banded(
+        emb, lambda c: c % 10 == 0, threshold=0.35, n_bands=4, band_planes=4
+    )
 
 
 @register(
@@ -2603,6 +2660,79 @@ def q_semantic_screen_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, lambda c: c % 10 == 0, threshold=0.35, n_planes=6
     ).select(F.col("train_id").alias("ltrain"))
     joined = truth.join(lsh, truth.train_id == lsh.ltrain, "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_train"),
+        F.sum(F.when(F.col("ltrain").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_caught"),
+        F.expr(
+            "(1000000 * sum(case when ltrain is not null then 1 else 0 end))"
+            " div count(1)"
+        )
+        .cast("bigint")
+        .alias("recall_micro"),
+    )
+
+
+@register(
+    "semantic_screen_recall_banded",
+    f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    {_lsh_buckets_sql(16)},
+    {_banded_screen_cand_sql(4, 4, "{v} % 10 = 0",
+                             "{v} % 10 != 0 AND {v} < 1000")},
+    lsh_flag AS (
+      SELECT DISTINCT train_id
+      FROM lsh_pairs
+      JOIN nrm tn ON tn.vec_id = train_id
+      JOIN nrm en ON en.vec_id = eval_id
+      WHERE dot / (SQRT(tn.norm2) * SQRT(en.norm2)) >= 0.35
+    ),
+    exact_pairs AS (
+      SELECT t.vec_id AS train_id, e.vec_id AS eval_id, SUM(t.q * e.q) AS dot
+      FROM comp t
+      JOIN comp e ON t.pos = e.pos
+                 AND t.vec_id % 10 != 0 AND t.vec_id < 1000
+                 AND e.vec_id % 10 = 0
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT DISTINCT train_id
+      FROM exact_pairs
+      JOIN nrm tn ON tn.vec_id = train_id
+      JOIN nrm en ON en.vec_id = eval_id
+      WHERE dot / (SQRT(tn.norm2) * SQRT(en.norm2)) >= 0.35
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_train,
+           CAST(SUM(CASE WHEN l.train_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST((1000000 * SUM(CASE WHEN l.train_id IS NOT NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS recall_micro
+    FROM truth t
+    LEFT JOIN lsh_flag l ON l.train_id = t.train_id
+    """,
+    survey_ref="beyond-ref decontamination QA: the banded screen's measured "
+    "s-curve point vs the exact ground truth — together with "
+    "semantic_screen_recall this quantifies the recall/candidate-budget "
+    "tradeoff between the Hamming-1 and banded-OR constructions, the "
+    "comparison a production run makes before choosing its parameters",
+)
+def q_semantic_screen_recall_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import (
+        semantic_screen,
+        semantic_screen_lsh_banded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") < 1000) | (F.col("vec_id") % 10 == 0)
+    )
+    truth = semantic_screen(emb, lambda c: c % 10 == 0, threshold=0.35).select(
+        "train_id"
+    )
+    banded = semantic_screen_lsh_banded(
+        emb, lambda c: c % 10 == 0, threshold=0.35, n_bands=4, band_planes=4
+    ).select(F.col("train_id").alias("ltrain"))
+    joined = truth.join(banded, truth.train_id == banded.ltrain, "left")
     return joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true_train"),
         F.sum(F.when(F.col("ltrain").isNotNull(), 1).otherwise(0))

@@ -369,6 +369,111 @@ def eval_probe_buckets(
     )
 
 
+def _screen_verify_candidates(
+    comp: DataFrame,
+    nrm: DataFrame,
+    cand: DataFrame,
+    eval_filter,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Exact quantized-cosine verification of (train_id, eval_id) candidate
+    pairs + threshold + best-eval-per-train — the verify kernel shared by
+    both LSH screen variants (Hamming-1 multi-probe and banded OR).
+
+    The candidate→train-component join carries no hint (AQE broadcasts it
+    at bench SF; the keyed shuffle is the only correct plan when the
+    candidate list outgrows the driver); everything eval-sided broadcasts
+    by the screen's small-eval premise."""
+    tcomp = comp.select(
+        F.col(id_col).alias("train_id"), "pos", F.col("q").alias("qt")
+    )
+    ecomp = comp.filter(eval_filter(F.col(id_col))).select(
+        F.col(id_col).alias("eval_id"), "pos", F.col("q").alias("qe")
+    )
+    dots = (
+        cand.join(tcomp, "train_id")
+        .join(F.broadcast(ecomp), ["eval_id", "pos"])
+        .groupBy("train_id", "eval_id")
+        .agg(F.sum(F.col("qt") * F.col("qe")).alias("dot"))
+    )
+    tn = nrm.select(F.col(id_col).alias("train_id"), F.col("norm2").alias("tnorm2"))
+    en = nrm.select(F.col(id_col).alias("eval_id"), F.col("norm2").alias("enorm2"))
+    sims = (
+        dots.join(tn, "train_id")
+        .join(F.broadcast(en), "eval_id")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("tnorm2")) * F.sqrt(F.col("enorm2"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("train_id", "eval_id", "cosine")
+    )
+
+
+def semantic_screen_lsh_banded(
+    df: DataFrame,
+    eval_filter,
+    threshold: float = 0.8,
+    n_bands: int = 4,
+    band_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded-OR LSH contamination screen — the recall dial of the family.
+
+    Where :func:`semantic_screen_lsh` probes Hamming-1 neighbors of ONE
+    n-plane bucket, this computes ``n_bands · band_planes`` hyperplane bits
+    and keys candidates on (band, band-bits): a pair is a candidate if ANY
+    band matches — the classic AND-within-band / OR-across-bands s-curve
+    (exactly the 4×4 construction the MinHash dedup path uses).  For
+    per-bit agreement p the candidate probability is 1 − (1 − p^k)^L:
+    near-duplicate contamination (cosine→1, p→1) is caught with
+    probability → 1 while uncorrelated pairs stay out at p^k per band.
+    Candidate volume is ~L/2^k of the pair product (k, L are the dial);
+    pairs matching several bands are deduped by one distinct before the
+    exact verify, so verification cost is per-pair once.
+
+    Same deterministic integer bucketing, same exact verify kernel, same
+    (train_id, eval_id, cosine) contract as the other variants.
+    """
+    total = n_bands * band_planes
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+    nrm = cosine_norms(comp, id_col)
+    buckets = lsh_buckets(df, total, id_col, vec_col).transform(persist_once)
+
+    def banded(b: DataFrame, out_id: str) -> DataFrame:
+        return b.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+            "bucket",
+        ).select(
+            out_id,
+            "band",
+            F.expr(f"substr(bucket, band * {band_planes} + 1, {band_planes})")
+            .alias("key"),
+        )
+
+    is_eval = eval_filter(F.col(id_col))
+    tb = banded(buckets.filter(~is_eval), "train_id")
+    eb = banded(buckets.filter(is_eval), "eval_id")
+    cand = (
+        tb.join(F.broadcast(eb), ["band", "key"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    return _screen_verify_candidates(
+        comp, nrm, cand, eval_filter, threshold, id_col
+    )
+
+
 def semantic_screen_lsh(
     df: DataFrame,
     eval_filter,
@@ -423,34 +528,8 @@ def semantic_screen_lsh(
         .join(F.broadcast(eprobes), "bucket")
         .select("train_id", "eval_id")
     )
-    tcomp = comp.select(F.col(id_col).alias("train_id"), "pos", F.col("q").alias("qt"))
-    ecomp = comp.filter(is_eval).select(
-        F.col(id_col).alias("eval_id"), "pos", F.col("q").alias("qe")
-    )
-    dots = (
-        cand.join(tcomp, "train_id")
-        .join(F.broadcast(ecomp), ["eval_id", "pos"])
-        .groupBy("train_id", "eval_id")
-        .agg(F.sum(F.col("qt") * F.col("qe")).alias("dot"))
-    )
-    tn = nrm.select(F.col(id_col).alias("train_id"), F.col("norm2").alias("tnorm2"))
-    en = nrm.select(F.col(id_col).alias("eval_id"), F.col("norm2").alias("enorm2"))
-    sims = (
-        dots.join(tn, "train_id")
-        .join(F.broadcast(en), "eval_id")
-        .withColumn(
-            "cosine",
-            F.col("dot") / (F.sqrt(F.col("tnorm2")) * F.sqrt(F.col("enorm2"))),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
-    w = Window.partitionBy("train_id").orderBy(
-        F.col("cosine").desc(), F.col("eval_id").asc()
-    )
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("train_id", "eval_id", "cosine")
+    return _screen_verify_candidates(
+        comp, nrm, cand, eval_filter, threshold, id_col
     )
 
 
