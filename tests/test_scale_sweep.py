@@ -203,3 +203,56 @@ def test_lsh_screen_candidate_volume_stays_sublinear_in_pairs(spark):
     assert frac1 < 2 * frac01 + 0.05, (
         f"pruning factor degraded across SF: {frac01:.3f} -> {frac1:.3f}"
     )
+
+
+def _banded_candidate_stats(spark, sf_dir: str) -> tuple[int, int]:
+    """(candidate pairs, dense pairs) of the banded-OR screen's candidate
+    join — same helpers as the shipped semantic_eval_screen_banded."""
+    from pyspark.sql import functions as F
+
+    from killrweather_spark.functions.similarity import lsh_buckets
+    from killrweather_spark.sources.readers import load_table
+
+    n_bands, band_planes = 4, 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % 10 == 0
+    buckets = lsh_buckets(emb, n_bands * band_planes)
+
+    def banded(b, out_id):
+        return b.select(
+            F.col("vec_id").alias(out_id),
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+            "bucket",
+        ).select(
+            out_id, "band",
+            F.expr(f"substr(bucket, band * {band_planes} + 1, {band_planes})")
+            .alias("key"),
+        )
+
+    cand = (
+        banded(buckets.filter(~is_eval), "train_id")
+        .join(F.broadcast(banded(buckets.filter(is_eval), "eval_id")),
+              ["band", "key"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    n_train = emb.filter(~is_eval).count()
+    n_eval = emb.filter(is_eval).count()
+    return cand.count(), n_train * n_eval
+
+
+def test_banded_screen_candidate_volume_bounded(spark):
+    """The banded-OR screen's candidate set must stay a bounded, SF-stable
+    fraction of the pair product (~L/2^k = 4/16 under uniform bits, before
+    the cross-band dedup) — the same pruning-factor guard the Hamming-1
+    screen carries, at the banded construction's higher-recall operating
+    point."""
+    c01, d01 = _banded_candidate_stats(spark, "/root/testdata/sf0.01")
+    c1, d1 = _banded_candidate_stats(spark, "/root/testdata/sf0.1")
+    assert c01 > 0 and c1 > 0
+    frac01, frac1 = c01 / d01, c1 / d1
+    assert frac01 < 0.6, f"sf0.01 pruning factor {frac01:.2f} — not pruning"
+    assert frac1 < 0.6, f"sf0.1 pruning factor {frac1:.2f} — not pruning"
+    assert frac1 < 2 * frac01 + 0.05, (
+        f"pruning factor degraded across SF: {frac01:.3f} -> {frac1:.3f}"
+    )
