@@ -1542,6 +1542,17 @@ def _lsh_buckets_sql(n_planes: int) -> str:
     )"""
 
 
+# exact dot-product verify over (train_id, eval_id) candidates — shared by
+# both LSH-screen oracle helpers (replays _screen_verify_candidates)
+_LSH_PAIRS_SQL = """lsh_pairs AS (
+      SELECT c.train_id, c.eval_id, SUM(a.q * b.q) AS dot
+      FROM cand c
+      JOIN comp a ON a.vec_id = c.train_id
+      JOIN comp b ON b.vec_id = c.eval_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    )"""
+
+
 def _lsh_eval_screen_cand_sql(n_planes: int, eval_pred: str,
                               train_pred: str) -> str:
     """Multi-probe eval expansion + same-bucket candidate CTEs replaying
@@ -1563,13 +1574,7 @@ def _lsh_eval_screen_cand_sql(n_planes: int, eval_pred: str,
       FROM buckets t JOIN eprobes e ON t.bucket = e.bucket
       WHERE {train_pred.format(v='t.vec_id')}
     ),
-    lsh_pairs AS (
-      SELECT c.train_id, c.eval_id, SUM(a.q * b.q) AS dot
-      FROM cand c
-      JOIN comp a ON a.vec_id = c.train_id
-      JOIN comp b ON b.vec_id = c.eval_id AND b.pos = a.pos
-      GROUP BY 1, 2
-    )"""
+    {_LSH_PAIRS_SQL}"""
 
 
 # threshold-filter + best-eval-per-train tail shared by both LSH screens
@@ -2562,13 +2567,7 @@ def _banded_screen_cand_sql(n_bands: int, band_planes: int, eval_pred: str,
       WHERE {train_pred.format(v='t.vec_id')}
         AND {eval_pred.format(v='e.vec_id')}
     ),
-    lsh_pairs AS (
-      SELECT c.train_id, c.eval_id, SUM(a.q * b.q) AS dot
-      FROM cand c
-      JOIN comp a ON a.vec_id = c.train_id
-      JOIN comp b ON b.vec_id = c.eval_id AND b.pos = a.pos
-      GROUP BY 1, 2
-    )"""
+    {_LSH_PAIRS_SQL}"""
 
 
 @register(
@@ -3486,7 +3485,7 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     std = F.sqrt(var)
     return (
-        ev.join(F.broadcast(m), "user_id")
+        ev.join(maybe_broadcast(m), "user_id")
         .filter(F.abs(F.col("value") - mean) > 2.5 * std)
         .select(
             "event_id",
@@ -4440,7 +4439,7 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = (
         docs.select("doc_id", "n_chars")
         .join(
-            F.broadcast(comp), docs.doc_id == comp.node, "left"
+            maybe_broadcast(comp), docs.doc_id == comp.node, "left"
         )
         .select(
             "doc_id",
@@ -4912,7 +4911,7 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sources/sinks.py:save_bucketed_table — which DOES elide it.  At a
     # node count too big to broadcast, bucket both sides by src for a
     # co-located probe join instead.)
-    ed = edges.join(F.broadcast(deg), "src").repartition("dst").transform(persist_once)
+    ed = edges.join(maybe_broadcast(deg), "src").repartition("dst").transform(persist_once)
 
     rank = None  # uniform 1e6 start folds into the first contribution
     for it in range(2):
@@ -4922,7 +4921,7 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             contrib = ed.join(
-                F.broadcast(rank.withColumnRenamed("node", "src")), "src"
+                maybe_broadcast(rank.withColumnRenamed("node", "src")), "src"
             ).select("dst", F.expr("r div d").alias("c"))
         rank = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.expr("150000 + (85 * sum(c)) div 100").alias("r")
@@ -5502,8 +5501,8 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = item.select(F.col("pk").alias("a"), F.col("n").alias("n_a"))
     ib = item.select(F.col("pk").alias("b"), F.col("n").alias("n_b"))
     return (
-        pair.join(F.broadcast(ia), "a")
-        .join(F.broadcast(ib), "b")
+        pair.join(maybe_broadcast(ia), "a")
+        .join(maybe_broadcast(ib), "b")
         .join(F.broadcast(t))
         .select(
             "a",
@@ -6388,7 +6387,7 @@ def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("dfr"))
     return (
-        tok.join(F.broadcast(dfreq), "t")
+        tok.join(maybe_broadcast(dfreq), "t")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_terms"),
@@ -6605,7 +6604,7 @@ def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = base.groupBy("label").agg(
         semdedup_n_sub(F.count(F.lit(1))).alias("n_sub")
     )
-    base = base.join(F.broadcast(sizes), "label").withColumn(
+    base = base.join(maybe_broadcast(sizes), "label").withColumn(
         "sub", semdedup_sub_bucket(F.col("vec_id"), F.col("n_sub"))
     )
     a = base.select(
@@ -7010,7 +7009,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
         ).alias("qv"),
     )
-    dist = qdf.join(F.broadcast(cent_arr), "label").select(
+    dist = qdf.join(maybe_broadcast(cent_arr), "label").select(
         "vec_id",
         "label",
         F.aggregate(
@@ -7023,7 +7022,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d2").alias("sum_d2"), F.count(F.lit(1)).alias("n")
     )
     return (
-        dist.join(F.broadcast(stats), "label")
+        dist.join(maybe_broadcast(stats), "label")
         # fixed-order double comparison — see docstring for why not bigint
         .filter(
             F.col("d2").cast("double") * F.col("n") * F.lit(20.0)
@@ -7287,7 +7286,7 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").alias("st"), F.sum("n").alias("nt")
     )
     return (
-        per_dow.join(F.broadcast(overall), "user_id")
+        per_dow.join(maybe_broadcast(overall), "user_id")
         .filter(F.col("st") > 0)
         .select(
             "user_id",

@@ -418,6 +418,30 @@ def _screen_verify_candidates(
     )
 
 
+def banded_keys(
+    buckets: DataFrame,
+    n_bands: int,
+    band_planes: int,
+    out_id: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(out_id, band, key) banding of an ``(id, bucket)`` bit-string table:
+    band b's key is bits ``[b·k+1, (b+1)·k]`` of the bucket — the
+    AND-within-band layout.  Shared by :func:`semantic_screen_lsh_banded`
+    and the scale-sweep candidate-volume guard, so the guard can never
+    measure a different key construction than the shipped screen."""
+    return buckets.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "bucket",
+    ).select(
+        out_id,
+        "band",
+        F.expr(f"substr(bucket, band * {band_planes} + 1, {band_planes})")
+        .alias("key"),
+    )
+
+
 def semantic_screen_lsh_banded(
     df: DataFrame,
     eval_filter,
@@ -449,21 +473,11 @@ def semantic_screen_lsh_banded(
     nrm = cosine_norms(comp, id_col)
     buckets = lsh_buckets(df, total, id_col, vec_col).transform(persist_once)
 
-    def banded(b: DataFrame, out_id: str) -> DataFrame:
-        return b.select(
-            F.col(id_col).alias(out_id),
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-            "bucket",
-        ).select(
-            out_id,
-            "band",
-            F.expr(f"substr(bucket, band * {band_planes} + 1, {band_planes})")
-            .alias("key"),
-        )
-
     is_eval = eval_filter(F.col(id_col))
-    tb = banded(buckets.filter(~is_eval), "train_id")
-    eb = banded(buckets.filter(is_eval), "eval_id")
+    tb = banded_keys(buckets.filter(~is_eval), n_bands, band_planes,
+                     "train_id", id_col)
+    eb = banded_keys(buckets.filter(is_eval), n_bands, band_planes,
+                     "eval_id", id_col)
     cand = (
         tb.join(F.broadcast(eb), ["band", "key"])
         .select("train_id", "eval_id")

@@ -210,29 +210,25 @@ def _banded_candidate_stats(spark, sf_dir: str) -> tuple[int, int]:
     join — same helpers as the shipped semantic_eval_screen_banded."""
     from pyspark.sql import functions as F
 
-    from killrweather_spark.functions.similarity import lsh_buckets
+    from killrweather_spark.functions.similarity import (
+        banded_keys,
+        lsh_buckets,
+    )
     from killrweather_spark.sources.readers import load_table
 
     n_bands, band_planes = 4, 4
     emb = load_table(spark, sf_dir, "embeddings")
     is_eval = F.col("vec_id") % 10 == 0
     buckets = lsh_buckets(emb, n_bands * band_planes)
-
-    def banded(b, out_id):
-        return b.select(
-            F.col("vec_id").alias(out_id),
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-            "bucket",
-        ).select(
-            out_id, "band",
-            F.expr(f"substr(bucket, band * {band_planes} + 1, {band_planes})")
-            .alias("key"),
-        )
-
     cand = (
-        banded(buckets.filter(~is_eval), "train_id")
-        .join(F.broadcast(banded(buckets.filter(is_eval), "eval_id")),
-              ["band", "key"])
+        banded_keys(buckets.filter(~is_eval), n_bands, band_planes, "train_id")
+        .join(
+            F.broadcast(
+                banded_keys(buckets.filter(is_eval), n_bands, band_planes,
+                            "eval_id")
+            ),
+            ["band", "key"],
+        )
         .select("train_id", "eval_id")
         .distinct()
     )
