@@ -783,3 +783,37 @@ def test_rolling_min_fingerprint_uses_named_column(spark):
     direct = df.withColumn("fp", rolling_min_fingerprint("body")).first()["fp"]
     wrapped = add_rolling_fingerprint(df, "body").first()["fingerprint"]
     assert direct == wrapped
+
+
+def test_banded_screen_trades_candidates_for_recall(spark):
+    """The screen family's contract: the banded-OR construction (4x4)
+    recovers MORE exact-screen contamination than Hamming-1 multi-probe on
+    6 planes (the s-curve ordering at the borderline threshold), and every
+    flagged pair from EITHER screen is genuinely above threshold (LSH only
+    prunes candidates — the verify step is exact, so no false positives
+    ever)."""
+    from killrweather_spark.functions.similarity import (
+        semantic_screen,
+        semantic_screen_lsh,
+        semantic_screen_lsh_banded,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    f = lambda c: c % 10 == 0  # noqa: E731
+    exact = {
+        (r.train_id, r.eval_id): r.cosine
+        for r in semantic_screen(emb, f, threshold=0.35).collect()
+    }
+    exact_flagged = {t for t, _ in exact}
+    h1 = semantic_screen_lsh(emb, f, threshold=0.35, n_planes=6).collect()
+    banded = semantic_screen_lsh_banded(
+        emb, f, threshold=0.35, n_bands=4, band_planes=4
+    ).collect()
+    # no false positives: every flagged train id is exact-screen flagged
+    # (best-match eval may differ when the exact best was pruned)
+    for rows in (h1, banded):
+        for r in rows:
+            assert r.train_id in exact_flagged
+            assert r.cosine >= 0.35
+    # the recall dial points the right way at the borderline threshold
+    assert len(banded) > len(h1), (len(banded), len(h1))
