@@ -426,3 +426,17 @@ def test_maybe_broadcast_estimates_file_backed_sizes(spark):
     assert checks.uses_broadcast_join(joined)
     unhinted = hints.maybe_broadcast(nation, threshold_bytes=0)
     assert unhinted is nation
+
+
+def test_lsh_screens_have_no_cartesian_and_broadcast_eval_side(spark):
+    """The screen family's plan contract: candidate generation is a keyed
+    join (never a cartesian pair product — the dense screen's hazard), the
+    eval-sided tables broadcast, and the train-side candidate join is left
+    to size-based planning (no unconditional hint forcing a broadcast that
+    cannot exist at 100 TB)."""
+    for name in ("semantic_eval_screen_lsh", "semantic_eval_screen_banded"):
+        df = REGISTRY[name].fn(spark, SF01)
+        plan = checks.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert checks.node_count(df, "BroadcastHashJoin") >= 2, (name, plan)
