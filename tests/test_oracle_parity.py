@@ -90,11 +90,22 @@ def test_edge_fixture_parity(spark, tmp_path):
     )
 
     con = duck_connection(str(fx))
+    # r05 additions: the LSH screen family runs the same doctored table —
+    # the zero-norm TRAIN vector (id 2) must fall out of every screen via
+    # the cosine_norms exclusion without crashing bucket assembly (a zero
+    # vector still gets a bucket: all projections 0 → all '1' bits)
     for name in ("semantic_dup_candidates", "cosine_topk",
-                 "cdc_merge_snapshot"):
+                 "cdc_merge_snapshot", "semantic_eval_screen",
+                 "semantic_eval_screen_lsh", "semantic_eval_screen_banded",
+                 "semantic_screen_recall", "semantic_screen_recall_banded"):
         spec = REGISTRY[name]
         d = compare(name, spec.fn(spark, str(fx)), con, spec.sql)
         assert d.ok, (name, d.messages[:3])
+    for name in ("semantic_eval_screen", "semantic_eval_screen_lsh",
+                 "semantic_eval_screen_banded"):
+        flagged = {r.train_id for r in
+                   REGISTRY[name].fn(spark, str(fx)).collect()}
+        assert 2 not in flagged, name  # zero-norm train never flagged
 
     # the semantics themselves, independent of the oracle:
     snap = {r.user_id: r.last_event_id
