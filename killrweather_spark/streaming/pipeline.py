@@ -390,6 +390,56 @@ def start_daily_temp_rollup(
     )
 
 
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tolerance: str = "1 hour",
+    watermark: str = "2 hours",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events
+    sharing the key within ±``tolerance`` of its event time.
+
+    This is the capability the reference's DStream model cannot express at
+    all (SURVEY §2.9 ext): correlating two LIVE streams (raw observations
+    × station alerts, views × purchases) requires buffering both sides in
+    the state store until the other side's matching window has provably
+    passed.  Structured Streaming's symmetric hash join does exactly that,
+    and the WATERMARK on both sides plus the time-bound join condition is
+    what makes the state finite: a row is evicted once the other stream's
+    watermark passes its ``ts ± tolerance`` window.  (Spark only HARD-fails
+    the unbounded form for outer joins; an inner join without a time bound
+    is silently planned with state that grows forever — which is exactly
+    why this helper bakes the bound into the condition instead of leaving
+    it to the caller.)  State is keyed by the join key → uniform shuffle
+    on both sides, no broadcast (both sides are unbounded).
+
+    Right-side columns are suffixed with ``right_suffix`` (its ``ts``
+    becomes e.g. ``ts_r``); the join condition is key equality plus
+    ``ts_r ∈ [ts - tolerance, ts + tolerance]``.  Works identically on
+    two bounded streams drained with availableNow — the deterministic
+    test/oracle path — and equals the batch join of the same inputs.
+    """
+    lw = left.withWatermark(ts_col, watermark)
+    rw = right.withWatermark(ts_col, watermark)
+    for c in right.columns:
+        rw = rw.withColumnRenamed(c, f"{c}{right_suffix}")
+    key_eq = [
+        F.col(k) == F.col(f"{k}{right_suffix}") for k in key_cols
+    ]
+    rts = F.col(f"{ts_col}{right_suffix}")
+    bound = (
+        (rts >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}"))
+        & (rts <= F.col(ts_col) + F.expr(f"INTERVAL {tolerance}"))
+    )
+    cond = bound
+    for e in key_eq:
+        cond = cond & e
+    return lw.join(rw, cond, "inner")
+
+
 def run_stream_to_batch(
     stream_df: DataFrame,
     checkpoint_dir: str,
