@@ -440,3 +440,14 @@ def test_lsh_screens_have_no_cartesian_and_broadcast_eval_side(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert checks.node_count(df, "BroadcastHashJoin") >= 2, (name, plan)
+
+
+def test_components_join_is_keyed_not_broadcast(spark):
+    """canonical_docs joins per-doc connected-components labels back onto
+    docs: the components table grows with the corpus AND its iterative
+    lineage defeats size estimation, so maybe_broadcast must decline the
+    hint and the plan must be a keyed join — broadcasting an iterative
+    result is exactly the plan that cannot exist at 100 TB."""
+    df = REGISTRY["canonical_docs"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
