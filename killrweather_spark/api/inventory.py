@@ -4424,9 +4424,12 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completes the dedup funnel: near-dup pairs → connected components →
     pick the canonical member of each cluster (longest ``n_chars``, lowest
     ``doc_id`` on ties) — downstream corpus filters keep
-    ``is_canonical``.  The component map is tiny relative to the corpus
-    (only docs that appear in some dup pair), so the label join
-    broadcasts; singleton docs are their own component via coalesce.  The
+    ``is_canonical``.  The component map holds only docs that appear in
+    some dup pair, but it GROWS with the corpus and its iterative lineage
+    defeats size estimation — so the label-join hint is size-gated and
+    correctly declines (keyed join, pinned by
+    ``test_plans.py::test_components_join_is_keyed_not_broadcast``);
+    singleton docs are their own component via coalesce.  The
     representative choice is one window over (component) — partitions are
     cluster-sized, no skew."""
     from killrweather_spark.functions.curation import connected_components

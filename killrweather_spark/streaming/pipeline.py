@@ -423,9 +423,9 @@ def join_streams_within(
     test/oracle path — and equals the batch join of the same inputs.
     """
     lw = left.withWatermark(ts_col, watermark)
-    rw = right.withWatermark(ts_col, watermark)
-    for c in right.columns:
-        rw = rw.withColumnRenamed(c, f"{c}{right_suffix}")
+    rw = right.withWatermark(ts_col, watermark).withColumnsRenamed(
+        {c: f"{c}{right_suffix}" for c in right.columns}
+    )
     key_eq = [
         F.col(k) == F.col(f"{k}{right_suffix}") for k in key_cols
     ]

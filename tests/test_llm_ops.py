@@ -800,11 +800,9 @@ def test_banded_screen_trades_candidates_for_recall(spark):
 
     emb = load_table(spark, SF01, "embeddings")
     f = lambda c: c % 10 == 0  # noqa: E731
-    exact = {
-        (r.train_id, r.eval_id): r.cosine
-        for r in semantic_screen(emb, f, threshold=0.35).collect()
+    exact_flagged = {
+        r.train_id for r in semantic_screen(emb, f, threshold=0.35).collect()
     }
-    exact_flagged = {t for t, _ in exact}
     h1 = semantic_screen_lsh(emb, f, threshold=0.35, n_planes=6).collect()
     banded = semantic_screen_lsh_banded(
         emb, f, threshold=0.35, n_bands=4, band_planes=4

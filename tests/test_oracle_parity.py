@@ -94,18 +94,17 @@ def test_edge_fixture_parity(spark, tmp_path):
     # the zero-norm TRAIN vector (id 2) must fall out of every screen via
     # the cosine_norms exclusion without crashing bucket assembly (a zero
     # vector still gets a bucket: all projections 0 → all '1' bits)
+    screens = ("semantic_eval_screen", "semantic_eval_screen_lsh",
+               "semantic_eval_screen_banded")
     for name in ("semantic_dup_candidates", "cosine_topk",
-                 "cdc_merge_snapshot", "semantic_eval_screen",
-                 "semantic_eval_screen_lsh", "semantic_eval_screen_banded",
-                 "semantic_screen_recall", "semantic_screen_recall_banded"):
+                 "cdc_merge_snapshot", "semantic_screen_recall",
+                 "semantic_screen_recall_banded") + screens:
         spec = REGISTRY[name]
-        d = compare(name, spec.fn(spark, str(fx)), con, spec.sql)
+        df = spec.fn(spark, str(fx))
+        d = compare(name, df, con, spec.sql)
         assert d.ok, (name, d.messages[:3])
-    for name in ("semantic_eval_screen", "semantic_eval_screen_lsh",
-                 "semantic_eval_screen_banded"):
-        flagged = {r.train_id for r in
-                   REGISTRY[name].fn(spark, str(fx)).collect()}
-        assert 2 not in flagged, name  # zero-norm train never flagged
+        if name in screens:  # zero-norm train never flagged
+            assert 2 not in {r.train_id for r in df.collect()}, name
 
     # the semantics themselves, independent of the oracle:
     snap = {r.user_id: r.last_event_id

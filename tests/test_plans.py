@@ -448,6 +448,15 @@ def test_components_join_is_keyed_not_broadcast(spark):
     lineage defeats size estimation, so maybe_broadcast must decline the
     hint and the plan must be a keyed join — broadcasting an iterative
     result is exactly the plan that cannot exist at 100 TB."""
+    from killrweather_spark.functions.dedup import word_bigram_jaccard_pairs
+    from killrweather_spark.functions.curation import connected_components
+    from killrweather_spark.plans import hints
+
+    docs = load_table(spark, SF01, "documents")
+    pairs = word_bigram_jaccard_pairs(docs, block_col="source", threshold=0.08)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    # the gate itself must DECLINE the hint for the iterative-lineage table
+    assert hints.maybe_broadcast(comp) is comp
     df = REGISTRY["canonical_docs"].fn(spark, SF01)
     plan = checks.formatted_plan(df)
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan

@@ -715,6 +715,9 @@ def test_stream_stream_join_within_tolerance_matches_batch(spark, tmp_path):
     # the state-cleanup contract rides the join CONDITION: Spark only
     # hard-rejects unbounded state for OUTER stream-stream joins, so the
     # helper's baked-in time bound (rather than caller discipline) is what
-    # keeps the inner join's state finite — asserted by the event-time
-    # range surviving into the plan
-    assert "ts_r" in joined._jdf.queryExecution().analyzed().toString()
+    # keeps the inner join's state finite — assert the inner join carries
+    # the event-time RANGE predicate (both bounds) in its analyzed plan,
+    # not merely the renamed column
+    az = joined._jdf.queryExecution().analyzed().toString()
+    assert "Join Inner" in az, az
+    assert az.count("INTERVAL") >= 2, az  # lower AND upper bound survive
