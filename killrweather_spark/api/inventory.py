@@ -2058,6 +2058,40 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    survey_ref="beyond-ref: WATERMARK-BOUNDED streaming dedup "
+    "(dropDuplicatesWithinWatermark) — the production form of "
+    "streaming_dedup_keys: plain stateful dropDuplicates keeps every seen "
+    "key in the state store FOREVER (state grows with distinct-key "
+    "cardinality — the crawl-dedup hazard at 100 TB), while the "
+    "within-watermark form evicts entries once event time passes the "
+    "delay, bounding state at (keys arriving within one watermark "
+    "window).  Output projects the dedup key only, so the kept-row "
+    "arbitrariness of dedup never reaches the result and the drained "
+    "stream is value-exact vs DISTINCT",
+)
+def q_streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    return run_stream_to_batch(deduped, tempfile.mkdtemp(), name, "append")
+
+
+@register(
     "salted_daily_precip",
     _DAILY_SUM_SQL,
     survey_ref="skew-resilient two-phase aggregation (operators/skew.py) — same "

@@ -721,3 +721,39 @@ def test_stream_stream_join_within_tolerance_matches_batch(spark, tmp_path):
     az = joined._jdf.queryExecution().analyzed().toString()
     assert "Join Inner" in az, az
     assert az.count("INTERVAL") >= 2, az  # lower AND upper bound survive
+
+
+def test_dedup_within_watermark_across_batches(spark, tmp_path):
+    """Watermark-bounded streaming dedup: a duplicate key arriving in a
+    LATER microbatch within the delay must still be deduped (state held
+    across batches), and the result equals DISTINCT on the drained input —
+    while the watermark bounds the state that plain dropDuplicates would
+    keep forever."""
+    import json as _json
+
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    b1 = [
+        {"k": "a", "ts": "2024-01-01T10:00:00"},
+        {"k": "b", "ts": "2024-01-01T10:05:00"},
+    ]
+    b2 = [
+        {"k": "a", "ts": "2024-01-01T10:20:00"},  # dup within the delay
+        {"k": "c", "ts": "2024-01-01T10:30:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in b2))
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = run_stream_to_batch(
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k"),
+        str(tmp_path / "ckpt"), "dedup_wm", "append",
+    )
+    assert sorted(r.k for r in out.collect()) == ["a", "b", "c"]
