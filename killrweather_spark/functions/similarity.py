@@ -733,46 +733,65 @@ def semantic_screen(
     the exact n-gram ``decontaminate`` pass (paraphrased eval leakage has
     no shared n-grams but lands next to the eval item in embedding space).
 
-    Same broadcast shape as :func:`cosine_topk` with the roles reversed:
-    the EVAL component index (small by construction — eval suites are
-    thousands of items, not billions) broadcasts; the train side streams
-    through one partial-aggregated dot-product groupBy.  Integer-quantized
-    arithmetic end-to-end, so the DuckDB oracle reproduces every value.
+    MAP-ONLY plan (the kmeans E-step pattern): the eval set — small by the
+    screen's own premise (thousands of items, not billions) — folds into
+    ONE broadcast row of (eval_id, quantized vector, norm²) structs, and
+    each train row computes every eval cosine inside a single
+    whole-stage-codegen expression: ``array_max(transform(evals, …))``
+    with the struct ordering (cosine DESC, then smallest eval_id via the
+    negated id) doing the deterministic argmax.  No explode, no pair
+    shuffle, no window — zero exchanges over the train side, O(|eval|·
+    dims) arithmetic per train row that scales out linearly with
+    executors.  (The round-4 plan shuffled O(|train|·|eval|) PAIR ROWS
+    through a groupBy — at 1 B × 10 k that is 10¹³ shuffled rows; this
+    form shuffles none.  The LSH variants still matter: they cut the
+    per-row CPU, not the shuffle.)  Integer-quantized dots + fixed-order
+    IEEE division keep the DuckDB oracle value-exact.
 
     Output: (train_id, eval_id, cosine) — the single best eval match per
     contaminated train vector (ties break on eval id).
     """
-    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
-    nrm = cosine_norms(comp, id_col)
-
     is_eval = eval_filter(F.col(id_col))
-    ecomp = comp.filter(is_eval).select(
-        F.col(id_col).alias("eval_id"), "pos", F.col("q").alias("qe")
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * QUANT).cast("bigint"),
     )
-    tcomp = comp.filter(~is_eval).select(
-        F.col(id_col).alias("train_id"), "pos", F.col("q").alias("qt")
+    norm2 = F.expr(
+        "aggregate(__qv, cast(0 as bigint), (s, x) -> s + x * x)"
     )
-    dots = (
-        tcomp.join(F.broadcast(ecomp), "pos")
-        .groupBy("train_id", "eval_id")
-        .agg(F.sum(F.col("qt") * F.col("qe")).alias("dot"))
-    )
-    tn = nrm.select(F.col(id_col).alias("train_id"), F.col("norm2").alias("tnorm2"))
-    en = nrm.select(F.col(id_col).alias("eval_id"), F.col("norm2").alias("enorm2"))
-    sims = (
-        dots.join(tn, "train_id")
-        .join(F.broadcast(en), "eval_id")
-        .withColumn(
-            "cosine",
-            F.col("dot") / (F.sqrt(F.col("tnorm2")) * F.sqrt(F.col("enorm2"))),
+    quant = df.select(
+        F.col(id_col), qv.alias("__qv")
+    ).withColumn("__norm2", norm2)
+
+    evals_one = (
+        quant.filter(is_eval)
+        .filter(F.col("__norm2") > 0)  # zero-norm eval: cosine undefined
+        .select(
+            F.struct(
+                F.col(id_col).alias("eval_id"),
+                F.col("__qv").alias("eqv"),
+                F.col("__norm2").alias("enorm2"),
+            ).alias("__e")
         )
-        .filter(F.col("cosine") >= threshold)
+        .agg(F.sort_array(F.collect_list("__e")).alias("__evals"))
     )
-    w = Window.partitionBy("train_id").orderBy(
-        F.col("cosine").desc(), F.col("eval_id").asc()
+    best = F.expr(
+        "array_max(transform(__evals, e -> struct("
+        "aggregate(zip_with(__qv, e.eqv, (a, b) -> a * b),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+        " / (sqrt(cast(__norm2 as double)) * sqrt(cast(e.enorm2 as double)))"
+        " as cosine,"
+        " -e.eval_id as neg_id)))"
     )
     return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("train_id", "eval_id", "cosine")
+        quant.filter(~is_eval)
+        .filter(F.col("__norm2") > 0)  # zero-norm train: excluded everywhere
+        .crossJoin(F.broadcast(evals_one))
+        .withColumn("__best", best)
+        .filter(F.col("__best.cosine") >= threshold)
+        .select(
+            F.col(id_col).alias("train_id"),
+            (-F.col("__best.neg_id")).alias("eval_id"),
+            F.col("__best.cosine").alias("cosine"),
+        )
     )

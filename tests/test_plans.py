@@ -460,3 +460,14 @@ def test_components_join_is_keyed_not_broadcast(spark):
     df = REGISTRY["canonical_docs"].fn(spark, SF01)
     plan = checks.formatted_plan(df)
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_exact_screen_is_map_only_over_train(spark):
+    """The round-4 verdict's #1 hazard, eliminated at the plan level: the
+    EXACT semantic screen must not shuffle the train side at all — the
+    only allowed exchange is the tiny eval-side fold into one broadcast
+    row.  A pair-product shuffle reappearing here is the 10^13-row outage
+    plan at 1B x 10k."""
+    df = REGISTRY["semantic_eval_screen"].fn(spark, SF01)
+    assert checks.shuffle_count(df) <= 1, checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in checks.formatted_plan(df)  # 1-row fold
