@@ -15,8 +15,13 @@ unconditional hints — that is what a broadcast hint is FOR.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+_warned_estimation_failure = False
 
 # Conservative executor-memory bound for a broadcast build side.  Catalyst's
 # own default (spark.sql.autoBroadcastJoinThreshold) is 10 MiB because it
@@ -48,11 +53,23 @@ def maybe_broadcast(
     shuffle join when the side really is big.
 
     An estimate Catalyst cannot produce (extremely rare) counts as "too
-    big": the un-hinted plan is the safe default.
+    big": the un-hinted plan is the safe default — but it is WARNED once
+    per process, because a systematic estimation breakage (a Spark/py4j
+    upgrade changing the ``sizeInBytes`` surface) would otherwise silently
+    degrade every size-gated dimension join to a shuffle join fleet-wide
+    with nothing in the logs.
     """
+    global _warned_estimation_failure
     limit = BROADCAST_BYTES_THRESHOLD if threshold_bytes is None else threshold_bytes
     try:
         size = estimated_plan_bytes(df)
     except Exception:  # noqa: BLE001 — unknown size: do not force a broadcast
+        if not _warned_estimation_failure:
+            _warned_estimation_failure = True
+            _log.warning(
+                "maybe_broadcast: plan-size estimation failed; joins fall "
+                "back to size-based planning (warned once per process)",
+                exc_info=True,
+            )
         return df
     return F.broadcast(df) if size <= limit else df

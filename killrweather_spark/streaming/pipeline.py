@@ -258,7 +258,15 @@ def upsert_into_partitions(
             # (staged files commit after the read completes) but fragile on
             # object-store committers with different staging order — the
             # eager checkpoint materializes the kept rows first, bounded by
-            # the touched partitions' size (round-4 advice).
+            # the touched partitions' size (round-4 advice).  Cluster
+            # caveat (round-5 advice): localCheckpoint blocks live
+            # UNREPLICATED on executors — losing one between the checkpoint
+            # and the commit fails that microbatch ATTEMPT (lineage is
+            # truncated, not recomputable) and the stream retries from its
+            # offset checkpoint; blocks are freed by ContextCleaner GC.
+            # The stronger form for object stores is staging the merged
+            # output to a temp path and renaming — at the cost of a second
+            # full write; the idempotent-retry property holds either way.
             out = keep.unionByName(batch_df).localCheckpoint(eager=True)
     (
         out.write.mode("overwrite")

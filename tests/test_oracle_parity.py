@@ -94,8 +94,8 @@ def test_edge_fixture_parity(spark, tmp_path):
     # the zero-norm TRAIN vector (id 2) must fall out of every screen via
     # the cosine_norms exclusion without crashing bucket assembly (a zero
     # vector still gets a bucket: all projections 0 → all '1' bits)
-    screens = ("semantic_eval_screen", "semantic_eval_screen_lsh",
-               "semantic_eval_screen_banded")
+    screens = ("semantic_eval_screen", "semantic_eval_screen_vectorized",
+               "semantic_eval_screen_lsh", "semantic_eval_screen_banded")
     for name in ("semantic_dup_candidates", "cosine_topk",
                  "cdc_merge_snapshot", "semantic_screen_recall",
                  "semantic_screen_recall_banded") + screens:

@@ -426,6 +426,11 @@ def test_maybe_broadcast_estimates_file_backed_sizes(spark):
     assert checks.uses_broadcast_join(joined)
     unhinted = hints.maybe_broadcast(nation, threshold_bytes=0)
     assert unhinted is nation
+    # the py4j surface must yield a Python int on DERIVED (non-scan) plans
+    # too — a type change here would silently de-hint every size-gated
+    # dimension join (round-5 advice)
+    derived = nation.groupBy("n_regionkey").count()
+    assert isinstance(hints.estimated_plan_bytes(derived), int)
 
 
 def test_lsh_screens_have_no_cartesian_and_broadcast_eval_side(spark):
@@ -464,10 +469,23 @@ def test_components_join_is_keyed_not_broadcast(spark):
 
 def test_exact_screen_is_map_only_over_train(spark):
     """The round-4 verdict's #1 hazard, eliminated at the plan level: the
-    EXACT semantic screen must not shuffle the train side at all — the
-    only allowed exchange is the tiny eval-side fold into one broadcast
-    row.  A pair-product shuffle reappearing here is the 10^13-row outage
-    plan at 1B x 10k."""
-    df = REGISTRY["semantic_eval_screen"].fn(spark, SF01)
-    assert checks.shuffle_count(df) <= 1, checks.formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in checks.formatted_plan(df)  # 1-row fold
+    EXACT semantic screen must never shuffle on a KEY — no
+    hashpartitioning exchange may appear anywhere (a pair-product groupBy
+    reappearing here is the 10^13-row outage plan at 1B x 10k).  The only
+    allowed exchanges are the tiny eval-side SinglePartition fold and the
+    round-robin fan_out that spreads the narrow bench-SF scan (a no-op on
+    wide production scans — data-linear either way, never pair-product)."""
+    for name in ("semantic_eval_screen", "semantic_eval_screen_vectorized"):
+        df = REGISTRY[name].fn(spark, SF01)
+        plan = checks.formatted_plan(df)
+        assert "hashpartitioning" not in plan, (name, plan)
+        assert checks.shuffle_count(df) <= 2, (name, plan)
+    # the JVM form keeps the 1-row broadcast fold; the vectorized form is
+    # the sanctioned Arrow path, never row-Python
+    jvm = checks.formatted_plan(REGISTRY["semantic_eval_screen"].fn(spark, SF01))
+    assert "BroadcastNestedLoopJoin" in jvm
+    vec = checks.formatted_plan(
+        REGISTRY["semantic_eval_screen_vectorized"].fn(spark, SF01)
+    )
+    assert "MapInPandas" in vec
+    assert "BatchEvalPython" not in vec
