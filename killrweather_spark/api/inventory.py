@@ -2671,14 +2671,46 @@ def q_semantic_eval_screen_banded(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "semantic_screen_recall",
-    f"""
-    WITH {_EMB_COMP_NRM_SQL},
-    {_lsh_buckets_sql(6)},
-    {_lsh_eval_screen_cand_sql(6, "{v} % 10 = 0",
-                               "{v} % 10 != 0 AND {v} < 1000")},
-    lsh_flag AS (
+def _ivf_screen_cand_sql(n_centroids: int, n_probe: int, eval_pred: str,
+                         train_pred: str) -> str:
+    """IVF candidate CTEs replaying ``similarity.py:semantic_screen_ivf``:
+    every vector ranks the deterministic centroids by ``dot /
+    sqrt(cnorm2)`` (the vector's own norm scales all cells equally, so it
+    drops out of the per-id ordering); train keeps rank 1 (its inverted
+    list), eval probes ranks ≤ n_probe, candidates share a probed cell."""
+    return f"""cent AS (
+      SELECT vec_id AS cell, pos, q AS cq FROM comp WHERE vec_id < {n_centroids}
+    ),
+    cnorm AS (
+      SELECT cell, SUM(cq * cq) AS cnorm2 FROM cent GROUP BY cell
+      HAVING SUM(cq * cq) > 0
+    ),
+    vdots AS (
+      SELECT c.vec_id, ct.cell, SUM(c.q * ct.cq) AS dot
+      FROM comp c JOIN cent ct ON ct.pos = c.pos
+      GROUP BY 1, 2
+    ),
+    ranks AS (
+      SELECT v.vec_id, v.cell,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY v.dot / SQRT(cn.cnorm2) DESC, v.cell) AS rk
+      FROM vdots v JOIN cnorm cn USING (cell)
+    ),
+    cand AS (
+      SELECT t.vec_id AS train_id, e.vec_id AS eval_id
+      FROM ranks t JOIN ranks e ON t.cell = e.cell
+      WHERE t.rk = 1 AND e.rk <= {n_probe}
+        AND {train_pred.format(v='t.vec_id')}
+        AND {eval_pred.format(v='e.vec_id')}
+    ),
+    {_LSH_PAIRS_SQL}"""
+
+
+# Recall-measurement tail shared by all three screen-recall oracles: the
+# approximate screen's flagged train set (lsh_pairs + threshold) vs the
+# exact truth on the bounded train slice, reduced to one
+# (n_true_train, n_caught, recall_micro) row.
+_RECALL_TAIL_SQL = f"""lsh_flag AS (
       SELECT DISTINCT train_id
       FROM lsh_pairs
       JOIN nrm tn ON tn.vec_id = train_id
@@ -2706,7 +2738,48 @@ def q_semantic_eval_screen_banded(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST((1000000 * SUM(CASE WHEN l.train_id IS NOT NULL THEN 1 ELSE 0 END))
                 // COUNT(*) AS BIGINT) AS recall_micro
     FROM truth t
-    LEFT JOIN lsh_flag l ON l.train_id = t.train_id
+    LEFT JOIN lsh_flag l ON l.train_id = t.train_id"""
+
+
+def _recall_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall queries' bounded input: the exact-truth side is
+    corpus-quadratic by nature, so it runs on a train slice (vec_id <
+    1000 — the whole corpus at oracle SF, a stratified sample at 100 TB)
+    plus every eval vector."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") < 1000) | (F.col("vec_id") % 10 == 0)
+    )
+
+
+def _recall_agg(truth: DataFrame, screen: DataFrame) -> DataFrame:
+    """Spark side of the recall contract: LEFT-join the exact-truth train
+    ids against the approximate screen's flagged ids, one summary row."""
+    lscreen = screen.select(F.col("train_id").alias("ltrain"))
+    joined = truth.select("train_id").join(
+        lscreen, F.col("train_id") == F.col("ltrain"), "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_train"),
+        F.sum(F.when(F.col("ltrain").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_caught"),
+        F.expr(
+            "(1000000 * sum(case when ltrain is not null then 1 else 0 end))"
+            " div count(1)"
+        )
+        .cast("bigint")
+        .alias("recall_micro"),
+    )
+
+
+@register(
+    "semantic_screen_recall",
+    f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    {_lsh_buckets_sql(6)},
+    {_lsh_eval_screen_cand_sql(6, "{v} % 10 = 0",
+                               "{v} % 10 != 0 AND {v} < 1000")},
+    {_RECALL_TAIL_SQL}
     """,
     survey_ref="beyond-ref decontamination QA: fraction of exact-screen "
     "contaminated train vectors the LSH screen recovers — the measured "
@@ -2723,28 +2796,13 @@ def q_semantic_screen_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_screen_lsh,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        (F.col("vec_id") < 1000) | (F.col("vec_id") % 10 == 0)
-    )
-    truth = semantic_screen(emb, lambda c: c % 10 == 0, threshold=_SCREEN_THRESHOLD).select(
-        "train_id"
-    )
+    emb = _recall_slice(spark, sf_dir)
+    truth = semantic_screen(emb, lambda c: c % 10 == 0,
+                            threshold=_SCREEN_THRESHOLD)
     lsh = semantic_screen_lsh(
         emb, lambda c: c % 10 == 0, threshold=_SCREEN_THRESHOLD, n_planes=6
-    ).select(F.col("train_id").alias("ltrain"))
-    joined = truth.join(lsh, truth.train_id == lsh.ltrain, "left")
-    return joined.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_true_train"),
-        F.sum(F.when(F.col("ltrain").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_caught"),
-        F.expr(
-            "(1000000 * sum(case when ltrain is not null then 1 else 0 end))"
-            " div count(1)"
-        )
-        .cast("bigint")
-        .alias("recall_micro"),
     )
+    return _recall_agg(truth, lsh)
 
 
 @register(
@@ -2754,35 +2812,7 @@ def q_semantic_screen_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_lsh_buckets_sql(16)},
     {_banded_screen_cand_sql(4, 4, "{v} % 10 = 0",
                              "{v} % 10 != 0 AND {v} < 1000")},
-    lsh_flag AS (
-      SELECT DISTINCT train_id
-      FROM lsh_pairs
-      JOIN nrm tn ON tn.vec_id = train_id
-      JOIN nrm en ON en.vec_id = eval_id
-      WHERE dot / (SQRT(tn.norm2) * SQRT(en.norm2)) >= {_SCREEN_THRESHOLD}
-    ),
-    exact_pairs AS (
-      SELECT t.vec_id AS train_id, e.vec_id AS eval_id, SUM(t.q * e.q) AS dot
-      FROM comp t
-      JOIN comp e ON t.pos = e.pos
-                 AND t.vec_id % 10 != 0 AND t.vec_id < 1000
-                 AND e.vec_id % 10 = 0
-      GROUP BY 1, 2
-    ),
-    truth AS (
-      SELECT DISTINCT train_id
-      FROM exact_pairs
-      JOIN nrm tn ON tn.vec_id = train_id
-      JOIN nrm en ON en.vec_id = eval_id
-      WHERE dot / (SQRT(tn.norm2) * SQRT(en.norm2)) >= {_SCREEN_THRESHOLD}
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_train,
-           CAST(SUM(CASE WHEN l.train_id IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_caught,
-           CAST((1000000 * SUM(CASE WHEN l.train_id IS NOT NULL THEN 1 ELSE 0 END))
-                // COUNT(*) AS BIGINT) AS recall_micro
-    FROM truth t
-    LEFT JOIN lsh_flag l ON l.train_id = t.train_id
+    {_RECALL_TAIL_SQL}
     """,
     survey_ref="beyond-ref decontamination QA: the banded screen's measured "
     "s-curve point vs the exact ground truth — together with "
@@ -2796,28 +2826,71 @@ def q_semantic_screen_recall_banded(spark: SparkSession, sf_dir: str) -> DataFra
         semantic_screen_lsh_banded,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        (F.col("vec_id") < 1000) | (F.col("vec_id") % 10 == 0)
-    )
-    truth = semantic_screen(emb, lambda c: c % 10 == 0, threshold=_SCREEN_THRESHOLD).select(
-        "train_id"
-    )
+    emb = _recall_slice(spark, sf_dir)
+    truth = semantic_screen(emb, lambda c: c % 10 == 0,
+                            threshold=_SCREEN_THRESHOLD)
     banded = semantic_screen_lsh_banded(
-        emb, lambda c: c % 10 == 0, threshold=_SCREEN_THRESHOLD, n_bands=4, band_planes=4
-    ).select(F.col("train_id").alias("ltrain"))
-    joined = truth.join(banded, truth.train_id == banded.ltrain, "left")
-    return joined.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_true_train"),
-        F.sum(F.when(F.col("ltrain").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_caught"),
-        F.expr(
-            "(1000000 * sum(case when ltrain is not null then 1 else 0 end))"
-            " div count(1)"
-        )
-        .cast("bigint")
-        .alias("recall_micro"),
+        emb, lambda c: c % 10 == 0, threshold=_SCREEN_THRESHOLD,
+        n_bands=4, band_planes=4
     )
+    return _recall_agg(truth, banded)
+
+
+@register(
+    "semantic_eval_screen_ivf",
+    f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    {_ivf_screen_cand_sql(8, 2, "{v} % 10 = 0", "{v} % 10 != 0")},
+    {_SCREEN_SIMS_TAIL}
+    """,
+    survey_ref="beyond-ref decontamination: IVF-probed eval screen "
+    "(similarity.py:semantic_screen_ivf) — the screen family's answer to "
+    "CLUSTERED embedding mass, where random hyperplanes yield skewed "
+    "buckets: every vector ranks 8 deterministic centroids, train keeps "
+    "its nearest cell (the inverted list = partition key at 100 TB, so a "
+    "probe is partition pruning), eval probes its 2 nearest cells, exact "
+    "quantized cosine verifies only shared-cell pairs "
+    "(~pairs · n_probe/n_centroids under balanced cells).  Deterministic "
+    "integer arithmetic end-to-end ⇒ value-exact oracle; recall measured "
+    "by semantic_screen_recall_ivf, not assumed",
+)
+def q_semantic_eval_screen_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import semantic_screen_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_screen_ivf(emb, lambda c: c % 10 == 0,
+                               threshold=_SCREEN_THRESHOLD,
+                               n_centroids=8, n_probe=2)
+
+
+@register(
+    "semantic_screen_recall_ivf",
+    f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    {_ivf_screen_cand_sql(8, 2, "{v} % 10 = 0",
+                          "{v} % 10 != 0 AND {v} < 1000")},
+    {_RECALL_TAIL_SQL}
+    """,
+    survey_ref="beyond-ref decontamination QA: the IVF screen's measured "
+    "recall point vs the exact ground truth — completes the family's "
+    "parameter-choice comparison (Hamming-1 multi-probe vs banded-OR vs "
+    "IVF probes) a production run makes before committing to a "
+    "decontamination pass; same bounded train slice as the other recall "
+    "rows",
+)
+def q_semantic_screen_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import (
+        semantic_screen,
+        semantic_screen_ivf,
+    )
+
+    emb = _recall_slice(spark, sf_dir)
+    truth = semantic_screen(emb, lambda c: c % 10 == 0,
+                            threshold=_SCREEN_THRESHOLD)
+    ivf = semantic_screen_ivf(emb, lambda c: c % 10 == 0,
+                              threshold=_SCREEN_THRESHOLD,
+                              n_centroids=8, n_probe=2)
+    return _recall_agg(truth, ivf)
 
 
 @register(

@@ -547,6 +547,105 @@ def semantic_screen_lsh(
     )
 
 
+def ivf_cell_ranks(
+    df: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, rk) — every vector's cells ranked by nearest-first:
+    ``rk = 1`` is the vector's own IVF cell (what :func:`ivf_cells`
+    returns), ``rk <= p`` its p probe cells.  Shared by the IVF screen's
+    train assignment AND eval probing so both sides rank cells with the
+    byte-identical formula.
+
+    Ranking uses ``dot / sqrt(cnorm2)`` — the vector's own norm scales
+    every cell's cosine equally, so dropping it changes nothing about the
+    per-id ordering and removes any need to join the (corpus-sized) norms
+    table into the ranking at all: the only shuffle is the (id, cell)
+    partial aggregation, and the centroid tables broadcast by construction
+    (n_centroids · dims rows).
+    """
+    comp = quantized_components(df, id_col, vec_col)
+    cent = comp.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"), "pos", F.col("q").alias("cq")
+    )
+    cnorm = (
+        cent.groupBy("cell")
+        .agg(F.sum(F.col("cq") * F.col("cq")).alias("cnorm2"))
+        .filter(F.col("cnorm2") > 0)  # zero-norm centroid: cosine undefined
+    )
+    vdots = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, "cell")
+        .agg(F.sum(F.col("q") * F.col("cq")).alias("dot"))
+        .join(F.broadcast(cnorm), "cell")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        (F.col("dot") / F.sqrt(F.col("cnorm2"))).desc(), F.col("cell").asc()
+    )
+    return vdots.withColumn("rk", F.row_number().over(w)).select(
+        id_col, "cell", "rk"
+    )
+
+
+def semantic_screen_ivf(
+    df: DataFrame,
+    eval_filter,
+    threshold: float = 0.8,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-probed train-vs-eval contamination screen — the third member of
+    the screen family, for corpora where embedding mass is CLUSTERED:
+    random hyperplanes split dense clusters into skewed buckets (one
+    bucket carries most of the mass → the candidate join inherits the
+    skew), while data-derived cells track the clusters and keep inverted
+    lists balanced.
+
+    Construction: every vector ranks the ``n_centroids`` deterministic
+    centroids by :func:`ivf_cell_ranks`; each TRAIN vector belongs to its
+    rank-1 cell (the IVF inverted list it would be stored in — at 100 TB
+    this is the partition key, so a probe is partition pruning), each
+    EVAL vector probes its ``n_probe`` nearest cells, and exact quantized
+    cosine verifies only (train, eval) pairs sharing a probed cell —
+    candidate volume ~|train|·|eval|·(n_probe/n_centroids) under balanced
+    cells, with recall measured against the exact screen
+    (`semantic_screen_recall_ivf`), not assumed.  A train vector appears
+    in exactly ONE cell and eval probes are distinct cells, so a pair can
+    match at most once — no dedup shuffle.  Same deterministic integer
+    arithmetic and same exact verify kernel as the LSH variants, hence a
+    value-exact DuckDB replay.
+
+    Output: (train_id, eval_id, cosine) — the family contract.
+    """
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+    nrm = cosine_norms(comp, id_col)
+    is_eval = eval_filter(F.col(id_col))
+    ranks = ivf_cell_ranks(df, n_centroids, id_col, vec_col).transform(
+        persist_once
+    )
+    train_cells = (
+        ranks.filter(~is_eval)
+        .filter(F.col("rk") == 1)
+        .select(F.col(id_col).alias("train_id"), "cell")
+    )
+    eval_probes = (
+        ranks.filter(is_eval)
+        .filter(F.col("rk") <= n_probe)
+        .select(F.col(id_col).alias("eval_id"), "cell")
+    )
+    cand = (
+        train_cells.join(F.broadcast(eval_probes), "cell")
+        .select("train_id", "eval_id")
+    )
+    return _screen_verify_candidates(
+        comp, nrm, cand, eval_filter, threshold, id_col
+    )
+
+
 def quantize_int8(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Per-vector symmetric int8 quantization: ``code_i = round(127·x_i/amax)``.

@@ -794,6 +794,7 @@ def test_banded_screen_trades_candidates_for_recall(spark):
     ever)."""
     from killrweather_spark.functions.similarity import (
         semantic_screen,
+        semantic_screen_ivf,
         semantic_screen_lsh,
         semantic_screen_lsh_banded,
     )
@@ -807,9 +808,12 @@ def test_banded_screen_trades_candidates_for_recall(spark):
     banded = semantic_screen_lsh_banded(
         emb, f, threshold=0.35, n_bands=4, band_planes=4
     ).collect()
+    ivf = semantic_screen_ivf(
+        emb, f, threshold=0.35, n_centroids=8, n_probe=2
+    ).collect()
     # no false positives: every flagged train id is exact-screen flagged
     # (best-match eval may differ when the exact best was pruned)
-    for rows in (h1, banded):
+    for rows in (h1, banded, ivf):
         for r in rows:
             assert r.train_id in exact_flagged
             assert r.cosine >= 0.35

@@ -439,7 +439,8 @@ def test_lsh_screens_have_no_cartesian_and_broadcast_eval_side(spark):
     eval-sided tables broadcast, and the train-side candidate join is left
     to size-based planning (no unconditional hint forcing a broadcast that
     cannot exist at 100 TB)."""
-    for name in ("semantic_eval_screen_lsh", "semantic_eval_screen_banded"):
+    for name in ("semantic_eval_screen_lsh", "semantic_eval_screen_banded",
+                 "semantic_eval_screen_ivf"):
         df = REGISTRY[name].fn(spark, SF01)
         plan = checks.formatted_plan(df)
         assert "CartesianProduct" not in plan, name

@@ -252,3 +252,50 @@ def test_banded_screen_candidate_volume_bounded(spark):
     assert frac1 < 2 * frac01 + 0.05, (
         f"pruning factor degraded across SF: {frac01:.3f} -> {frac1:.3f}"
     )
+
+
+def _ivf_candidate_stats(spark, sf_dir: str) -> tuple[int, int]:
+    """(candidate pairs, dense pairs) of the IVF screen's candidate join —
+    same ivf_cell_ranks helper as the shipped semantic_eval_screen_ivf."""
+    from pyspark.sql import functions as F
+
+    from killrweather_spark.functions.similarity import ivf_cell_ranks
+    from killrweather_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % 10 == 0
+    ranks = ivf_cell_ranks(emb, n_centroids=8)
+    cand = (
+        ranks.filter(~is_eval)
+        .filter(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("train_id"), "cell")
+        .join(
+            F.broadcast(
+                ranks.filter(is_eval)
+                .filter(F.col("rk") <= 2)
+                .select(F.col("vec_id").alias("eval_id"), "cell")
+            ),
+            "cell",
+        )
+    )
+    n_train = emb.filter(~is_eval).count()
+    n_eval = emb.filter(is_eval).count()
+    return cand.count(), n_train * n_eval
+
+
+def test_ivf_screen_candidate_volume_bounded(spark):
+    """The IVF screen's candidate set must stay a bounded, SF-stable
+    fraction of the pair product (~n_probe/n_centroids = 2/8 under
+    BALANCED cells; data-derived cells are the construction's hedge
+    against the clustered-mass skew that degrades hyperplane buckets).
+    A rising fraction across SF means the cells stopped tracking the
+    corpus — the exact failure mode this screen exists to avoid."""
+    c01, d01 = _ivf_candidate_stats(spark, "/root/testdata/sf0.01")
+    c1, d1 = _ivf_candidate_stats(spark, "/root/testdata/sf0.1")
+    assert c01 > 0 and c1 > 0
+    frac01, frac1 = c01 / d01, c1 / d1
+    assert frac01 < 0.5, f"sf0.01 pruning factor {frac01:.2f} — not pruning"
+    assert frac1 < 0.5, f"sf0.1 pruning factor {frac1:.2f} — not pruning"
+    assert frac1 < 2 * frac01 + 0.05, (
+        f"pruning factor degraded across SF: {frac01:.3f} -> {frac1:.3f}"
+    )
