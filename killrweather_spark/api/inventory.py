@@ -1738,6 +1738,52 @@ def q_media_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dimensions(synth_png(docs))
 
 
+@register(
+    "png_pixel_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             1 + CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 16 AS w,
+             1 + CAST(concat('0x', substr(md5(text), 5, 4)) AS INTEGER) % 16 AS h,
+             CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) AS seed
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             SUM((7 * x.x + 11 * y.y + seed) % 256) AS sr,
+             SUM((7 * x.x + 11 * y.y + 13 + seed) % 256) AS sg,
+             SUM((7 * x.x + 11 * y.y + 26 + seed) % 256) AS sb
+      FROM dims,
+           unnest(generate_series(0, w - 1)) AS x(x),
+           unnest(generate_series(0, h - 1)) AS y(y)
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST((1000000 * sr) // (w * h) AS BIGINT) AS mean_r_micro,
+           CAST((1000000 * sg) // (w * h) AS BIGINT) AS mean_g_micro,
+           CAST((1000000 * sb) // (w * h) AS BIGINT) AS mean_b_micro
+    FROM px
+    """,
+    survey_ref="beyond-ref: REAL full PNG pixel decode over the Arrow batch "
+    "path (multimodal.py:decode_png_pixels — pure-stdlib chunk walk with "
+    "CRC verification, zlib IDAT inflate, all five scanline unfilters).  "
+    "The payloads are COMPLETE valid PNGs (synth_png_pixels: md5-derived "
+    "dims/pixels, scanline filters cycling None/Sub/Up/Average/Paeth), so "
+    "the decoder reconstructs every pixel from real filtered bytes while "
+    "the oracle predicts the per-channel integer mean brightness "
+    "arithmetically — the last multimodal stub (pixel decode) closed; "
+    "JPEG/video stay codec-gated stand-ins",
+)
+def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.multimodal import (
+        png_pixel_stats,
+        synth_png_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_pixel_stats(synth_png_pixels(docs))
+
+
 # --------------------------------------------------------------------------
 # T1-T7: streaming semantics (drained deterministically with availableNow)
 # --------------------------------------------------------------------------

@@ -657,6 +657,61 @@ def test_decode_media_parses_real_container_headers():
             decode_media(bad)
 
 
+def test_png_codec_roundtrips_all_filter_types():
+    """encode_png / decode_png_pixels is a real codec pair: every pixel of
+    an image tall enough to use all five scanline filters (y % 5) survives
+    the filter → deflate → inflate → unfilter round trip, and corruption
+    (flipped IDAT byte → CRC mismatch, truncation) raises ValueError."""
+    import pytest as _pytest
+
+    from killrweather_spark.functions.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    w, h = 7, 11  # 11 rows: filters 0-4 each used at least twice
+    px = bytes(
+        (5 * x + 3 * y + 17 * c + 23) % 256
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    blob = encode_png(w, h, px)
+    assert decode_png_pixels(blob) == (w, h, px)
+
+    # flip one byte inside the IDAT payload: CRC check must catch it
+    idat_at = blob.index(b"IDAT") + 6
+    corrupt = blob[:idat_at] + bytes([blob[idat_at] ^ 0xFF]) + blob[idat_at + 1:]
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png_pixels(corrupt)
+    with _pytest.raises(ValueError):
+        decode_png_pixels(blob[: len(blob) // 2])
+    with _pytest.raises(ValueError):
+        decode_png_pixels(b"not a png at all")
+
+
+def test_png_pixel_stats_matches_handcomputed_means(spark):
+    """png_pixel_stats reduces ACTUALLY-DECODED pixels: for one doc the
+    per-channel micro-means must equal the direct arithmetic over the
+    synthesized pixel formula."""
+    import hashlib
+
+    from killrweather_spark.functions.multimodal import (
+        png_pixel_stats,
+        synth_png_pixels,
+    )
+
+    docs = spark.createDataFrame([(1, "hello png")], "doc_id bigint, text string")
+    row = png_pixel_stats(synth_png_pixels(docs)).collect()[0]
+    hx = hashlib.md5(b"hello png").hexdigest()
+    w = 1 + int(hx[0:4], 16) % 16
+    h = 1 + int(hx[4:8], 16) % 16
+    seed = int(hx[8:10], 16)
+    assert (row.width, row.height) == (w, h)
+    for c, col in enumerate(("mean_r_micro", "mean_g_micro", "mean_b_micro")):
+        s = sum((7 * x + 11 * y + 13 * c + seed) % 256
+                for y in range(h) for x in range(w))
+        assert row[col] == 1_000_000 * s // (w * h), col
+
+
 def test_media_dimensions_roundtrips_synth_png(spark):
     """synth_png writes structurally valid PNG bytes; media_dimensions
     decodes them back over the Arrow batch path — the dims must equal the
