@@ -2939,6 +2939,74 @@ def q_semantic_screen_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_agg(truth, ivf)
 
 
+def _kcenter_sql(k: int) -> str:
+    """DuckDB oracle for ``similarity.py:kcenter_select`` — the greedy
+    farthest-point iteration unrolled into k CTE stages (seed = MIN id;
+    stage i: argmax of the running min-distance, ties to the smallest id,
+    then ``LEAST`` the new center's distances into the state).  Exact
+    int64 squared-L2 over the shared ×10⁶ quantization, so every pick
+    replays bit-for-bit."""
+    dist = (
+        "SELECT a.vec_id, CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2\n"
+        "      FROM comp a JOIN comp b ON b.pos = a.pos\n"
+        "      JOIN {c} s ON b.vec_id = s.cid\n"
+        "      GROUP BY 1"
+    )
+    parts = [
+        "seedc AS (SELECT MIN(vec_id) AS cid FROM embeddings)",
+        f"m0 AS ({dist.format(c='seedc')})",
+    ]
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS sel_rank, cid AS vec_id, "
+        "CAST(NULL AS BIGINT) AS d2_before FROM seedc"
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"c{i} AS (SELECT vec_id AS cid, d2 FROM m{i - 1}"
+            " ORDER BY d2 DESC, vec_id LIMIT 1)"
+        )
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS sel_rank, cid AS vec_id,"
+            f" d2 AS d2_before FROM c{i}"
+        )
+        if i < k - 1:
+            parts.append(f"d{i} AS ({dist.format(c=f'c{i}')})")
+            parts.append(
+                f"m{i} AS (SELECT m.vec_id, LEAST(m.d2, d.d2) AS d2"
+                f" FROM m{i - 1} m JOIN d{i} d USING (vec_id))"
+            )
+    return (
+        f"WITH {_EMB_COMP_NRM_SQL},\n    "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@register(
+    "kcenter_coreset",
+    _kcenter_sql(6),
+    survey_ref="beyond-ref curation flagship: greedy k-center diversity "
+    "coreset (similarity.py:kcenter_select) — farthest-point traversal in "
+    "the quantized embedding space, the SELECTION counterpart to "
+    "SemDeDup's redundancy pruning (pick what covers the space instead of "
+    "dropping what crowds it; Gonzalez 2-approximation of the optimal "
+    "coverage radius).  Composed DataFrame plans, no driver collect: per "
+    "pick, one broadcast 1-row center, one map-side-combined distance "
+    "aggregation (the only corpus-sized shuffle), a least() fold into the "
+    "carried (id, d2min) state, and a 1-row argmax; state "
+    "localCheckpoints every 4 picks (the kmeans_iterate lineage policy).  "
+    "Deterministic seed/tiebreaks + exact int64 squared-L2 ⇒ every pick "
+    "oracle-replays bit-for-bit; d2_before monotonicity + coverage bound "
+    "pinned in tests",
+)
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import kcenter_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=6)
+
+
 @register(
     "quantile_filter_docs",
     """

@@ -646,6 +646,117 @@ def semantic_screen_ivf(
     )
 
 
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Greedy k-center (farthest-point traversal) over the quantized
+    embedding space — the diversity-SELECTION counterpart to SemDeDup's
+    redundancy PRUNING: pick the point farthest from everything chosen so
+    far, k times, yielding a coreset whose coverage radius is within 2×
+    of the optimal k-center cost (the classic Gonzalez bound).
+
+    Deterministic end-to-end: the seed is the smallest id, distances are
+    exact int64 squared-L2 over ×10⁶-quantized components
+    (reduction-order free), and argmax ties break on smallest id — so
+    the DuckDB oracle replays every pick exactly and a production rerun
+    selects the identical coreset.
+
+    Composed as DataFrame plans, no driver-side collect: each iteration
+    is (a) one broadcast of the 1-row current pick, (b) one narrow
+    pos-join + per-id partial aggregation computing distances to it (the
+    only corpus-sized shuffle — map-side combined, |corpus| rows), (c) a
+    running ``least`` against the carried (id, d2min) state, and (d) a
+    1-row global argmax via ``max(struct(d2, -id))``.  The state frame is
+    localCheckpoint()-ed every ``checkpoint_every`` picks to truncate the
+    growing lineage (the kmeans_iterate policy).  k passes over the
+    corpus total — the textbook cost of greedy k-center; for k beyond
+    ~dozens, switch to sampling-based k-center++ behind the same
+    contract.
+
+    Output: (sel_rank, vec_id, d2_before) — pick order, chosen id, and
+    the pick's min-squared-distance to all earlier picks (NULL for the
+    seed).  ``d2_before`` is non-increasing in rank (each pick is the
+    current farthest point), and the post-selection coverage radius is
+    ≤ the last pick's ``d2_before`` — both pinned in tests.
+    """
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+
+    def dist_to(center: DataFrame) -> DataFrame:
+        cent = comp.join(
+            F.broadcast(center), comp[id_col] == center["cid"]
+        ).select("pos", F.col("q").alias("cq"))
+        return (
+            comp.join(F.broadcast(cent), "pos")
+            .groupBy(id_col)
+            .agg(
+                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+                .alias("d2")
+            )
+        )
+
+    seed = df.select(F.min(id_col).alias("cid"))
+    picks = [
+        seed.select(
+            F.lit(0).cast("bigint").alias("sel_rank"),
+            F.col("cid").alias(id_col),
+            F.lit(None).cast("bigint").alias("d2_before"),
+        )
+    ]
+    m = dist_to(seed)
+    for i in range(1, k):
+        pick = m.agg(
+            F.max(F.struct(F.col("d2"), (-F.col(id_col)).alias("nid"))).alias("s")
+        ).select(
+            (-F.col("s.nid")).alias("cid"), F.col("s.d2").alias("d2_before")
+        )
+        picks.append(
+            pick.select(
+                F.lit(i).cast("bigint").alias("sel_rank"),
+                F.col("cid").alias(id_col),
+                F.col("d2_before"),
+            )
+        )
+        if i < k - 1:
+            nd = dist_to(pick.select("cid")).withColumnRenamed("d2", "nd2")
+            m = m.join(nd, id_col).select(
+                id_col, F.least("d2", "nd2").alias("d2")
+            )
+            if i % checkpoint_every == 0:
+                m = m.localCheckpoint(eager=True)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def kcenter_coverage_radius(df: DataFrame, centers: DataFrame,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """1-row (radius2) — max over points of min squared distance to any
+    selected center: the coreset's coverage cost.  Centers broadcast (k
+    rows); one narrow pos-join + two aggregations."""
+    comp = quantized_components(df, id_col, vec_col)
+    cent = comp.join(
+        F.broadcast(centers.select(F.col(id_col).alias("cid"))),
+        comp[id_col] == F.col("cid"),
+    ).select(F.col("cid"), "pos", F.col("q").alias("cq"))
+    d2 = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, "cid")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .alias("d2")
+        )
+        .groupBy(id_col)
+        .agg(F.min("d2").alias("d2min"))
+    )
+    return d2.agg(F.max("d2min").alias("radius2"))
+
+
 def quantize_int8(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Per-vector symmetric int8 quantization: ``code_i = round(127·x_i/amax)``.

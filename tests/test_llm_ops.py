@@ -657,6 +657,31 @@ def test_decode_media_parses_real_container_headers():
             decode_media(bad)
 
 
+def test_kcenter_greedy_invariants(spark):
+    """Greedy k-center's defining invariants at sf0.01: picks are
+    distinct, each pick's distance-to-earlier-picks is non-increasing in
+    rank (every pick is the CURRENT farthest point), and after k picks
+    the coverage radius (max over points of min distance to any center)
+    is bounded by the last pick's selection distance — the next farthest
+    point can't be farther than the one just taken."""
+    from killrweather_spark.functions.similarity import (
+        kcenter_coverage_radius,
+        kcenter_select,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    sel = kcenter_select(emb, k=6).orderBy("sel_rank").collect()
+    assert len(sel) == 6
+    assert len({r.vec_id for r in sel}) == 6
+    d2s = [r.d2_before for r in sel[1:]]
+    assert all(a >= b for a, b in zip(d2s, d2s[1:])), d2s
+    centers = spark.createDataFrame(
+        [(r.vec_id,) for r in sel], "vec_id bigint"
+    )
+    radius2 = kcenter_coverage_radius(emb, centers).collect()[0].radius2
+    assert radius2 <= d2s[-1], (radius2, d2s[-1])
+
+
 def test_png_codec_roundtrips_all_filter_types():
     """encode_png / decode_png_pixels is a real codec pair: every pixel of
     an image tall enough to use all five scanline filters (y % 5) survives
