@@ -90,6 +90,12 @@ HEADLINE = [
     "overstocked_suppliers",    # Q20 shape: decorrelated availability
     "shipmode_priority_counts", # Q12 shape: the 22nd/last classic shape
     "training_order_shard",     # deterministic shard+pos corpus permutation
+    # round-6 additions
+    "semantic_eval_screen_vectorized",  # Arrow/numpy kernel of the exact screen
+    "semantic_eval_screen_ivf",         # IVF-probed screen (clustered-mass path)
+    "semantic_screen_recall_ivf",       # measured recall of the IVF screen
+    "png_pixel_stats",                  # full PNG pixel decode + channel means
+    "kcenter_coreset",                  # greedy k-center diversity selection
 ]
 
 

@@ -8591,14 +8591,15 @@ DRIVER_WINDOW = [
     "daily_precip",
     "annual_precip",
     "topk_daily_precip",
-    "count_raw",
     "distinct_users_in_range",
-    "minmax_aggregators",
     "year_cumulative_precip",      # A9 — only §2 row with no driver evidence (r02)
+                                   # (r06: count_raw / minmax_aggregators rotate
+                                   # to oracle-pytest — 4 rounds driver-green,
+                                   # the agg family keeps 7 driver rows)
     # §2.2 projections / filters / parse
     "projection_filter",
-    "point_lookup",
-    "current_weather",
+    "current_weather",             # r06: point_lookup rotates out (key-equality
+                                   # pruning stays plan-pinned + oracle-pytest)
     "value_filter",
     "topk_global",
     "csv_roundtrip",
@@ -8611,8 +8612,9 @@ DRIVER_WINDOW = [
     # oracle-pytest in r04 — the F family keeps date_format_parts +
     # csv_roundtrip + json_extract driver rows — freeing two slots for the
     # round-4 flagships below)
-    "date_format_parts",
-    "sky_condition_lookup",
+    "date_format_parts",           # r06: sky_condition_lookup rotates out
+                                   # (S12 local-collection source stays
+                                   # oracle-pytest)
     # §2.5/2.6 windows & order
     "window_running_sum",
     "hourly_tumbling_window",
@@ -8626,8 +8628,8 @@ DRIVER_WINDOW = [
     "streaming_daily_precip",
     # dedup family
     "dedup_exact_groups",
-    "minhash_lsh_pairs",
-    "simhash",
+    "minhash_lsh_pairs",           # r06: simhash rotates to oracle-pytest (the
+                                   # minhash + ngram rows keep the family)
     "ngram_jaccard_df_capped",     # r04: GRAM_DF_CAP prefix filter, cap fires
                                    # at sf0.01 (r05: ngram_jaccard_pairs
                                    # rotates to oracle-pytest — the capped
@@ -8637,9 +8639,8 @@ DRIVER_WINDOW = [
     "semantic_dup_candidates",     # round-2 flagship: SemDeDup w/ cluster cap
     # text analysis family
     "text_quality",
-    "lang_id",
-    "token_counts",
-    "doc_fingerprint",
+    "doc_fingerprint",             # r06: lang_id / token_counts rotate to
+                                   # oracle-pytest (4 rounds driver-green)
     "decontaminate_ngrams",        # decontamination family had no driver row
     # ANN / similarity family (r05: ann_lsh_cosine rotates to oracle-pytest
     # — semantic_eval_screen_lsh demonstrates the same hyperplane machinery
@@ -8662,6 +8663,14 @@ DRIVER_WINDOW = [
     # r05: the two classic plan shapes unblocked by the derived partsupp
     "important_stock_value",       # Q11: group vs global-scalar threshold
     "overstocked_suppliers",       # Q20: decorrelated availability screen
+    # r06 promotions — never-driver-verified families + the round-6 flagships
+    "cdc_merge_snapshot",          # CDC family's first driver row
+    "scd2_point_in_time_join",     # slowly-changing-dimension join
+    "dq_rule_violations",          # data-quality rule engine
+    "bm25_search",                 # retrieval family's first driver row
+    "semantic_eval_screen_ivf",    # r06 flagship: IVF-probed screen
+    "png_pixel_stats",             # r06 flagship: full PNG pixel decode
+    "kcenter_coreset",             # r06 flagship: k-center diversity coreset
 ]
 
 

@@ -651,7 +651,6 @@ def kcenter_select(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Greedy k-center (farthest-point traversal) over the quantized
     embedding space — the diversity-SELECTION counterpart to SemDeDup's
@@ -670,12 +669,16 @@ def kcenter_select(
     pos-join + per-id partial aggregation computing distances to it (the
     only corpus-sized shuffle — map-side combined, |corpus| rows), (c) a
     running ``least`` against the carried (id, d2min) state, and (d) a
-    1-row global argmax via ``max(struct(d2, -id))``.  The state frame is
-    localCheckpoint()-ed every ``checkpoint_every`` picks to truncate the
-    growing lineage (the kmeans_iterate policy).  k passes over the
-    corpus total — the textbook cost of greedy k-center; for k beyond
-    ~dozens, switch to sampling-based k-center++ behind the same
-    contract.
+    1-row global argmax via ``max(struct(d2, -id))``.  Every pick and
+    every state update is localCheckpoint()-ed EAGERLY: each is consumed
+    by multiple downstream branches (the output union, the next distance
+    pass, the next state fold), so without materialization evaluating
+    pick i re-runs the whole prefix chain — O(k²) corpus passes instead
+    of k (measured 7× slower at bench SF).  The picks are 1-row frames
+    and the state is (id, d2min), so the checkpoint cost IS the k-pass
+    cost, nothing more.  k passes over the corpus total — the textbook
+    greedy k-center bill; for k beyond ~dozens, switch to sampling-based
+    k-center++ behind the same contract.
 
     Output: (sel_rank, vec_id, d2_before) — pick order, chosen id, and
     the pick's min-squared-distance to all earlier picks (NULL for the
@@ -698,7 +701,7 @@ def kcenter_select(
             )
         )
 
-    seed = df.select(F.min(id_col).alias("cid"))
+    seed = df.select(F.min(id_col).alias("cid")).localCheckpoint(eager=True)
     picks = [
         seed.select(
             F.lit(0).cast("bigint").alias("sel_rank"),
@@ -706,13 +709,13 @@ def kcenter_select(
             F.lit(None).cast("bigint").alias("d2_before"),
         )
     ]
-    m = dist_to(seed)
+    m = dist_to(seed).localCheckpoint(eager=True)
     for i in range(1, k):
         pick = m.agg(
             F.max(F.struct(F.col("d2"), (-F.col(id_col)).alias("nid"))).alias("s")
         ).select(
             (-F.col("s.nid")).alias("cid"), F.col("s.d2").alias("d2_before")
-        )
+        ).localCheckpoint(eager=True)
         picks.append(
             pick.select(
                 F.lit(i).cast("bigint").alias("sel_rank"),
@@ -724,9 +727,7 @@ def kcenter_select(
             nd = dist_to(pick.select("cid")).withColumnRenamed("d2", "nd2")
             m = m.join(nd, id_col).select(
                 id_col, F.least("d2", "nd2").alias("d2")
-            )
-            if i % checkpoint_every == 0:
-                m = m.localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True)
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)

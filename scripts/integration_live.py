@@ -7,7 +7,10 @@ mile for an environment that HAS the services — it drives the same engine
 code end-to-end and asserts the reference's own integration floor
 (``KafkaStreamingActorSpec.scala:33-74``: ≥8,000 rows ingested within 60 s).
 
-Usage (each leg gated on its env var; ungated legs skip cleanly):
+Usage (each leg gated on its env var; ungated legs skip cleanly).  On a
+machine with Docker, ``docker-compose.live.yml`` at the repo root brings up
+a matching broker + ring (KRaft Kafka, Cassandra 4.1, reference schema
+mounted) — see its header for the three-command recipe.  Directly:
 
     KW_KAFKA_BOOTSTRAP=host:9092 python scripts/integration_live.py
     KW_CASSANDRA_HOST=host       python scripts/integration_live.py

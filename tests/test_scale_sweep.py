@@ -299,3 +299,46 @@ def test_ivf_screen_candidate_volume_bounded(spark):
     assert frac1 < 2 * frac01 + 0.05, (
         f"pruning factor degraded across SF: {frac01:.3f} -> {frac1:.3f}"
     )
+
+
+# ---------------------------------------------------------------------------
+# sf0.1 → sf1 leg: empirical validation one decade PAST the bench SF.
+# The sf1 dataset is derived deterministically from sf0.1 by
+# scripts/make_sf_scale.py (10× replication, referential integrity, per-
+# replica text/embedding perturbation); gated on the generated directory.
+# ---------------------------------------------------------------------------
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sg_sf1")
+
+sf1_gate = pytest.mark.skipif(
+    not os.path.isdir(SF1_DIR),
+    reason=f"sf1 leg needs {SF1_DIR} (python scripts/make_sf_scale.py)",
+)
+
+
+@sf1_gate
+@pytest.mark.parametrize("stats_fn,cap", [
+    (_fuzzy_candidate_pairs, None),      # absolute pairs: ~linear growth
+    (_screen_candidate_stats, 0.35),     # fraction of the pair product
+    (_banded_candidate_stats, 0.6),
+    (_ivf_candidate_stats, 0.5),
+])
+def test_candidate_volume_guards_hold_at_sf1(spark, stats_fn, cap):
+    """Every pair-producing family's pruning behavior must survive the
+    sf0.1 → sf1 decade, not just the driver's sf0.01 → sf0.1 one: a
+    blocking scheme that quietly degrades toward quadratic only past the
+    bench SF is exactly the 100 TB failure the guards exist to catch."""
+    if cap is None:
+        n01 = stats_fn(spark, "/root/testdata/sf0.1")
+        n1 = stats_fn(spark, SF1_DIR)
+        growth = n1 / max(n01, 1)
+        assert growth < 30, f"candidate growth {growth:.1f}x for 10x rows"
+    else:
+        c01, d01 = stats_fn(spark, "/root/testdata/sf0.1")
+        c1, d1 = stats_fn(spark, SF1_DIR)
+        frac01, frac1 = c01 / d01, c1 / d1
+        assert frac1 < cap, f"sf1 pruning factor {frac1:.3f} over cap {cap}"
+        assert frac1 < 2 * frac01 + 0.05, (
+            f"pruning factor degraded across the sf1 decade: "
+            f"{frac01:.3f} -> {frac1:.3f}"
+        )
