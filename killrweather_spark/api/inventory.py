@@ -646,6 +646,45 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_variant_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+    survey_ref="S11/P8 modern form: Spark 4 VARIANT semi-structured path — "
+    "parse_json once into the binary VARIANT encoding, then typed "
+    "variant_get extraction.  Scale rationale vs the string path "
+    "(json_extract): VARIANT parses each JSON document ONCE into a "
+    "navigable binary form, so N field extractions cost one parse + N "
+    "O(1)-ish probes instead of N string re-parses, and a VARIANT column "
+    "persisted to parquet is shredded/pruned by the reader.  Values are "
+    "plain integers either way, so the DuckDB oracle replays via its own "
+    "JSON path",
+)
+def q_json_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # J1-J2: joins
 # --------------------------------------------------------------------------
@@ -3794,6 +3833,81 @@ def q_quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(transform(codes, x -> cast(x as string)), ',')"
         ).alias("codes"),
     )
+
+
+@register(
+    "ann_int8_rescored",
+    f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    codes8 AS (
+      SELECT vec_id,
+             CASE WHEN amax > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / amax) AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+             END AS codes
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                          x -> ABS(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings
+      )
+    ),
+    comp8 AS (
+      SELECT vec_id, i.i AS pos, codes[i.i] AS c8
+      FROM codes8, unnest(generate_series(1, len(codes))) AS i(i)
+    ),
+    n8 AS (SELECT vec_id, SUM(c8 * c8) AS n8 FROM comp8 GROUP BY vec_id
+           HAVING SUM(c8 * c8) > 0),
+    dots8 AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             SUM(a.c8 * b.c8) AS dot8
+      FROM comp8 a
+      JOIN comp8 b ON a.pos = b.pos AND a.vec_id < 5 AND a.vec_id != b.vec_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.query_id
+                 ORDER BY d.dot8 / (SQRT(qa.n8) * SQRT(qb.n8)) DESC,
+                          d.neighbor_id
+               ) AS rk8
+        FROM dots8 d
+        JOIN n8 qa ON qa.vec_id = d.query_id
+        JOIN n8 qb ON qb.vec_id = d.neighbor_id
+      ) WHERE rk8 <= 10
+    ),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id, SUM(a.q * b.q) AS dot
+      FROM cand c
+      JOIN comp a ON a.vec_id = c.query_id
+      JOIN comp b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+    FROM rescored
+    JOIN nrm qn ON qn.vec_id = query_id
+    JOIN nrm cn ON cn.vec_id = neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) <= 3
+    """,
+    survey_ref="beyond-ref similarity: two-stage int8-coarse + exact-rescore "
+    "ANN (similarity.py:ann_cosine_topk_int8) — the memory-bandwidth form: "
+    "the corpus-wide coarse scan reads 4x-compressed quantize_int8 codes "
+    "only (at 100 TB the coarse scan IS the I/O bill), shortlists top-10 "
+    "per query by exact-integer int8 cosine, and rescores just the "
+    "shortlist at full ×10⁶ precision so returned cosines are always "
+    "exact.  Deterministic both stages ⇒ value-exact oracle replay of the "
+    "code space, the shortlist, and the rescore",
+)
+def q_ann_int8_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import ann_cosine_topk_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_cosine_topk_int8(emb, lambda c: c < 5, k=3, shortlist=10)
 
 
 @register(

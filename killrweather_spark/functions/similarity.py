@@ -646,6 +646,111 @@ def semantic_screen_ivf(
     )
 
 
+def ann_cosine_topk_int8(
+    df: DataFrame,
+    query_ids_filter,
+    k: int = 3,
+    shortlist: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: int8-coarse scan + exact rescore — the
+    memory-bandwidth form of :func:`cosine_topk`.
+
+    Stage 1 scores every corpus vector against the broadcast query set in
+    the :func:`quantize_int8` code space (4× smaller than float32 — at
+    100 TB the coarse scan IS the I/O bill, and it reads codes only,
+    never the float vectors).  Code dot products are exact int64
+    arithmetic, so the shortlist — top ``shortlist`` per query by int8
+    cosine, ties to the smallest neighbor — is deterministic and
+    oracle-replayable.  Stage 2 rescores ONLY the shortlist with the
+    exact ×10⁶ quantized cosine (the float-precision read is
+    |queries|·shortlist vectors, not the corpus) and returns the top k.
+
+    Approximation contract: recall vs :func:`cosine_topk` depends on how
+    well int8 cosine preserves the true ranking near the cut (symmetric
+    per-vector quantization keeps relative error ~1/127); the shortlist
+    size is the dial, and the rescore stage means returned cosines are
+    always exact.  Zero-norm vectors quantize to all-zero codes and are
+    excluded from both stages, mirroring the cosine family's contract.
+
+    Output: (query_id, neighbor_id, cosine) — exact cosine, same contract
+    as :func:`cosine_topk`.
+    """
+    codes = quantize_int8(df, id_col, vec_col).transform(persist_once)
+    comp8 = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("pos", "c8")
+    ).select(id_col, (F.col("pos") + 1).alias("pos"),
+             F.col("c8").cast("bigint").alias("c8"))
+    n8 = comp8.groupBy(id_col).agg(
+        F.sum(F.col("c8") * F.col("c8")).alias("n8")
+    ).filter(F.col("n8") > 0)
+
+    q8 = comp8.filter(query_ids_filter(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), "pos", F.col("c8").alias("qa")
+    )
+    c8 = comp8.select(F.col(id_col).alias("neighbor_id"), "pos",
+                      F.col("c8").alias("qb"))
+    dots8 = (
+        F.broadcast(q8)
+        .join(c8, "pos")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot8"))
+    )
+    qn8 = n8.select(F.col(id_col).alias("query_id"), F.col("n8").alias("qn8"))
+    cn8 = n8.select(F.col(id_col).alias("neighbor_id"), F.col("n8").alias("nn8"))
+    coarse = (
+        dots8.join(F.broadcast(qn8), "query_id")
+        .join(cn8, "neighbor_id")
+        .withColumn(
+            "s8", F.col("dot8") / (F.sqrt(F.col("qn8")) * F.sqrt(F.col("nn8")))
+        )
+    )
+    w8 = Window.partitionBy("query_id").orderBy(
+        F.col("s8").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        coarse.withColumn("rk8", F.row_number().over(w8))
+        .filter(F.col("rk8") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact rescore of the shortlist only
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+    nrm = cosine_norms(comp, id_col)
+    qcomp = comp.filter(query_ids_filter(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), "pos", F.col("q").alias("qa")
+    )
+    ccomp = comp.select(F.col(id_col).alias("neighbor_id"), "pos",
+                        F.col("q").alias("qb"))
+    dots = (
+        F.broadcast(cand)
+        .join(qcomp, "query_id")
+        .join(ccomp, ["neighbor_id", "pos"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    qn = nrm.select(F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2"))
+    cn = nrm.select(F.col(id_col).alias("neighbor_id"), F.col("norm2").alias("nnorm2"))
+    sims = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def kcenter_select(
     df: DataFrame,
     k: int,

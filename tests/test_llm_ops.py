@@ -657,6 +657,32 @@ def test_decode_media_parses_real_container_headers():
             decode_media(bad)
 
 
+def test_int8_rescored_ann_tracks_bruteforce(spark):
+    """The two-stage int8 ANN's contract: returned cosines are EXACT (the
+    rescore stage), and with a 10-deep shortlist over this corpus the top-3
+    neighbor sets track brute force closely — int8 symmetric quantization
+    keeps relative cosine error ~1/127, far below this data's neighbor
+    gaps."""
+    from killrweather_spark.functions.similarity import (
+        ann_cosine_topk_int8,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, lambda c: c < 5, k=3).collect()
+    }
+    got = ann_cosine_topk_int8(emb, lambda c: c < 5, k=3, shortlist=10).collect()
+    assert len(got) == len(exact)
+    hits = sum((r.query_id, r.neighbor_id) in exact for r in got)
+    assert hits >= int(0.8 * len(exact)), (hits, len(exact))
+    for r in got:
+        want = exact.get((r.query_id, r.neighbor_id))
+        if want is not None:  # rescored cosine must be the exact value
+            assert r.cosine == want
+
+
 def test_kcenter_greedy_invariants(spark):
     """Greedy k-center's defining invariants at sf0.01: picks are
     distinct, each pick's distance-to-earlier-picks is non-increasing in
