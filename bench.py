@@ -96,6 +96,7 @@ HEADLINE = [
     "semantic_screen_recall_ivf",       # measured recall of the IVF screen
     "png_pixel_stats",                  # full PNG pixel decode + channel means
     "kcenter_coreset",                  # greedy k-center diversity selection
+    "ann_int8_rescored",                # int8-coarse scan + exact rescore ANN
 ]
 
 

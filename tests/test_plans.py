@@ -468,6 +468,20 @@ def test_components_join_is_keyed_not_broadcast(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
 
 
+def test_int8_ann_coarse_scan_is_keyed_and_broadcast_sided(spark):
+    """The two-stage int8 ANN's plan contract: the coarse scan joins the
+    corpus against a BROADCAST query side (never a cartesian/nested-loop
+    pair product), the shortlist drives the rescore as a broadcast, and
+    no row-Python appears anywhere — the coarse stage's whole point is a
+    codes-only columnar scan."""
+    df = REGISTRY["ann_int8_rescored"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert checks.node_count(df, "BroadcastHashJoin") >= 3, plan
+
+
 def test_exact_screen_is_map_only_over_train(spark):
     """The round-4 verdict's #1 hazard, eliminated at the plan level: the
     EXACT semantic screen must never shuffle on a KEY — no
