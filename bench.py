@@ -97,6 +97,9 @@ HEADLINE = [
     "png_pixel_stats",                  # full PNG pixel decode + channel means
     "kcenter_coreset",                  # greedy k-center diversity selection
     "ann_int8_rescored",                # int8-coarse scan + exact rescore ANN
+    "bigram_lm_quality",                # corpus-trained bigram LM fluency
+    "dsir_importance_weights",          # DSIR target-domain resampling weights
+    "embedding_top_pc",                 # power-iteration top principal dir
 ]
 
 

@@ -8681,6 +8681,78 @@ def q_shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from killrweather_spark.functions.lm import (  # noqa: E402
+    bigram_lm_scores,
+    bigram_lm_scores_sql,
+    dsir_weights,
+    dsir_weights_sql,
+)
+
+
+@register(
+    "bigram_lm_quality",
+    bigram_lm_scores_sql(),
+    survey_ref="beyond-ref text-analysis flagship: corpus-trained bigram "
+    "LM fluency scoring (lm.py:bigram_lm_scores) — the CCNet/KenLM "
+    "perplexity-filter primitive with the log swapped for exact scaled "
+    "rationals (the BM25 determinism convention).  Add-one-smoothed "
+    "P(w2|w1) over the corpus's own bigram table; per-doc floor-mean in "
+    "micro-units.  Vocabulary-sized model tables, (doc, gram)-keyed "
+    "model join, no broadcasts of corpus-growing frames",
+)
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean smoothed bigram probability — filtering the low
+    tail is the classic LM quality screen.  Bigrams come off the token
+    array in one map (no positional self-join); the only corpus-sized
+    shuffles are the (doc,w1,w2) pre-aggregation and the gram-keyed
+    model join."""
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dsir_importance_weights",
+    dsir_weights_sql("src0"),
+    survey_ref="beyond-ref curation flagship: DSIR importance resampling "
+    "weights (lm.py:dsir_weights; Xie et al. 2023) — per-doc "
+    "target/raw unigram probability ratios toward the src0 domain, "
+    "add-one smoothed, exact scaled-integer floor arithmetic so the "
+    "oracle replays every weight; sampling ∝ weight reshapes the corpus "
+    "toward the target domain",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights of every document toward the src0 domain: mean
+    smoothed p_target/p_raw token ratio, micro-units.  Count tables are
+    vocabulary-sized; the ratio join is term-keyed; the 1-row totals
+    broadcast."""
+    return dsir_weights(load_table(spark, sf_dir, "documents"), "src0")
+
+
+from killrweather_spark.functions.similarity import (  # noqa: E402
+    power_iteration_top_pc_sql,
+)
+
+
+@register(
+    "embedding_top_pc",
+    power_iteration_top_pc_sql(64, iters=4),
+    survey_ref="beyond-ref embedding-analysis flagship: top principal "
+    "direction by power iteration (similarity.py:power_iteration_top_pc; "
+    "ABTT common-direction analysis, Mu & Viswanath 2018) — 4 "
+    "Gram-operator iterations composed as DataFrame plans with ZERO "
+    "corpus-keyed shuffles (1-row v broadcast, per-row fold, dim "
+    "map-side scalar sums), exact int64 arithmetic with floor-div "
+    "renormalization so the unrolled DuckDB oracle matches bit-for-bit",
+)
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant embedding direction after 4 power iterations (64 rows:
+    pos, v_scaled).  Deterministic sign via the all-ones start; see
+    power_iteration_top_pc for the magnitude/headroom analysis."""
+    from killrweather_spark.functions.similarity import power_iteration_top_pc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top_pc(emb, dim=64, iters=4)
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------
@@ -8714,9 +8786,9 @@ DRIVER_WINDOW = [
     "projection_filter",
     "current_weather",             # r06: point_lookup rotates out (key-equality
                                    # pruning stays plan-pinned + oracle-pytest)
-    "value_filter",
-    "topk_global",
-    "csv_roundtrip",
+    "csv_roundtrip",               # r07: value_filter rotates to oracle-pytest
+                                   # (P4 stays covered; the P family keeps 4
+                                   # driver rows)
     "json_extract",
     # §2.3 joins
     "join_multi_key",
@@ -8729,8 +8801,9 @@ DRIVER_WINDOW = [
     "date_format_parts",           # r06: sky_condition_lookup rotates out
                                    # (S12 local-collection source stays
                                    # oracle-pytest)
-    # §2.5/2.6 windows & order
-    "window_running_sum",
+    # §2.5/2.6 windows & order (r07: window_running_sum + topk_global rotate
+    # to oracle-pytest — lag_features / hourly_tumbling_window /
+    # topk_daily_precip keep the window & top-k shapes in-window)
     "hourly_tumbling_window",
     "rollup_agg",
     "asof_join_latest_order",
@@ -8785,6 +8858,12 @@ DRIVER_WINDOW = [
     "semantic_eval_screen_ivf",    # r06 flagship: IVF-probed screen
     "png_pixel_stats",             # r06 flagship: full PNG pixel decode
     "kcenter_coreset",             # r06 flagship: k-center diversity coreset
+    # r06 late promotions — the LM/curation/embedding-analysis flagships
+    # (slots from value_filter / topk_global / window_running_sum, all
+    # 5-rounds driver-green with plan-pinned pytest coverage retained)
+    "bigram_lm_quality",           # corpus-trained bigram LM fluency scores
+    "dsir_importance_weights",     # DSIR target-domain importance weights
+    "embedding_top_pc",            # power-iteration top principal direction
 ]
 
 

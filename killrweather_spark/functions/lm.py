@@ -1,0 +1,255 @@
+"""Corpus-trained n-gram language-model scoring for data curation.
+
+Two classic pretraining-data selection primitives, both trained ON the
+corpus being scored (no external model artifacts), both beyond the
+reference's weather surface (SURVEY §2 extension family: text analysis /
+curation next to ``text.py`` quality heuristics and ``curation.py``):
+
+- :func:`bigram_lm_scores` — the CCNet/KenLM-style fluency filter: a
+  word-bigram LM with add-one smoothing scores every document by how
+  predictable its word transitions are under the corpus itself.
+  Boilerplate and templated text score high, line noise scores low;
+  filtering the tails is the standard perplexity-filter move.
+- :func:`dsir_weights` — DSIR (Data Selection via Importance Resampling,
+  Xie et al. 2023): per-document importance weights from the ratio of a
+  TARGET domain's unigram feature distribution to the RAW corpus's.
+  Sampling ∝ weight reshapes the corpus toward the target domain.
+
+Cross-engine determinism (the module-wide rule, same as ``search.py``):
+probabilities and ratios stay in scaled INTEGER arithmetic — add-one
+smoothed counts, floor division to micro-units — because `ln`/float
+division drift in the last ulp between engines.  The standard
+formulations use log-probabilities; the monotone per-event quantities
+here (smoothed conditional probability, target/raw probability ratio)
+rank documents for the same filtering decisions while letting the DuckDB
+oracle replay every value bit-for-bit.  (Production swap: wrap the same
+rationals in `ln` and sum — one float op per n-gram type.)
+
+Scale shape (both functions):
+
+1. tokenize once (``text.py:tokens``, shared regex) — a narrow map;
+2. n-gram count tables reduce to VOCABULARY-sized frames, shuffled on
+   the n-gram key with map-side partial aggregation;
+3. per-document n-gram occurrences pre-aggregate to
+   ``(doc_id, gram, cnt)`` BEFORE joining the probability table, so the
+   model join carries distinct (doc, gram) pairs, not raw token
+   positions;
+4. the model join is keyed on the gram — never FORCE-broadcast (the
+   vocabulary grows with the corpus); Catalyst's size threshold still
+   broadcasts it while it fits, and Zipf skew on stopword grams is
+   AQE's skew-join case once it shuffles;
+5. one final ``groupBy(doc_id)`` produces the score.
+
+At 100 TB nothing holds state beyond vocabulary-sized aggregates and
+the corpus-sized (doc, gram) flow; no collects, no Python in the row
+path.  Integer magnitudes: products are bounded by
+``count × (corpus_tokens + vocab) × SCALE`` — under 2⁶³ through ~10⁹
+tokens at micro scale; past that, drop SCALE to milli or switch the
+two factors to DECIMAL(38,0) (same swap note as BM25).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from killrweather_spark.functions.text import TOKEN_RE, tokens
+
+SCALE_P = 1_000_000  # micro-units for smoothed bigram probabilities
+SCALE_R = 1_000_000  # micro-units for DSIR target/raw ratios
+
+_TOK_SQL = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """``(doc_id, w1, w2, cnt)`` — per-document bigram multiplicities.
+
+    Bigrams come straight off the token ARRAY (adjacent pairs via an
+    indexed ``transform`` over the first n-1 elements) — no positional
+    explode-then-self-join, which would shuffle token positions twice.
+    """
+    pairs = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.expr(
+            "transform(slice(toks, 1, size(toks) - 1), "
+            "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Per-document mean smoothed bigram probability (micro-units).
+
+    Model: ``P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`` — add-one
+    smoothing over the corpus's own bigram table, V = distinct token
+    types.  Document score = floor-mean of ``P`` over the document's
+    bigram occurrences, scaled ×10⁶.  Returns
+    ``(doc_id, n_bigrams, mean_p_micro)``; docs with < 2 tokens carry
+    no bigrams and drop out (both engines agree).
+    """
+    doc_bg = _doc_bigrams(docs)
+    cbg = (
+        doc_bg.groupBy("w1", "w2")
+        .agg(F.sum("cnt").cast("bigint").alias("cbg"))
+    )
+    cug = cbg.groupBy("w1").agg(F.sum("cbg").alias("cug"))
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .agg(F.count_distinct("term").cast("bigint").alias("v"))
+    )
+    # the probability table is vocabulary-sized: cbg ⋈ cug share the w1
+    # key (no broadcast HINT — the vocabulary grows with the corpus, so
+    # Catalyst's size threshold decides), the 1-row vocab count
+    # broadcasts by construction
+    ptable = (
+        cbg.join(cug, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.expr(f"({SCALE_P} * (cbg + 1)) div (cug + v)").alias("p_micro"),
+        )
+    )
+    return (
+        doc_bg.join(ptable, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.expr("sum(cnt * p_micro) div sum(cnt)")
+            .cast("bigint")
+            .alias("mean_p_micro"),
+        )
+    )
+
+
+def bigram_lm_scores_sql() -> str:
+    """DuckDB oracle for :func:`bigram_lm_scores` — identical integer
+    arithmetic; bigrams from ``generate_series`` over the token list."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    ),
+    doc_bg AS (
+      SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS i(i)
+      GROUP BY 1, 2, 3
+    ),
+    cbg AS (
+      SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS cbg
+      FROM doc_bg GROUP BY 1, 2
+    ),
+    cug AS (SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cug FROM cbg GROUP BY 1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+      FROM (SELECT unnest(t) AS term FROM tok)
+    ),
+    ptable AS (
+      SELECT w1, w2, ({SCALE_P} * (cbg + 1)) // (cug + v) AS p_micro
+      FROM cbg JOIN cug USING (w1) CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(cnt * p_micro) // SUM(cnt) AS BIGINT) AS mean_p_micro
+    FROM doc_bg JOIN ptable USING (w1, w2)
+    GROUP BY doc_id
+    """
+
+
+def dsir_weights(docs: DataFrame, target_source: str) -> DataFrame:
+    """DSIR importance weights toward the ``target_source`` domain.
+
+    Hashed-feature DSIR reduced to its exact form (the corpus vocabulary
+    fits a count table, so no feature hashing is needed): per token type,
+    ``ratio = p_target(t) / p_raw(t)`` with add-one smoothing —
+    ``((c_t + 1) · (N_r + V)) · 10⁶ div ((c_r + 1) · (N_t + V))`` — and a
+    document's weight is the floor-mean ratio over its token occurrences.
+    Sampling ∝ weight reshapes the raw corpus toward the target domain's
+    unigram distribution.  Returns ``(doc_id, n_tokens, weight_micro)``.
+    """
+    doc_ug = (
+        docs.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    raw = doc_ug.groupBy("term").agg(F.sum("cnt").alias("c_r"))
+    tgt = (
+        doc_ug.filter(F.col("source") == target_source)
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("c_t"))
+    )
+    totals = (
+        raw.join(tgt, "term", "left")
+        .agg(
+            F.sum("c_r").cast("bigint").alias("n_r"),
+            F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t"),
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+        )
+    )
+    # ratio table: raw-vocabulary-sized (target-only types cannot occur in
+    # raw documents, so the left join loses nothing); totals broadcast as
+    # one row
+    rtable = (
+        raw.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.expr(
+                f"((coalesce(c_t, 0) + 1) * (n_r + v) * {SCALE_R}) "
+                "div ((c_r + 1) * (n_t + v))"
+            ).alias("r_micro"),
+        )
+    )
+    return (
+        doc_ug.join(rtable, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.expr("sum(cnt * r_micro) div sum(cnt)")
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+    )
+
+
+def dsir_weights_sql(target_source: str) -> str:
+    """DuckDB oracle for :func:`dsir_weights` — same smoothed-ratio
+    integer arithmetic."""
+    return f"""
+    WITH doc_ug AS (
+      SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, source, unnest({_TOK_SQL}) AS term
+            FROM documents)
+      GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS c_r
+            FROM doc_ug GROUP BY 1),
+    tgt AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS c_t
+            FROM doc_ug WHERE source = '{target_source}' GROUP BY 1),
+    totals AS (
+      SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+             CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS n_t,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM raw LEFT JOIN tgt USING (term)
+    ),
+    rtable AS (
+      SELECT term,
+             ((COALESCE(c_t, 0) + 1) * (n_r + v) * {SCALE_R})
+               // ((c_r + 1) * (n_t + v)) AS r_micro
+      FROM raw LEFT JOIN tgt USING (term) CROSS JOIN totals
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt * r_micro) // SUM(cnt) AS BIGINT) AS weight_micro
+    FROM doc_ug JOIN rtable USING (term)
+    GROUP BY doc_id
+    """

@@ -56,9 +56,15 @@ def replica_select(table: str, r: int) -> str:
     # 'foo%' predicates still match): 10 exact copies of every name would
     # make name-blocking groups grow 10x and candidate pairs ~100x — a
     # generator artifact, not organic growth (the sf1 fuzzy-blocking guard
-    # caught exactly this on the first unperturbed cut)
+    # caught exactly this on the first unperturbed cut).  The digit is
+    # DOUBLED so any two replicas of the same base name sit at edit
+    # distance 2 from each other (' r33' vs ' r77') — a single-digit
+    # suffix put them at distance 1, which made every base name a 10-way
+    # edit-distance-1 clique across replicas and grew fuzzy-match pair
+    # counts ~4.5x over linear (another derivation artifact: organic
+    # near-dups replicate, they don't cross-link between replicas)
     def named(col: str) -> str:
-        return col if r == 0 else f"{col} || ' r{r}' AS {col}"
+        return col if r == 0 else f"{col} || ' r{r}{r}' AS {col}"
 
     if table == "customer":
         return (f"SELECT c_custkey + {r * COUNTS['customer']} AS c_custkey,"

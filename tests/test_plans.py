@@ -482,6 +482,41 @@ def test_int8_ann_coarse_scan_is_keyed_and_broadcast_sided(spark):
     assert checks.node_count(df, "BroadcastHashJoin") >= 3, plan
 
 
+def test_power_iteration_has_no_corpus_keyed_exchange(spark):
+    """The top-PC iteration's scale contract: ZERO corpus-keyed shuffles —
+    every iteration is a 1-row broadcast, a per-row fold, and dim
+    map-side-combined scalar sums into one row.  With checkpointing off
+    the whole 4-iteration composed plan must show no hashpartitioning
+    exchange, no key join, and no row-Python."""
+    from killrweather_spark.functions.similarity import power_iteration_top_pc
+
+    emb = load_table(spark, SF01, "embeddings")
+    df = power_iteration_top_pc(emb, dim=64, iters=4, checkpoint=False)
+    plan = checks.formatted_plan(df)
+    assert "hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_model_joins_are_keyed_not_nested_loop(spark):
+    """The bigram-LM and DSIR model joins must stay keyed equi-joins
+    (gram/term keys) — no cartesian/nested-loop pair products, no
+    row-Python — whatever Catalyst picks for broadcast vs shuffle at
+    this SF."""
+    for name in ("bigram_lm_quality", "dsir_importance_weights"):
+        df = REGISTRY[name].fn(spark, SF01)
+        plan = checks.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        joins = (
+            checks.node_count(df, "BroadcastHashJoin")
+            + checks.node_count(df, "SortMergeJoin")
+            + checks.node_count(df, "ShuffledHashJoin")
+        )
+        assert joins >= 2, (name, plan)
+
+
 def test_exact_screen_is_map_only_over_train(spark):
     """The round-4 verdict's #1 hazard, eliminated at the plan level: the
     EXACT semantic screen must never shuffle on a KEY — no
