@@ -483,17 +483,21 @@ def test_int8_ann_coarse_scan_is_keyed_and_broadcast_sided(spark):
 
 
 def test_power_iteration_has_no_corpus_keyed_exchange(spark):
-    """The top-PC iteration's scale contract: ZERO corpus-keyed shuffles —
-    every iteration is a 1-row broadcast, a per-row fold, and dim
-    map-side-combined scalar sums into one row.  With checkpointing off
-    the whole 4-iteration composed plan must show no hashpartitioning
-    exchange, no key join, and no row-Python."""
+    """The top-PC iteration's scale contract: no corpus-keyed shuffle —
+    every iteration is a 1-row broadcast, a per-row fold, and a
+    dim-keyed partial-sum fold whose exchange carries ≤ dim×partitions
+    rows.  With checkpointing off the whole 4-iteration composed plan
+    must show hashpartitioning ONLY on the pos key (never the corpus
+    id), no key join, and no row-Python."""
+    import re
+
     from killrweather_spark.functions.similarity import power_iteration_top_pc
 
     emb = load_table(spark, SF01, "embeddings")
     df = power_iteration_top_pc(emb, dim=64, iters=4, checkpoint=False)
     plan = checks.formatted_plan(df)
-    assert "hashpartitioning" not in plan, plan
+    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert keys and set(keys) == {"pos"}, keys
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
