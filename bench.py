@@ -100,6 +100,7 @@ HEADLINE = [
     "bigram_lm_quality",                # corpus-trained bigram LM fluency
     "dsir_importance_weights",          # DSIR target-domain resampling weights
     "embedding_top_pc",                 # power-iteration top principal dir
+    "bpe_merge_table",                  # on-cluster BPE tokenizer induction
 ]
 
 

@@ -8753,6 +8753,31 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_top_pc(emb, dim=64, iters=4)
 
 
+from killrweather_spark.functions.bpe import (  # noqa: E402
+    bpe_merge_table,
+    bpe_merge_table_sql,
+)
+
+
+@register(
+    "bpe_merge_table",
+    bpe_merge_table_sql(8),
+    survey_ref="beyond-ref tokenizer-training flagship: BPE merge-table "
+    "induction (bpe.py:bpe_merge_table; Sennrich et al. 2016) — 8 greedy "
+    "most-frequent-pair merges learned over the corpus, deterministic "
+    "lexicographic tiebreaks, exact integer counts.  One corpus-keyed "
+    "shuffle total (the word-frequency count); every round after that "
+    "is vocabulary-sized state: pair-keyed partial agg, 1-row winning "
+    "pair broadcast, per-row JVM array fold, eager checkpoint per round "
+    "(the kcenter multi-branch lineage rule)",
+)
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges over the documents corpus, in learned order —
+    the subword-vocabulary construction step of an LLM data pipeline,
+    oracle-replayed round-for-round by unrolled CTEs."""
+    return bpe_merge_table(load_table(spark, sf_dir, "documents"), k=8)
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

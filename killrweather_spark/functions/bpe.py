@@ -1,0 +1,180 @@
+"""On-cluster BPE tokenizer-vocabulary induction (greedy pair merges).
+
+The training counterpart of ``text.py``'s token statistics: byte-pair
+encoding (Sennrich et al. 2016 — the subword vocabulary construction
+under GPT/Llama-style tokenizers) learns its merge table by repeatedly
+fusing the corpus's most frequent adjacent symbol pair.  Training a
+tokenizer over the pretraining corpus itself is a standard pipeline step,
+and the count-heavy inner loop is exactly what a cluster is for.
+
+Semantics (documented precisely because BPE variants differ):
+
+- words are the ``TOKEN_RE`` tokens; the unit being merged is the
+  per-word symbol sequence, seeded with single characters;
+- pair counts include overlapping occurrences (``aaa`` contributes two
+  ``(a,a)`` pairs), weighted by word frequency;
+- each round merges the single most frequent pair, applied left-to-right
+  non-overlapping within each word (``aaa`` + merge ``(a,a)`` →
+  ``[aa, a]``);
+- ties break to the lexicographically smallest ``(left, right)`` pair —
+  with exact integer counts this makes every round, hence the whole
+  merge table, deterministic and oracle-replayable.
+
+Scale shape: the corpus is touched ONCE (the word-frequency count — a
+(word)-keyed shuffle with map-side combine); every merge round after
+that operates on the VOCABULARY-sized ``(word, syms, cnt)`` state —
+pair counting is a pair-keyed partial aggregation of vocabulary-sized
+input, the winning pair is a 1-row broadcast, and the merge itself is a
+per-row array fold (JVM ``aggregate``, no shuffle).  State
+localCheckpoints eagerly each round: it feeds BOTH the next pair count
+and the next fold (the kcenter multi-branch lineage lesson — without
+materialization round k re-evaluates all k-1 prior folds per branch).
+At 100 TB the vocabulary is millions of rows — megabytes of state per
+round, k scans of it, zero corpus re-reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from killrweather_spark.functions.text import TOKEN_RE, tokens
+
+_TOK_SQL = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+# left-to-right non-overlapping merge of pair (mleft, mright) applied to a
+# symbol array, as a fold: if the accumulator's tail equals mleft and the
+# next symbol is mright, fuse them; else append.  The fused symbol only
+# chain-merges when it literally equals mleft again — standard BPE.
+_MERGE_FOLD = (
+    "aggregate(slice(syms, 2, size(syms) - 1), array(element_at(syms, 1)), "
+    "(acc, x) -> CASE WHEN element_at(acc, -1) = mleft AND x = mright "
+    "THEN concat(slice(acc, 1, size(acc) - 1), "
+    "array(concat(mleft, mright))) "
+    "ELSE concat(acc, array(x)) END)"
+)
+
+
+def bpe_merge_table(docs: DataFrame, k: int) -> DataFrame:
+    """Learn the first ``k`` BPE merges over the document corpus.
+
+    Returns ``(merge_rank, left_sym, right_sym, pair_count)`` — the
+    merge table in learned order, ``merge_rank`` 1-based.  See module
+    docstring for the exact variant semantics and the scale shape.
+    """
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            # regexp_extract_all('.'), not split(word, ''): Java split
+            # semantics can emit a trailing empty symbol, and the oracle
+            # uses the regexp form — keep both engines on one function
+            "cnt",
+            F.regexp_extract_all(F.col("word"), F.lit("."), 0).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for rank in range(1, k + 1):
+        pairs = (
+            words.select(
+                "cnt",
+                F.posexplode(
+                    F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN "
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(s, i) -> struct(s AS a, "
+                        "element_at(syms, i + 2) AS b)) "
+                        "ELSE array() END"
+                    )
+                ),
+            )
+            .groupBy("col.a", "col.b")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        best = (
+            pairs.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("pc")).alias("npc"),
+                        F.col("a").alias("a"),
+                        F.col("b").alias("b"),
+                    )
+                ).alias("s")
+            )
+            .select(
+                F.col("s.a").alias("mleft"),
+                F.col("s.b").alias("mright"),
+                (-F.col("s.npc")).cast("bigint").alias("pair_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            best.select(
+                F.lit(rank).cast("bigint").alias("merge_rank"),
+                F.col("mleft").alias("left_sym"),
+                F.col("mright").alias("right_sym"),
+                "pair_count",
+            )
+        )
+        if rank < k:
+            words = (
+                words.crossJoin(F.broadcast(best))
+                .select("cnt", F.expr(_MERGE_FOLD).alias("syms"))
+                .localCheckpoint(eager=True)
+            )
+    res = out[0]
+    for nxt in out[1:]:
+        res = res.unionAll(nxt)
+    return res
+
+
+def bpe_merge_table_sql(k: int) -> str:
+    """DuckDB oracle for :func:`bpe_merge_table` — the ``k`` rounds
+    unrolled into CTE stages.  The merge fold uses ``list_reduce`` over
+    singleton-lifted symbols (DuckDB's reduce seeds the accumulator with
+    the first element, so the lift makes accumulator and element types
+    agree)."""
+    fold = (
+        "list_reduce(list_transform(syms, s -> [s]), "
+        "(acc, x) -> CASE WHEN acc[len(acc)] = m.mleft AND x[1] = m.mright "
+        "THEN list_append(acc[1:len(acc) - 1], m.mleft || m.mright) "
+        "ELSE list_append(acc, x[1]) END)"
+    )
+    parts = [
+        "w0 AS (\n"
+        "      SELECT CAST(COUNT(*) AS BIGINT) AS cnt,\n"
+        "             regexp_extract_all(word, '.') AS syms\n"
+        f"      FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)\n"
+        "      GROUP BY word)"
+    ]
+    selects = []
+    for r in range(1, k + 1):
+        parts.append(
+            f"p{r} AS (\n"
+            "      SELECT syms[i.i] AS a, syms[i.i + 1] AS b,\n"
+            "             CAST(SUM(cnt) AS BIGINT) AS pc\n"
+            f"      FROM w{r - 1}, unnest(generate_series(1, len(syms) - 1))"
+            " AS i(i)\n"
+            "      GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT a AS mleft, b AS mright, pc AS pair_count\n"
+            f"           FROM p{r} ORDER BY pc DESC, a, b LIMIT 1)"
+        )
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, mleft AS left_sym,"
+            f" mright AS right_sym, pair_count FROM m{r}"
+        )
+        if r < k:
+            parts.append(
+                f"w{r} AS (SELECT cnt, {fold} AS syms\n"
+                f"           FROM w{r - 1} CROSS JOIN m{r} m)"
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )

@@ -95,3 +95,34 @@ def test_power_iteration_climbs_the_rayleigh_quotient(spark):
     assert r5 > 0.85 * lmax, (r5, lmax)
     assert r5 > 1.05 * np.trace(gram) / 64
     assert r8 >= r5, (r8, r5)
+
+
+def test_bpe_merge_table_learns_the_known_merges(spark):
+    """Hand-checkable corpus: 'abab' x3 + 'ab' x2.  Round 1 must merge
+    (a,b) — 8 weighted pairs; round 2 merges (ab,ab) inside 'abab';
+    round 3 has nothing adjacent left (no pairs remain across the
+    2-symbol words)."""
+    from killrweather_spark.functions.bpe import bpe_merge_table
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab ab")], ["doc_id", "text"]
+    )
+    rows = {r["merge_rank"]: r for r in bpe_merge_table(docs, k=2).collect()}
+    assert (rows[1]["left_sym"], rows[1]["right_sym"]) == ("a", "b")
+    assert rows[1]["pair_count"] == 8  # 2 per 'abab' x3 + 1 per 'ab' x2
+    assert (rows[2]["left_sym"], rows[2]["right_sym"]) == ("ab", "ab")
+    assert rows[2]["pair_count"] == 3
+
+
+def test_bpe_merge_fold_is_left_to_right_non_overlapping(spark):
+    """'aaa' under merge (a,a) must become [aa, a] — the fused symbol
+    does not chain-merge: rank-2's top pair over a pure-'aaaa' corpus is
+    (aa, aa), not (aa, a)."""
+    from killrweather_spark.functions.bpe import bpe_merge_table
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaaa")], ["doc_id", "text"])
+    rows = {r["merge_rank"]: r for r in bpe_merge_table(docs, k=2).collect()}
+    assert (rows[1]["left_sym"], rows[1]["right_sym"]) == ("a", "a")
+    assert rows[1]["pair_count"] == 9
+    assert (rows[2]["left_sym"], rows[2]["right_sym"]) == ("aa", "aa")
+    assert rows[2]["pair_count"] == 3
