@@ -101,6 +101,7 @@ HEADLINE = [
     "dsir_importance_weights",          # DSIR target-domain resampling weights
     "embedding_top_pc",                 # power-iteration top principal dir
     "bpe_merge_table",                  # on-cluster BPE tokenizer induction
+    "bpe_subword_stats",                # tokenizer apply: word-keyed join
 ]
 
 

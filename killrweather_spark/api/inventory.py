@@ -8778,6 +8778,30 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(load_table(spark, sf_dir, "documents"), k=8)
 
 
+from killrweather_spark.functions.bpe import (  # noqa: E402
+    bpe_subword_stats,
+    bpe_subword_stats_sql,
+)
+
+
+@register(
+    "bpe_subword_stats",
+    bpe_subword_stats_sql(8),
+    survey_ref="beyond-ref tokenizer-apply: per-document subword "
+    "statistics under the corpus-learned 8-merge BPE vocabulary "
+    "(bpe.py:bpe_subword_stats) — segmentation is per-WORD, so applying "
+    "the tokenizer is a word-keyed join of per-doc word multiplicities "
+    "against the vocabulary-sized post-merge table: corpus-linear, no "
+    "per-document fold, no broadcast of a corpus-growing side (Catalyst "
+    "size-decides the vocab join).  compression_micro = chars/subword "
+    "floor-scaled — the metric tokenizer training tunes",
+)
+def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the freshly-learned BPE vocabulary back to the corpus:
+    (doc_id, n_words, n_subwords, compression_micro)."""
+    return bpe_subword_stats(load_table(spark, sf_dir, "documents"), k=8)
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

@@ -31,6 +31,12 @@ and the next fold (the kcenter multi-branch lineage lesson — without
 materialization round k re-evaluates all k-1 prior folds per branch).
 At 100 TB the vocabulary is millions of rows — megabytes of state per
 round, k scans of it, zero corpus re-reads.
+
+Applying the learned vocabulary (:func:`bpe_subword_stats`) needs no
+per-document fold at all: segmentation is per-WORD, so the post-merge
+vocabulary (word → subword count) joins back to per-document word
+multiplicities — a word-keyed join, the tokenizer-apply shape that
+scales as corpus × nothing.
 """
 
 from __future__ import annotations
@@ -55,13 +61,10 @@ _MERGE_FOLD = (
 )
 
 
-def bpe_merge_table(docs: DataFrame, k: int) -> DataFrame:
-    """Learn the first ``k`` BPE merges over the document corpus.
-
-    Returns ``(merge_rank, left_sym, right_sym, pair_count)`` — the
-    merge table in learned order, ``merge_rank`` 1-based.  See module
-    docstring for the exact variant semantics and the scale shape.
-    """
+def _learn(docs: DataFrame, k: int, fold_last: bool):
+    """Run ``k`` merge rounds; returns (merge-rows list, final words
+    state).  ``fold_last`` skips the last fold when only the merge table
+    is wanted (the table is known before the merge is applied)."""
     words = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -70,6 +73,7 @@ def bpe_merge_table(docs: DataFrame, k: int) -> DataFrame:
             # regexp_extract_all('.'), not split(word, ''): Java split
             # semantics can emit a trailing empty symbol, and the oracle
             # uses the regexp form — keep both engines on one function
+            "word",
             "cnt",
             F.regexp_extract_all(F.col("word"), F.lit("."), 0).alias("syms"),
         )
@@ -118,24 +122,70 @@ def bpe_merge_table(docs: DataFrame, k: int) -> DataFrame:
                 "pair_count",
             )
         )
-        if rank < k:
+        if rank < k or fold_last:
             words = (
                 words.crossJoin(F.broadcast(best))
-                .select("cnt", F.expr(_MERGE_FOLD).alias("syms"))
+                .select("word", "cnt", F.expr(_MERGE_FOLD).alias("syms"))
                 .localCheckpoint(eager=True)
             )
+    return out, words
+
+
+def bpe_merge_table(docs: DataFrame, k: int) -> DataFrame:
+    """Learn the first ``k`` BPE merges over the document corpus.
+
+    Returns ``(merge_rank, left_sym, right_sym, pair_count)`` — the
+    merge table in learned order, ``merge_rank`` 1-based.  See module
+    docstring for the exact variant semantics and the scale shape.
+    """
+    out, _ = _learn(docs, k, fold_last=False)
     res = out[0]
     for nxt in out[1:]:
         res = res.unionAll(nxt)
     return res
 
 
-def bpe_merge_table_sql(k: int) -> str:
-    """DuckDB oracle for :func:`bpe_merge_table` — the ``k`` rounds
-    unrolled into CTE stages.  The merge fold uses ``list_reduce`` over
-    singleton-lifted symbols (DuckDB's reduce seeds the accumulator with
-    the first element, so the lift makes accumulator and element types
-    agree)."""
+def bpe_subword_stats(docs: DataFrame, k: int) -> DataFrame:
+    """Tokenize every document under the ``k``-merge BPE vocabulary just
+    learned from the corpus — per-doc ``(doc_id, n_words, n_subwords,
+    compression_micro)`` where ``compression_micro`` is the floor-scaled
+    characters-per-subword ratio (the metric tokenizer training tunes).
+
+    No per-document fold: segmentation is per-word, so the post-merge
+    vocabulary carries ``size(syms)`` per word and the apply step is a
+    word-keyed join of per-doc word multiplicities — corpus-linear with
+    a vocabulary-sized build side.
+    """
+    _, vocab = _learn(docs, k, fold_last=True)
+    seg = vocab.select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_sub"),
+        F.length("word").cast("bigint").alias("n_chars"),
+    )
+    doc_words = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wcnt"))
+    )
+    return (
+        doc_words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("wcnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("wcnt") * F.col("n_sub"))
+            .cast("bigint")
+            .alias("n_subwords"),
+            F.expr(
+                "(1000000 * sum(wcnt * n_chars)) div sum(wcnt * n_sub)"
+            )
+            .cast("bigint")
+            .alias("compression_micro"),
+        )
+    )
+
+
+def _induction_ctes(k: int, fold_last: bool) -> list[str]:
+    """The shared DuckDB CTE chain replaying :func:`_learn` (w0 → wk)."""
     fold = (
         "list_reduce(list_transform(syms, s -> [s]), "
         "(acc, x) -> CASE WHEN acc[len(acc)] = m.mleft AND x[1] = m.mright "
@@ -144,12 +194,11 @@ def bpe_merge_table_sql(k: int) -> str:
     )
     parts = [
         "w0 AS (\n"
-        "      SELECT CAST(COUNT(*) AS BIGINT) AS cnt,\n"
+        "      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,\n"
         "             regexp_extract_all(word, '.') AS syms\n"
         f"      FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)\n"
         "      GROUP BY word)"
     ]
-    selects = []
     for r in range(1, k + 1):
         parts.append(
             f"p{r} AS (\n"
@@ -163,18 +212,58 @@ def bpe_merge_table_sql(k: int) -> str:
             f"m{r} AS (SELECT a AS mleft, b AS mright, pc AS pair_count\n"
             f"           FROM p{r} ORDER BY pc DESC, a, b LIMIT 1)"
         )
-        selects.append(
-            f"SELECT CAST({r} AS BIGINT) AS merge_rank, mleft AS left_sym,"
-            f" mright AS right_sym, pair_count FROM m{r}"
-        )
-        if r < k:
+        if r < k or fold_last:
             parts.append(
-                f"w{r} AS (SELECT cnt, {fold} AS syms\n"
+                f"w{r} AS (SELECT word, cnt, {fold} AS syms\n"
                 f"           FROM w{r - 1} CROSS JOIN m{r} m)"
             )
+    return parts
+
+
+def bpe_merge_table_sql(k: int) -> str:
+    """DuckDB oracle for :func:`bpe_merge_table` — the ``k`` rounds
+    unrolled into CTE stages.  The merge fold uses ``list_reduce`` over
+    singleton-lifted symbols (DuckDB's reduce seeds the accumulator with
+    the first element, so the lift makes accumulator and element types
+    agree)."""
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, mleft AS left_sym,"
+        f" mright AS right_sym, pair_count FROM m{r}"
+        for r in range(1, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(_induction_ctes(k, fold_last=False))
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+def bpe_subword_stats_sql(k: int) -> str:
+    """DuckDB oracle for :func:`bpe_subword_stats` — the induction chain
+    plus the word-keyed apply join."""
+    parts = _induction_ctes(k, fold_last=True)
+    parts.append(
+        f"seg AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub,\n"
+        f"           CAST(length(word) AS BIGINT) AS n_chars FROM w{k})"
+    )
+    parts.append(
+        "doc_words AS (\n"
+        "      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS wcnt\n"
+        f"      FROM (SELECT doc_id, unnest({_TOK_SQL}) AS word"
+        " FROM documents)\n"
+        "      GROUP BY 1, 2)"
+    )
     return (
         "WITH "
         + ",\n    ".join(parts)
-        + "\n    "
-        + "\n    UNION ALL ".join(selects)
+        + """
+    SELECT doc_id,
+           CAST(SUM(wcnt) AS BIGINT) AS n_words,
+           CAST(SUM(wcnt * n_sub) AS BIGINT) AS n_subwords,
+           CAST((1000000 * SUM(wcnt * n_chars)) // SUM(wcnt * n_sub)
+                AS BIGINT) AS compression_micro
+    FROM doc_words JOIN seg USING (word)
+    GROUP BY doc_id
+    """
     )

@@ -126,3 +126,21 @@ def test_bpe_merge_fold_is_left_to_right_non_overlapping(spark):
     assert rows[1]["pair_count"] == 9
     assert (rows[2]["left_sym"], rows[2]["right_sym"]) == ("aa", "aa")
     assert rows[2]["pair_count"] == 3
+
+
+def test_bpe_subword_stats_compression_improves_with_merges(spark):
+    """More merges can only shorten segmentations: under k=2 the 'abab'
+    corpus packs each word into fewer subwords than k=0-style char
+    counts, and compression_micro reflects exact chars/subwords."""
+    from killrweather_spark.functions.bpe import bpe_subword_stats
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in bpe_subword_stats(docs, k=2).collect()}
+    # doc 1: merges (a,b) then (ab,ab) -> 'abab'=1 subword x2, 'ab'=1
+    assert rows[1]["n_words"] == 3
+    assert rows[1]["n_subwords"] == 3
+    assert rows[1]["compression_micro"] == (10 * 1_000_000) // 3
+    assert rows[2]["n_subwords"] == 1
+    assert rows[2]["compression_micro"] == 4_000_000
