@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from killrweather_spark.functions.text import TOKEN_RE, tokens
+from killrweather_spark.plans.caching import persist_once
 
 SCALE_P = 1_000_000  # micro-units for smoothed bigram probabilities
 SCALE_R = 1_000_000  # micro-units for DSIR target/raw ratios
@@ -94,7 +95,9 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
     ``(doc_id, n_bigrams, mean_p_micro)``; docs with < 2 tokens carry
     no bigrams and drop out (both engines agree).
     """
-    doc_bg = _doc_bigrams(docs)
+    # doc_bg feeds both the model counts and the final scoring join —
+    # persist so the tokenize + pre-aggregation runs once per branch set
+    doc_bg = _doc_bigrams(docs).transform(persist_once)
     cbg = (
         doc_bg.groupBy("w1", "w2")
         .agg(F.sum("cnt").cast("bigint").alias("cbg"))
@@ -180,6 +183,8 @@ def dsir_weights(docs: DataFrame, target_source: str) -> DataFrame:
         )
         .groupBy("doc_id", "source", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # feeds raw counts, target counts, and the final scoring join
+        .transform(persist_once)
     )
     raw = doc_ug.groupBy("term").agg(F.sum("cnt").alias("c_r"))
     tgt = (
