@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from killrweather_spark.functions.text import TOKEN_RE, tokens
+from killrweather_spark.plans.caching import persist_once
 
 _TOK_SQL = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
 
@@ -61,15 +62,26 @@ _MERGE_FOLD = (
 )
 
 
-def _learn(docs: DataFrame, k: int, fold_last: bool):
-    """Run ``k`` merge rounds; returns (merge-rows list, final words
-    state).  ``fold_last`` skips the last fold when only the merge table
-    is wanted (the table is known before the merge is applied)."""
-    words = (
+def _word_counts(docs: DataFrame) -> DataFrame:
+    """``(word, cnt)`` — the one corpus-sized aggregation."""
+    return (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .select(
+    )
+
+
+def _learn(word_counts: DataFrame, k: int, fold_last: bool):
+    """Run ``k`` merge rounds over a ``(word, cnt)`` frame; returns
+    (merge-rows list, final words state).  ``fold_last`` skips the last
+    fold when only the merge table is wanted (the table is known before
+    the merge is applied).  A round whose corpus has no pairs left
+    yields a null merge row and the fold no-ops (NULL never equals the
+    accumulator tail) — the oracle mirrors both."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    words = (
+        word_counts.select(
             # regexp_extract_all('.'), not split(word, ''): Java split
             # semantics can emit a trailing empty symbol, and the oracle
             # uses the regexp form — keep both engines on one function
@@ -135,10 +147,11 @@ def bpe_merge_table(docs: DataFrame, k: int) -> DataFrame:
     """Learn the first ``k`` BPE merges over the document corpus.
 
     Returns ``(merge_rank, left_sym, right_sym, pair_count)`` — the
-    merge table in learned order, ``merge_rank`` 1-based.  See module
-    docstring for the exact variant semantics and the scale shape.
+    merge table in learned order, ``merge_rank`` 1-based; rounds past
+    merge exhaustion carry nulls.  See module docstring for the exact
+    variant semantics and the scale shape.
     """
-    out, _ = _learn(docs, k, fold_last=False)
+    out, _ = _learn(_word_counts(docs), k, fold_last=False)
     res = out[0]
     for nxt in out[1:]:
         res = res.unionAll(nxt)
@@ -154,18 +167,24 @@ def bpe_subword_stats(docs: DataFrame, k: int) -> DataFrame:
     No per-document fold: segmentation is per-word, so the post-merge
     vocabulary carries ``size(syms)`` per word and the apply step is a
     word-keyed join of per-doc word multiplicities — corpus-linear with
-    a vocabulary-sized build side.
+    a vocabulary-sized build side.  The corpus is tokenized ONCE: the
+    persisted ``doc_words`` rollup both feeds the apply join and rolls
+    up to the induction's ``(word, cnt)`` input.
     """
-    _, vocab = _learn(docs, k, fold_last=True)
-    seg = vocab.select(
-        "word",
-        F.size("syms").cast("bigint").alias("n_sub"),
-        F.length("word").cast("bigint").alias("n_chars"),
-    )
     doc_words = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wcnt"))
+        .transform(persist_once)
+    )
+    wc = doc_words.groupBy("word").agg(
+        F.sum("wcnt").cast("bigint").alias("cnt")
+    )
+    _, vocab = _learn(wc, k, fold_last=True)
+    seg = vocab.select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_sub"),
+        F.length("word").cast("bigint").alias("n_chars"),
     )
     return (
         doc_words.join(seg, "word")
@@ -184,21 +203,40 @@ def bpe_subword_stats(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _induction_ctes(k: int, fold_last: bool) -> list[str]:
-    """The shared DuckDB CTE chain replaying :func:`_learn` (w0 → wk)."""
+def _induction_ctes(k: int, fold_last: bool, w0_from: str | None = None) -> list[str]:
+    """The shared DuckDB CTE chain replaying :func:`_learn` (w0 → wk).
+
+    ``m{r}`` always yields exactly one row: the winning pair, or an
+    all-null row once the corpus has no pairs left — matching Spark's
+    global-aggregate-over-empty behavior so the fold no-ops instead of
+    the CROSS JOIN annihilating the vocabulary.  ``w0_from`` names a
+    pre-defined ``(doc_id, word, wcnt)`` CTE to roll up instead of
+    re-tokenizing documents (the stats oracle's single-tokenize shape).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     fold = (
         "list_reduce(list_transform(syms, s -> [s]), "
         "(acc, x) -> CASE WHEN acc[len(acc)] = m.mleft AND x[1] = m.mright "
         "THEN list_append(acc[1:len(acc) - 1], m.mleft || m.mright) "
         "ELSE list_append(acc, x[1]) END)"
     )
-    parts = [
-        "w0 AS (\n"
-        "      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,\n"
-        "             regexp_extract_all(word, '.') AS syms\n"
-        f"      FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)\n"
-        "      GROUP BY word)"
-    ]
+    if w0_from is None:
+        parts = [
+            "w0 AS (\n"
+            "      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,\n"
+            "             regexp_extract_all(word, '.') AS syms\n"
+            f"      FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)\n"
+            "      GROUP BY word)"
+        ]
+    else:
+        parts = [
+            "w0 AS (\n"
+            "      SELECT word, CAST(SUM(wcnt) AS BIGINT) AS cnt,\n"
+            "             regexp_extract_all(word, '.') AS syms\n"
+            f"      FROM {w0_from}\n"
+            "      GROUP BY word)"
+        ]
     for r in range(1, k + 1):
         parts.append(
             f"p{r} AS (\n"
@@ -209,8 +247,19 @@ def _induction_ctes(k: int, fold_last: bool) -> list[str]:
             "      GROUP BY 1, 2)"
         )
         parts.append(
-            f"m{r} AS (SELECT a AS mleft, b AS mright, pc AS pair_count\n"
-            f"           FROM p{r} ORDER BY pc DESC, a, b LIMIT 1)"
+            # a global MIN over a (-pc, a, b) struct, NOT an ORDER BY /
+            # LIMIT 1: (a) it yields exactly one row — all-null once the
+            # corpus has no pairs left — mirroring Spark's
+            # aggregate-over-empty so the fold no-ops instead of an empty
+            # CROSS JOIN annihilating the vocabulary, and (b) it
+            # references p{r} ONCE (a second reference, e.g. a NOT
+            # EXISTS fallback branch, makes DuckDB inline the whole
+            # upstream chain twice per round — 2^k blowup)
+            f"m{r} AS (\n"
+            "      SELECT s['a'] AS mleft, s['b'] AS mright,\n"
+            "             CAST(-s['npc'] AS BIGINT) AS pair_count\n"
+            "      FROM (SELECT MIN({'npc': -pc, 'a': a, 'b': b}) AS s"
+            f" FROM p{r}))"
         )
         if r < k or fold_last:
             parts.append(
@@ -241,18 +290,19 @@ def bpe_merge_table_sql(k: int) -> str:
 
 def bpe_subword_stats_sql(k: int) -> str:
     """DuckDB oracle for :func:`bpe_subword_stats` — the induction chain
-    plus the word-keyed apply join."""
-    parts = _induction_ctes(k, fold_last=True)
-    parts.append(
-        f"seg AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub,\n"
-        f"           CAST(length(word) AS BIGINT) AS n_chars FROM w{k})"
-    )
-    parts.append(
+    (rolled up from the shared ``doc_words`` CTE, tokenizing once like
+    the Spark side) plus the word-keyed apply join."""
+    parts = [
         "doc_words AS (\n"
         "      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS wcnt\n"
         f"      FROM (SELECT doc_id, unnest({_TOK_SQL}) AS word"
         " FROM documents)\n"
         "      GROUP BY 1, 2)"
+    ]
+    parts += _induction_ctes(k, fold_last=True, w0_from="doc_words")
+    parts.append(
+        f"seg AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub,\n"
+        f"           CAST(length(word) AS BIGINT) AS n_chars FROM w{k})"
     )
     return (
         "WITH "

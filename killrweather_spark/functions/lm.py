@@ -27,7 +27,11 @@ rationals in `ln` and sum — one float op per n-gram type.)
 
 Scale shape (both functions):
 
-1. tokenize once (``text.py:tokens``, shared regex) — a narrow map;
+1. tokenize in narrow maps (``text.py:tokens``, shared regex) — the
+   per-doc n-gram rollup is persisted so multi-branch consumers share
+   one pass; ``bigram_lm_scores``'s vocabulary count is a second narrow
+   scan (cheaper than persisting the raw token projection it would
+   share);
 2. n-gram count tables reduce to VOCABULARY-sized frames, shuffled on
    the n-gram key with map-side partial aggregation;
 3. per-document n-gram occurrences pre-aggregate to
@@ -229,6 +233,7 @@ def dsir_weights(docs: DataFrame, target_source: str) -> DataFrame:
 def dsir_weights_sql(target_source: str) -> str:
     """DuckDB oracle for :func:`dsir_weights` — same smoothed-ratio
     integer arithmetic."""
+    target_source = target_source.replace("'", "''")
     return f"""
     WITH doc_ug AS (
       SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS cnt

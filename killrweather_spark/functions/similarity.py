@@ -1271,13 +1271,21 @@ def power_iteration_top_pc(
     direction.
     """
     spark = df.sparkSession
-    qdf = df.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * PC_PSCALE).cast("bigint"),
-        ).alias("qv"),
-    ).transform(persist_once)
+    # ragged vectors are EXCLUDED, not silently zeroed: a row shorter than
+    # dim would null-pad through zip_with and vanish from every sum while
+    # a relational replay would keep its partial components — filtering
+    # is the one semantics both plans state identically
+    qdf = (
+        df.filter(F.size(F.col(vec_col)) == dim)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * PC_PSCALE).cast("bigint"),
+            ).alias("qv"),
+        )
+        .transform(persist_once)
+    )
     v = spark.range(1).select(
         F.expr(
             f"transform(sequence(1, {dim}), "
@@ -1338,7 +1346,8 @@ def power_iteration_top_pc_sql(dim: int, iters: int = 4) -> str:
         f"             CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * {PC_PSCALE})"
         " AS BIGINT) AS q\n"
         "      FROM embeddings e,\n"
-        "           unnest(generate_series(1, len(e.embedding))) AS i(i))",
+        "           unnest(generate_series(1, len(e.embedding))) AS i(i)\n"
+        f"      WHERE len(e.embedding) = {dim})",
         f"v0 AS (SELECT i.i AS pos, CAST({PC_VSCALE} AS BIGINT) AS v\n"
         f"           FROM unnest(generate_series(1, {dim})) AS i(i))",
     ]

@@ -144,3 +144,78 @@ def test_bpe_subword_stats_compression_improves_with_merges(spark):
     assert rows[1]["compression_micro"] == (10 * 1_000_000) // 3
     assert rows[2]["n_subwords"] == 1
     assert rows[2]["compression_micro"] == 4_000_000
+
+
+def test_bpe_merge_exhaustion_stays_oracle_exact(spark, tmp_path):
+    """A corpus supporting fewer merges than k: rounds past exhaustion
+    must yield null merge rows on BOTH engines (the oracle's m-CTE emits
+    an explicit null row instead of letting an empty CROSS JOIN
+    annihilate the vocabulary) and the subword stats must survive."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from killrweather_spark.functions.bpe import (
+        bpe_merge_table,
+        bpe_merge_table_sql,
+        bpe_subword_stats,
+        bpe_subword_stats_sql,
+    )
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["ab ab", "ab"]),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+
+    got = {r["merge_rank"]: r for r in bpe_merge_table(docs, k=3).collect()}
+    want = {r[0]: r for r in con.execute(bpe_merge_table_sql(3)).fetchall()}
+    assert set(got) == {1, 2, 3} == set(want)
+    assert (got[1]["left_sym"], got[1]["right_sym"]) == ("a", "b")
+    for rank in (2, 3):  # exhausted rounds: null on both engines
+        assert got[rank]["left_sym"] is None and want[rank][1] is None
+
+    stats = {r["doc_id"]: r for r in bpe_subword_stats(docs, k=3).collect()}
+    ostats = {r[0]: r for r in con.execute(bpe_subword_stats_sql(3)).fetchall()}
+    assert stats[1]["n_subwords"] == 2 == ostats[1][2]
+    assert stats[2]["n_subwords"] == 1 == ostats[2][2]
+
+
+def test_bpe_rejects_nonpositive_k(spark):
+    import pytest as _pytest
+
+    from killrweather_spark.functions.bpe import (
+        bpe_merge_table,
+        bpe_merge_table_sql,
+    )
+
+    docs = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        bpe_merge_table(docs, k=0)
+    with _pytest.raises(ValueError):
+        bpe_merge_table_sql(0)
+
+
+def test_power_iteration_excludes_ragged_vectors(spark):
+    """A vector whose length differs from dim must be filtered on both
+    engines, not silently null-padded out of sums (Spark) while keeping
+    partial components (oracle)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0]), (2, [9.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["pos"]: r["v_scaled"]
+        for r in power_iteration_top_pc(emb, dim=2, iters=2).collect()
+    }
+    assert set(out) == {1, 2}
+    # symmetric corpus after the ragged row is dropped: equal components
+    assert out[1] == out[2] != 0
