@@ -102,6 +102,7 @@ HEADLINE = [
     "embedding_top_pc",                 # power-iteration top principal dir
     "bpe_merge_table",                  # on-cluster BPE tokenizer induction
     "bpe_subword_stats",                # tokenizer apply: word-keyed join
+    "curation_pipeline_report",         # end-to-end curation funnel
 ]
 
 

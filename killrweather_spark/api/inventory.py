@@ -8802,6 +8802,88 @@ def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_subword_stats(load_table(spark, sf_dir, "documents"), k=8)
 
 
+@register(
+    "curation_pipeline_report",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 10 = 0 THEN 1
+                  WHEN lang = 'zh' THEN 2
+                  WHEN n_chars < 100
+                       OR len(string_split(text, ' ')) < 20 THEN 3
+             END AS row_fail
+      FROM documents
+    ),
+    surv3 AS (SELECT doc_id, text FROM base WHERE row_fail IS NULL),
+    r1 AS (SELECT doc_id, text,
+                  row_number() OVER (PARTITION BY md5(lower(text))
+                                     ORDER BY doc_id) AS rn1
+           FROM surv3),
+    surv4 AS (SELECT doc_id, text FROM r1 WHERE rn1 = 1),
+    r2 AS (SELECT doc_id, text,
+                  row_number() OVER (PARTITION BY
+                                     md5(substr(lower(text), 1, 120))
+                                     ORDER BY doc_id) AS rn2
+           FROM surv4),
+    surv5 AS (SELECT doc_id, text FROM r2 WHERE rn2 = 1),
+    eg AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 10 = 0) s,
+           UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM surv5) s,
+           UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ),
+    contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram)),
+    lab AS (
+      SELECT COALESCE(b.row_fail,
+                      CASE WHEN r1.rn1 > 1 THEN 4 END,
+                      CASE WHEN r2.rn2 > 1 THEN 5 END,
+                      CASE WHEN c.doc_id IS NOT NULL THEN 6 END,
+                      7) AS stage
+      FROM base b
+      LEFT JOIN r1 ON b.doc_id = r1.doc_id
+      LEFT JOIN r2 ON b.doc_id = r2.doc_id
+      LEFT JOIN contam c ON b.doc_id = c.doc_id
+    ),
+    hist AS (SELECT stage, CAST(COUNT(*) AS BIGINT) AS n
+             FROM lab GROUP BY stage),
+    stages AS (SELECT * FROM (VALUES
+      (1, 'eval_holdout'), (2, 'lang_gate'), (3, 'quality_gate'),
+      (4, 'exact_dup'), (5, 'prefix_dup'), (6, 'contaminated'),
+      (7, 'kept')) AS v(stage, stage_name)),
+    j AS (SELECT s.stage, s.stage_name, COALESCE(h.n, 0) AS n
+          FROM stages s LEFT JOIN hist h ON s.stage = h.stage)
+    SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+           CAST((SELECT SUM(n) FROM j)
+                - COALESCE(SUM(n) OVER (ORDER BY stage
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS docs_in,
+           CAST(CASE WHEN stage = 7 THEN 0 ELSE n END AS BIGINT)
+               AS docs_dropped
+    FROM j
+    """,
+    survey_ref="beyond-ref curation capstone: the end-to-end pipeline "
+    "funnel (curation.py:curation_pipeline_report) — holdout → language "
+    "→ quality → exact dedup → prefix near-dup → decontamination, every "
+    "document attributed to its FIRST dropping stage, docs_in "
+    "telescoping stage to stage.  Composes the row-local gates "
+    "(filter_funnel shape), the non-row-local dedup ranks (digest-keyed "
+    "windows over shrinking survivor sets, min-doc_id representative) "
+    "and decontaminate's broadcast eval-gram probe into one "
+    "oracle-replayed report — the datasheet a production curation run "
+    "publishes",
+)
+def q_curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage drop accounting for the full curation pipeline; 7 rows."""
+    from killrweather_spark.functions.curation import curation_pipeline_report
+
+    return curation_pipeline_report(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------
@@ -8874,9 +8956,11 @@ DRIVER_WINDOW = [
     "new_batch_dup_screen",        # round-2 flagship: incremental crawl screen
     "semantic_dup_candidates",     # round-2 flagship: SemDeDup w/ cluster cap
     # text analysis family
-    "text_quality",
-    "doc_fingerprint",             # r06: lang_id / token_counts rotate to
-                                   # oracle-pytest (4 rounds driver-green)
+    "text_quality",                # r06 late: doc_fingerprint rotates to
+                                   # oracle-pytest too (lang_id/token_counts
+                                   # rotated earlier; the fingerprint stays
+                                   # exercised via new_batch_dup_screen's
+                                   # winnowing path in-window)
     "decontaminate_ngrams",        # decontamination family had no driver row
     # ANN / similarity family (r05: ann_lsh_cosine rotates to oracle-pytest
     # — semantic_eval_screen_lsh demonstrates the same hyperplane machinery
@@ -8913,6 +8997,7 @@ DRIVER_WINDOW = [
     "bigram_lm_quality",           # corpus-trained bigram LM fluency scores
     "dsir_importance_weights",     # DSIR target-domain importance weights
     "embedding_top_pc",            # power-iteration top principal direction
+    "curation_pipeline_report",    # end-to-end curation funnel capstone
 ]
 
 

@@ -638,3 +638,117 @@ def dedup_keep_list(
     return df.join(
         F.broadcast(components).withColumnRenamed("node", id_col), id_col, "left"
     ).withColumn("representative", F.coalesce(F.col("component"), F.col(id_col)))
+
+
+PIPELINE_STAGES = [
+    "eval_holdout",   # 1 — held-out eval slice (doc_id % 10 = 0)
+    "lang_gate",      # 2 — out-of-scope language
+    "quality_gate",   # 3 — too short (chars or whitespace tokens)
+    "exact_dup",      # 4 — exact-text duplicate (md5, keep min doc_id)
+    "prefix_dup",     # 5 — shared 120-char prefix (boilerplate near-dup)
+    "contaminated",   # 6 — word-8-gram overlap with the eval slice
+    "kept",           # 7 — survives the whole pipeline
+]
+
+
+def curation_pipeline_report(docs: DataFrame) -> DataFrame:
+    """The end-to-end curation funnel report: every document is
+    attributed to the FIRST pipeline stage that drops it — holdout →
+    language → quality → exact dedup → prefix near-dup →
+    decontamination — and the report rows carry ``(stage, stage_name,
+    docs_in, docs_dropped)`` with ``docs_in`` telescoping (stage s's
+    input is stage s-1's survivors; the ``kept`` row drops nothing).
+    This is the per-stage datasheet a production 100 TB curation run
+    publishes next to :func:`filter_funnel`'s row-local gates — here the
+    stages include the NON-row-local ones (dedup ranks among survivors,
+    eval-gram contamination).
+
+    Determinism: dedup representatives are min-doc_id within an md5
+    digest group (row_number over a unique orderBy), contamination
+    reuses :func:`killrweather_spark.functions.dedup.decontaminate`'s
+    exact gram semantics — every stage oracle-replays.
+
+    Scale: one corpus pass computes the row-local stages; the two dedup
+    stages are digest-keyed window shuffles over shrinking survivor
+    sets; contamination is the decontaminate broadcast-vocabulary probe;
+    the final attribution joins are all doc_id-keyed.  Nothing holds
+    more than survivor-set state; the report itself is 7 rows.
+    """
+    from killrweather_spark.functions.dedup import decontaminate
+    from killrweather_spark.plans.caching import persist_once
+
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, 1)
+        .when(F.col("lang") == "zh", 2)
+        .when(
+            (F.col("n_chars") < 100)
+            | (F.size(F.split(F.col("text"), " ")) < 20),
+            3,
+        )
+        .alias("row_fail"),
+    ).transform(persist_once)
+    surv3 = base.filter(F.col("row_fail").isNull())
+    w1 = Window.partitionBy(F.md5(F.lower(F.col("text")))).orderBy("doc_id")
+    r1 = surv3.withColumn("rn1", F.row_number().over(w1)).transform(
+        persist_once
+    )
+    surv4 = r1.filter(F.col("rn1") == 1)
+    w2 = Window.partitionBy(
+        F.md5(F.substring(F.lower(F.col("text")), 1, 120))
+    ).orderBy("doc_id")
+    r2 = surv4.withColumn("rn2", F.row_number().over(w2)).transform(
+        persist_once
+    )
+    surv5 = r2.filter(F.col("rn2") == 1)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    contam_ids = decontaminate(surv5, ev, "text", "doc_id", n=8).select(
+        "doc_id", F.lit(1).alias("contam")
+    )
+    lab = (
+        base.join(r1.select("doc_id", "rn1"), "doc_id", "left")
+        .join(r2.select("doc_id", "rn2"), "doc_id", "left")
+        .join(contam_ids, "doc_id", "left")
+        .select(
+            F.coalesce(
+                F.col("row_fail"),
+                F.when(F.col("rn1") > 1, 4),
+                F.when(F.col("rn2") > 1, 5),
+                F.when(F.col("contam") == 1, 6),
+                F.lit(7),
+            ).alias("stage")
+        )
+    )
+    hist = lab.groupBy("stage").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    names = F.array(*[F.lit(s) for s in PIPELINE_STAGES])
+    stages = (
+        docs.sparkSession.range(1, len(PIPELINE_STAGES) + 1)
+        .select(F.col("id").cast("bigint").alias("stage"))
+        .withColumn("stage_name", F.element_at(names, F.col("stage").cast("int")))
+    )
+    j = stages.join(hist, "stage", "left").select(
+        "stage", "stage_name", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    wcum = (
+        Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    total = j.agg(F.sum("n").alias("total"))
+    return (
+        j.withColumn(
+            "dropped_before", F.coalesce(F.sum("n").over(wcum), F.lit(0))
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "stage_name",
+            (F.col("total") - F.col("dropped_before"))
+            .cast("bigint")
+            .alias("docs_in"),
+            F.when(F.col("stage") == len(PIPELINE_STAGES), F.lit(0))
+            .otherwise(F.col("n"))
+            .cast("bigint")
+            .alias("docs_dropped"),
+        )
+    )

@@ -925,3 +925,46 @@ def test_banded_screen_trades_candidates_for_recall(spark):
             assert r.cosine >= 0.35
     # the recall dial points the right way at the borderline threshold
     assert len(banded) > len(h1), (len(banded), len(h1))
+
+
+def test_curation_pipeline_report_attributes_first_failure(spark):
+    """Crafted corpus where every stage fires exactly once, asserting
+    first-failure attribution and telescoping docs_in."""
+    from killrweather_spark.functions.curation import curation_pipeline_report
+
+    long_en = "the quick brown fox jumps over the lazy dog again and " * 5
+    # doc 10 -> eval holdout (also exactly duplicates doc 1 — holdout wins);
+    # doc 2 -> zh lang gate; doc 3 -> too short; doc 4 exact-dups doc 1;
+    # doc 5 shares doc 1's 120-char prefix with a distinct tail;
+    # doc 6 contains an eval 8-gram; doc 7 is clean and kept.
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota " * 6
+    rows = [
+        (10, long_en, "en"),
+        (2, long_en, "zh"),
+        (3, "short text", "en"),
+        (1, long_en, "en"),
+        (4, long_en, "en"),
+        (5, long_en + " completely different tail content here", "en"),
+        (6, "x " * 30 + "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        (7, "entirely novel words " + " ".join(f"w{i}" for i in range(30)), "en"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lang, len(t)) for i, t, lang in rows],
+        ["doc_id", "text", "lang", "n_chars"],
+    )
+    rep = {
+        r["stage_name"]: r
+        for r in curation_pipeline_report(docs).collect()
+    }
+    assert rep["eval_holdout"]["docs_dropped"] == 1      # doc 10
+    assert rep["lang_gate"]["docs_dropped"] == 1         # doc 2
+    assert rep["quality_gate"]["docs_dropped"] == 1      # doc 3
+    assert rep["exact_dup"]["docs_dropped"] == 1         # doc 4 (1 kept)
+    assert rep["prefix_dup"]["docs_dropped"] == 1        # doc 5
+    assert rep["contaminated"]["docs_dropped"] == 1      # doc 6
+    assert rep["kept"]["docs_in"] == 2                   # docs 1 and 7
+    assert rep["kept"]["docs_dropped"] == 0
+    # telescoping: every stage's docs_in = previous docs_in - dropped
+    ordered = sorted(rep.values(), key=lambda r: r["stage"])
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur["docs_in"] == prev["docs_in"] - prev["docs_dropped"]
