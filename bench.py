@@ -103,6 +103,7 @@ HEADLINE = [
     "bpe_merge_table",                  # on-cluster BPE tokenizer induction
     "bpe_subword_stats",                # tokenizer apply: word-keyed join
     "curation_pipeline_report",         # end-to-end curation funnel
+    "perceptron_domain_curve",          # integer batch-perceptron training
 ]
 
 

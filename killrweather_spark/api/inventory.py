@@ -8802,6 +8802,33 @@ def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_subword_stats(load_table(spark, sf_dir, "documents"), k=8)
 
 
+from killrweather_spark.functions.lm import (  # noqa: E402
+    perceptron_domain_classifier,
+    perceptron_domain_classifier_sql,
+)
+
+
+@register(
+    "perceptron_domain_curve",
+    perceptron_domain_classifier_sql("src0", epochs=3),
+    survey_ref="beyond-ref quality-classifier training: integer batch "
+    "perceptron separating the src0 domain "
+    "(lm.py:perceptron_domain_classifier) — the fastText-style domain/"
+    "quality classifier of LLM pipelines in a deterministic form: md5 "
+    "hashed-count features, w ← w + Σ_misclassified y·x batch updates "
+    "from w = 0 (no learning rate, no shuffle-order nondeterminism), "
+    "training curve oracle-replayed epoch-for-epoch.  Features "
+    "repartition by doc_id once so every epoch's margin aggregation is "
+    "exchange-free; weights are 256 broadcast rows",
+)
+def q_perceptron_domain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 batch-perceptron epochs toward the src0 domain + a final
+    scoring row: (epoch, n_train, n_misclassified, error_micro)."""
+    return perceptron_domain_classifier(
+        load_table(spark, sf_dir, "documents"), "src0", epochs=3
+    )
+
+
 @register(
     "curation_pipeline_report",
     """

@@ -263,3 +263,176 @@ def dsir_weights_sql(target_source: str) -> str:
     FROM doc_ug JOIN rtable USING (term)
     GROUP BY doc_id
     """
+
+
+PERC_BUCKETS = 256  # hashed feature dimensionality (md5-derived, no seeds)
+
+
+def perceptron_domain_classifier(
+    docs: DataFrame, target_source: str, epochs: int = 3
+) -> DataFrame:
+    """Train an integer batch perceptron separating the target domain —
+    the fastText-style quality/domain classifier of LLM data pipelines
+    (CCNet, LLaMA filtering), reduced to a form a DuckDB oracle replays
+    bit-for-bit: hashed token-count features (md5 → ``PERC_BUCKETS``
+    buckets, no RNG), labels ``y = ±1`` by source, and the BATCH update
+    ``w ← w + Σ_misclassified y·x`` (all integers; a doc is misclassified
+    when ``y·(w·x) ≤ 0``).  Starting from w = 0, every epoch is exactly
+    determined — no learning-rate or shuffle-order nondeterminism.
+
+    Returns the training curve: one row per epoch ``(epoch, n_train,
+    n_misclassified, error_micro)`` where row e reports errors under the
+    weights BEFORE epoch e's update, plus a final row (``epochs + 1``)
+    scoring the finished weights.  A shrinking error column IS the
+    classifier learning the domain; downstream filtering applies
+    ``sign(w·x)`` with the final weights.
+
+    Scale: features pre-aggregate to ``(doc_id, y, bucket, cnt)`` and are
+    REPARTITIONED BY doc_id once and persisted — every epoch's margin
+    aggregation then groups on the partitioning key with no exchange;
+    the weight table is ``PERC_BUCKETS`` rows (broadcast by
+    construction) and each update is a bucket-keyed partial aggregation
+    of misclassified rows only.  Per epoch: one broadcast, one
+    exchange-free margin agg, one bucket-sized update shuffle.
+    """
+    feats = (
+        docs.select(
+            "doc_id",
+            F.when(F.col("source") == target_source, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("y"),
+            F.explode(tokens(F.col("text"))).alias("term"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            (
+                F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+                .cast("bigint")
+                % PERC_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .repartition("doc_id")
+        .transform(persist_once)
+    )
+    ntr = feats.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_train")
+    ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    w = spark.range(PERC_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bucket"),
+        F.lit(0).cast("bigint").alias("w"),
+    )
+    out = []
+    for epoch in range(1, epochs + 2):
+        margins = (
+            feats.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("cnt") * F.col("w")).alias("m"))
+        )
+        mis = margins.filter(F.col("y") * F.col("m") <= 0).select(
+            "doc_id", F.col("y").alias("my")
+        )
+        if epoch <= epochs:
+            # the misclassified set feeds BOTH the curve row and the
+            # update join — materialize it once (kcenter lineage rule)
+            mis = mis.localCheckpoint(eager=True)
+        out.append(
+            mis.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_misclassified")
+            )
+            .crossJoin(F.broadcast(ntr))
+            .select(
+                F.lit(epoch).cast("bigint").alias("epoch"),
+                "n_train",
+                "n_misclassified",
+                F.expr(
+                    "(1000000 * n_misclassified) div greatest(n_train, 1)"
+                )
+                .cast("bigint")
+                .alias("error_micro"),
+            )
+        )
+        if epoch <= epochs:
+            upd = (
+                mis.join(feats, "doc_id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("my") * F.col("cnt")).alias("u"))
+            )
+            w = (
+                w.join(upd, "bucket", "left")
+                .select(
+                    "bucket",
+                    (F.col("w") + F.coalesce(F.col("u"), F.lit(0)))
+                    .cast("bigint")
+                    .alias("w"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    res = out[0]
+    for nxt in out[1:]:
+        res = res.unionAll(nxt)
+    return res
+
+
+def perceptron_domain_classifier_sql(
+    target_source: str, epochs: int = 3
+) -> str:
+    """DuckDB oracle for :func:`perceptron_domain_classifier` — the
+    epochs unrolled into CTE stages over the identical md5 bucketing and
+    integer batch updates."""
+    target_source = target_source.replace("'", "''")
+    parts = [
+        f"""feats AS (
+      SELECT doc_id, y, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id,
+                   CASE WHEN source = '{target_source}' THEN 1 ELSE -1 END AS y,
+                   ('0x' || substr(md5(term), 1, 8))::BIGINT % {PERC_BUCKETS}
+                     AS bucket
+            FROM (SELECT doc_id, source, unnest({_TOK_SQL}) AS term
+                  FROM documents))
+      GROUP BY 1, 2, 3)""",
+        "ntr AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n"
+        " FROM feats)",
+        f"w0 AS (SELECT i.i AS bucket, CAST(0 AS BIGINT) AS w\n"
+        f"           FROM unnest(generate_series(0, {PERC_BUCKETS - 1}))"
+        " AS i(i))",
+    ]
+    selects = []
+    for e in range(1, epochs + 2):
+        parts.append(
+            f"m{e} AS (SELECT f.doc_id, f.y,"
+            " CAST(SUM(f.cnt * w.w) AS BIGINT) AS m\n"
+            f"           FROM feats f JOIN w{e - 1} w USING (bucket)"
+            " GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"mis{e} AS (SELECT doc_id, y AS my FROM m{e} WHERE y * m <= 0)"
+        )
+        selects.append(
+            f"SELECT CAST({e} AS BIGINT) AS epoch, n AS n_train,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM mis{e})"
+            " AS n_misclassified,"
+            f" CAST((1000000 * (SELECT COUNT(*) FROM mis{e}))"
+            " // GREATEST(n, 1) AS BIGINT) AS error_micro FROM ntr"
+        )
+        if e <= epochs:
+            parts.append(
+                f"u{e} AS (SELECT f.bucket,"
+                " CAST(SUM(s.my * f.cnt) AS BIGINT) AS u\n"
+                f"           FROM mis{e} s JOIN feats f USING (doc_id)"
+                " GROUP BY 1)"
+            )
+            parts.append(
+                f"w{e} AS (SELECT w.bucket,"
+                " CAST(w.w + COALESCE(u.u, 0) AS BIGINT) AS w\n"
+                f"           FROM w{e - 1} w LEFT JOIN u{e} u USING (bucket))"
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )

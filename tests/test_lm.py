@@ -219,3 +219,24 @@ def test_power_iteration_excludes_ragged_vectors(spark):
     assert set(out) == {1, 2}
     # symmetric corpus after the ragged row is dropped: equal components
     assert out[1] == out[2] != 0
+
+
+def test_perceptron_separates_a_separable_corpus(spark):
+    """Disjoint vocabularies are linearly separable in hashed-count
+    space: the batch perceptron must reach zero training error and the
+    curve must be non-increasing after the w=0 epoch."""
+    from killrweather_spark.functions.lm import perceptron_domain_classifier
+
+    rows = [(i, "alpha beta gamma " * 4, "src0") for i in range(5)] + [
+        (10 + i, "delta epsilon zeta " * 4, "srcX") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    curve = {
+        r["epoch"]: r
+        for r in perceptron_domain_classifier(docs, "src0", epochs=3).collect()
+    }
+    assert curve[1]["n_misclassified"] == 10  # w = 0: everything fails
+    assert curve[4]["n_misclassified"] == 0   # separable -> solved
+    errs = [curve[e]["n_misclassified"] for e in (2, 3, 4)]
+    assert errs == sorted(errs, reverse=True)
+    assert curve[1]["error_micro"] == 1_000_000
