@@ -104,6 +104,7 @@ HEADLINE = [
     "bpe_subword_stats",                # tokenizer apply: word-keyed join
     "curation_pipeline_report",         # end-to-end curation funnel
     "perceptron_domain_curve",          # integer batch-perceptron training
+    "semantic_eval_screen_fixed",       # exact screen, production eval regime
 ]
 
 

@@ -2616,13 +2616,19 @@ def q_training_order_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The exact dense screen's oracle — shared verbatim by the JVM-kernel and
 # Arrow/numpy-kernel registrations below (same quantization, same operand
 # order in the cosine division, same tiebreak ⇒ identical values).
-_EXACT_SCREEN_SQL = f"""
+def _exact_screen_sql(eval_pred: str = "vec_id % 10 = 0") -> str:
+    """The exact-screen oracle with the eval-set predicate pluggable:
+    train is always NOT-eval, so a FIXED eval definition automatically
+    reclassifies out-of-window would-be evals as train (the production
+    regime where the corpus grows but the eval suite doesn't)."""
+    return f"""
     WITH {_EMB_COMP_NRM_SQL},
     dots AS (
       SELECT t.vec_id AS train_id, e.vec_id AS eval_id, SUM(t.q * e.q) AS dot
       FROM comp t
       JOIN comp e ON t.pos = e.pos
-                 AND t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
+                 AND NOT ({eval_pred.replace("vec_id", "t.vec_id")})
+                 AND ({eval_pred.replace("vec_id", "e.vec_id")})
       GROUP BY 1, 2
     ),
     sims AS (
@@ -2637,6 +2643,9 @@ _EXACT_SCREEN_SQL = f"""
     QUALIFY ROW_NUMBER() OVER (PARTITION BY train_id
                                ORDER BY cosine DESC, eval_id) = 1
     """
+
+
+_EXACT_SCREEN_SQL = _exact_screen_sql()
 
 
 @register(
@@ -2682,6 +2691,33 @@ def q_semantic_eval_screen_vectorized(
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_screen_vectorized(emb, lambda c: c % 10 == 0,
                                       threshold=_SCREEN_THRESHOLD)
+
+
+@register(
+    "semantic_eval_screen_fixed",
+    _exact_screen_sql("(vec_id % 10 = 0 AND vec_id < 2000)"),
+    survey_ref="beyond-ref decontamination: the exact screen under the "
+    "PRODUCTION eval regime — the eval set is pinned to an absolute id "
+    "window (vec_id %% 10 = 0 AND < 2000: the bench-SF eval slice) so "
+    "derived-dataset growth adds TRAIN rows only, never eval rows.  "
+    "Identical to semantic_eval_screen at sf0.1 by construction; at the "
+    "sf1 leg it is the recorded evidence that the map-only screen "
+    "scales linearly in the corpus when the eval suite is fixed (the "
+    "grown-eval variants' 20-41x is pair-product growth from the "
+    "derivation growing BOTH sides — a dataset artifact, measured here "
+    "rather than argued)",
+)
+def q_semantic_eval_screen_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact screen with a FIXED eval set: out-of-window would-be evals
+    reclassify as train, matching the oracle's NOT-eval train side."""
+    from killrweather_spark.functions.similarity import semantic_screen
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_screen(
+        emb,
+        lambda c: (c % 10 == 0) & (c < 2000),
+        threshold=_SCREEN_THRESHOLD,
+    )
 
 
 @register(
