@@ -2621,14 +2621,21 @@ def _exact_screen_sql(eval_pred: str = "vec_id % 10 = 0") -> str:
     train is always NOT-eval, so a FIXED eval definition automatically
     reclassifies out-of-window would-be evals as train (the production
     regime where the corpus grows but the eval suite doesn't)."""
+    import re as _re
+
+    def _aliased(alias: str) -> str:
+        # word-boundary substitution: a future predicate mentioning e.g.
+        # src_vec_id must not get an alias spliced into the wrong token
+        return _re.sub(r"\bvec_id\b", f"{alias}.vec_id", eval_pred)
+
     return f"""
     WITH {_EMB_COMP_NRM_SQL},
     dots AS (
       SELECT t.vec_id AS train_id, e.vec_id AS eval_id, SUM(t.q * e.q) AS dot
       FROM comp t
       JOIN comp e ON t.pos = e.pos
-                 AND NOT ({eval_pred.replace("vec_id", "t.vec_id")})
-                 AND ({eval_pred.replace("vec_id", "e.vec_id")})
+                 AND NOT ({_aliased("t")})
+                 AND ({_aliased("e")})
       GROUP BY 1, 2
     ),
     sims AS (
@@ -2698,7 +2705,7 @@ def q_semantic_eval_screen_vectorized(
     _exact_screen_sql("(vec_id % 10 = 0 AND vec_id < 2000)"),
     survey_ref="beyond-ref decontamination: the exact screen under the "
     "PRODUCTION eval regime — the eval set is pinned to an absolute id "
-    "window (vec_id %% 10 = 0 AND < 2000: the bench-SF eval slice) so "
+    "window (vec_id % 10 = 0 AND < 2000: the bench-SF eval slice) so "
     "derived-dataset growth adds TRAIN rows only, never eval rows.  "
     "Identical to semantic_eval_screen at sf0.1 by construction; at the "
     "sf1 leg it is the recorded evidence that the map-only screen "

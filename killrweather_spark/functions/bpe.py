@@ -221,9 +221,12 @@ def _induction_ctes(k: int, fold_last: bool, w0_from: str | None = None) -> list
         "THEN list_append(acc[1:len(acc) - 1], m.mleft || m.mright) "
         "ELSE list_append(acc, x[1]) END)"
     )
+    # w{r} is referenced by both p{r+1} and w{r+1}; doc_words by the
+    # induction and the apply join — MATERIALIZED stops DuckDB's CTE
+    # inlining from doubling the fold chain per round (2^k blowup)
     if w0_from is None:
         parts = [
-            "w0 AS (\n"
+            "w0 AS MATERIALIZED (\n"
             "      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,\n"
             "             regexp_extract_all(word, '.') AS syms\n"
             f"      FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)\n"
@@ -231,7 +234,7 @@ def _induction_ctes(k: int, fold_last: bool, w0_from: str | None = None) -> list
         ]
     else:
         parts = [
-            "w0 AS (\n"
+            "w0 AS MATERIALIZED (\n"
             "      SELECT word, CAST(SUM(wcnt) AS BIGINT) AS cnt,\n"
             "             regexp_extract_all(word, '.') AS syms\n"
             f"      FROM {w0_from}\n"
@@ -239,7 +242,7 @@ def _induction_ctes(k: int, fold_last: bool, w0_from: str | None = None) -> list
         ]
     for r in range(1, k + 1):
         parts.append(
-            f"p{r} AS (\n"
+            f"p{r} AS MATERIALIZED (\n"
             "      SELECT syms[i.i] AS a, syms[i.i + 1] AS b,\n"
             "             CAST(SUM(cnt) AS BIGINT) AS pc\n"
             f"      FROM w{r - 1}, unnest(generate_series(1, len(syms) - 1))"
@@ -263,7 +266,7 @@ def _induction_ctes(k: int, fold_last: bool, w0_from: str | None = None) -> list
         )
         if r < k or fold_last:
             parts.append(
-                f"w{r} AS (SELECT word, cnt, {fold} AS syms\n"
+                f"w{r} AS MATERIALIZED (SELECT word, cnt, {fold} AS syms\n"
                 f"           FROM w{r - 1} CROSS JOIN m{r} m)"
             )
     return parts
@@ -293,7 +296,7 @@ def bpe_subword_stats_sql(k: int) -> str:
     (rolled up from the shared ``doc_words`` CTE, tokenizing once like
     the Spark side) plus the word-keyed apply join."""
     parts = [
-        "doc_words AS (\n"
+        "doc_words AS MATERIALIZED (\n"
         "      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS wcnt\n"
         f"      FROM (SELECT doc_id, unnest({_TOK_SQL}) AS word"
         " FROM documents)\n"

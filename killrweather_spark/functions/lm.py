@@ -140,10 +140,10 @@ def bigram_lm_scores_sql() -> str:
     """DuckDB oracle for :func:`bigram_lm_scores` — identical integer
     arithmetic; bigrams from ``generate_series`` over the token list."""
     return f"""
-    WITH tok AS (
+    WITH tok AS MATERIALIZED (
       SELECT doc_id, {_TOK_SQL} AS t FROM documents
     ),
-    doc_bg AS (
+    doc_bg AS MATERIALIZED (
       SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM tok, unnest(generate_series(1, len(t) - 1)) AS i(i)
@@ -235,15 +235,15 @@ def dsir_weights_sql(target_source: str) -> str:
     integer arithmetic."""
     target_source = target_source.replace("'", "''")
     return f"""
-    WITH doc_ug AS (
+    WITH doc_ug AS MATERIALIZED (
       SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT doc_id, source, unnest({_TOK_SQL}) AS term
             FROM documents)
       GROUP BY 1, 2, 3
     ),
-    raw AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS c_r
+    raw AS MATERIALIZED (SELECT term, CAST(SUM(cnt) AS BIGINT) AS c_r
             FROM doc_ug GROUP BY 1),
-    tgt AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS c_t
+    tgt AS MATERIALIZED (SELECT term, CAST(SUM(cnt) AS BIGINT) AS c_t
             FROM doc_ug WHERE source = '{target_source}' GROUP BY 1),
     totals AS (
       SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
@@ -385,7 +385,11 @@ def perceptron_domain_classifier_sql(
     integer batch updates."""
     target_source = target_source.replace("'", "''")
     parts = [
-        f"""feats AS (
+        # every multi-referenced CTE is MATERIALIZED: DuckDB inlines
+        # plain CTEs, and feats/w/mis are each referenced 2-3x per epoch
+        # — inlined, the plan doubles per epoch (measured: epochs=7 took
+        # 38s on a 10-row table; epochs=9 never finished)
+        f"""feats AS MATERIALIZED (
       SELECT doc_id, y, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT doc_id,
                    CASE WHEN source = '{target_source}' THEN 1 ELSE -1 END AS y,
@@ -394,22 +398,23 @@ def perceptron_domain_classifier_sql(
             FROM (SELECT doc_id, source, unnest({_TOK_SQL}) AS term
                   FROM documents))
       GROUP BY 1, 2, 3)""",
-        "ntr AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n"
-        " FROM feats)",
-        f"w0 AS (SELECT i.i AS bucket, CAST(0 AS BIGINT) AS w\n"
+        "ntr AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT doc_id)"
+        " AS BIGINT) AS n FROM feats)",
+        f"w0 AS MATERIALIZED (SELECT i.i AS bucket, CAST(0 AS BIGINT) AS w\n"
         f"           FROM unnest(generate_series(0, {PERC_BUCKETS - 1}))"
         " AS i(i))",
     ]
     selects = []
     for e in range(1, epochs + 2):
         parts.append(
-            f"m{e} AS (SELECT f.doc_id, f.y,"
+            f"m{e} AS MATERIALIZED (SELECT f.doc_id, f.y,"
             " CAST(SUM(f.cnt * w.w) AS BIGINT) AS m\n"
             f"           FROM feats f JOIN w{e - 1} w USING (bucket)"
             " GROUP BY 1, 2)"
         )
         parts.append(
-            f"mis{e} AS (SELECT doc_id, y AS my FROM m{e} WHERE y * m <= 0)"
+            f"mis{e} AS MATERIALIZED (SELECT doc_id, y AS my"
+            f" FROM m{e} WHERE y * m <= 0)"
         )
         selects.append(
             f"SELECT CAST({e} AS BIGINT) AS epoch, n AS n_train,"
@@ -426,7 +431,7 @@ def perceptron_domain_classifier_sql(
                 " GROUP BY 1)"
             )
             parts.append(
-                f"w{e} AS (SELECT w.bucket,"
+                f"w{e} AS MATERIALIZED (SELECT w.bucket,"
                 " CAST(w.w + COALESCE(u.u, 0) AS BIGINT) AS w\n"
                 f"           FROM w{e - 1} w LEFT JOIN u{e} u USING (bucket))"
             )
