@@ -1622,6 +1622,12 @@ def _lsh_eval_screen_cand_sql(n_planes: int, eval_pred: str,
 # changed literal on the other would break hash parity, not fail loudly).
 _SCREEN_THRESHOLD = 0.35
 
+# The fixture's embedding dimensionality — the exact-screen family filters
+# ragged vectors against it on BOTH engines (size(vec) = dim), the one
+# semantics JVM zip_with, the numpy kernel, and a relational replay can all
+# state identically.  A no-op on the shipped fixed-dim data.
+_EMB_DIM = 64
+
 # threshold-filter + best-eval-per-train tail shared by both LSH screens
 _SCREEN_SIMS_TAIL = f"""sims AS (
       SELECT train_id, eval_id,
@@ -2616,11 +2622,16 @@ def q_training_order_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The exact dense screen's oracle — shared verbatim by the JVM-kernel and
 # Arrow/numpy-kernel registrations below (same quantization, same operand
 # order in the cosine division, same tiebreak ⇒ identical values).
-def _exact_screen_sql(eval_pred: str = "vec_id % 10 = 0") -> str:
+def _exact_screen_sql(eval_pred: str = "vec_id % 10 = 0",
+                      dim: int | None = None) -> str:
     """The exact-screen oracle with the eval-set predicate pluggable:
     train is always NOT-eval, so a FIXED eval definition automatically
     reclassifies out-of-window would-be evals as train (the production
-    regime where the corpus grows but the eval suite doesn't)."""
+    regime where the corpus grows but the eval suite doesn't).  ``dim``
+    mirrors the Spark side's ragged-vector exclusion (``size(vec) =
+    dim`` on both sides) — without it a relational replay would keep a
+    ragged vector's partial components while the JVM kernel null-pads it
+    out and the numpy kernel drops it."""
     import re as _re
 
     def _aliased(alias: str) -> str:
@@ -2628,14 +2639,26 @@ def _exact_screen_sql(eval_pred: str = "vec_id % 10 = 0") -> str:
         # src_vec_id must not get an alias spliced into the wrong token
         return _re.sub(r"\bvec_id\b", f"{alias}.vec_id", eval_pred)
 
+    okdim = (
+        ""
+        if dim is None
+        else f"""
+    okdim AS (SELECT vec_id FROM embeddings WHERE len(embedding) = {dim}),"""
+    )
+    dim_pred = (
+        ""
+        if dim is None
+        else "\n                 AND t.vec_id IN (SELECT vec_id FROM okdim)"
+             "\n                 AND e.vec_id IN (SELECT vec_id FROM okdim)"
+    )
     return f"""
-    WITH {_EMB_COMP_NRM_SQL},
+    WITH {_EMB_COMP_NRM_SQL},{okdim}
     dots AS (
       SELECT t.vec_id AS train_id, e.vec_id AS eval_id, SUM(t.q * e.q) AS dot
       FROM comp t
       JOIN comp e ON t.pos = e.pos
                  AND NOT ({_aliased("t")})
-                 AND ({_aliased("e")})
+                 AND ({_aliased("e")}){dim_pred}
       GROUP BY 1, 2
     ),
     sims AS (
@@ -2652,7 +2675,7 @@ def _exact_screen_sql(eval_pred: str = "vec_id % 10 = 0") -> str:
     """
 
 
-_EXACT_SCREEN_SQL = _exact_screen_sql()
+_EXACT_SCREEN_SQL = _exact_screen_sql(dim=_EMB_DIM)
 
 
 @register(
@@ -2675,7 +2698,7 @@ def q_semantic_eval_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_screen(emb, lambda c: c % 10 == 0,
-                           threshold=_SCREEN_THRESHOLD)
+                           threshold=_SCREEN_THRESHOLD, dim=_EMB_DIM)
 
 
 @register(
@@ -2697,12 +2720,13 @@ def q_semantic_eval_screen_vectorized(
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_screen_vectorized(emb, lambda c: c % 10 == 0,
-                                      threshold=_SCREEN_THRESHOLD)
+                                      threshold=_SCREEN_THRESHOLD,
+                                      dim=_EMB_DIM)
 
 
 @register(
     "semantic_eval_screen_fixed",
-    _exact_screen_sql("(vec_id % 10 = 0 AND vec_id < 2000)"),
+    _exact_screen_sql("(vec_id % 10 = 0 AND vec_id < 2000)", dim=_EMB_DIM),
     survey_ref="beyond-ref decontamination: the exact screen under the "
     "PRODUCTION eval regime — the eval set is pinned to an absolute id "
     "window (vec_id % 10 = 0 AND < 2000: the bench-SF eval slice) so "
@@ -2724,6 +2748,7 @@ def q_semantic_eval_screen_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         lambda c: (c % 10 == 0) & (c < 2000),
         threshold=_SCREEN_THRESHOLD,
+        dim=_EMB_DIM,
     )
 
 
@@ -3027,7 +3052,9 @@ def _kcenter_sql(k: int) -> str:
     stage i: argmax of the running min-distance, ties to the smallest id,
     then ``LEAST`` the new center's distances into the state).  Exact
     int64 squared-L2 over the shared ×10⁶ quantization, so every pick
-    replays bit-for-bit."""
+    replays bit-for-bit.  Picked ids leave the state (the NOT IN below ≙
+    the Spark side's left_anti) so picks stay distinct even when every
+    remaining distance is 0."""
     dist = (
         "SELECT a.vec_id, CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2\n"
         "      FROM comp a JOIN comp b ON b.pos = a.pos\n"
@@ -3036,7 +3063,8 @@ def _kcenter_sql(k: int) -> str:
     )
     parts = [
         "seedc AS (SELECT MIN(vec_id) AS cid FROM embeddings)",
-        f"m0 AS ({dist.format(c='seedc')})",
+        f"m0 AS (SELECT * FROM ({dist.format(c='seedc')})"
+        " WHERE vec_id NOT IN (SELECT cid FROM seedc))",
     ]
     selects = [
         "SELECT CAST(0 AS BIGINT) AS sel_rank, cid AS vec_id, "
@@ -3055,7 +3083,8 @@ def _kcenter_sql(k: int) -> str:
             parts.append(f"d{i} AS ({dist.format(c=f'c{i}')})")
             parts.append(
                 f"m{i} AS (SELECT m.vec_id, LEAST(m.d2, d.d2) AS d2"
-                f" FROM m{i - 1} m JOIN d{i} d USING (vec_id))"
+                f" FROM m{i - 1} m JOIN d{i} d USING (vec_id)"
+                f" WHERE m.vec_id NOT IN (SELECT cid FROM c{i}))"
             )
     return (
         f"WITH {_EMB_COMP_NRM_SQL},\n    "

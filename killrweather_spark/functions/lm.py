@@ -267,6 +267,24 @@ def dsir_weights_sql(target_source: str) -> str:
 
 PERC_BUCKETS = 256  # hashed feature dimensionality (md5-derived, no seeds)
 
+# Hard epoch ceiling shared by the trainer and its oracle builder: each
+# epoch is 2 eager localCheckpoints plus a curve-row job from the driver
+# loop (a blocking serial chain), and the unrolled DuckDB oracle grows ~5
+# CTEs per epoch (measured: epochs=7 took 38 s on a 10-row table, epochs=9
+# never finished).  Misuse fails loudly here instead of hanging the gate;
+# past this ceiling the right tool is a streaming/minibatch trainer, not a
+# longer unrolled batch chain.
+PERC_MAX_EPOCHS = 8
+
+
+def _check_epochs(epochs: int) -> None:
+    if not 1 <= epochs <= PERC_MAX_EPOCHS:
+        raise ValueError(
+            f"epochs={epochs} outside [1, {PERC_MAX_EPOCHS}]: each epoch is"
+            " a blocking checkpoint chain on the driver and ~5 unrolled"
+            " oracle CTEs — see PERC_MAX_EPOCHS"
+        )
+
 
 def perceptron_domain_classifier(
     docs: DataFrame, target_source: str, epochs: int = 3
@@ -294,7 +312,13 @@ def perceptron_domain_classifier(
     construction) and each update is a bucket-keyed partial aggregation
     of misclassified rows only.  Per epoch: one broadcast, one
     exchange-free margin agg, one bucket-sized update shuffle.
+
+    ``epochs`` is capped at :data:`PERC_MAX_EPOCHS` — the driver loop is
+    a serial chain of blocking checkpoints and the unrolled oracle grows
+    ~5 CTEs per epoch, so a large value degrades into a hang; fail loudly
+    instead.
     """
+    _check_epochs(epochs)
     feats = (
         docs.select(
             "doc_id",
@@ -382,7 +406,9 @@ def perceptron_domain_classifier_sql(
 ) -> str:
     """DuckDB oracle for :func:`perceptron_domain_classifier` — the
     epochs unrolled into CTE stages over the identical md5 bucketing and
-    integer batch updates."""
+    integer batch updates.  Same :data:`PERC_MAX_EPOCHS` ceiling as the
+    trainer (the unrolled plan is the measured hang)."""
+    _check_epochs(epochs)
     target_source = target_source.replace("'", "''")
     parts = [
         # every multi-referenced CTE is MATERIALIZED: DuckDB inlines

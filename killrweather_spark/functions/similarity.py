@@ -165,6 +165,7 @@ def ivf_cells(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    comp: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid.
 
@@ -174,8 +175,13 @@ def ivf_cells(
     the same (id, cell) contract.  Assignment = argmax cosine against the
     broadcast centroid set: the corpus streams once, never shuffles until
     the (id, cell) groupBy, and cells are the IVF inverted lists.
+
+    ``comp`` lets a caller that already holds (and persisted) the
+    quantized component table pass it in, so the posexplode/quantize pass
+    runs once per screen invocation instead of being re-derived here.
     """
-    comp = quantized_components(df, id_col, vec_col)
+    if comp is None:
+        comp = quantized_components(df, id_col, vec_col)
     cent = comp.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cell"), "pos", F.col("q").alias("cq")
     )
@@ -250,7 +256,7 @@ def ivf_cosine_topk(
         .select("query_id", "cell")
     )
 
-    cells = ivf_cells(df, n_centroids, id_col, vec_col)
+    cells = ivf_cells(df, n_centroids, id_col, vec_col, comp=comp)
     cand = (
         F.broadcast(probes)
         .join(cells.withColumnRenamed(id_col, "neighbor_id"), "cell")
@@ -552,6 +558,7 @@ def ivf_cell_ranks(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    comp: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cell, rk) — every vector's cells ranked by nearest-first:
     ``rk = 1`` is the vector's own IVF cell (what :func:`ivf_cells`
@@ -565,8 +572,13 @@ def ivf_cell_ranks(
     table into the ranking at all: the only shuffle is the (id, cell)
     partial aggregation, and the centroid tables broadcast by construction
     (n_centroids · dims rows).
+
+    ``comp`` lets the caller supply its already-persisted quantized
+    component table (the screen does), avoiding a second
+    posexplode/quantize pass over the corpus.
     """
-    comp = quantized_components(df, id_col, vec_col)
+    if comp is None:
+        comp = quantized_components(df, id_col, vec_col)
     cent = comp.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cell"), "pos", F.col("q").alias("cq")
     )
@@ -624,9 +636,10 @@ def semantic_screen_ivf(
     comp = quantized_components(df, id_col, vec_col).transform(persist_once)
     nrm = cosine_norms(comp, id_col)
     is_eval = eval_filter(F.col(id_col))
-    ranks = ivf_cell_ranks(df, n_centroids, id_col, vec_col).transform(
-        persist_once
-    )
+    # the screen's persisted comp feeds the ranking too — one
+    # posexplode/quantize pass per invocation, not two
+    ranks = ivf_cell_ranks(df, n_centroids, id_col, vec_col,
+                           comp=comp).transform(persist_once)
     train_cells = (
         ranks.filter(~is_eval)
         .filter(F.col("rk") == 1)
@@ -790,7 +803,20 @@ def kcenter_select(
     seed).  ``d2_before`` is non-increasing in rank (each pick is the
     current farthest point), and the post-selection coverage radius is
     ≤ the last pick's ``d2_before`` — both pinned in tests.
+
+    Picks are DISTINCT ids by construction: every selected id is
+    anti-joined out of the carried state before the next argmax, so
+    duplicate embeddings (remaining min-distance 0) yield distinct-id
+    zero-distance picks rather than silently re-selecting the seed —
+    and ``k`` larger than the corpus raises instead of emitting null
+    picks (the state frame would run empty).
     """
+    n_ids = df.count()
+    if k > n_ids:
+        raise ValueError(
+            f"kcenter_select: k={k} exceeds the {n_ids} available vectors"
+            " — every id can be picked at most once"
+        )
     comp = quantized_components(df, id_col, vec_col).transform(persist_once)
 
     def dist_to(center: DataFrame) -> DataFrame:
@@ -814,7 +840,14 @@ def kcenter_select(
             F.lit(None).cast("bigint").alias("d2_before"),
         )
     ]
-    m = dist_to(seed).localCheckpoint(eager=True)
+    # already-picked ids leave the state frame (left_anti on the 1-row
+    # pick) so the argmax can never re-select them — the distinct-picks
+    # contract even when every remaining distance is 0
+    m = dist_to(seed).join(
+        F.broadcast(seed.select(F.col("cid").alias(id_col))),
+        id_col,
+        "left_anti",
+    ).localCheckpoint(eager=True)
     for i in range(1, k):
         pick = m.agg(
             F.max(F.struct(F.col("d2"), (-F.col(id_col)).alias("nid"))).alias("s")
@@ -830,9 +863,16 @@ def kcenter_select(
         )
         if i < k - 1:
             nd = dist_to(pick.select("cid")).withColumnRenamed("d2", "nd2")
-            m = m.join(nd, id_col).select(
-                id_col, F.least("d2", "nd2").alias("d2")
-            ).localCheckpoint(eager=True)
+            m = (
+                m.join(nd, id_col)
+                .select(id_col, F.least("d2", "nd2").alias("d2"))
+                .join(
+                    F.broadcast(pick.select(F.col("cid").alias(id_col))),
+                    id_col,
+                    "left_anti",
+                )
+                .localCheckpoint(eager=True)
+            )
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)
@@ -1042,6 +1082,7 @@ def semantic_screen(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Train-vs-eval semantic contamination screen: every TRAIN vector
     whose cosine similarity to ANY eval vector reaches ``threshold``,
@@ -1073,9 +1114,18 @@ def semantic_screen(
 
     Output: (train_id, eval_id, cosine) — the single best eval match per
     contaminated train vector (ties break on eval id).
+
+    ``dim`` (when given) excludes ragged vectors — ``size(vec) != dim``
+    rows — from BOTH sides, the one semantics every engine can state
+    identically (the power_iteration_top_pc rule): without it a short
+    train vector null-pads through zip_with to a null cosine (silently
+    dropped), the numpy kernel would crash on np.stack, and a
+    relational replay keeps partial components — three different
+    answers for the same row.
     """
     from killrweather_spark.sources.readers import fan_out
 
+    df = _uniform_dim(df, vec_col, dim)
     is_eval = eval_filter(F.col(id_col))
     quant = _quantized_rows(df, id_col, vec_col)
     evals_one = _eval_fold(quant, is_eval, id_col)
@@ -1101,6 +1151,15 @@ def semantic_screen(
         )
         .select("train_id", "eval_id", "cosine")
     )
+
+
+def _uniform_dim(df: DataFrame, vec_col: str, dim: int | None) -> DataFrame:
+    """Ragged-vector exclusion shared by the exact-screen family: keep only
+    rows whose vector has exactly ``dim`` components (no-op when ``dim``
+    is None)."""
+    if dim is None:
+        return df
+    return df.filter(F.size(F.col(vec_col)) == dim)
 
 
 def _quantized_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -1140,6 +1199,7 @@ def semantic_screen_vectorized(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_screen` with the per-row JVM kernel replaced by an
     Arrow-batched numpy matmul — same map-only shape, same exact integer
@@ -1164,11 +1224,18 @@ def semantic_screen_vectorized(
     as the JVM/DuckDB forms, so results are value-exact, and eval ids are
     scanned in ascending order so numpy's first-max argmax reproduces the
     (cosine DESC, eval_id ASC) tiebreak.
+
+    ``dim`` excludes ragged vectors from both sides (see
+    :func:`semantic_screen`); independent of it, the kernel drops any
+    train row whose length differs from the eval matrix width instead of
+    letting ``np.stack`` crash on a ragged batch — exactly the rows the
+    JVM form's zip_with null-pads to a null (hence dropped) cosine.
     """
     import numpy as np
 
     from killrweather_spark.sources.readers import fan_out
 
+    df = _uniform_dim(df, vec_col, dim)
     is_eval = eval_filter(F.col(id_col))
     quant = _quantized_rows(df, id_col, vec_col)
     evals = (
@@ -1188,8 +1255,21 @@ def semantic_screen_vectorized(
         import pandas as pd
 
         ids, em, en = bc.value
+        d = em.shape[1] if em.ndim == 2 else 0
         for pdf in batches:
             if pdf.empty or len(ids) == 0:
+                continue
+            # ragged defense: a train vector whose length differs from the
+            # eval dimension can never produce a non-null cosine in the JVM
+            # form (zip_with null-pads) — drop it here instead of letting
+            # np.stack raise or build an object array
+            ok = np.fromiter(
+                (len(v) == d for v in pdf["__qv"].values),
+                dtype=bool,
+                count=len(pdf),
+            )
+            pdf = pdf[ok]
+            if pdf.empty:
                 continue
             t = np.stack(pdf["__qv"].values).astype(np.int64)
             tn = np.sqrt(pdf["__norm2"].values.astype(np.float64))

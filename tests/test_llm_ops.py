@@ -968,3 +968,82 @@ def test_curation_pipeline_report_attributes_first_failure(spark):
     ordered = sorted(rep.values(), key=lambda r: r["stage"])
     for prev, cur in zip(ordered, ordered[1:]):
         assert cur["docs_in"] == prev["docs_in"] - prev["docs_dropped"]
+
+
+def test_kcenter_picks_stay_distinct_on_duplicate_embeddings(spark):
+    """Duplicate embeddings drive every remaining min-distance to 0 before
+    k runs out; the anti-joined state must still yield DISTINCT ids (the
+    old argmax re-selected the seed), and k beyond the corpus raises
+    instead of emitting null picks."""
+    import pytest as _pytest
+
+    from killrweather_spark.functions.similarity import kcenter_select
+
+    rows = [
+        (0, [0.0, 1.0]),
+        (1, [1.0, 1.0]),
+        (2, [0.0, 1.0]),  # duplicate of 0
+        (3, [1.0, 1.0]),  # duplicate of 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    sel = kcenter_select(emb, k=4).orderBy("sel_rank").collect()
+    assert [r.vec_id for r in sel] == [0, 1, 2, 3]
+    assert len({r.vec_id for r in sel}) == 4
+    # geometry exhausts after 2 picks: the duplicates enter at distance 0
+    assert sel[2].d2_before == 0 and sel[3].d2_before == 0
+    with _pytest.raises(ValueError, match="exceeds"):
+        kcenter_select(emb, k=5)
+
+
+def test_exact_screen_family_agrees_on_ragged_vectors(spark):
+    """A ragged train vector must mean ONE thing across all three engines:
+    excluded.  The JVM kernel null-pads it to a dropped cosine, the numpy
+    kernel drops it instead of crashing np.stack, and the dim-filtered
+    oracle excludes it relationally — all three outputs identical."""
+    import pandas as pd
+
+    from killrweather_spark.api.inventory import (
+        _EMB_DIM,  # noqa: F401 — documents the registry constant exists
+        _exact_screen_sql,
+        _SCREEN_THRESHOLD,
+    )
+    from killrweather_spark.functions.similarity import (
+        semantic_screen,
+        semantic_screen_vectorized,
+    )
+    from tests.oracle_harness import compare
+
+    import duckdb
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # eval
+        (1, [0.9, 0.1, 0.0]),        # train, close to eval 0
+        (2, [0.5, 0.5]),             # RAGGED train — must be excluded
+        (10, [0.0, 1.0, 0.0]),       # eval
+        (11, [0.1, 0.9, 0.0]),       # train, close to eval 10
+        (12, [0.0, 0.0, 1.0]),       # train, orthogonal to both evals
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pred = lambda c: c % 10 == 0  # noqa: E731
+
+    jvm = semantic_screen(emb, pred, threshold=_SCREEN_THRESHOLD, dim=3)
+    vec = semantic_screen_vectorized(emb, pred, threshold=_SCREEN_THRESHOLD,
+                                     dim=3)
+    jrows = sorted(map(tuple, jvm.collect()))
+    vrows = sorted(map(tuple, vec.collect()))
+    assert jrows == vrows and len(jrows) == 2  # trains 1 and 11; never 2/12
+    assert all(r[0] in (1, 11) for r in jrows)
+
+    # the kernel's own ragged defense (no dim argument) matches too
+    vec_nodim = semantic_screen_vectorized(emb, pred,
+                                           threshold=_SCREEN_THRESHOLD)
+    assert sorted(map(tuple, vec_nodim.collect())) == vrows
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]}),
+    )
+    d = compare("ragged_screen", jvm, con, _exact_screen_sql(dim=3))
+    assert d.ok, d.messages

@@ -240,3 +240,25 @@ def test_perceptron_separates_a_separable_corpus(spark):
     errs = [curve[e]["n_misclassified"] for e in (2, 3, 4)]
     assert errs == sorted(errs, reverse=True)
     assert curve[1]["error_micro"] == 1_000_000
+
+
+def test_perceptron_epochs_ceiling_fails_loudly(spark):
+    """epochs beyond PERC_MAX_EPOCHS is a measured hang (serial checkpoint
+    chain + ~5 unrolled oracle CTEs per epoch) — both the trainer and the
+    oracle builder must refuse it up front."""
+    import pytest as _pytest
+
+    from killrweather_spark.functions.lm import (
+        PERC_MAX_EPOCHS,
+        perceptron_domain_classifier,
+        perceptron_domain_classifier_sql,
+    )
+
+    docs = spark.createDataFrame([(1, "a b", "src0")],
+                                 ["doc_id", "text", "source"])
+    with _pytest.raises(ValueError, match="epochs"):
+        perceptron_domain_classifier(docs, "src0", epochs=PERC_MAX_EPOCHS + 1)
+    with _pytest.raises(ValueError, match="epochs"):
+        perceptron_domain_classifier_sql("src0", epochs=PERC_MAX_EPOCHS + 1)
+    with _pytest.raises(ValueError, match="epochs"):
+        perceptron_domain_classifier_sql("src0", epochs=0)
