@@ -1829,6 +1829,51 @@ def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_pixel_stats(synth_png_pixels(docs))
 
 
+@register(
+    "wav_audio_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             1 + CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 256 AS n,
+             1 + CAST(concat('0x', substr(md5(text), 5, 1)) AS INTEGER) % 2 AS n_ch,
+             CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) AS seed
+      FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, c.c AS channel,
+             ABS(((37 * s.s + 17 * c.c + seed) % 256 - 128) * 256) AS av
+      FROM dims,
+           unnest(generate_series(0, n - 1)) AS s(s),
+           unnest(generate_series(0, n_ch - 1)) AS c(c)
+    )
+    SELECT doc_id, CAST(channel AS INT) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST((1000000 * COUNT(*)) // 8000 AS BIGINT) AS duration_micro,
+           CAST(MAX(av) AS BIGINT) AS peak,
+           CAST((1000000 * SUM(av)) // COUNT(*) AS BIGINT) AS mean_abs_micro
+    FROM samp GROUP BY 1, 2
+    """,
+    survey_ref="beyond-ref: REAL audio container decode over the Arrow "
+    "batch path (multimodal.py:decode_wav — pure-stdlib RIFF chunk walk, "
+    "fmt validation, interleaved 16-bit PCM frame de-multiplex).  The "
+    "payloads are COMPLETE valid WAVs (synth_wav: md5-derived length/"
+    "channels/samples at 8 kHz, mono or stereo per doc), so the decoder "
+    "reconstructs every sample from real interleaved frames while the "
+    "oracle predicts per-channel n_samples / duration / peak / mean "
+    "absolute amplitude arithmetically — the audio sibling of "
+    "png_pixel_stats; per-channel row fan-out happens inside the Arrow "
+    "batch",
+)
+def q_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.multimodal import (
+        synth_wav,
+        wav_audio_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_audio_stats(synth_wav(docs))
+
+
 # --------------------------------------------------------------------------
 # T1-T7: streaming semantics (drained deterministically with availableNow)
 # --------------------------------------------------------------------------
@@ -3116,6 +3161,112 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_select(emb, k=6)
+
+
+def _kcenter_pp_sql(k: int, oversample: int) -> str:
+    """DuckDB oracle for ``similarity.py:kcenter_pp_select`` — the fixed
+    ``ceil((k-1)/oversample)`` D²-sampling rounds unrolled: per round, the
+    integer acceptance test (16-bit md5 hash vs micro-unit D² mass), the
+    (d2 DESC, id) cap, the greedy-argmax fallback when nobody passes
+    (cs{r} is MATERIALIZED — the NOT EXISTS is a second reference, the
+    DuckDB CTE-inlining 2^k hazard), one batched min-distance update, and
+    picked ids leaving the state."""
+    from killrweather_spark.functions.similarity import (
+        KPP_BOOST,
+        KPP_HASH_MOD,
+        KPP_PSCALE,
+    )
+
+    rounds = -(-(k - 1) // oversample)
+    parts = [
+        "seedc AS (SELECT MIN(vec_id) AS cid FROM embeddings)",
+        "m0 AS (SELECT a.vec_id,"
+        " CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2\n"
+        "      FROM comp a JOIN comp b ON b.pos = a.pos\n"
+        "      JOIN seedc s ON b.vec_id = s.cid\n"
+        "      WHERE a.vec_id NOT IN (SELECT cid FROM seedc)\n"
+        "      GROUP BY 1)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"t{r} AS (SELECT GREATEST(CAST(SUM(d2) AS BIGINT), 1) AS tot"
+            f" FROM m{r - 1})"
+        )
+        parts.append(
+            f"""cs{r} AS MATERIALIZED (
+      SELECT vec_id, d2 FROM (
+        SELECT vec_id, d2,
+               ROW_NUMBER() OVER (ORDER BY d2 DESC, vec_id) AS rk
+        FROM m{r - 1}, t{r}
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '_{r}'), 1, 4))::BIGINT
+              < ({KPP_BOOST * oversample} * (({KPP_PSCALE} * d2) // tot)
+                 * {KPP_HASH_MOD}) // {KPP_PSCALE}
+      ) WHERE rk <= {oversample})"""
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT vec_id, d2 FROM cs{r}\n"
+            f"      UNION ALL\n"
+            f"      SELECT vec_id, d2 FROM (SELECT vec_id, d2 FROM m{r - 1}"
+            " ORDER BY d2 DESC, vec_id LIMIT 1)"
+            f" WHERE NOT EXISTS (SELECT 1 FROM cs{r}))"
+        )
+        if r < rounds:
+            parts.append(
+                f"d{r} AS (SELECT vec_id, MIN(d2c) AS d2 FROM (\n"
+                "        SELECT a.vec_id, s.vec_id AS cid,\n"
+                "               CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT)"
+                " AS d2c\n"
+                "        FROM comp a JOIN comp b ON b.pos = a.pos\n"
+                f"        JOIN c{r} s ON b.vec_id = s.vec_id\n"
+                "        GROUP BY 1, 2) GROUP BY 1)"
+            )
+            parts.append(
+                f"m{r} AS (SELECT m.vec_id, LEAST(m.d2, d.d2) AS d2"
+                f" FROM m{r - 1} m JOIN d{r} d USING (vec_id)"
+                f" WHERE m.vec_id NOT IN (SELECT vec_id FROM c{r}))"
+            )
+    unions = [
+        "SELECT 0 AS ord_round, cid AS vec_id,"
+        " CAST(NULL AS BIGINT) AS d2_before FROM seedc"
+    ] + [
+        f"SELECT {r} AS ord_round, vec_id, d2 AS d2_before FROM c{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        f"WITH {_EMB_COMP_NRM_SQL},\n    "
+        + ",\n    ".join(parts)
+        + ",\n    allp AS ("
+        + "\n      UNION ALL ".join(unions)
+        + f""")
+    SELECT sel_rank, vec_id, d2_before FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY ord_round, d2_before DESC,
+                                     vec_id) - 1 AS BIGINT) AS sel_rank,
+             vec_id, d2_before
+      FROM allp
+    ) WHERE sel_rank < {k}
+    """
+    )
+
+
+@register(
+    "kcenter_pp_coreset",
+    _kcenter_pp_sql(9, 4),
+    survey_ref="beyond-ref curation: sampling-based k-center++ "
+    "(similarity.py:kcenter_pp_select) — the large-k coreset selector the "
+    "greedy flagship's docstring promises: each round D²-samples up to "
+    "4 centers at once (k-means|| oversampling) and folds the whole batch "
+    "into the min-distance state in ONE corpus pass — ceil((k-1)/4) "
+    "passes for k centers instead of greedy's k.  Sampling is "
+    "deterministic (16-bit md5 acceptance vs integer micro-unit D² mass, "
+    "greedy-argmax fallback on an empty round), so the oracle replays "
+    "every round; coverage radius vs greedy is pinned within a constant "
+    "factor in tests",
+)
+def q_kcenter_pp_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.similarity import kcenter_pp_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_pp_select(emb, k=9, oversample=4)
 
 
 @register(
@@ -8875,6 +9026,8 @@ def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from killrweather_spark.functions.lm import (  # noqa: E402
+    domain_filtered_corpus,
+    domain_filtered_corpus_sql,
     perceptron_domain_classifier,
     perceptron_domain_classifier_sql,
 )
@@ -8898,6 +9051,34 @@ def q_perceptron_domain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring row: (epoch, n_train, n_misclassified, error_micro)."""
     return perceptron_domain_classifier(
         load_table(spark, sf_dir, "documents"), "src0", epochs=3
+    )
+
+
+@register(
+    "domain_filtered_corpus",
+    domain_filtered_corpus_sql("src0", epochs=3, mode="above_mean"),
+    survey_ref="beyond-ref quality-classifier APPLY step "
+    "(lm.py:domain_filtered_corpus) — the pipeline use the trained "
+    "perceptron exists for: sweep the corpus with the final weights "
+    "and keep sign(w·x) > 0 docs (the fastText-gate stage; "
+    "perceptron_domain_curve reports the same training's curve).  "
+    "Weights are 256 broadcast rows, scoring is one exchange-free "
+    "margin aggregation on the doc_id-partitioned persisted features, "
+    "the doc join is doc_id-keyed — the corpus is touched once past "
+    "training.  Registered in above_mean (budgeted-selection) mode: the "
+    "synthetic sources share one vocabulary by construction, so the "
+    "production sign gate has no signal to find here (it is pinned on a "
+    "separable fixture in tests) while the mean-threshold gate — a "
+    "1-row broadcast aggregate, no global sort — keeps the row "
+    "non-trivial.  In the funnel this gate slots between quality_gate "
+    "and exact_dup (domain mix auditable via the kept source column)",
+)
+def q_domain_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-weight apply step: every doc the trained perceptron calls
+    in-domain (w·x > 0), with source + integer margin."""
+    return domain_filtered_corpus(
+        load_table(spark, sf_dir, "documents"), "src0", epochs=3,
+        mode="above_mean",
     )
 
 

@@ -277,6 +277,35 @@ PERC_BUCKETS = 256  # hashed feature dimensionality (md5-derived, no seeds)
 PERC_MAX_EPOCHS = 8
 
 
+def _perceptron_features(docs: DataFrame, target_source: str) -> DataFrame:
+    """``(doc_id, y, bucket, cnt)`` hashed token-count features with the
+    ±1 domain label — shared by the training curve and the apply step.
+    Repartitioned by doc_id ONCE and persisted so every epoch's margin
+    aggregation groups on the partitioning key with no exchange."""
+    return (
+        docs.select(
+            "doc_id",
+            F.when(F.col("source") == target_source, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("y"),
+            F.explode(tokens(F.col("text"))).alias("term"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            (
+                F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+                .cast("bigint")
+                % PERC_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .repartition("doc_id")
+        .transform(persist_once)
+    )
+
+
 def _check_epochs(epochs: int) -> None:
     if not 1 <= epochs <= PERC_MAX_EPOCHS:
         raise ValueError(
@@ -319,28 +348,7 @@ def perceptron_domain_classifier(
     instead.
     """
     _check_epochs(epochs)
-    feats = (
-        docs.select(
-            "doc_id",
-            F.when(F.col("source") == target_source, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias("y"),
-            F.explode(tokens(F.col("text"))).alias("term"),
-        )
-        .select(
-            "doc_id",
-            "y",
-            (
-                F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
-                .cast("bigint")
-                % PERC_BUCKETS
-            ).alias("bucket"),
-        )
-        .groupBy("doc_id", "y", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .repartition("doc_id")
-        .transform(persist_once)
-    )
+    feats = _perceptron_features(docs, target_source)
     ntr = feats.agg(
         F.count_distinct("doc_id").cast("bigint").alias("n_train")
     ).localCheckpoint(eager=True)
@@ -409,12 +417,34 @@ def perceptron_domain_classifier_sql(
     integer batch updates.  Same :data:`PERC_MAX_EPOCHS` ceiling as the
     trainer (the unrolled plan is the measured hang)."""
     _check_epochs(epochs)
+    parts = _perceptron_base_parts_sql(target_source)
+    selects = []
+    for e in range(1, epochs + 2):
+        parts += _perceptron_epoch_parts_sql(e, with_update=e <= epochs)
+        selects.append(
+            f"SELECT CAST({e} AS BIGINT) AS epoch, n AS n_train,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM mis{e})"
+            " AS n_misclassified,"
+            f" CAST((1000000 * (SELECT COUNT(*) FROM mis{e}))"
+            " // GREATEST(n, 1) AS BIGINT) AS error_micro FROM ntr"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+def _perceptron_base_parts_sql(target_source: str) -> list[str]:
+    """feats / ntr / w0 CTEs shared by the curve and apply oracles.
+
+    Every multi-referenced CTE is MATERIALIZED: DuckDB inlines plain
+    CTEs, and feats/w/mis are each referenced 2-3x per epoch — inlined,
+    the plan doubles per epoch (measured: epochs=7 took 38 s on a 10-row
+    table; epochs=9 never finished)."""
     target_source = target_source.replace("'", "''")
-    parts = [
-        # every multi-referenced CTE is MATERIALIZED: DuckDB inlines
-        # plain CTEs, and feats/w/mis are each referenced 2-3x per epoch
-        # — inlined, the plan doubles per epoch (measured: epochs=7 took
-        # 38s on a 10-row table; epochs=9 never finished)
+    return [
         f"""feats AS MATERIALIZED (
       SELECT doc_id, y, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT doc_id,
@@ -430,40 +460,179 @@ def perceptron_domain_classifier_sql(
         f"           FROM unnest(generate_series(0, {PERC_BUCKETS - 1}))"
         " AS i(i))",
     ]
-    selects = []
-    for e in range(1, epochs + 2):
+
+
+def _perceptron_epoch_parts_sql(e: int, with_update: bool) -> list[str]:
+    """One epoch's m/mis (+ u/w when the epoch updates) CTEs."""
+    parts = [
+        f"m{e} AS MATERIALIZED (SELECT f.doc_id, f.y,"
+        " CAST(SUM(f.cnt * w.w) AS BIGINT) AS m\n"
+        f"           FROM feats f JOIN w{e - 1} w USING (bucket)"
+        " GROUP BY 1, 2)",
+        f"mis{e} AS MATERIALIZED (SELECT doc_id, y AS my"
+        f" FROM m{e} WHERE y * m <= 0)",
+    ]
+    if with_update:
         parts.append(
-            f"m{e} AS MATERIALIZED (SELECT f.doc_id, f.y,"
-            " CAST(SUM(f.cnt * w.w) AS BIGINT) AS m\n"
-            f"           FROM feats f JOIN w{e - 1} w USING (bucket)"
-            " GROUP BY 1, 2)"
+            f"u{e} AS (SELECT f.bucket,"
+            " CAST(SUM(s.my * f.cnt) AS BIGINT) AS u\n"
+            f"           FROM mis{e} s JOIN feats f USING (doc_id)"
+            " GROUP BY 1)"
         )
         parts.append(
-            f"mis{e} AS MATERIALIZED (SELECT doc_id, y AS my"
-            f" FROM m{e} WHERE y * m <= 0)"
+            f"w{e} AS MATERIALIZED (SELECT w.bucket,"
+            " CAST(w.w + COALESCE(u.u, 0) AS BIGINT) AS w\n"
+            f"           FROM w{e - 1} w LEFT JOIN u{e} u USING (bucket))"
         )
-        selects.append(
-            f"SELECT CAST({e} AS BIGINT) AS epoch, n AS n_train,"
-            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM mis{e})"
-            " AS n_misclassified,"
-            f" CAST((1000000 * (SELECT COUNT(*) FROM mis{e}))"
-            " // GREATEST(n, 1) AS BIGINT) AS error_micro FROM ntr"
+    return parts
+
+
+def perceptron_final_weights(
+    docs: DataFrame, target_source: str, epochs: int = 3
+) -> DataFrame:
+    """The finished classifier: ``(bucket, w)`` after ``epochs`` batch
+    updates — the training loop of :func:`perceptron_domain_classifier`
+    without the curve instrumentation (no per-epoch count jobs; one
+    blocking checkpoint per epoch instead of three driver actions).
+    Deterministic for the same reason the curve is: w starts at 0 and
+    every update is an integer batch sum."""
+    _check_epochs(epochs)
+    feats = _perceptron_features(docs, target_source)
+    spark = docs.sparkSession
+    w = spark.range(PERC_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bucket"),
+        F.lit(0).cast("bigint").alias("w"),
+    )
+    for _ in range(epochs):
+        margins = (
+            feats.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("cnt") * F.col("w")).alias("m"))
         )
-        if e <= epochs:
-            parts.append(
-                f"u{e} AS (SELECT f.bucket,"
-                " CAST(SUM(s.my * f.cnt) AS BIGINT) AS u\n"
-                f"           FROM mis{e} s JOIN feats f USING (doc_id)"
-                " GROUP BY 1)"
+        mis = margins.filter(F.col("y") * F.col("m") <= 0).select(
+            "doc_id", F.col("y").alias("my")
+        )
+        upd = (
+            mis.join(feats, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("my") * F.col("cnt")).alias("u"))
+        )
+        # one eager checkpoint per epoch: w feeds the next epoch's margin
+        # join AND (transitively) every later stage — the kcenter lineage
+        # rule; the frame is PERC_BUCKETS rows, so the cost is the epoch's
+        # own job, nothing more
+        w = (
+            w.join(upd, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("w") + F.coalesce(F.col("u"), F.lit(0)))
+                .cast("bigint")
+                .alias("w"),
             )
-            parts.append(
-                f"w{e} AS MATERIALIZED (SELECT w.bucket,"
-                " CAST(w.w + COALESCE(u.u, 0) AS BIGINT) AS w\n"
-                f"           FROM w{e - 1} w LEFT JOIN u{e} u USING (bucket))"
-            )
+            .localCheckpoint(eager=True)
+        )
+    return w
+
+
+def domain_filtered_corpus(
+    docs: DataFrame, target_source: str, epochs: int = 3,
+    mode: str = "sign",
+) -> DataFrame:
+    """The APPLY step the classifier exists for: score every document with
+    the final trained weights (the same lineage
+    :func:`perceptron_domain_classifier` reports the curve of) and keep
+    the in-domain slice.  This is the fastText-gate stage of an LLM data
+    pipeline: train on labeled data, then sweep the corpus.
+
+    Two gate semantics, both exact-integer and oracle-replayable:
+
+    - ``mode="sign"`` — the production gate: keep ``w·x > 0`` (the strict
+      complement of training's ``y·(w·x) ≤ 0`` misclassification rule, so
+      the boundary doc is consistently out).  On a corpus whose domains
+      are genuinely separable this returns the domain (pinned on a
+      disjoint-vocabulary fixture in tests).
+    - ``mode="above_mean"`` — the BUDGETED-selection gate: keep docs whose
+      margin exceeds the corpus mean margin (sign-safe floor mean, the
+      kmeans centroid form).  Production pipelines often threshold the
+      classifier score to hit a token budget rather than at 0; the mean
+      is the budget threshold that needs only a 1-row broadcast
+      aggregate — no global sort, no percentile sketch — so the plan
+      stays map-only after training.  (It is also the honest gate for
+      the SYNTHETIC fixture, whose sources share one vocabulary by
+      construction: a linear classifier has no signal to find, the sign
+      gate degenerates to empty-or-everything, and the relative gate
+      still exercises the full mechanism with a non-trivial kept set.)
+
+    Scale shape: the weight table is ``PERC_BUCKETS`` rows and broadcasts;
+    scoring is one margin aggregation over the doc_id-partitioned feature
+    table (exchange-free on the persisted partitioning), the threshold is
+    at most one more 1-row broadcast, and the doc join is doc_id-keyed —
+    the corpus is touched once past training.
+
+    Output: ``(doc_id, source, margin)`` for kept docs — ``source`` kept
+    so the funnel can audit the gate's domain mix, ``margin`` the integer
+    evidence strength.
+    """
+    if mode not in ("sign", "above_mean"):
+        raise ValueError(f"unknown gate mode {mode!r}")
+    feats = _perceptron_features(docs, target_source)
+    w = perceptron_final_weights(docs, target_source, epochs)
+    margins = (
+        feats.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("margin"))
+    )
+    if mode == "sign":
+        kept = margins.filter(F.col("margin") > 0)
+    else:
+        mu = margins.agg(
+            F.expr(
+                "(sum(margin) - ((sum(margin) % count(1) + count(1))"
+                " % count(1))) div count(1)"
+            ).cast("bigint").alias("mu")
+        )
+        kept = (
+            margins.crossJoin(F.broadcast(mu))
+            .filter(F.col("margin") > F.col("mu"))
+            .drop("mu")
+        )
+    return (
+        kept.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "margin")
+    )
+
+
+def domain_filtered_corpus_sql(target_source: str, epochs: int = 3,
+                               mode: str = "sign") -> str:
+    """DuckDB oracle for :func:`domain_filtered_corpus` — the training
+    unrolled to ``w{epochs}``, then one margin scoring + the gate
+    (sign, or the sign-safe floor-mean threshold)."""
+    _check_epochs(epochs)
+    if mode not in ("sign", "above_mean"):
+        raise ValueError(f"unknown gate mode {mode!r}")
+    parts = _perceptron_base_parts_sql(target_source)
+    for e in range(1, epochs + 1):
+        parts += _perceptron_epoch_parts_sql(e, with_update=True)
+    parts.append(
+        "margins AS MATERIALIZED (SELECT f.doc_id,"
+        " CAST(SUM(f.cnt * w.w) AS BIGINT) AS margin\n"
+        f"           FROM feats f JOIN w{epochs} w USING (bucket)"
+        " GROUP BY 1)"
+    )
+    if mode == "sign":
+        gate = "m.margin > 0"
+    else:
+        parts.append(
+            "mu AS (SELECT CAST((SUM(margin)"
+            " - ((SUM(margin) % COUNT(*) + COUNT(*)) % COUNT(*)))"
+            " // COUNT(*) AS BIGINT) AS mu FROM margins)"
+        )
+        gate = "m.margin > (SELECT mu FROM mu)"
     return (
         "WITH "
         + ",\n    ".join(parts)
-        + "\n    "
-        + "\n    UNION ALL ".join(selects)
+        + f"""
+    SELECT m.doc_id, d.source, m.margin
+    FROM margins m JOIN documents d ON d.doc_id = m.doc_id
+    WHERE {gate}"""
     )

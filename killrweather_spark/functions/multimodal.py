@@ -378,6 +378,179 @@ def png_pixel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "content").mapInPandas(batches, schema)
 
 
+def _make_wav_codec():
+    """Build the WAV (RIFF/PCM) codec pair as locally-defined functions so
+    cloudpickle serializes them BY VALUE into mapInPandas closures (the
+    worker-import rationale of :func:`_make_media_decoder`).
+
+    Pure stdlib byte layout: RIFF container walk, ``fmt `` chunk parse,
+    little-endian 16-bit PCM frames.  Supports uncompressed PCM
+    (audio format 1, 16-bit) — the profile :func:`synth_wav` produces —
+    and raises ``ValueError`` on any other profile or structural
+    corruption, so a bad payload is a classifiable error, not garbage.
+    """
+
+    def encode_wav(n_channels: int, sample_rate: int,
+                   samples: list[list[int]]) -> bytes:
+        """``samples`` is per-channel lists of int16 values (equal
+        lengths); frames are interleaved channel-major per the RIFF spec."""
+        n = len(samples[0])
+        if any(len(ch) != n for ch in samples):
+            raise ValueError("channel lengths differ")
+        data = bytearray()
+        for i in range(n):
+            for ch in samples:
+                v = ch[i]
+                if not -32768 <= v <= 32767:
+                    raise ValueError(f"sample out of int16 range: {v}")
+                data += int(v & 0xFFFF).to_bytes(2, "little")
+        block_align = n_channels * 2
+        fmt = (
+            (1).to_bytes(2, "little")            # PCM
+            + n_channels.to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + (sample_rate * block_align).to_bytes(4, "little")  # byte rate
+            + block_align.to_bytes(2, "little")
+            + (16).to_bytes(2, "little")         # bits per sample
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + bytes(data)
+        )
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    def decode_wav(content: bytes) -> tuple[int, int, list[list[int]]]:
+        """Full PCM decode: RIFF walk, fmt validation, interleaved frame
+        de-multiplex.  Returns (n_channels, sample_rate, per-channel
+        int16 sample lists)."""
+        if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE container")
+        riff_len = int.from_bytes(content[4:8], "little")
+        if riff_len != len(content) - 8:
+            raise ValueError("corrupt WAV: RIFF length mismatch")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(content):
+            ctype = content[pos:pos + 4]
+            clen = int.from_bytes(content[pos + 4:pos + 8], "little")
+            chunk = content[pos + 8:pos + 8 + clen]
+            if len(chunk) < clen:
+                raise ValueError("corrupt WAV: truncated chunk")
+            if ctype == b"fmt ":
+                fmt = chunk
+            elif ctype == b"data":
+                data = chunk
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("corrupt WAV: missing fmt/data chunk")
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        n_channels = int.from_bytes(fmt[2:4], "little")
+        sample_rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_format != 1 or bits != 16:
+            raise ValueError("unsupported WAV profile (need 16-bit PCM)")
+        if n_channels < 1:
+            raise ValueError("corrupt WAV: zero channels")
+        frame = n_channels * 2
+        if len(data) % frame:
+            raise ValueError("corrupt WAV: partial frame in data chunk")
+        chans: list[list[int]] = [[] for _ in range(n_channels)]
+        for off in range(0, len(data), 2):
+            v = int.from_bytes(data[off:off + 2], "little")
+            if v >= 32768:
+                v -= 65536
+            chans[(off // 2) % n_channels].append(v)
+        return n_channels, sample_rate, chans
+
+    return encode_wav, decode_wav
+
+
+encode_wav, decode_wav = _make_wav_codec()
+
+WAV_RATE = 8000  # fixed synthesis sample rate (duration = n/8000 s)
+WAV_LEN_MOD = 256  # synthesized clip length 1..256 frames
+
+
+def synth_wav(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Deterministic real-WAV synthesis: each doc gets a complete, valid
+    RIFF/WAVE 16-bit PCM payload whose length, channel count and samples
+    derive from md5(text) — ``n = 1 + hex[0:4] % 256`` frames,
+    ``channels = 1 + hex[4:5] % 2``, ``seed = hex[8:10]``, and sample s of
+    channel c is ``((37·s + 17·c + seed) % 256 − 128) · 256`` — so the
+    decoder genuinely de-multiplexes interleaved PCM frames while the
+    DuckDB oracle predicts every decoded statistic arithmetically (the
+    synth_png_pixels pattern, audio edition)."""
+    import hashlib
+
+    schema = f"{id_col} bigint, content binary"
+    enc = encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                h = hashlib.md5(str(text).encode("utf-8")).hexdigest()
+                n = 1 + int(h[0:4], 16) % WAV_LEN_MOD
+                n_ch = 1 + int(h[4:5], 16) % 2
+                seed = int(h[8:10], 16)
+                chans = [
+                    [((37 * s + 17 * c + seed) % 256 - 128) * 256
+                     for s in range(n)]
+                    for c in range(n_ch)
+                ]
+                payloads.append(enc(n_ch, WAV_RATE, chans))
+            yield pd.DataFrame({id_col: pdf[id_col], "content": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def wav_audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Feature extraction over ACTUALLY-DECODED audio: decode each WAV
+    payload (:func:`decode_wav` — real RIFF walk + PCM de-multiplex, not a
+    stub) and reduce to per-channel integer statistics — sample count,
+    clip duration in microseconds, peak ``max(|v|)``, and mean absolute
+    amplitude ``(10⁶ · Σ|v|) div n`` — exact integer arithmetic so the
+    oracle's arithmetic replay matches bit-for-bit.
+
+    Output: one row per (id, channel): (id, channel, n_samples,
+    duration_micro, peak, mean_abs_micro).  Row fan-out happens inside
+    the Arrow batch (the sample_frames pattern); memory is bounded by the
+    batch size."""
+    schema = (
+        f"{id_col} bigint, channel int, n_samples bigint, "
+        "duration_micro bigint, peak bigint, mean_abs_micro bigint"
+    )
+    dec = decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("id", "ch", "n", "dur", "peak", "mean")}
+            for i, content in zip(pdf[id_col], pdf["content"]):
+                n_ch, rate, chans = dec(bytes(content))
+                for c, ch in enumerate(chans):
+                    n = len(ch)
+                    sabs = sum(abs(v) for v in ch)
+                    rows["id"].append(i)
+                    rows["ch"].append(c)
+                    rows["n"].append(n)
+                    rows["dur"].append(1_000_000 * n // rate)
+                    rows["peak"].append(max(abs(v) for v in ch) if n else 0)
+                    rows["mean"].append(1_000_000 * sabs // n if n else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows["id"], dtype="int64"),
+                    "channel": pd.Series(rows["ch"], dtype="int32"),
+                    "n_samples": pd.Series(rows["n"], dtype="int64"),
+                    "duration_micro": pd.Series(rows["dur"], dtype="int64"),
+                    "peak": pd.Series(rows["peak"], dtype="int64"),
+                    "mean_abs_micro": pd.Series(rows["mean"], dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(batches, schema)
+
+
 def media_dimensions(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched decode over binary payloads: (id, format, width,
     height) via :func:`decode_media` — the real header parse, not a stub.

@@ -879,6 +879,174 @@ def kcenter_select(
     return out
 
 
+KPP_HASH_MOD = 65536  # 16-bit hash space for the D² acceptance test
+KPP_PSCALE = 1_000_000  # micro-unit normalized D² mass
+KPP_BOOST = 2  # acceptance-rate multiplier over the cap (k-means|| style):
+               # expected accepts ≈ BOOST·l per round so the (d2 DESC, id)
+               # cap usually fills; capped picks stay D²-biased
+
+
+def kcenter_pp_select(
+    df: DataFrame,
+    k: int,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sampling-based k-center++ — the large-k form :func:`kcenter_select`'s
+    docstring promises, behind the same ``(sel_rank, vec_id, d2_before)``
+    contract.
+
+    Greedy farthest-point costs one corpus pass PER CENTER (k passes).
+    Here each round D²-samples up to ``oversample`` centers at once (the
+    k-means|| oversampling move, Bahmani et al. 2012) and updates the
+    carried min-distance state against the whole batch in ONE pass —
+    ``ceil((k-1)/oversample)`` corpus passes total, the k/l speedup that
+    makes hundreds of centers affordable.
+
+    Deterministic D²-sampling without RNG state: point i enters round r's
+    candidate set iff ``h16(i, r) < (l · p_i · 65536) div 10⁶`` where
+    ``p_i = (10⁶ · d2_i) div max(Σd2, 1)`` is its micro-unit D² mass and
+    ``h16`` is the first 4 md5 hex digits of ``"{id}_{round}"`` and
+    ``l = KPP_BOOST · oversample`` — an acceptance probability
+    ≈ l·d2_i/Σd2, so expected accepts ≈ 2× the cap per round (the
+    k-means|| oversampling rate) and rounds usually fill, biased exactly
+    like k-center++ toward far points.  Accepted
+    points are capped at ``oversample`` by (d2 DESC, id); a round whose
+    acceptance test admits nobody falls back to the greedy argmax, so
+    every round makes progress.  All arithmetic is integer and every
+    tiebreak total, so the DuckDB oracle replays each round bit-for-bit.
+
+    Rounds are FIXED at ``ceil((k-1)/oversample)`` and the output is
+    truncated to k picks at the end: earlier rounds can never exceed
+    their cap, so truncation only ever drops final-round picks — which
+    influenced no later state — keeping Spark and the unrolled oracle in
+    lockstep.  Within a round picks are mutually independent (the
+    k-means|| semantics): ``d2_before`` is the distance to all PRIOR
+    rounds' centers, so it is non-increasing across rounds but not
+    necessarily within one.  Underfull rounds (strict acceptance) mean
+    the result can carry fewer than k rows; the coverage radius stays
+    within a small constant factor of greedy's on real corpora (pinned
+    on the fixture in tests).
+
+    Same distinct-picks guarantees as greedy: picked ids leave the state,
+    k beyond the corpus raises.
+    """
+    n_ids = df.count()
+    if k > n_ids:
+        raise ValueError(
+            f"kcenter_pp_select: k={k} exceeds the {n_ids} available vectors"
+        )
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+
+    def dist_min_to(centers: DataFrame) -> DataFrame:
+        """min squared distance from every corpus point to any center in
+        the (≤ oversample)-row broadcast ``centers`` (cid) frame."""
+        cent = comp.join(
+            F.broadcast(centers), comp[id_col] == centers["cid"]
+        ).select("cid", "pos", F.col("q").alias("cq"))
+        return (
+            comp.join(F.broadcast(cent), "pos")
+            .groupBy(id_col, "cid")
+            .agg(
+                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+                .alias("d2c")
+            )
+            .groupBy(id_col)
+            .agg(F.min("d2c").alias("d2"))
+        )
+
+    seed = df.select(F.min(id_col).alias("cid")).localCheckpoint(eager=True)
+    picks = [
+        seed.select(
+            F.lit(0).alias("ord_round"),
+            F.col("cid").alias(id_col),
+            F.lit(None).cast("bigint").alias("d2_before"),
+        )
+    ]
+    m = dist_min_to(seed).join(
+        F.broadcast(seed.select(F.col("cid").alias(id_col))),
+        id_col,
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    rounds = -(-(k - 1) // oversample)
+    w = Window.orderBy(F.col("d2").desc(), F.col(id_col).asc())
+    for r in range(1, rounds + 1):
+        tot = m.agg(
+            F.greatest(F.sum("d2"), F.lit(1)).cast("bigint").alias("tot")
+        )
+        h16 = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"_{r}"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        sel = (
+            m.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "p", F.expr(f"({KPP_PSCALE} * d2) div tot").cast("bigint")
+            )
+            .filter(
+                h16
+                < F.expr(
+                    f"({KPP_BOOST * oversample} * p * {KPP_HASH_MOD})"
+                    f" div {KPP_PSCALE}"
+                )
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= oversample)
+            .select(id_col, "d2")
+            .localCheckpoint(eager=True)
+        )
+        if sel.count() == 0:  # greedy fallback: the round must progress
+            sel = (
+                m.agg(
+                    F.max(
+                        F.struct(F.col("d2"), (-F.col(id_col)).alias("nid"))
+                    ).alias("s")
+                )
+                .select(
+                    (-F.col("s.nid")).alias(id_col), F.col("s.d2").alias("d2")
+                )
+                .localCheckpoint(eager=True)
+            )
+        picks.append(
+            sel.select(
+                F.lit(r).alias("ord_round"),
+                F.col(id_col),
+                F.col("d2").alias("d2_before"),
+            )
+        )
+        if r < rounds:
+            nd = dist_min_to(
+                sel.select(F.col(id_col).alias("cid"))
+            ).withColumnRenamed("d2", "nd2")
+            m = (
+                m.join(nd, id_col)
+                .select(id_col, F.least("d2", "nd2").alias("d2"))
+                .join(
+                    F.broadcast(sel.select(id_col)), id_col, "left_anti"
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    # tiny frame (≤ k + oversample rows): the global window is a driver-
+    # sized sort, not a corpus hazard
+    wsel = Window.orderBy(
+        F.col("ord_round").asc(), F.col("d2_before").desc(), F.col(id_col)
+    )
+    return (
+        out.withColumn("sel_rank", (F.row_number().over(wsel) - 1).cast("bigint"))
+        .filter(F.col("sel_rank") < k)
+        .select("sel_rank", id_col, "d2_before")
+    )
+
+
 def kcenter_coverage_radius(df: DataFrame, centers: DataFrame,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:

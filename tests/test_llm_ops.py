@@ -1047,3 +1047,62 @@ def test_exact_screen_family_agrees_on_ragged_vectors(spark):
     )
     d = compare("ragged_screen", jvm, con, _exact_screen_sql(dim=3))
     assert d.ok, d.messages
+
+
+def test_kcenter_pp_coverage_within_constant_factor_of_greedy(spark):
+    """The D²-sampling k-center++ variant must trade at most a small
+    constant factor of coverage for its ceil((k-1)/l)-pass cost: on the
+    fixture its squared coverage radius stays within 2× greedy's
+    (measured ~1.05×), picks are distinct, and reruns are deterministic."""
+    from killrweather_spark.functions.similarity import (
+        kcenter_coverage_radius,
+        kcenter_pp_select,
+        kcenter_select,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    pp = kcenter_pp_select(emb, k=9, oversample=4).collect()
+    assert len(pp) == 9
+    assert len({r.vec_id for r in pp}) == 9
+    assert [r.sel_rank for r in sorted(pp, key=lambda r: r.sel_rank)] == list(
+        range(9)
+    )
+    again = kcenter_pp_select(emb, k=9, oversample=4).collect()
+    assert sorted(map(tuple, pp)) == sorted(map(tuple, again))
+
+    centers = spark.createDataFrame(
+        [(r.vec_id,) for r in pp], "vec_id bigint"
+    )
+    g = kcenter_select(emb, k=9)
+    r2_pp = kcenter_coverage_radius(emb, centers).collect()[0].radius2
+    r2_g = kcenter_coverage_radius(emb, g.select("vec_id")).collect()[0].radius2
+    assert r2_pp <= 2 * r2_g, (r2_pp, r2_g)
+
+
+def test_wav_codec_roundtrips_and_rejects_corruption():
+    """encode_wav / decode_wav is a real codec pair: interleaved stereo
+    frames survive the round trip sample-for-sample, and structural
+    corruption (length mismatch, truncation, non-PCM format) raises
+    ValueError instead of yielding garbage."""
+    import pytest as _pytest
+
+    from killrweather_spark.functions.multimodal import decode_wav, encode_wav
+
+    left = [((37 * s) % 256 - 128) * 256 for s in range(41)]
+    right = [((37 * s + 17) % 256 - 128) * 256 for s in range(41)]
+    blob = encode_wav(2, 8000, [left, right])
+    n_ch, rate, chans = decode_wav(blob)
+    assert (n_ch, rate) == (2, 8000)
+    assert chans == [left, right]
+
+    mono = encode_wav(1, 8000, [left])
+    assert decode_wav(mono)[2] == [left]
+
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_wav(blob[:-2])  # truncation breaks the RIFF length
+    bad = bytearray(blob)
+    bad[20] = 3  # fmt audio_format -> IEEE float
+    with _pytest.raises(ValueError, match="16-bit PCM"):
+        decode_wav(bytes(bad))
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x89PNG\r\n\x1a\n" + bytes(16))

@@ -262,3 +262,25 @@ def test_perceptron_epochs_ceiling_fails_loudly(spark):
         perceptron_domain_classifier_sql("src0", epochs=PERC_MAX_EPOCHS + 1)
     with _pytest.raises(ValueError, match="epochs"):
         perceptron_domain_classifier_sql("src0", epochs=0)
+
+
+def test_domain_gate_recovers_a_separable_domain(spark):
+    """The production sign gate applied to a separable corpus must return
+    EXACTLY the target-domain docs: training reaches zero error (previous
+    test), so w·x > 0 iff the doc is in-domain.  The above_mean mode must
+    also run, keep a strict non-trivial subset, and keep every margin
+    exact-integer."""
+    from killrweather_spark.functions.lm import domain_filtered_corpus
+
+    rows = [(i, "alpha beta gamma " * 4, "src0") for i in range(5)] + [
+        (10 + i, "delta epsilon zeta " * 4, "srcX") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kept = domain_filtered_corpus(docs, "src0", epochs=3, mode="sign").collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 3, 4]
+    assert all(r["source"] == "src0" and r["margin"] > 0 for r in kept)
+
+    rel = domain_filtered_corpus(docs, "src0", epochs=3,
+                                 mode="above_mean").collect()
+    # in-domain margins all sit above the mixed-corpus mean here
+    assert sorted(r["doc_id"] for r in rel) == [0, 1, 2, 3, 4]
