@@ -1,0 +1,342 @@
+"""Trained-centroid IVF ANN index: build once on disk, probe many times.
+
+The production ANN serving shape the placeholder-centroid operators
+(``similarity.py:ivf_cells`` — centroids = smallest ids) stand in for:
+train real centroids with a few deterministic Lloyd iterations, persist
+the index as partitioned tables, and answer queries by reading ONLY the
+probed partitions.  Composes the kmeans machinery with the IVF probe —
+the round-6 verdict's "natural composition".
+
+Index layout (``build_ivf_index``), all integer, all deterministic:
+
+- ``centroids/``  — (cell, pos, c): the trained centroid components
+  (floor-mean of ×10⁶-quantized member components, the kmeans sign-safe
+  form) from the FINAL M-step; n_centroids · dims rows, broadcast-sized.
+- ``inverted/``   — (cell, vec_id, pos, q): every corpus vector's
+  quantized components, PARTITIONED BY its trained cell — the IVF
+  inverted lists.  At 100 TB this partitioning is the whole point: a
+  probe reads ``n_probe / n_centroids`` of the data and Spark's
+  partition pruning (literal ``cell IN (...)`` from the driver-side
+  probe list) does the skipping — visible as PartitionFilters in the
+  scan, pinned in tests.
+- ``norms/``      — (cell, vec_id, norm2): per-vector squared norms,
+  same partitioning, so the rescore never touches unprobed cells.
+
+Training determinism: initial cells are ``vec_id % n_centroids`` (no
+RNG); each Lloyd iteration is an integer M-step (floor-mean centroids)
+plus an integer E-step (exact squared-L2 argmin, ties to the smallest
+cell) — so a rebuild, a rerun, and the DuckDB oracle (which replays the
+iterations relationally, no disk) all produce byte-identical indexes and
+answers.  Assignment AND probe ranking both use squared-L2 to the
+centroid (one metric end-to-end); the returned scores are exact
+quantized cosines, the ANN family contract.
+
+Probe scale shape: centroids broadcast; the query set is small by the
+serving premise, so its probe list (n_queries · n_probe cells) is a
+BOUNDED driver-side collect (documented — it is what makes the pruning
+literal and plan-visible); the candidate (query, neighbor) aggregation
+shuffles only probed-cell rows.  No corpus-sized exchange at probe time
+(plan-pinned).
+
+Reference parity note: the reference keeps no ANN surface (weather keys
+are exact); this extends SURVEY §2's beyond-reference similarity family.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from killrweather_spark.functions.similarity import (
+    cosine_norms,
+    quantized_components,
+)
+from killrweather_spark.plans.caching import persist_once
+
+IVF_MAX_PROBE_CELLS = 1024  # probe-list collect bound: n_queries · n_probe
+
+
+def _centroids_from(comp: DataFrame, labels: DataFrame) -> DataFrame:
+    """M-step: (cell, pos, c) floor-mean centroids of the ×10⁶ quantized
+    components, in the sign-safe floor form shared with kmeans_assign_step
+    so DuckDB replays it exactly."""
+    return (
+        comp.join(labels, "vec_id")
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum("q").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cell",
+            "pos",
+            F.expr("(s - ((s % n + n) % n)) div n").cast("bigint").alias("c"),
+        )
+    )
+
+
+def _assign(comp: DataFrame, cents: DataFrame) -> DataFrame:
+    """E-step: (vec_id, cell) — exact int64 squared-L2 argmin over the
+    broadcast centroid set, ties to the smallest cell."""
+    d2 = (
+        comp.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    return (
+        d2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the centroids (``iters`` Lloyd steps from the vec_id % k
+    init) and write the three index tables.  Build is atomic: tables land
+    in ``<index_dir>.tmp`` and the directory is renamed into place, so a
+    killed build never leaves a half-index a probe could read."""
+    tmp = index_dir + ".tmp"
+    comp = (
+        quantized_components(df, id_col, vec_col)
+        .withColumnRenamed(id_col, "vec_id")
+        .transform(persist_once)
+    )
+    labels = df.select(
+        F.col(id_col).alias("vec_id"),
+        (F.col(id_col) % n_centroids).cast("bigint").alias("cell"),
+    )
+    cents = None
+    for _ in range(iters):
+        # each round's labels feed one M-step and (transitively) the rest
+        # of the chain — 2·dims·n_centroids-row state, checkpoint-free
+        # because the chain is short (iters is small by design; raise it
+        # with the kmeans_iterate checkpoint policy if that changes)
+        cents = _centroids_from(comp, labels)
+        labels = _assign(comp, cents)
+    nrm = cosine_norms(comp, "vec_id")
+    inverted = comp.join(labels, "vec_id").select("cell", "vec_id", "pos", "q")
+    norms = nrm.join(labels, "vec_id").select("cell", "vec_id", "norm2")
+    inverted.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(tmp, "inverted")
+    )
+    norms.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(tmp, "norms")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    os.rename(tmp, index_dir)
+
+
+def ensure_ivf_index(
+    df: DataFrame,
+    index_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Build-once gate: train + write only when the index directory is
+    absent (the deterministic build makes a rebuild byte-identical, so
+    presence is the only staleness signal needed for the immutable
+    fixture corpora; production would key the path by corpus snapshot)."""
+    if not os.path.isdir(index_dir):
+        build_ivf_index(df, index_dir, n_centroids, iters, id_col, vec_col)
+    return index_dir
+
+
+def ivf_probe_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Answer top-k cosine queries from the PREBUILT index: rank the
+    trained centroids per query by squared-L2 (ties smallest cell), read
+    ONLY the ``n_probe`` probed cells' inverted lists (literal partition
+    filter from a bounded driver-side probe collect), exact-rescore the
+    candidates, return (query_id, neighbor_id, cosine).
+
+    The query DataFrame is the serving input (vectors arrive with the
+    request); everything corpus-sized is read from the index."""
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    qcomp = (
+        quantized_components(queries, id_col, vec_col)
+        .withColumnRenamed(id_col, "query_id")
+        .transform(persist_once)
+    )
+    qd2 = (
+        qcomp.join(F.broadcast(cents), "pos")
+        .groupBy("query_id", "cell")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .alias("d2")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qd2.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "cell")
+    )
+    # BOUNDED driver collect (n_queries · n_probe pairs): it is what turns
+    # the probe list into LITERAL partition filters the parquet scan can
+    # prune with — the serving-time move of a real IVF store.  The guard
+    # keeps a mis-sized query set from turning this into a corpus read.
+    probe_rows = probes.collect()
+    if len(probe_rows) > IVF_MAX_PROBE_CELLS:
+        raise ValueError(
+            f"probe list has {len(probe_rows)} entries"
+            f" (> {IVF_MAX_PROBE_CELLS}): the query set is not"
+            " serving-sized — batch it"
+        )
+    cells = sorted({r.cell for r in probe_rows})
+    pairs = {(r.query_id, r.cell) for r in probe_rows}
+
+    inv = spark.read.parquet(os.path.join(index_dir, "inverted")).filter(
+        F.col("cell").isin(cells)
+    )
+    nrm = spark.read.parquet(os.path.join(index_dir, "norms")).filter(
+        F.col("cell").isin(cells)
+    )
+    probes_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(q), int(c)) for q, c in sorted(pairs)],
+            "query_id bigint, cell bigint",
+        )
+    )
+    qflat = qcomp.select("query_id", "pos", F.col("q").alias("qa"))
+    dots = (
+        inv.join(probes_df, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qflat), ["query_id", "pos"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("q") * F.col("qa")).alias("dot"))
+    )
+    qn = (
+        qcomp.groupBy("query_id")
+        .agg(F.sum(F.col("q") * F.col("q")).alias("qnorm2"))
+        .filter(F.col("qnorm2") > 0)
+    )
+    sims = (
+        dots.join(
+            nrm.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("norm2").alias("nnorm2")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def ivf_trained_parts_sql(
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    query_pred: str = "vec_id < 5",
+) -> list[str]:
+    """CTE parts replaying build + probe relationally (no disk) over the
+    registry's shared comp/nrm CTEs: the ``iters`` Lloyd rounds
+    (floor-mean M-step, squared-L2 argmin E-step, ties to the smallest
+    cell), the per-query d2 cell ranking, shared-probed-cell candidates,
+    and the candidate dot products (``dots``) — callers append their own
+    tail (top-k, or the recall aggregation)."""
+    parts = [
+        f"l0 AS (SELECT vec_id, CAST(vec_id % {n_centroids} AS BIGINT)"
+        " AS cell FROM embeddings)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"cent{t} AS MATERIALIZED (\n"
+            "      SELECT cell, pos, (s - ((s % n + n) % n)) // n AS c\n"
+            "      FROM (SELECT l.cell, c.pos, CAST(SUM(c.q) AS BIGINT) AS s,\n"
+            "                   CAST(COUNT(*) AS BIGINT) AS n\n"
+            f"            FROM comp c JOIN l{t - 1} l USING (vec_id)\n"
+            "            GROUP BY 1, 2))"
+        )
+        parts.append(
+            f"d{t} AS (SELECT c.vec_id, ct.cell,\n"
+            "             CAST(SUM((c.q - ct.c) * (c.q - ct.c)) AS BIGINT)"
+            " AS d2\n"
+            f"      FROM comp c JOIN cent{t} ct USING (pos) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{t} AS MATERIALIZED (SELECT vec_id, cell FROM d{t}\n"
+            "      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
+            " ORDER BY d2, cell) = 1)"
+        )
+    parts += [
+        f"qd AS (SELECT c.vec_id AS query_id, ct.cell,\n"
+        "             CAST(SUM((c.q - ct.c) * (c.q - ct.c)) AS BIGINT) AS d2\n"
+        f"      FROM comp c JOIN cent{iters} ct USING (pos)\n"
+        f"      WHERE {query_pred.replace('vec_id', 'c.vec_id')}"
+        " GROUP BY 1, 2)",
+        f"probes AS (SELECT query_id, cell FROM qd\n"
+        "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY d2, cell) <= {n_probe})",
+        f"cand AS (SELECT p.query_id, l.vec_id AS neighbor_id\n"
+        f"      FROM probes p JOIN l{iters} l ON l.cell = p.cell\n"
+        "      WHERE l.vec_id != p.query_id)",
+        "dots AS (SELECT c.query_id, c.neighbor_id, SUM(a.q * b.q) AS dot\n"
+        "      FROM cand c\n"
+        "      JOIN comp a ON a.vec_id = c.query_id\n"
+        "      JOIN comp b ON b.vec_id = c.neighbor_id AND b.pos = a.pos\n"
+        "      GROUP BY 1, 2)",
+    ]
+    return parts
+
+
+def ivf_trained_sql(
+    comp_nrm_sql: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    k: int = 3,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """Full DuckDB oracle for the trained-IVF probe query:
+    :func:`ivf_trained_parts_sql` plus the exact-cosine top-k tail.
+    ``comp_nrm_sql`` is the registry's shared comp/nrm CTE text (passed
+    in to keep this module import-independent of the registry)."""
+    parts = ivf_trained_parts_sql(n_centroids, iters, n_probe, query_pred)
+    return (
+        f"WITH {comp_nrm_sql},\n    "
+        + ",\n    ".join(parts)
+        + """
+    SELECT query_id, neighbor_id,
+           dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+    FROM dots
+    JOIN nrm qn ON qn.vec_id = query_id
+    JOIN nrm cn ON cn.vec_id = neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) <= """
+        + str(k)
+    )

@@ -543,3 +543,33 @@ def test_exact_screen_is_map_only_over_train(spark):
     )
     assert "MapInPandas" in vec
     assert "BatchEvalPython" not in vec
+
+
+def test_ivf_trained_probe_prunes_partitions_and_stays_index_sized(spark):
+    """The trained-IVF probe must read ONLY the probed cells: the
+    inverted-list parquet scan carries a literal cell PartitionFilter
+    (build-once/probe-many means probe-time partition pruning IS the
+    n_probe/n_centroids read fraction), and no exchange in the probe plan
+    is corpus-keyed — the only aggregations are the candidate
+    (query, neighbor) rescore and broadcast-sided query folds."""
+    import re
+
+    df = REGISTRY["ann_ivf_trained"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    m = re.findall(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan[:4000]
+    # the probe never re-derives the corpus: the only embeddings scan is
+    # the query-side point read (vec_id pushdown present)
+    assert checks.has_pushed_filters(df, "GreaterThanOrEqual(vec_id,100"), plan[:2000]
+
+    # a single query probes exactly n_probe cells — the IN list is the
+    # read fraction, not the whole cell range
+    from killrweather_spark.api.inventory import _ivf_index_dir
+    from killrweather_spark.functions.ann_index import ivf_probe_topk
+    from killrweather_spark.sources.readers import load_table
+
+    one = load_table(spark, SF01, "embeddings").filter(F.col("vec_id") == 100)
+    df1 = ivf_probe_topk(spark, _ivf_index_dir(SF01), one, k=3, n_probe=2)
+    plan1 = checks.formatted_plan(df1)
+    lists = re.findall(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", plan1)
+    assert lists and all(len(x.split(",")) == 2 for x in lists), plan1[:4000]
