@@ -9409,102 +9409,105 @@ def q_curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reorder mutates REGISTRY in place so every importer — __spark_entry__,
 # bench, tests — sees one consistent order.
 DRIVER_WINDOW = [
-    # §2.4 aggregations (A1-A9) + tiered rollup
+    # ------------------------------------------------------------------
+    # r07 rotation: the hard burn-down round.  14 slots rotate from
+    # multi-round-green §2 rows (every one keeps the identical value-exact
+    # check in tests/test_oracle_parity.py) toward never-driver-verified
+    # families + the round-7 flagships.  OUT in r07 (rounds driver-green):
+    # daily_precip (r1-r6; streaming_daily_precip keeps the A4 rollup
+    # in-window), annual_precip (r1-r6; 5 agg rows remain),
+    # projection_filter (r1-r6; ReadSchema plan pin retained),
+    # join_multi_key (r1-r6; star_join keeps J1's multi-key equi shape),
+    # set_ops (r2-r6), hourly_tumbling_window (r2-r6; lag_features +
+    # streaming_hopping_counts keep event-time windows), rollup_agg
+    # (r3-r6; grouping_sets_agg takes the grouping-family slot),
+    # asof_join_latest_order (r3-r6; scd2_point_in_time_join keeps the
+    # as-of shape), dedup_exact_groups (r2-r6; 5 dedup rows remain),
+    # decontaminate_ngrams (r2-r6; the screen family keeps decontam),
+    # cosine_topk (r2-r6; ann_ivf_trained keeps ANN), multimodal_embedding
+    # (r2-r6; media_decode_dims/png/wav keep the Arrow path),
+    # semantic_eval_screen_lsh (r5-r6; the ivf screen + lsh_fixed stay),
+    # pack_sequences (r2-r6; filter_funnel + curation_pipeline_report
+    # keep curation).
+    # ------------------------------------------------------------------
+    # §2.4 aggregations
     "daily_stats",
     "monthly_hilow",
-    "daily_precip",
-    "annual_precip",
     "topk_daily_precip",
     "distinct_users_in_range",
-    "year_cumulative_precip",      # A9 — only §2 row with no driver evidence (r02)
-                                   # (r06: count_raw / minmax_aggregators rotate
-                                   # to oracle-pytest — 4 rounds driver-green,
-                                   # the agg family keeps 7 driver rows)
+    "year_cumulative_precip",      # A9 — the declared-never-written tier
     # §2.2 projections / filters / parse
-    "projection_filter",
-    "current_weather",             # r06: point_lookup rotates out (key-equality
-                                   # pruning stays plan-pinned + oracle-pytest)
-    "csv_roundtrip",               # r07: value_filter rotates to oracle-pytest
-                                   # (P4 stays covered; the P family keeps 4
-                                   # driver rows)
+    "current_weather",
+    "csv_roundtrip",
     "json_extract",
+    "json_variant_stats",          # r07 promotion: the Spark VARIANT path's
+                                   # first driver row (S11 extension)
     # §2.3 joins
-    "join_multi_key",
     "join_dim_broadcast",
     "star_join_revenue",
-    # §2.8 scalar functions (date_sequence / coalesce_default rotate to
-    # oracle-pytest in r04 — the F family keeps date_format_parts +
-    # csv_roundtrip + json_extract driver rows — freeing two slots for the
-    # round-4 flagships below)
-    "date_format_parts",           # r06: sky_condition_lookup rotates out
-                                   # (S12 local-collection source stays
-                                   # oracle-pytest)
-    # §2.5/2.6 windows & order (r07: window_running_sum + topk_global rotate
-    # to oracle-pytest — lag_features / hourly_tumbling_window /
-    # topk_daily_precip keep the window & top-k shapes in-window)
-    "hourly_tumbling_window",
-    "rollup_agg",
-    "asof_join_latest_order",
+    # §2.8 scalar functions
+    "date_format_parts",
+    # §2.5/2.6 windows, grouping & order
+    "grouping_sets_agg",           # r07 promotion: GROUPING SETS' first
+                                   # driver row (rollup_agg rotates out)
     # §2.11 query API surface
-    "monthly_temperature",         # declared-unimplemented in ref; driver row new in r03
-    # §2.7 set ops
-    "set_ops",
-    # §2.9 streaming semantics (batch-replayable form)
+    "monthly_temperature",         # the reference's declared-unimplemented
+                                   # request — keeps its driver row
+    # §2.9 streaming semantics (batch-replayable forms)
     "streaming_daily_precip",
+    "streaming_session_windows",   # r07 promotion: session-gap windows'
+                                   # first driver row (hopping windows stay
+                                   # oracle-pytest — hourly_tumbling_window
+                                   # held the event-time-window driver row
+                                   # for 5 rounds)
     # dedup family
-    "dedup_exact_groups",
-    "minhash_lsh_pairs",           # r06: simhash rotates to oracle-pytest (the
-                                   # minhash + ngram rows keep the family)
-    "ngram_jaccard_df_capped",     # r04: GRAM_DF_CAP prefix filter, cap fires
-                                   # at sf0.01 (r05: ngram_jaccard_pairs
-                                   # rotates to oracle-pytest — the capped
-                                   # form demonstrates the same join plus
-                                   # the cap; slot freed for TPC-H Q11)
-    "new_batch_dup_screen",        # round-2 flagship: incremental crawl screen
-    "semantic_dup_candidates",     # round-2 flagship: SemDeDup w/ cluster cap
+    "minhash_lsh_pairs",
+    "ngram_jaccard_df_capped",
+    "new_batch_dup_screen",
+    "semantic_dup_candidates",
+    "fuzzy_name_pairs",            # r07 promotion: deletion-neighborhood
+                                   # fuzzy blocking's first driver row
+    "dedup_components",            # r07 promotion: union-find connected
+                                   # components' first driver row
+    "canonical_docs",              # r07 promotion: cluster-representative
+                                   # election's first driver row
     # text analysis family
-    "text_quality",                # r06 late: doc_fingerprint rotates to
-                                   # oracle-pytest too (lang_id/token_counts
-                                   # rotated earlier; the fingerprint stays
-                                   # exercised via new_batch_dup_screen's
-                                   # winnowing path in-window)
-    "decontaminate_ngrams",        # decontamination family had no driver row
-    # ANN / similarity family (r05: ann_lsh_cosine rotates to oracle-pytest
-    # — semantic_eval_screen_lsh demonstrates the same hyperplane machinery
-    # in-window; slot freed for TPC-H Q20)
-    "cosine_topk",
+    "text_quality",
+    # Arrow applyInPandas path (first driver row for grouped pandas)
+    "pandas_rank_normalize",       # r07 promotion
     # multimodal (Arrow mapInPandas path)
-    "multimodal_embedding",
-    "media_decode_dims",           # r04: REAL container decode, oracle-exact
-    # decontamination (embedding-space complement of the n-gram pass;
-    # r05: the LSH-bucketed successor takes the dense screen's slot — the
-    # exact form stays oracle-pytest as the ground-truth baseline)
-    "semantic_eval_screen_lsh",    # r05 flagship: candidate-pruned screen
-    # curation / sketch families (no driver rows in r02)
-    "pack_sequences",
+    "media_decode_dims",
+    "png_pixel_stats",
+    "wav_audio_stats",             # r07 flagship: real RIFF/PCM decode
+    # decontamination screens
+    "semantic_eval_screen_ivf",
+    "semantic_eval_screen_lsh_fixed",  # r07 flagship: production eval
+                                       # regime for the approximate family
+    # curation / sketch families
     "approx_distinct_hll",
-    "filter_funnel",               # round-2 flagship: Gopher-style gates
+    "filter_funnel",
+    "curation_pipeline_report",
     # TPC-H batch + feature engineering flagships
     "tpch_pricing_summary",
     "lag_features",
-    # r05: the two classic plan shapes unblocked by the derived partsupp
-    "important_stock_value",       # Q11: group vs global-scalar threshold
-    "overstocked_suppliers",       # Q20: decorrelated availability screen
-    # r06 promotions — never-driver-verified families + the round-6 flagships
-    "cdc_merge_snapshot",          # CDC family's first driver row
-    "scd2_point_in_time_join",     # slowly-changing-dimension join
-    "dq_rule_violations",          # data-quality rule engine
-    "bm25_search",                 # retrieval family's first driver row
-    "semantic_eval_screen_ivf",    # r06 flagship: IVF-probed screen
-    "png_pixel_stats",             # r06 flagship: full PNG pixel decode
-    "kcenter_coreset",             # r06 flagship: k-center diversity coreset
-    # r06 late promotions — the LM/curation/embedding-analysis flagships
-    # (slots from value_filter / topk_global / window_running_sum, all
-    # 5-rounds driver-green with plan-pinned pytest coverage retained)
-    "bigram_lm_quality",           # corpus-trained bigram LM fluency scores
-    "dsir_importance_weights",     # DSIR target-domain importance weights
-    "embedding_top_pc",            # power-iteration top principal direction
-    "curation_pipeline_report",    # end-to-end curation funnel capstone
+    "important_stock_value",
+    "overstocked_suppliers",
+    # r06 promotions (1 round green — retained for a second round)
+    "cdc_merge_snapshot",
+    "scd2_point_in_time_join",
+    "dq_rule_violations",
+    "bm25_search",
+    "kcenter_coreset",
+    "bigram_lm_quality",
+    "dsir_importance_weights",
+    "embedding_top_pc",
+    # r07 flagships — the round's new operators
+    "ann_ivf_trained",             # trained-centroid IVF, build-once/probe-many
+    "kcenter_pp_coreset",          # D²-sampling k-center++
+    "domain_filtered_corpus",      # perceptron apply: margin gate
+    # r07 promotions — the round-6 flagships never driver-checked
+    "bpe_merge_table",
+    "bpe_subword_stats",
 ]
 
 

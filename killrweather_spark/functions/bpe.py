@@ -37,6 +37,24 @@ per-document fold at all: segmentation is per-WORD, so the post-merge
 vocabulary (word → subword count) joins back to per-document word
 multiplicities — a word-keyed join, the tokenizer-apply shape that
 scales as corpus × nothing.
+
+Production merge-count honesty (the k-sequential-rounds bill): each round
+is a short serial Spark job over the vocabulary-sized state — measured at
+sf0.1 (local[32]): the one corpus pass costs ~4.6 s and each additional
+round ~0.08 s (k=1 → 4.58 s, k=8 → 4.61 s, k=16 → 5.77 s; per-round cost
+is vocabulary-bound and corpus-free, pinned in
+``test_llm_ops.py::test_bpe_rounds_are_vocabulary_bound``).  A real 32k-
+merge vocabulary is therefore ~32,000 × ~0.1 s ≈ 45 min of DRIVER-
+serialized rounds — dominated by job-scheduling latency, not data.  The
+standard fix when that bill matters is BATCHED merges: take the top-m
+pairs per round that share no symbol with a higher-ranked chosen pair
+(non-conflicting, so the folds commute) and apply them in one pass —
+m× fewer rounds for a vocabulary that differs from strict-greedy only
+where near-tied pairs interleave.  This module keeps the strict-greedy
+single-merge semantics because the oracle replays it exactly and the
+gate's k is small; batching slots into ``_learn`` behind the same
+``(merge_rank, left, right, count)`` contract when a production
+vocabulary build needs it.
 """
 
 from __future__ import annotations

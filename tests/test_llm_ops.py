@@ -1145,3 +1145,29 @@ def test_trained_ivf_recall_beats_placeholder_centroids(spark):
     r_placeholder = len(exact & placeholder) / len(exact)
     assert r_trained >= r_placeholder, (r_trained, r_placeholder)
     assert r_trained >= 0.4, r_trained
+
+
+def test_bpe_rounds_are_vocabulary_bound(spark):
+    """The BPE induction touches the corpus ONCE: every merge round runs
+    on the (word, cnt, syms) state alone.  Pinned structurally — _learn
+    accepts a bare word-count frame (no documents anywhere), the carried
+    state never exceeds the vocabulary size, and after k rounds its plan
+    is checkpoint-backed with no file scan (a FileScan here would mean a
+    round re-reading the corpus — the 32k-merge cost model in bpe.py's
+    scale note depends on this)."""
+    from killrweather_spark.functions.bpe import _learn
+
+    wc = spark.createDataFrame(
+        [("banana", 10), ("bandana", 5), ("ananas", 3)],
+        ["word", "cnt"],
+    )
+    out, words = _learn(wc, k=4, fold_last=True)
+    assert words.count() == 3  # state stays |vocab| through every round
+    plan = words._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        words._jdf.queryExecution(), "simple"
+    )
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan
+    # and the learned table is the expected greedy sequence: 'an' first
+    first = out[0].collect()[0]
+    assert (first.left_sym, first.right_sym) == ("a", "n")
+    assert first.pair_count == 10 * 2 + 5 * 2 + 3 * 2
