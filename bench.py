@@ -112,6 +112,9 @@ HEADLINE = [
     "wav_audio_stats",                  # real RIFF/PCM decode + channel stats
     "semantic_eval_screen_lsh_fixed",   # LSH screen, production eval regime
     "semantic_eval_screen_ivf_fixed",   # IVF screen, production eval regime
+    "kn_bigram_quality",                # Kneser-Ney bigram fluency scoring
+    "source_mixture_weights",           # sqrt-temperature mixture weights
+    "greedy_source_coverage",           # submodular source ordering
 ]
 
 

@@ -3289,6 +3289,55 @@ def q_ann_recall_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_probe_curve",
+    None,  # wired below (builder needs _EMB_COMP_NRM_SQL via ann_index)
+    survey_ref="",
+)
+def q_ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-probe-depth curve of the trained IVF index: depths 1..4,
+    one pass (each exact pair's minimal catching depth = the rank of its
+    neighbor's cell in the query's centroid ranking)."""
+    from killrweather_spark.functions.ann_index import (
+        ensure_ivf_index,
+        ivf_probe_depth_curve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ensure_ivf_index(emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2)
+    return ivf_probe_depth_curve(
+        spark, idx, emb,
+        lambda c: (c >= 100) & (c < 110),
+        k=3, max_probe=4,
+    )
+
+
+def _wire_ann_ivf_probe_curve() -> None:
+    from killrweather_spark.functions.ann_index import ivf_probe_curve_sql
+
+    REGISTRY["ann_ivf_probe_curve"] = QuerySpec(
+        fn=REGISTRY["ann_ivf_probe_curve"].fn,
+        sql=ivf_probe_curve_sql(_EMB_COMP_NRM_SQL, n_centroids=8, iters=2,
+                                k=3, max_probe=4,
+                                query_pred="vec_id >= 100 AND vec_id < 110"),
+        survey_ref="beyond-ref ANN QA: the trained index's recall-vs-"
+        "probe-depth CURVE in one pass (ann_index.py:ivf_probe_depth_"
+        "curve) — the latency/recall dial a production deployment tunes "
+        "before fixing n_probe.  Instead of re-running the probe per "
+        "candidate depth, each exact top-k pair's MINIMAL catching depth "
+        "is the rank of its neighbor's trained cell in the query's "
+        "centroid ranking; grouping + cumulating yields every depth's "
+        "recall from one computation.  Index reads are centroids + cell "
+        "assignments only (never inverted-list payloads); the exact "
+        "truth side runs on the bounded recall premise; the tiny pair "
+        "side broadcasts, never the corpus-sized cell table.  "
+        "recall_micro is non-decreasing in depth (pinned)",
+    )
+
+
+_wire_ann_ivf_probe_curve()
+
+
+@register(
     "semantic_screen_recall_ivf",
     f"""
     WITH {_EMB_COMP_NRM_SQL},
@@ -9255,6 +9304,7 @@ def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 from killrweather_spark.functions.lm import (  # noqa: E402
     domain_filtered_corpus,
     domain_filtered_corpus_sql,
+    kn_bigram_scores_sql,
     perceptron_domain_classifier,
     perceptron_domain_classifier_sql,
 )
@@ -9279,6 +9329,86 @@ def q_perceptron_domain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptron_domain_classifier(
         load_table(spark, sf_dir, "documents"), "src0", epochs=3
     )
+
+
+@register(
+    "kn_bigram_quality",
+    kn_bigram_scores_sql(),
+    survey_ref="beyond-ref LM scoring: interpolated Kneser-Ney bigram "
+    "fluency (lm.py:kn_bigram_scores) — the smoothing KenLM actually "
+    "ships (add-one overweights unseen mass on Zipfian text; KN backs "
+    "off to continuation counts).  Discount D = 3/4 kept as an exact "
+    "rational so both terms are integer floor ratios scaled x10^6 — "
+    "value-exact across engines despite the irrational-looking formula.  "
+    "Same scale shape as bigram_lm_quality: one tokenize pass, "
+    "vocabulary-sized count/continuation tables, gram-keyed model join, "
+    "one per-doc rollup",
+)
+def q_kn_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.lm import kn_bigram_scores
+
+    return kn_bigram_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_mixture_weights",
+    None,  # wired below (builder needs the curation import)
+    survey_ref="",
+)
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import source_mixture_weights
+
+    return source_mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "greedy_source_coverage",
+    None,  # wired below (builder needs the curation import)
+    survey_ref="",
+)
+def q_greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.curation import greedy_source_coverage
+
+    return greedy_source_coverage(load_table(spark, sf_dir, "documents"), k=4)
+
+
+def _wire_mix_queries() -> None:
+    from killrweather_spark.functions.curation import (
+        greedy_source_coverage_sql,
+        source_mixture_weights_sql,
+    )
+
+    REGISTRY["source_mixture_weights"] = QuerySpec(
+        fn=REGISTRY["source_mixture_weights"].fn,
+        sql=source_mixture_weights_sql(),
+        survey_ref="beyond-ref corpus-mix design: alpha = 1/2 temperature "
+        "sampling weights per source (curation.py:source_mixture_weights) "
+        "— w_i proportional to sqrt(tokens_i), the standard multilingual/"
+        "multi-domain upsampling move.  The irrational power stays "
+        "cross-engine exact via the milli-sqrt trick: floor(sqrt(t*10^6)) "
+        "is the true integer sqrt on both engines (t*10^6 < 2^53, IEEE "
+        "sqrt correctly rounded, nearest integer boundary 5 orders "
+        "beyond the half-ulp).  One tokenize pass to a sources-sized "
+        "table, then pure arithmetic; feeds weighted_corpus_mix",
+    )
+    REGISTRY["greedy_source_coverage"] = QuerySpec(
+        fn=REGISTRY["greedy_source_coverage"].fn,
+        sql=greedy_source_coverage_sql(k=4),
+        survey_ref="beyond-ref corpus-mix design: greedy max-coverage "
+        "source ordering by MARGINAL vocabulary gain "
+        "(curation.py:greedy_source_coverage) — facility-location-style "
+        "submodular selection answering 'which source next, and what "
+        "does it still buy'.  One tokenize pass reduces the corpus to "
+        "the distinct (source, term) table; each of the 4 rounds is one "
+        "anti-join + count + 1-row argmax with the covered set "
+        "checkpointed (kcenter lineage rule).  marginal_terms is "
+        "non-increasing (submodularity, pinned); zero-gain rounds still "
+        "pick deterministically via the (-gain, source) struct-MIN on "
+        "both engines",
+    )
+
+
+_wire_mix_queries()
 
 
 @register(

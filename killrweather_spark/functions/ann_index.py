@@ -257,18 +257,114 @@ def ivf_probe_topk(
     )
 
 
+def ivf_probe_depth_curve(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    query_ids_filter,
+    k: int = 3,
+    max_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The recall-vs-probe-depth CURVE of the trained index, in one pass —
+    the dial a production ANN deployment tunes before fixing n_probe.
+
+    For every exact brute-force top-k pair (query, neighbor), the minimal
+    probe depth that catches it is the RANK of the neighbor's trained
+    cell within the query's centroid ranking (squared-L2, ties smallest
+    cell — the probe's own ordering).  Grouping those minimal depths and
+    cumulating yields recall at EVERY depth from one computation, instead
+    of re-running the probe per candidate n_probe.
+
+    The exact top-k truth side is corpus-quadratic by nature, so the
+    caller passes a bounded ``corpus`` premise (the recall contract every
+    screen-recall row uses).  Index reads: the centroids (broadcast) and
+    the stored cell assignments — never the inverted-list payloads, so
+    the curve costs one bounded exact pass + tiny joins.
+
+    Output: ``(n_probe, n_caught, recall_micro)`` for depths
+    1..``max_probe`` — non-decreasing by construction (pinned in tests);
+    the denominator is the exact pair count (a 1-row broadcast, no
+    driver-side count).
+    """
+    from killrweather_spark.functions.similarity import cosine_topk
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    inv_cells = (
+        spark.read.parquet(os.path.join(index_dir, "norms"))
+        .select("vec_id", "cell")
+    )
+    queries = corpus.filter(query_ids_filter(F.col(id_col)))
+    qcomp = quantized_components(queries, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    qd2 = (
+        qcomp.join(F.broadcast(cents), "pos")
+        .groupBy("query_id", "cell")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .alias("d2")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    ranks = qd2.withColumn("rk", F.row_number().over(wq)).select(
+        "query_id", "cell", "rk"
+    )
+    exact = cosine_topk(corpus, query_ids_filter, k=k).transform(persist_once)
+    ntrue = exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ntrue")
+    )
+    # the exact-pair side is |queries|·k rows — broadcast IT, never the
+    # corpus-sized cell-assignment table
+    depth = (
+        inv_cells.select(F.col("vec_id").alias("neighbor_id"), "cell")
+        .join(F.broadcast(exact.select("query_id", "neighbor_id")),
+              "neighbor_id")
+        .join(F.broadcast(ranks), ["query_id", "cell"])
+        .select(F.col("rk").alias("min_probe"))
+    )
+    counts = depth.groupBy("min_probe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at")
+    )
+    probes = spark.range(1, max_probe + 1).select(
+        F.col("id").cast("bigint").alias("n_probe")
+    )
+    return (
+        probes.join(counts, counts["min_probe"] <= probes["n_probe"], "left")
+        .groupBy("n_probe")
+        .agg(
+            F.coalesce(F.sum("n_at"), F.lit(0))
+            .cast("bigint")
+            .alias("n_caught")
+        )
+        .crossJoin(F.broadcast(ntrue))
+        .select(
+            "n_probe",
+            "n_caught",
+            F.expr("(1000000 * n_caught) div greatest(__ntrue, 1)")
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
+    )
+
+
 def ivf_trained_parts_sql(
     n_centroids: int = 8,
     iters: int = 2,
     n_probe: int = 2,
     query_pred: str = "vec_id < 5",
+    probe_tail: bool = True,
 ) -> list[str]:
     """CTE parts replaying build + probe relationally (no disk) over the
     registry's shared comp/nrm CTEs: the ``iters`` Lloyd rounds
     (floor-mean M-step, squared-L2 argmin E-step, ties to the smallest
-    cell), the per-query d2 cell ranking, shared-probed-cell candidates,
-    and the candidate dot products (``dots``) — callers append their own
-    tail (top-k, or the recall aggregation)."""
+    cell), the per-query d2 cell ranking (``qd``), and — when
+    ``probe_tail`` — shared-probed-cell candidates and their dot products
+    (``dots``); callers append their own tail (top-k, the recall
+    aggregation, or the probe-depth curve over ``qd`` + ``l{iters}``)."""
     parts = [
         f"l0 AS (SELECT vec_id, CAST(vec_id % {n_centroids} AS BIGINT)"
         " AS cell FROM embeddings)",
@@ -293,25 +389,85 @@ def ivf_trained_parts_sql(
             "      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
             " ORDER BY d2, cell) = 1)"
         )
-    parts += [
-        f"qd AS (SELECT c.vec_id AS query_id, ct.cell,\n"
+    parts.append(
+        f"qd AS MATERIALIZED (SELECT c.vec_id AS query_id, ct.cell,\n"
         "             CAST(SUM((c.q - ct.c) * (c.q - ct.c)) AS BIGINT) AS d2\n"
         f"      FROM comp c JOIN cent{iters} ct USING (pos)\n"
         f"      WHERE {query_pred.replace('vec_id', 'c.vec_id')}"
-        " GROUP BY 1, 2)",
-        f"probes AS (SELECT query_id, cell FROM qd\n"
-        "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
-        f" ORDER BY d2, cell) <= {n_probe})",
-        f"cand AS (SELECT p.query_id, l.vec_id AS neighbor_id\n"
-        f"      FROM probes p JOIN l{iters} l ON l.cell = p.cell\n"
-        "      WHERE l.vec_id != p.query_id)",
-        "dots AS (SELECT c.query_id, c.neighbor_id, SUM(a.q * b.q) AS dot\n"
-        "      FROM cand c\n"
-        "      JOIN comp a ON a.vec_id = c.query_id\n"
-        "      JOIN comp b ON b.vec_id = c.neighbor_id AND b.pos = a.pos\n"
-        "      GROUP BY 1, 2)",
-    ]
+        " GROUP BY 1, 2)"
+    )
+    if probe_tail:
+        parts += [
+            f"probes AS (SELECT query_id, cell FROM qd\n"
+            "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+            f" ORDER BY d2, cell) <= {n_probe})",
+            f"cand AS (SELECT p.query_id, l.vec_id AS neighbor_id\n"
+            f"      FROM probes p JOIN l{iters} l ON l.cell = p.cell\n"
+            "      WHERE l.vec_id != p.query_id)",
+            "dots AS (SELECT c.query_id, c.neighbor_id, SUM(a.q * b.q) AS dot\n"
+            "      FROM cand c\n"
+            "      JOIN comp a ON a.vec_id = c.query_id\n"
+            "      JOIN comp b ON b.vec_id = c.neighbor_id AND b.pos = a.pos\n"
+            "      GROUP BY 1, 2)",
+        ]
     return parts
+
+
+def ivf_probe_curve_sql(
+    comp_nrm_sql: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    k: int = 3,
+    max_probe: int = 4,
+    query_pred: str = "vec_id >= 100 AND vec_id < 110",
+) -> str:
+    """DuckDB oracle for :func:`ivf_probe_depth_curve` — the trained
+    build replayed relationally, full query cell ranks, exact top-k truth
+    pairs, each pair's minimal catching depth (rank of its neighbor's
+    cell), cumulated over depths 1..max_probe."""
+    parts = ivf_trained_parts_sql(
+        n_centroids, iters, n_probe=0, query_pred=query_pred,
+        probe_tail=False,
+    )
+    qp_a = query_pred.replace("vec_id", "a.vec_id")
+    parts += [
+        "qranks AS MATERIALIZED (SELECT query_id, cell,\n"
+        "      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cell)"
+        " AS rk FROM qd)",
+        f"""ex3 AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+        FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     SUM(a.q * b.q) AS dot
+              FROM comp a
+              JOIN comp b ON a.pos = b.pos AND ({qp_a})
+                         AND a.vec_id != b.vec_id
+              GROUP BY 1, 2)
+        JOIN nrm qn ON qn.vec_id = query_id
+        JOIN nrm cn ON cn.vec_id = neighbor_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) <= {k})""",
+        "ntrue AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ex3)",
+        f"depth AS (SELECT r.rk AS min_probe\n"
+        f"      FROM ex3 e JOIN l{iters} l ON l.vec_id = e.neighbor_id\n"
+        "      JOIN qranks r ON r.query_id = e.query_id"
+        " AND r.cell = l.cell)",
+    ]
+    return (
+        f"WITH {comp_nrm_sql},\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(p.p AS BIGINT) AS n_probe,
+           CAST(COUNT(d.min_probe) AS BIGINT) AS n_caught,
+           CAST((1000000 * COUNT(d.min_probe)) // GREATEST(ANY_VALUE(t.n), 1)
+                AS BIGINT) AS recall_micro
+    FROM unnest(generate_series(1, {max_probe})) AS p(p)
+    CROSS JOIN ntrue t
+    LEFT JOIN depth d ON d.min_probe <= p.p
+    GROUP BY p.p
+    """
+    )
 
 
 def ivf_trained_sql(

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from killrweather_spark.functions.text import TOKEN_RE, token_count, tokens
+from killrweather_spark.plans.caching import persist_once
 
 
 def hash_key(id_col: Column) -> Column:
@@ -751,4 +752,243 @@ def curation_pipeline_report(docs: DataFrame) -> DataFrame:
             .cast("bigint")
             .alias("docs_dropped"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus-mix design: temperature weights + greedy coverage ordering
+# --------------------------------------------------------------------------
+
+MIX_SQRT_SCALE = 1_000_000  # milli-sqrt: floor(1000·sqrt(t)) = floor(sqrt(t·10⁶))
+
+
+def source_mixture_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """α = 1/2 temperature-sampling mixture weights per source —
+    ``w_i ∝ tokens_i^α`` — the standard move (mBERT/XLM-style, α∈[0.3,0.7])
+    that upsamples small domains relative to proportional sampling so one
+    giant web crawl doesn't drown everything else.  The weights are what
+    :func:`weighted_corpus_mix` consumes.
+
+    Exact cross-engine arithmetic for an irrational power: ``sqrt_milli =
+    floor(sqrt(t · 10⁶)) = floor(1000·√t)``.  ``t·10⁶`` stays under 2⁵³
+    through ~10⁹ tokens per source, so the double holds it exactly; IEEE
+    sqrt is correctly rounded and the nearest integer boundary sits
+    ~1/(2√x) away — 5 orders of magnitude beyond the 0.5-ulp error — so
+    the floor is the true integer sqrt on BOTH engines (perfect squares
+    are exact by IEEE).  Past 10⁹ tokens drop to centi-sqrt.  The final
+    normalization is one integer floor division against the 1-row
+    broadcast total.
+
+    Scale: one tokenize pass rolled up to a SOURCES-sized table; every
+    later step is arithmetic on that tiny frame.  Returns
+    ``(source, n_tokens, sqrt_milli, weight_micro)``; weights floor-sum
+    to ≤ 10⁶.
+    """
+    per_src = (
+        docs.select(F.col(source_col).alias("source"),
+                    F.size(tokens(F.col(text_col))).alias("__n"))
+        .groupBy("source")
+        .agg(F.sum("__n").cast("bigint").alias("n_tokens"))
+        .withColumn(
+            "sqrt_milli",
+            F.floor(F.sqrt(F.col("n_tokens") * F.lit(MIX_SQRT_SCALE)))
+            .cast("bigint"),
+        )
+    )
+    tot = per_src.agg(F.sum("sqrt_milli").cast("bigint").alias("__tot"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "sqrt_milli",
+            F.expr("(1000000 * sqrt_milli) div __tot")
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+    )
+
+
+def source_mixture_weights_sql() -> str:
+    """DuckDB oracle for :func:`source_mixture_weights` — identical
+    milli-sqrt + floor-normalization arithmetic."""
+    return f"""
+    WITH per_src AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(SQRT(CAST(SUM(n) AS BIGINT) * {MIX_SQRT_SCALE}))
+                  AS BIGINT) AS sqrt_milli
+      FROM (SELECT source,
+                   len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n
+            FROM documents)
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(sqrt_milli) AS BIGINT) AS t FROM per_src)
+    SELECT source, n_tokens, sqrt_milli,
+           CAST((1000000 * sqrt_milli) // t AS BIGINT) AS weight_micro
+    FROM per_src CROSS JOIN tot
+    """
+
+
+def greedy_source_coverage(docs: DataFrame, k: int = 4,
+                           source_col: str = "source",
+                           text_col: str = "text") -> DataFrame:
+    """Greedy max-coverage ordering of sources by MARGINAL vocabulary
+    gain — facility-location-style submodular selection (the corpus-mix
+    design question "which source do I add next, and what does it still
+    buy me?").  Round r picks the unpicked source contributing the most
+    distinct terms not yet covered by earlier picks (ties to the
+    lexicographically smallest source, zero-gain sources still pickable),
+    then folds its vocabulary into the covered set.
+
+    Deterministic and oracle-replayable: gains are exact distinct counts,
+    tiebreaks total.  Scale shape: ONE tokenize pass reduces the corpus
+    to the distinct ``(source, term)`` table (vocabulary-sized — this is
+    the only corpus-sized work); each of the k rounds is one anti-join +
+    count over that table and a 1-row argmax, with the covered-term set
+    (≤ vocabulary) checkpointed per round (the kcenter lineage rule — it
+    feeds both the next gain pass and the next union).
+
+    Returns ``(sel_rank, source, marginal_terms)`` — ``marginal_terms``
+    is non-increasing in rank (submodularity), pinned in tests.
+    """
+    srcs = [
+        r[0]
+        for r in docs.select(F.col(source_col).alias("source"))
+        .distinct().collect()
+    ]
+    if k > len(srcs):
+        raise ValueError(
+            f"greedy_source_coverage: k={k} exceeds {len(srcs)} sources"
+        )
+    sv = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+        .transform(persist_once)
+    )
+    all_sources = sv.select("source").distinct()
+    covered = None
+    picked = None
+    out = []
+    for r in range(1, k + 1):
+        uncovered = sv if covered is None else sv.join(covered, "term",
+                                                       "left_anti")
+        remaining = (
+            all_sources
+            if picked is None
+            else all_sources.join(F.broadcast(picked), "source", "left_anti")
+        )
+        gains = (
+            remaining.join(
+                uncovered.groupBy("source").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("g")
+                ),
+                "source",
+                "left",
+            )
+            .select("source", F.coalesce("g", F.lit(0)).cast("bigint").alias("g"))
+        )
+        pick = (
+            gains.agg(F.min(F.struct((-F.col("g")).alias("ng"),
+                                     F.col("source"))).alias("s"))
+            .select(
+                F.col("s.source").alias("source"),
+                (-F.col("s.ng")).cast("bigint").alias("marginal_terms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            pick.select(
+                F.lit(r).cast("bigint").alias("sel_rank"),
+                "source",
+                "marginal_terms",
+            )
+        )
+        picked = (
+            pick.select("source")
+            if picked is None
+            else picked.unionByName(pick.select("source"))
+        ).localCheckpoint(eager=True)
+        if r < k:
+            newcov = sv.join(F.broadcast(pick.select("source")),
+                             "source").select("term")
+            covered = (
+                newcov
+                if covered is None
+                else covered.unionByName(newcov).distinct()
+            ).localCheckpoint(eager=True)
+    res = out[0]
+    for nxt in out[1:]:
+        res = res.unionByName(nxt)
+    return res
+
+
+def greedy_source_coverage_sql(k: int = 4) -> str:
+    """DuckDB oracle for :func:`greedy_source_coverage` — the k rounds
+    unrolled (distinct (source, term) base, per-round LEFT-join gains
+    over unpicked sources, argmax with the (−gain, source) struct-MIN so
+    an all-zero-gain round still yields exactly one row)."""
+    parts = [
+        "sv AS MATERIALIZED (\n"
+        "      SELECT DISTINCT source, term\n"
+        "      FROM (SELECT source,"
+        f" unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term\n"
+        "            FROM documents))",
+        "asrc AS MATERIALIZED (SELECT DISTINCT source FROM sv)",
+    ]
+    for r in range(1, k + 1):
+        picked_pred = (
+            "TRUE"
+            if r == 1
+            else "s.source NOT IN ("
+            + " UNION ALL ".join(f"SELECT source FROM p{i}"
+                                 for i in range(1, r))
+            + ")"
+        )
+        cov_pred = (
+            "TRUE"
+            if r == 1
+            else f"v.term NOT IN (SELECT term FROM cov{r - 1})"
+        )
+        parts.append(
+            f"g{r} AS (\n"
+            "      SELECT s.source, CAST(COALESCE(u.g, 0) AS BIGINT) AS g\n"
+            f"      FROM asrc s\n"
+            "      LEFT JOIN (SELECT v.source, COUNT(*) AS g FROM sv v\n"
+            f"                 WHERE {cov_pred} GROUP BY 1) u"
+            " ON u.source = s.source\n"
+            f"      WHERE {picked_pred})"
+        )
+        parts.append(
+            f"p{r} AS MATERIALIZED (\n"
+            "      SELECT s['source'] AS source,"
+            " CAST(-s['ng'] AS BIGINT) AS marginal_terms\n"
+            f"      FROM (SELECT MIN({{'ng': -g, 'source': source}}) AS s"
+            f" FROM g{r}))"
+        )
+        if r < k:
+            prev = f" UNION SELECT term FROM cov{r - 1}" if r > 1 else ""
+            parts.append(
+                f"cov{r} AS MATERIALIZED (\n"
+                "      SELECT DISTINCT term FROM (\n"
+                f"        SELECT v.term FROM sv v JOIN p{r} p"
+                " ON v.source = p.source"
+                f"{prev}))"
+            )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS sel_rank, source, marginal_terms"
+        f" FROM p{r}"
+        for r in range(1, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
     )

@@ -265,6 +265,112 @@ def dsir_weights_sql(target_source: str) -> str:
     """
 
 
+def kn_bigram_scores(docs: DataFrame) -> DataFrame:
+    """Per-document mean interpolated Kneser-Ney bigram probability
+    (micro-units) — the stronger-smoothing sibling of
+    :func:`bigram_lm_scores` (KN is what KenLM actually ships; add-one
+    overweights unseen mass badly on Zipfian text).
+
+    Model, with the standard discount D = 3/4 (exact as the rational 3/4,
+    so the whole computation stays in integer floor arithmetic):
+
+    ``P(w2|w1) = (c(w1w2) − D)/c(w1·) + D·N1+(w1·)/c(w1·) · Pcont(w2)``
+    ``Pcont(w2) = N1+(·w2) / N1+(··)``
+
+    where ``N1+(w1·)`` is the number of distinct continuations of w1,
+    ``N1+(·w2)`` the number of distinct left-contexts of w2, and
+    ``N1+(··)`` the total distinct bigram types.  Every observed bigram
+    has c ≥ 1 > D, so the discounted term is positive and both terms are
+    exact integer ratios scaled ×10⁶ with separate floor divisions:
+
+    ``p_micro = (10⁶·(4c−3)) div (4·c(w1·))
+              + (10⁶·3·N1(w1)·Nctx(w2)) div (4·c(w1·)·Ntypes)``
+
+    Magnitudes: the second numerator ≤ 3·V·V·10⁶ — under 2⁶³ through
+    ~10⁶-type vocabularies; past that drop the scale to milli (the BM25
+    swap note).  Scale shape is bigram_lm_scores': one tokenize pass,
+    vocabulary-sized count/continuation tables joined on the gram key,
+    one final per-doc rollup.  Returns
+    ``(doc_id, n_bigrams, mean_p_micro)``.
+    """
+    doc_bg = _doc_bigrams(docs).transform(persist_once)
+    cbg = (
+        doc_bg.groupBy("w1", "w2")
+        .agg(F.sum("cnt").cast("bigint").alias("cbg"))
+        .transform(persist_once)
+    )
+    cug = cbg.groupBy("w1").agg(
+        F.sum("cbg").cast("bigint").alias("cug"),
+        F.count(F.lit(1)).cast("bigint").alias("n1fw"),  # N1+(w1 ·)
+    )
+    ctx = cbg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nctx")   # N1+(· w2)
+    )
+    ntypes = cbg.agg(F.count(F.lit(1)).cast("bigint").alias("ntypes"))
+    ptable = (
+        cbg.join(cug, "w1")
+        .join(ctx, "w2")
+        .crossJoin(F.broadcast(ntypes))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.expr(f"({SCALE_P} * (4 * cbg - 3)) div (4 * cug)")
+                + F.expr(
+                    f"({SCALE_P} * 3 * n1fw * nctx) div (4 * cug * ntypes)"
+                )
+            ).cast("bigint").alias("p_micro"),
+        )
+    )
+    return (
+        doc_bg.join(ptable, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.expr("sum(cnt * p_micro) div sum(cnt)")
+            .cast("bigint")
+            .alias("mean_p_micro"),
+        )
+    )
+
+
+def kn_bigram_scores_sql() -> str:
+    """DuckDB oracle for :func:`kn_bigram_scores` — identical discounted
+    integer arithmetic over the same bigram/continuation tables."""
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    ),
+    doc_bg AS MATERIALIZED (
+      SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS i(i)
+      GROUP BY 1, 2, 3
+    ),
+    cbg AS MATERIALIZED (
+      SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS cbg
+      FROM doc_bg GROUP BY 1, 2
+    ),
+    cug AS (SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cug,
+                   CAST(COUNT(*) AS BIGINT) AS n1fw
+            FROM cbg GROUP BY 1),
+    ctx AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nctx FROM cbg GROUP BY 1),
+    ntypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM cbg),
+    ptable AS (
+      SELECT w1, w2,
+             ({SCALE_P} * (4 * cbg - 3)) // (4 * cug)
+             + ({SCALE_P} * 3 * n1fw * nctx) // (4 * cug * ntypes)
+               AS p_micro
+      FROM cbg JOIN cug USING (w1) JOIN ctx USING (w2) CROSS JOIN ntypes
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(cnt * p_micro) // SUM(cnt) AS BIGINT) AS mean_p_micro
+    FROM doc_bg JOIN ptable USING (w1, w2)
+    GROUP BY doc_id
+    """
+
+
 PERC_BUCKETS = 256  # hashed feature dimensionality (md5-derived, no seeds)
 
 # Hard epoch ceiling shared by the trainer and its oracle builder: each

