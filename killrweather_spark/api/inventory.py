@@ -9278,6 +9278,35 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from killrweather_spark.functions.bpe import (  # noqa: E402
+    bpe_merge_table_batched,
+    bpe_merge_table_batched_sql,
+)
+
+
+@register(
+    "bpe_merge_table_batched",
+    bpe_merge_table_batched_sql(rounds=2, m=4),
+    survey_ref="beyond-ref tokenizer training at production vocabulary "
+    "size: BATCHED BPE merges (bpe.py:bpe_merge_table_batched) — per "
+    "round the exact pair counts rank candidates, a "
+    "TakeOrderedAndProject keeps the top 4m, and a JVM fold greedily "
+    "selects up to m mutually conflict-free pairs (no shared symbol, no "
+    "symbol equal to a higher pick's fusion) applied in ONE per-word "
+    "fold pass — a 32k-merge vocabulary costs 32k/m driver-serialized "
+    "rounds instead of 32k, the documented fix for the strict-greedy "
+    "module's measured per-round scheduling bill.  m=1 reproduces "
+    "strict greedy exactly (pinned); selection and fold replay "
+    "identically in DuckDB via list_reduce",
+)
+def q_bpe_merge_table_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 rounds x up to 4 non-conflicting merges over the documents
+    corpus — the batched form of bpe_merge_table's 8 strict rounds."""
+    return bpe_merge_table_batched(
+        load_table(spark, sf_dir, "documents"), rounds=2, m=4
+    )
+
+
+from killrweather_spark.functions.bpe import (  # noqa: E402
     bpe_subword_stats,
     bpe_subword_stats_sql,
 )

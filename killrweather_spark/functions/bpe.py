@@ -54,7 +54,14 @@ where near-tied pairs interleave.  This module keeps the strict-greedy
 single-merge semantics because the oracle replays it exactly and the
 gate's k is small; batching slots into ``_learn`` behind the same
 ``(merge_rank, left, right, count)`` contract when a production
-vocabulary build needs it.
+vocabulary build needs it.  Round 7 delivered that slot:
+:func:`bpe_merge_table_batched` below selects the top-m mutually
+NON-CONFLICTING pairs per round (greedy down the exact (count desc,
+left, right) ranking, skipping any pair that shares a symbol with — or
+whose symbol equals the concatenation of — a higher-ranked pick) and
+applies them in ONE fold pass, cutting a 32k-merge build from 32k to
+32k/m driver-serialized rounds while staying deterministic and
+oracle-replayable.
 """
 
 from __future__ import annotations
@@ -218,6 +225,237 @@ def bpe_subword_stats(docs: DataFrame, k: int) -> DataFrame:
             .cast("bigint")
             .alias("compression_micro"),
         )
+    )
+
+
+def _batch_sel_expr(m: int) -> str:
+    """JVM greedy non-conflicting selection over the sorted candidate
+    array ``cl`` of ``(npc, a, b)`` structs: walk best-first, keep a pair
+    iff fewer than ``m`` are kept AND it shares no symbol with a kept
+    pair AND neither of its symbols equals a kept pair's concatenation
+    (so no within-round chain merge can fire — the folds commute)."""
+    return (
+        "aggregate(cl, "
+        "cast(array() as array<struct<npc:bigint,a:string,b:string>>), "
+        f"(acc, x) -> CASE WHEN size(acc) >= {m} THEN acc "
+        "WHEN exists(acc, p -> p.a = x.a OR p.a = x.b OR p.b = x.a "
+        "OR p.b = x.b OR x.a = concat(p.a, p.b) "
+        "OR x.b = concat(p.a, p.b)) THEN acc "
+        "ELSE concat(acc, array(x)) END)"
+    )
+
+
+# one fold pass applying EVERY selected merge: at each step at most one
+# selected pair can match (selection guarantees disjoint symbols and no
+# selected symbol equals another pick's fusion), so a single left-to-right
+# scan reproduces what m sequential strict folds would do
+_BATCH_MERGE_FOLD = (
+    "aggregate(slice(syms, 2, size(syms) - 1), array(element_at(syms, 1)), "
+    "(acc, x) -> CASE WHEN exists(sel, p -> p.a = element_at(acc, -1) "
+    "AND p.b = x) "
+    "THEN concat(slice(acc, 1, size(acc) - 1), "
+    "array(concat(element_at(acc, -1), x))) "
+    "ELSE concat(acc, array(x)) END)"
+)
+
+
+def bpe_merge_table_batched(
+    docs: DataFrame, rounds: int, m: int, cand_window: int | None = None
+) -> DataFrame:
+    """BATCHED BPE induction — ``rounds`` rounds of up to ``m``
+    non-conflicting merges each, the production shape for large
+    vocabularies (32k merges = 32k/m driver-serialized rounds instead of
+    32k; see the module docstring's measured per-round bill).
+
+    Per round: exact pair counts (identical to strict greedy), the top
+    ``cand_window`` (default 4·m) candidates by ``(count desc, left,
+    right)`` — a TakeOrderedAndProject, never a full sort — then a JVM
+    fold down that tiny sorted array greedily keeps up to ``m`` pairs
+    that are mutually conflict-free: no shared symbol, and no symbol
+    equal to a higher pick's fusion (which would let a chain merge fire
+    within the round).  All kept pairs are applied in ONE per-word fold
+    pass; at most one pair can match at any position, so the batched
+    fold equals ``m`` sequential strict folds.
+
+    With ``m = 1`` this is exactly strict greedy (pinned in tests).
+    Output: ``(merge_round, rank_in_round, left_sym, right_sym,
+    pair_count)``; an exhausted round contributes zero rows (the strict
+    table's null-row convention is replaced by absence — selection over
+    an empty candidate list is empty).
+
+    Scale shape identical to :func:`bpe_merge_table`: one corpus pass,
+    then per-round vocabulary-sized pair counts + a ``cand_window``-row
+    argtop + a broadcast fold, state localCheckpointed per round.
+    """
+    if rounds < 1 or m < 1:
+        raise ValueError(f"rounds and m must be >= 1, got {rounds}, {m}")
+    T = cand_window if cand_window is not None else 4 * m
+    words = (
+        _word_counts(docs)
+        .select(
+            "word",
+            "cnt",
+            F.regexp_extract_all(F.col("word"), F.lit("."), 0).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            words.select(
+                "cnt",
+                F.posexplode(
+                    F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN "
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(s, i) -> struct(s AS a, "
+                        "element_at(syms, i + 2) AS b)) "
+                        "ELSE array() END"
+                    )
+                ),
+            )
+            .groupBy("col.a", "col.b")
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+        )
+        cands = pairs.orderBy(F.col("pc").desc(), "a", "b").limit(T)
+        sel = (
+            cands.agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("pc")).cast("bigint").alias("npc"),
+                            F.col("a").alias("a"),
+                            F.col("b").alias("b"),
+                        )
+                    )
+                ).alias("cl")
+            )
+            .select(F.expr(_batch_sel_expr(m)).alias("sel"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            sel.select(F.posexplode("sel")).select(
+                F.lit(rnd).cast("bigint").alias("merge_round"),
+                (F.col("pos") + 1).cast("bigint").alias("rank_in_round"),
+                F.col("col.a").alias("left_sym"),
+                F.col("col.b").alias("right_sym"),
+                (-F.col("col.npc")).cast("bigint").alias("pair_count"),
+            )
+        )
+        if rnd < rounds:
+            words = (
+                words.crossJoin(F.broadcast(sel))
+                .select("word", "cnt", F.expr(_BATCH_MERGE_FOLD).alias("syms"))
+                .localCheckpoint(eager=True)
+            )
+    res = out[0]
+    for nxt in out[1:]:
+        res = res.unionAll(nxt)
+    return res
+
+
+def bpe_merge_table_batched_sql(
+    rounds: int, m: int, cand_window: int | None = None
+) -> str:
+    """DuckDB oracle for :func:`bpe_merge_table_batched` — per round the
+    identical pair counts and ORDER BY/LIMIT candidate window, the
+    greedy conflict-free selection UNROLLED into ``m`` 1-row struct-MIN
+    CTE steps (pick i is the best candidate conflicting with none of
+    picks 1..i-1; NULL-pick conflicts COALESCE to false so exhausted
+    steps pass through), and the one-pass multi-pair fold keyed by a
+    ``list_contains`` membership probe of the picked ``left‖SEP‖right``
+    keys.
+
+    Deliberately NOT a ``list_reduce`` replay of the Spark-side greedy
+    fold: DuckDB 1.0.0's ``list_reduce`` miscomputes when a lambda
+    branch returns the accumulator UNCHANGED (a conditional-skip reduce
+    like greedy selection collapses to garbage past vectorization chunk
+    boundaries; the module's strict fold is immune because both its
+    branches build a new list).  The unrolled relational form sidesteps
+    the whole construct class.  ``c{r}`` and the pick CTEs are
+    MATERIALIZED — each is referenced by every later step (the 2^k
+    inlining class of bug this module already documents)."""
+    if rounds < 1 or m < 1:
+        raise ValueError(f"rounds and m must be >= 1, got {rounds}, {m}")
+    T = cand_window if cand_window is not None else 4 * m
+    fold = (
+        "list_reduce(list_transform(syms, z -> [z]), (acc, x) -> "
+        "CASE WHEN list_contains(s.keys, acc[len(acc)] || chr(1) || x[1]) "
+        "THEN list_append(acc[1:len(acc) - 1], acc[len(acc)] || x[1]) "
+        "ELSE list_append(acc, x[1]) END)"
+    )
+    parts = [
+        "w0 AS MATERIALIZED (\n"
+        "      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,\n"
+        "             regexp_extract_all(word, '.') AS syms\n"
+        f"      FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)\n"
+        "      GROUP BY word)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"p{r} AS (\n"
+            "      SELECT syms[i.i] AS a, syms[i.i + 1] AS b,\n"
+            "             CAST(SUM(cnt) AS BIGINT) AS pc\n"
+            f"      FROM w{r - 1}, unnest(generate_series(1, len(syms) - 1))"
+            " AS i(i)\n"
+            "      GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT a, b, pc FROM p{r}\n"
+            f"      ORDER BY pc DESC, a, b LIMIT {T})"
+        )
+        for i in range(1, m + 1):
+            # conflict of candidate x with pick j: shared symbol, or a
+            # symbol equal to j's fusion; NULL picks (exhausted step)
+            # must not poison the WHERE — COALESCE(..., FALSE)
+            conds = " AND ".join(
+                f"NOT COALESCE(x.a = j{j}.mleft OR x.a = j{j}.mright"
+                f" OR x.b = j{j}.mleft OR x.b = j{j}.mright"
+                f" OR x.a = j{j}.mleft || j{j}.mright"
+                f" OR x.b = j{j}.mleft || j{j}.mright, FALSE)"
+                for j in range(1, i)
+            )
+            srcs = f"c{r} x" + "".join(
+                f", k{r}_{j} j{j}" for j in range(1, i)
+            )
+            where = f"\n      WHERE {conds}" if conds else ""
+            parts.append(
+                f"k{r}_{i} AS MATERIALIZED (\n"
+                "      SELECT s['a'] AS mleft, s['b'] AS mright,\n"
+                "             CAST(-s['npc'] AS BIGINT) AS pair_count\n"
+                "      FROM (SELECT MIN({'npc': -x.pc, 'a': x.a,"
+                " 'b': x.b}) AS s\n"
+                f"            FROM {srcs}{where}))"
+            )
+        if r < rounds:
+            picks_union = "\n            UNION ALL ".join(
+                f"SELECT mleft, mright FROM k{r}_{i}"
+                " WHERE mleft IS NOT NULL"
+                for i in range(1, m + 1)
+            )
+            parts.append(
+                f"s{r} AS MATERIALIZED (\n"
+                "      SELECT COALESCE(list(mleft || chr(1) || mright),"
+                " []) AS keys\n"
+                f"      FROM ({picks_union}))"
+            )
+            parts.append(
+                f"w{r} AS MATERIALIZED (SELECT word, cnt, {fold} AS syms\n"
+                f"           FROM w{r - 1} CROSS JOIN s{r} s)"
+            )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_round,"
+        f" CAST({i} AS BIGINT) AS rank_in_round,\n"
+        "           mleft AS left_sym, mright AS right_sym, pair_count\n"
+        f"    FROM k{r}_{i} WHERE mleft IS NOT NULL"
+        for r in range(1, rounds + 1)
+        for i in range(1, m + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
     )
 
 

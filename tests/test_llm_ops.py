@@ -1196,3 +1196,96 @@ def test_ivf_probe_depth_curve_is_monotone_and_anchored(spark):
     assert rows[-1].recall_micro == 1_000_000, recalls
     # depth-2 point matches the registered n_probe=2 candidate budget
     assert rows[1].n_caught >= rows[0].n_caught
+
+
+def test_bpe_batched_m1_equals_strict_greedy(spark):
+    """With m = 1 the batched induction must reproduce strict greedy
+    merge-for-merge: same pairs, same counts, same order."""
+    from killrweather_spark.functions.bpe import (
+        bpe_merge_table,
+        bpe_merge_table_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "banana band bandana"), (1, "banana banana bans"),
+         (2, "an an anna")],
+        ["doc_id", "text"],
+    )
+    strict = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_table(docs, 4).orderBy("merge_rank").collect()
+    ]
+    batched = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_table_batched(docs, 4, 1)
+        .orderBy("merge_round").collect()
+    ]
+    assert strict == batched
+
+
+def test_bpe_batched_selection_is_conflict_free(spark):
+    """Within a round no two selected pairs may share a symbol, and no
+    selected symbol may equal another pick's fusion — the preconditions
+    that make the one-pass fold equal m sequential strict folds."""
+    from killrweather_spark.functions.bpe import bpe_merge_table_batched
+
+    docs = spark.createDataFrame(
+        [(0, "banana band bandana"), (1, "banana banana bans"),
+         (2, "an an anna")],
+        ["doc_id", "text"],
+    )
+    rows = bpe_merge_table_batched(docs, 2, 4).collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r.merge_round, []).append(r)
+    assert by_round, "no merges selected"
+    for sel in by_round.values():
+        for i, a in enumerate(sel):
+            for b in sel[i + 1:]:
+                assert not ({a.left_sym, a.right_sym}
+                            & {b.left_sym, b.right_sym}), (a, b)
+                assert b.left_sym != a.left_sym + a.right_sym, (a, b)
+                assert b.right_sym != a.left_sym + a.right_sym, (a, b)
+    # round 1's top pick is the strict-greedy winner
+    first = min(by_round[1], key=lambda r: r.rank_in_round)
+    assert (first.left_sym, first.right_sym) == ("a", "n")
+
+
+def test_bpe_batched_rejects_bad_params(spark):
+    from killrweather_spark.functions.bpe import (
+        bpe_merge_table_batched,
+        bpe_merge_table_batched_sql,
+    )
+    import pytest
+
+    docs = spark.createDataFrame([(0, "ab")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bpe_merge_table_batched(docs, 0, 4)
+    with pytest.raises(ValueError):
+        bpe_merge_table_batched(docs, 2, 0)
+    with pytest.raises(ValueError):
+        bpe_merge_table_batched_sql(0, 1)
+
+
+def test_bpe_batched_exhaustion_parity(spark):
+    """Once no pairs remain, batched rounds emit ZERO rows (not the
+    strict table's null rows) — on BOTH engines.  'ab ab' exhausts after
+    one merge; rounds=3, m=2 must yield exactly one row."""
+    import duckdb
+
+    from killrweather_spark.functions.bpe import (
+        bpe_merge_table_batched,
+        bpe_merge_table_batched_sql,
+    )
+
+    docs = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    rows = bpe_merge_table_batched(docs, 3, 2).collect()
+    assert [(r.merge_round, r.rank_in_round, r.left_sym, r.right_sym,
+             r.pair_count) for r in rows] == [(1, 1, "a", "b", 2)]
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    got = con.execute(
+        bpe_merge_table_batched_sql(3, 2)
+        + " ORDER BY merge_round, rank_in_round"
+    ).fetchall()
+    assert got == [(1, 1, "a", "b", 2)]
