@@ -115,6 +115,8 @@ HEADLINE = [
     "kn_bigram_quality",                # Kneser-Ney bigram fluency scoring
     "source_mixture_weights",           # sqrt-temperature mixture weights
     "greedy_source_coverage",           # submodular source ordering
+    "pii_scrub_report",                 # count+redact PII, digest-verified
+    "html_text_extract",                # boilerplate strip + content ratio
 ]
 
 

@@ -9550,6 +9550,57 @@ def q_curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline_report(load_table(spark, sf_dir, "documents"))
 
 
+def _wire_scrub_queries() -> None:
+    from killrweather_spark.functions.scrub import (
+        html_text_extract_sql,
+        pii_scrub_sql,
+    )
+
+    @register(
+        "pii_scrub_report",
+        pii_scrub_sql(),
+        survey_ref="beyond-ref privacy stage (scrub.py:pii_scrub) — "
+        "count AND redact emails/phones/IPv4s/SSNs in one map-only "
+        "JVM-regex pass, the digest of the redacted text proving the "
+        "redaction byte-for-byte (counts alone can't).  Patterns are "
+        "restricted to the Java-regex ∩ RE2 dialect so both engines "
+        "match identical spans; PII is planted deterministically "
+        "(md5-gated synthesis, multimodal.py pattern) since the shipped "
+        "corpus has none — detection rates ~1/3..1/5 per type.  At "
+        "100 TB: embarrassingly parallel, zero shuffles, fused into the "
+        "feeding scan; complements redact_pii_docs (curation.py), which "
+        "exercises the raw-corpus no-match path",
+    )
+    def q_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.scrub import pii_scrub, synth_pii
+
+        return pii_scrub(synth_pii(load_table(spark, sf_dir, "documents")))
+
+    @register(
+        "html_text_extract",
+        html_text_extract_sql(),
+        survey_ref="beyond-ref web-text cleanup (scrub.py:"
+        "html_text_extract) — strip script/style blocks (DOTALL "
+        "non-greedy), tags, and whitespace runs from a deterministic "
+        "page skeleton; reports the trafilatura-style content ratio "
+        "and the digest of the extracted text.  Same map-only regex "
+        "shape as pii_scrub_report; a production extractor swaps the "
+        "regex chain for a real parser behind this exact contract",
+    )
+    def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.scrub import (
+            html_text_extract,
+            synth_html,
+        )
+
+        return html_text_extract(
+            synth_html(load_table(spark, sf_dir, "documents"))
+        )
+
+
+_wire_scrub_queries()
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------
