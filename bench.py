@@ -117,6 +117,8 @@ HEADLINE = [
     "greedy_source_coverage",           # submodular source ordering
     "pii_scrub_report",                 # count+redact PII, digest-verified
     "html_text_extract",                # boilerplate strip + content ratio
+    "passage_dedup_rewrite",            # CCNet line dedup, rewrite form
+    "streaming_bigram_lm_score",        # trained-model stream scoring
 ]
 
 

@@ -9601,6 +9601,96 @@ def _wire_scrub_queries() -> None:
 _wire_scrub_queries()
 
 
+def _wire_passage_dedup() -> None:
+    from killrweather_spark.functions.curation import passage_dedup_rewrite_sql
+
+    @register(
+        "passage_dedup_rewrite",
+        passage_dedup_rewrite_sql(),
+        survey_ref="beyond-ref CCNet-style cross-document passage dedup, "
+        "REWRITE form (curation.py:passage_dedup_rewrite) — segment every "
+        "document into consecutive 3-token passages, drop each occurrence "
+        "duplicated across >=2 documents except in its canonical owner "
+        "(min doc_id — CCNet's keep-one rule), and reassemble the "
+        "surviving passages in order; the md5 of the rewritten text pins "
+        "the reassembly byte-for-byte.  Complements dedup_exact_groups "
+        "(whole-document) and boilerplate_prefixes (report-only): this is "
+        "the operator that EDITS documents.  Scale: segment explode -> "
+        "one uniform digest-keyed count shuffle -> digest join -> one "
+        "doc_id reassembly agg; both exchanges move (digest, int) pairs",
+    )
+    def q_passage_dedup_rewrite(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from killrweather_spark.functions.curation import (
+            passage_dedup_rewrite,
+        )
+
+        return passage_dedup_rewrite(load_table(spark, sf_dir, "documents"))
+
+
+_wire_passage_dedup()
+
+
+_DOC_STAGE_DIRS: dict[str, str] = {}
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a bounded *stream* (parquet file source) —
+    the deterministic stand-in for a document-ingest topic, mirroring
+    ``_events_stream`` (same cached symlink staging, testdata read-only)."""
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = _DOC_STAGE_DIRS.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="stream_documents_")
+        os.symlink(path, os.path.join(stage, "documents.parquet"))
+        _DOC_STAGE_DIRS[sf_dir] = stage
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def _wire_streaming_lm() -> None:
+    from killrweather_spark.functions.lm import bigram_lm_scores_sql
+
+    @register(
+        "streaming_bigram_lm_score",
+        bigram_lm_scores_sql(),
+        survey_ref="§2.9 ext: the LM fluency filter in its DEPLOYMENT "
+        "shape (lm.py:bigram_lm_scores_stream) — bigram model trained "
+        "once in batch (bigram_lm_ptable), arriving documents scored as "
+        "a stream via a stream-static join against the vocabulary-sized "
+        "persisted model + one stateful per-doc rollup.  Replaying the "
+        "training corpus through the stream reproduces bigram_lm_quality "
+        "bit-for-bit (integer per-occurrence arithmetic), so the batch "
+        "oracle IS the streaming oracle — the repo's batch-equivalence "
+        "pattern (streaming_daily_precip) extended to a trained-model "
+        "enrichment",
+    )
+    def q_streaming_bigram_lm_score(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from killrweather_spark.functions.lm import bigram_lm_scores_stream
+        from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+        model_docs = load_table(spark, sf_dir, "documents")
+        scored = bigram_lm_scores_stream(
+            model_docs, _documents_stream(spark, sf_dir)
+        )
+        name = f"stream_lm_score_{uuid.uuid4().hex[:8]}"
+        return run_stream_to_batch(
+            scored, tempfile.mkdtemp(), name, "complete"
+        )
+
+
+_wire_streaming_lm()
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

@@ -992,3 +992,124 @@ def greedy_source_coverage_sql(k: int = 4) -> str:
         + "\n    "
         + "\n    UNION ALL ".join(selects)
     )
+
+
+# --------------------------------------------------------------------------
+# cross-document passage dedup (CCNet-style line dedup, rewrite form)
+# --------------------------------------------------------------------------
+
+# Passage segmentation: consecutive PASSAGE_LEN-token windows, non-
+# overlapping, last partial window kept.  3 tokens over the synthetic
+# 31-word vocabulary duplicates ~1/3 of segments across documents at
+# sf0.01 — the interesting regime (production corpora hit similar rates
+# at line granularity: CCNet reports ~30% of crawl text is duplicated
+# lines).  Shared by the query, the oracle, and the tests.
+PASSAGE_LEN = 3
+PASSAGE_MIN_DOCS = 2
+
+
+def passage_dedup_rewrite(
+    df: DataFrame,
+    seg_len: int = PASSAGE_LEN,
+    min_docs: int = PASSAGE_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style cross-document passage dedup that REWRITES documents:
+    segment every document into consecutive ``seg_len``-token passages,
+    count each passage's distinct-document frequency corpus-wide, and
+    drop every occurrence that is (a) duplicated across ≥ ``min_docs``
+    documents and (b) not in the passage's canonical owner (the min
+    doc_id) — the first occurrence survives, exactly CCNet's keep-one
+    rule.  Returns per document ``(doc_id, n_segments, n_dropped,
+    chars_clean, clean_digest)`` — the digest pins the rewritten text
+    byte-for-byte, so the gate proves the REASSEMBLY (order included),
+    not just the drop counts.
+
+    Plan: one scan → segment explode (corpus-sized, ~tokens/seg_len
+    narrow rows) → ONE digest-keyed count shuffle (uniform md5 keys, no
+    skew) → digest-keyed join back → ONE doc_id-keyed reassembly
+    aggregation.  No driver state, no cartesian; at 100 TB both
+    exchanges move (digest, int) pairs, a small fraction of corpus
+    bytes.  Reassembly is order-exact via an in-group array_sort over
+    (pos, seg) structs — no window function, no second sort pass.
+    """
+    if seg_len < 1 or min_docs < 1:
+        raise ValueError(f"seg_len/min_docs must be >= 1: {seg_len}, {min_docs}")
+    from killrweather_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= 1)
+    seg_arr = F.expr(
+        f"transform(sequence(1, size(__toks), {seg_len}),"
+        f" s -> array_join(slice(__toks, s, {seg_len}), ' '))"
+    )
+    segs = base.select(
+        "doc_id", F.posexplode(seg_arr).alias("pos", "seg")
+    ).withColumn("dig", F.md5("seg"))
+    stats = segs.groupBy("dig").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("owner"),
+    )
+    joined = segs.join(stats, "dig")
+    keep = (F.col("n_docs") < min_docs) | (F.col("doc_id") == F.col("owner"))
+    kept_struct = F.when(
+        keep, F.struct(F.col("pos").alias("pos"), F.col("seg").alias("seg"))
+    )
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
+        ),
+        " ",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        F.length(clean).cast("bigint").alias("chars_clean"),
+        F.md5(clean).alias("clean_digest"),
+    )
+
+
+def passage_dedup_rewrite_sql(
+    seg_len: int = PASSAGE_LEN, min_docs: int = PASSAGE_MIN_DOCS
+) -> str:
+    """DuckDB oracle: identical segmentation (1-based starts stepping by
+    ``seg_len``; DuckDB list slices are inclusive so ``w[s:s+len-1]`` ≡
+    Spark ``slice(w, s, len)``), identical keep rule, order-exact
+    reassembly via ``string_agg(... ORDER BY pos) FILTER (WHERE keep)``
+    — COALESCE'd to '' so an all-dropped document hashes the empty
+    string on both engines (Spark's collect_list skips the null
+    structs)."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1
+    ),
+    segs AS (
+      SELECT doc_id, (s - 1) // {seg_len} AS pos,
+             array_to_string(w[s:s+{seg_len - 1}], ' ') AS seg
+      FROM base, UNNEST(generate_series(1, len(w), {seg_len})) AS t(s)
+    ),
+    stats AS (
+      SELECT md5(seg) AS dig, COUNT(DISTINCT doc_id) AS n_docs,
+             MIN(doc_id) AS owner
+      FROM segs GROUP BY 1
+    ),
+    j AS (
+      SELECT s.*, st.n_docs, st.owner,
+             (st.n_docs < {min_docs} OR s.doc_id = st.owner) AS keep
+      FROM segs s JOIN stats st ON md5(s.seg) = st.dig
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+           CAST(length(COALESCE(
+               string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), ''))
+               AS BIGINT) AS chars_clean,
+           md5(COALESCE(
+               string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), ''))
+               AS clean_digest
+    FROM j GROUP BY doc_id
+    """

@@ -742,3 +742,75 @@ def domain_filtered_corpus_sql(target_source: str, epochs: int = 3,
     FROM margins m JOIN documents d ON d.doc_id = m.doc_id
     WHERE {gate}"""
     )
+
+
+def bigram_lm_ptable(model_docs: DataFrame) -> DataFrame:
+    """The trained bigram probability table alone — ``(w1, w2, p_micro)``
+    with :func:`bigram_lm_scores`'s exact arithmetic — for consumers that
+    train once and score elsewhere (the streaming scorer, a saved-model
+    sink).  Vocabulary-sized."""
+    doc_bg = _doc_bigrams(model_docs).transform(persist_once)
+    cbg = doc_bg.groupBy("w1", "w2").agg(
+        F.sum("cnt").cast("bigint").alias("cbg")
+    )
+    cug = cbg.groupBy("w1").agg(F.sum("cbg").alias("cug"))
+    vocab = model_docs.select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    ).agg(F.count_distinct("term").cast("bigint").alias("v"))
+    return (
+        cbg.join(cug, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.expr(f"({SCALE_P} * (cbg + 1)) div (cug + v)").alias("p_micro"),
+        )
+    )
+
+
+def bigram_lm_scores_stream(
+    model_docs: DataFrame, stream_docs: DataFrame
+) -> DataFrame:
+    """The production LM-filter deployment shape: the bigram model is
+    trained ONCE in batch (:func:`bigram_lm_ptable` over ``model_docs``)
+    and arriving documents are scored as a STREAM — a stream-static
+    equi-join against the vocabulary-sized model, then one stateful
+    per-document rollup.  Value-identical to :func:`bigram_lm_scores`
+    when the stream replays the training corpus (the batch-equivalence
+    oracle), because scoring is per-occurrence integer arithmetic.
+
+    Streaming constraints shape the plan: Structured Streaming allows
+    ONE aggregation, so bigram occurrences join the model as raw
+    positions (cnt=1 rows) instead of batch's pre-aggregated
+    ``(doc, gram, cnt)`` — ``sum(p)//count(*)`` ≡ ``sum(cnt*p)//sum(cnt)``.
+    The model side is persisted so each micro-batch re-reads the trained
+    table, not the training lineage.  State is per-document partial sums
+    only; with documents atomic per micro-batch, production would run
+    this in update mode with a watermark evicting finished docs.
+    """
+    ptable = bigram_lm_ptable(model_docs).transform(persist_once)
+    toks = tokens(F.col("text"))
+    pairs = (
+        stream_docs.withColumn("__toks", toks)
+        .filter(F.size("__toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1),"
+                    " i -> struct(__toks[i - 1] AS w1, __toks[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    return (
+        pairs.join(ptable, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr("sum(p_micro) div count(*)")
+            .cast("bigint")
+            .alias("mean_p_micro"),
+        )
+    )

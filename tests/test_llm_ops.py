@@ -1344,3 +1344,59 @@ def test_scrub_queries_are_map_only(spark):
         df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, (name, plan)
+
+
+def test_passage_dedup_keeps_first_occurrence(spark):
+    """Hand-checked CCNet keep-one semantics: a passage shared by two
+    docs survives only in the min-doc_id owner; unique passages always
+    survive; reassembly preserves document order."""
+    import hashlib
+
+    from killrweather_spark.functions.curation import passage_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three alpha beta gamma"),   # segs: [one two three], [alpha beta gamma]
+            (2, "alpha beta gamma zz yy xx"),        # shares seg 1 with doc 1
+            (3, "solo words only here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in passage_dedup_rewrite(docs).collect()}
+    # doc 1 owns 'alpha beta gamma' (min doc_id) — keeps everything
+    assert (rows[1].n_segments, rows[1].n_dropped) == (2, 0)
+    assert rows[1].clean_digest == hashlib.md5(
+        b"one two three alpha beta gamma").hexdigest()
+    # doc 2 loses the shared passage, keeps its unique one
+    assert (rows[2].n_segments, rows[2].n_dropped) == (2, 1)
+    assert rows[2].clean_digest == hashlib.md5(b"zz yy xx").hexdigest()
+    assert rows[3].n_dropped == 0
+
+
+def test_passage_dedup_all_dropped_doc_hashes_empty(spark):
+    """A document that is entirely someone else's passages reassembles
+    to the empty string (chars_clean=0, md5('')) — the COALESCE parity
+    seam with the oracle's FILTERed string_agg."""
+    import hashlib
+
+    from killrweather_spark.functions.curation import passage_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "aa bb cc")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in passage_dedup_rewrite(docs).collect()}
+    assert rows[1].n_dropped == 0
+    assert (rows[2].n_dropped, rows[2].chars_clean) == (1, 0)
+    assert rows[2].clean_digest == hashlib.md5(b"").hexdigest()
+
+
+def test_passage_dedup_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from killrweather_spark.functions.curation import passage_dedup_rewrite
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        passage_dedup_rewrite(docs, seg_len=0)
+    with _pytest.raises(ValueError):
+        passage_dedup_rewrite(docs, min_docs=0)

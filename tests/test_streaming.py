@@ -757,3 +757,48 @@ def test_dedup_within_watermark_across_batches(spark, tmp_path):
         str(tmp_path / "ckpt"), "dedup_wm", "append",
     )
     assert sorted(r.k for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_streaming_bigram_lm_matches_batch_across_microbatches(spark, tmp_path):
+    """The trained-model streaming scorer is batch-equivalent even when
+    the corpus arrives over several micro-batches: the model is trained
+    once on the FULL corpus, the stream drains 3 files one per trigger,
+    and every per-doc score matches the batch scorer bit-for-bit."""
+    from killrweather_spark.functions.lm import (
+        bigram_lm_scores,
+        bigram_lm_scores_stream,
+    )
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran on the mat"),
+        (3, "a dog sat on a log"),
+        (4, "the dog ran to the log"),
+        (5, "cat and dog sat together"),
+        (6, "x"),  # < 2 tokens: drops out on both paths
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    for i in range(3):
+        df.filter((F.col("doc_id") % 3) == i).coalesce(1).write.parquet(
+            str(src / f"part{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    got = run_stream_to_batch(
+        bigram_lm_scores_stream(df, stream),
+        str(tmp_path / "ckpt_lm"), "stream_lm", "complete",
+    )
+    want = {
+        (r.doc_id, r.n_bigrams, r.mean_p_micro)
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert {
+        (r.doc_id, r.n_bigrams, r.mean_p_micro) for r in got.collect()
+    } == want
+    assert not any(r.doc_id == 6 for r in got.collect())
