@@ -119,6 +119,7 @@ HEADLINE = [
     "html_text_extract",                # boilerplate strip + content ratio
     "passage_dedup_rewrite",            # CCNet line dedup, rewrite form
     "streaming_bigram_lm_score",        # trained-model stream scoring
+    "image_dup_groups",                 # aHash image near-dup candidates
 ]
 
 

@@ -9691,6 +9691,71 @@ def _wire_streaming_lm() -> None:
 _wire_streaming_lm()
 
 
+def _wire_image_dedup() -> None:
+    from killrweather_spark.functions.multimodal import image_ahash_sql
+
+    @register(
+        "image_ahash",
+        image_ahash_sql(),
+        survey_ref="beyond-ref multimodal dedup primitive "
+        "(multimodal.py:image_ahash) — perceptual average-hash over "
+        "ACTUALLY-DECODED PNG pixels: CRC-checked inflate+unfilter "
+        "decode, 8x8 nearest-point gray downsample, mean threshold, 64 "
+        "bits packed MSB-first into a hex string (a BIGINT would "
+        "overflow at bit 63).  Spark hashes real decoded bytes via "
+        "stateless Arrow mapInPandas; the oracle replays the synthesis "
+        "arithmetic at the 64 grid points — every hex char pins the "
+        "full decode+sample+threshold chain",
+    )
+    def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.multimodal import (
+            image_ahash,
+            synth_png_pixels,
+        )
+
+        return image_ahash(
+            synth_png_pixels(load_table(spark, sf_dir, "documents"))
+        )
+
+    @register(
+        "image_dup_groups",
+        f"""
+        WITH ah AS ({image_ahash_sql()})
+        SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_images,
+               MIN(doc_id) AS canonical_id
+        FROM ah GROUP BY ahash HAVING COUNT(*) >= 2
+        """,
+        survey_ref="beyond-ref image near-dup candidate sets "
+        "(multimodal.py:image_ahash + one hash-keyed groupBy) — aHash "
+        "collisions ARE the candidate duplicate groups (62 groups on "
+        "the shipped fixtures, max ~40 members): no pairwise scan, no "
+        "LSH banding needed at this granularity.  Scale: the groupBy "
+        "shuffles (hash, id) pairs only; a verifier (pixel-distance "
+        "rescore of each group) would bolt on exactly like "
+        "semantic_dup_candidates' cap-bounded pair scan",
+    )
+    def q_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.multimodal import (
+            image_ahash,
+            synth_png_pixels,
+        )
+
+        return (
+            image_ahash(
+                synth_png_pixels(load_table(spark, sf_dir, "documents"))
+            )
+            .groupBy("ahash")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_images"),
+                F.min("doc_id").alias("canonical_id"),
+            )
+            .filter(F.col("n_images") >= 2)
+        )
+
+
+_wire_image_dedup()
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

@@ -696,3 +696,97 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
             )
 
     return df.select(id_col, "content").mapInPandas(batches, schema)
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual average-hash (aHash) over ACTUALLY-DECODED pixels — the
+    image-dedup primitive: decode each PNG (:func:`decode_png_pixels`),
+    gray the 8×8 nearest-point downsample (``X = (i·w)//8``), threshold
+    each sample against the integer mean, and pack the 64 bits MSB-first
+    into a 16-hex-char string.  Near-identical images (crops, small
+    palette shifts) collide; grouping by the hash yields candidate
+    duplicate sets without any pairwise scan.
+
+    The hash is a STRING, not a BIGINT — bit 63 would overflow signed
+    int64 on both engines, and group-by keys don't need arithmetic.
+    All-integer sampling/threshold arithmetic keeps the DuckDB oracle
+    bit-for-bit (it replays the synthesis formula; Spark replays the
+    decode).  Scale: stateless Arrow ``mapInPandas``, memory bounded by
+    batch size; the downstream dedup is one hash-keyed groupBy.
+    """
+    schema = f"{id_col} bigint, width int, height int, ahash string"
+    dec = decode_png_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("id", "w", "h", "a")}
+            for i, content in zip(pdf[id_col], pdf["content"]):
+                w, h, px = dec(bytes(content))
+                grays = []
+                for j in range(8):
+                    y = (j * h) // 8
+                    for ii in range(8):
+                        x = (ii * w) // 8
+                        off = 3 * (y * w + x)
+                        grays.append(
+                            (px[off] + px[off + 1] + px[off + 2]) // 3
+                        )
+                mean = sum(grays) // 64
+                v = 0
+                for g in grays:
+                    v = (v << 1) | (1 if g > mean else 0)
+                rows["id"].append(i)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["a"].append(format(v, "016x"))
+            yield pd.DataFrame(
+                {id_col: rows["id"], "width": rows["w"],
+                 "height": rows["h"], "ahash": rows["a"]}
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def image_ahash_sql() -> str:
+    """DuckDB oracle for :func:`image_ahash` over :func:`synth_png_pixels`
+    payloads: the synthesis pixel formula ``(7x + 11y + 13c + seed) %
+    256`` replayed arithmetically at the 64 sampled grid points, nibbles
+    assembled MSB-first into the same hex string (bit ``k = 8·j + i``,
+    hex char ``k // 4`` with weight ``2^(3 - k % 4)``)."""
+    return """
+    WITH dims AS (
+      SELECT doc_id,
+             1 + CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 16 AS w,
+             1 + CAST(concat('0x', substr(md5(text), 5, 4)) AS INTEGER) % 16 AS h,
+             CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) AS seed
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w, h, 8 * j.j + i.i AS k,
+             (((7 * ((i.i * w) // 8) + 11 * ((j.j * h) // 8) + seed) % 256)
+              + ((7 * ((i.i * w) // 8) + 11 * ((j.j * h) // 8) + 13 + seed) % 256)
+              + ((7 * ((i.i * w) // 8) + 11 * ((j.j * h) // 8) + 26 + seed) % 256)
+             ) // 3 AS gray
+      FROM dims,
+           unnest(generate_series(0, 7)) AS i(i),
+           unnest(generate_series(0, 7)) AS j(j)
+    ),
+    m AS (SELECT doc_id, SUM(gray) // 64 AS mg FROM g GROUP BY 1),
+    nib AS (
+      SELECT g.doc_id, k // 4 AS np,
+             SUM((CASE WHEN gray > mg THEN 1 ELSE 0 END)
+                 * (CASE k % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                               WHEN 2 THEN 2 ELSE 1 END)) AS nv
+      FROM g JOIN m ON g.doc_id = m.doc_id
+      GROUP BY 1, 2
+    ),
+    hx AS (
+      SELECT doc_id,
+             string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                        '' ORDER BY np) AS ahash
+      FROM nib GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           hx.ahash
+    FROM dims d JOIN hx ON d.doc_id = hx.doc_id
+    """

@@ -1400,3 +1400,46 @@ def test_passage_dedup_rejects_bad_params(spark):
         passage_dedup_rewrite(docs, seg_len=0)
     with _pytest.raises(ValueError):
         passage_dedup_rewrite(docs, min_docs=0)
+
+
+def test_image_ahash_known_image(spark):
+    """Hand-verifiable aHash: a half-black/half-white 8x8 image must
+    hash to exactly the white half's bits — 0x0f repeated (row-major
+    MSB-first packing, left half gray 0 <= mean, right half 255 > mean)."""
+    from killrweather_spark.functions.multimodal import (
+        encode_png,
+        image_ahash,
+    )
+
+    w = h = 8
+    px = bytes(
+        (255 if x >= 4 else 0)
+        for y in range(h) for x in range(w) for _ in range(3)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(w, h, px)))], "doc_id bigint, content binary"
+    )
+    row = image_ahash(df).collect()[0]
+    assert (row.width, row.height) == (8, 8)
+    assert row.ahash == "0f" * 8
+
+
+def test_image_ahash_shift_invariance_and_dups(spark):
+    """aHash is invariant to a uniform brightness shift (no mod wrap):
+    two images differing by +10 on every channel collide — the
+    perceptual-dedup property image_dup_groups exploits."""
+    from killrweather_spark.functions.multimodal import (
+        encode_png,
+        image_ahash,
+    )
+
+    base = [(3 * x + 5 * y) % 200 for y in range(8) for x in range(8)]
+    px1 = bytes(v for v in base for _ in range(3))
+    px2 = bytes(v + 10 for v in base for _ in range(3))
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(8, 8, px1))),
+         (2, bytearray(encode_png(8, 8, px2)))],
+        "doc_id bigint, content binary",
+    )
+    a = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+    assert a[1] == a[2]
