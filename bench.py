@@ -120,6 +120,7 @@ HEADLINE = [
     "passage_dedup_rewrite",            # CCNet line dedup, rewrite form
     "streaming_bigram_lm_score",        # trained-model stream scoring
     "image_dup_groups",                 # aHash image near-dup candidates
+    "wav_energy_segments",              # energy VAD over decoded PCM
 ]
 
 

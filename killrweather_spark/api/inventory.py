@@ -9756,6 +9756,38 @@ def _wire_image_dedup() -> None:
 _wire_image_dedup()
 
 
+def _wire_vad() -> None:
+    from killrweather_spark.functions.multimodal import (
+        wav_energy_segments_sql,
+    )
+
+    @register(
+        "wav_energy_segments",
+        wav_energy_segments_sql(),
+        survey_ref="beyond-ref speech-curation stage "
+        "(multimodal.py:wav_energy_segments) — energy VAD over "
+        "ACTUALLY-DECODED PCM: 32-sample windows on channel 0, integer "
+        "activity test (sum|v| > T*count — no division), one row per "
+        "maximal active run with its peak.  The silence-trim / "
+        "clip-split primitive a speech pipeline runs before "
+        "transcription; Spark decodes real RIFF frames row-locally in "
+        "the Arrow batch (stateless map-only), the oracle replays the "
+        "synthesis arithmetic + SQL gaps-and-islands",
+    )
+    def q_wav_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.multimodal import (
+            synth_wav,
+            wav_energy_segments,
+        )
+
+        return wav_energy_segments(
+            synth_wav(load_table(spark, sf_dir, "documents"))
+        )
+
+
+_wire_vad()
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

@@ -790,3 +790,112 @@ def image_ahash_sql() -> str:
            hx.ahash
     FROM dims d JOIN hx ON d.doc_id = hx.doc_id
     """
+
+
+# Energy-VAD parameters, shared by the operator, the oracle, and the
+# tests.  32-sample windows over channel 0; a window is ACTIVE when its
+# mean |amplitude| exceeds 16384 — the midpoint of the synthesized
+# samples' |v| range (0..32768), so the fixtures split windows ~50/50
+# and segments of every length occur.
+VAD_WIN = 32
+VAD_THRESHOLD = 16384
+
+
+def wav_energy_segments(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Energy-based voice-activity segmentation over ACTUALLY-DECODED
+    audio — the speech-data curation primitive (silence trimming, clip
+    splitting): decode each WAV (:func:`decode_wav`), window channel 0
+    into :data:`VAD_WIN`-sample windows (last partial window kept), mark
+    windows whose mean |amplitude| exceeds :data:`VAD_THRESHOLD`, and
+    emit one row per maximal run of active windows —
+    ``(doc_id, seg_idx, start_win, end_win, n_windows, peak_amp)``.
+
+    The activity test stays in integers (``Σ|v| > T·count`` avoids the
+    division), so the oracle replays it exactly: samples arithmetically
+    from the synthesis formula, runs via SQL gaps-and-islands.  Clips
+    with no active window emit no rows on either engine.  Scale: the
+    whole operator — decode, window fold, run detection — is row-local
+    inside the Arrow batch, a stateless map-only pass.
+    """
+    schema = (
+        f"{id_col} bigint, seg_idx bigint, start_win bigint, "
+        "end_win bigint, n_windows bigint, peak_amp bigint"
+    )
+    dec = decode_wav
+    win, thr = VAD_WIN, VAD_THRESHOLD
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("id", "si", "sw", "ew", "nw", "pk")}
+            for i, content in zip(pdf[id_col], pdf["content"]):
+                _, _, chans = dec(bytes(content))
+                ch0 = [abs(v) for v in chans[0]]
+                n_win = (len(ch0) + win - 1) // win
+                seg_start, seg_peak, seg_idx = None, 0, 0
+                for w in range(n_win + 1):  # +1: sentinel flushes a tail run
+                    chunk = ch0[w * win:(w + 1) * win]
+                    active = bool(chunk) and sum(chunk) > thr * len(chunk)
+                    if active:
+                        if seg_start is None:
+                            seg_start, seg_peak = w, 0
+                        seg_peak = max(seg_peak, max(chunk))
+                    elif seg_start is not None:
+                        seg_idx += 1
+                        rows["id"].append(i)
+                        rows["si"].append(seg_idx)
+                        rows["sw"].append(seg_start)
+                        rows["ew"].append(w - 1)
+                        rows["nw"].append(w - seg_start)
+                        rows["pk"].append(seg_peak)
+                        seg_start = None
+            yield pd.DataFrame(
+                {id_col: rows["id"], "seg_idx": rows["si"],
+                 "start_win": rows["sw"], "end_win": rows["ew"],
+                 "n_windows": rows["nw"], "peak_amp": rows["pk"]}
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def wav_energy_segments_sql() -> str:
+    """DuckDB oracle for :func:`wav_energy_segments` over
+    :func:`synth_wav` payloads: channel-0 samples replayed from the
+    synthesis formula (the ``17·c`` term is 0), windows via integer
+    division, runs via the row_number gaps-and-islands idiom."""
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             1 + CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER)
+                 % {WAV_LEN_MOD} AS n,
+             CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) AS seed
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, s.s AS i,
+             ABS(((37 * s.s + seed) % 256 - 128) * 256) AS av
+      FROM dims, unnest(generate_series(0, n - 1)) AS s(s)
+    ),
+    w AS (
+      SELECT doc_id, i // {VAD_WIN} AS win, SUM(av) AS sa,
+             COUNT(*) AS cnt, MAX(av) AS pk
+      FROM s GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT *, win - ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY win) AS grp
+      FROM w WHERE sa > {VAD_THRESHOLD} * cnt
+    ),
+    seg AS (
+      SELECT doc_id, grp, MIN(win) AS start_win, MAX(win) AS end_win,
+             COUNT(*) AS n_windows, MAX(pk) AS peak_amp
+      FROM act GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY start_win) AS BIGINT) AS seg_idx,
+           CAST(start_win AS BIGINT) AS start_win,
+           CAST(end_win AS BIGINT) AS end_win,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(peak_amp AS BIGINT) AS peak_amp
+    FROM seg
+    """

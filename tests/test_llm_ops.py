@@ -1443,3 +1443,40 @@ def test_image_ahash_shift_invariance_and_dups(spark):
     )
     a = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
     assert a[1] == a[2]
+
+
+def test_wav_energy_segments_hand_built_runs(spark):
+    """Hand-built clip: 32 loud, 32 silent, 32 loud, 16 loud (partial
+    tail window) → two segments, the second spanning the tail; peaks
+    and window indices exact."""
+    from killrweather_spark.functions.multimodal import (
+        encode_wav,
+        wav_energy_segments,
+    )
+
+    loud, quiet = 30000, 100
+    samples = ([loud] * 32) + ([quiet] * 32) + ([loud] * 32) + ([loud] * 16)
+    blob = encode_wav(1, 8000, [samples])
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id bigint, content binary"
+    )
+    rows = sorted(
+        wav_energy_segments(df).collect(), key=lambda r: r.seg_idx
+    )
+    assert [
+        (r.seg_idx, r.start_win, r.end_win, r.n_windows, r.peak_amp)
+        for r in rows
+    ] == [(1, 0, 0, 1, loud), (2, 2, 3, 2, loud)]
+
+
+def test_wav_energy_segments_silent_clip_emits_nothing(spark):
+    from killrweather_spark.functions.multimodal import (
+        encode_wav,
+        wav_energy_segments,
+    )
+
+    blob = encode_wav(1, 8000, [[5] * 64])
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id bigint, content binary"
+    )
+    assert wav_energy_segments(df).count() == 0
