@@ -194,12 +194,20 @@ def _isolated_measure(name: str) -> float | None:
         "spark.range(1).count()\n"
         f"spark.read.parquet(os.path.join({SF_DIR!r}, 'region.parquet')).count()\n"
         f"spec = REGISTRY[{name!r}]\n"
+        # Run to a JIT plateau, not a fixed count: a fresh JVM's first
+        # executions pay interpreter/C1 tiers, so best-of-2 reads 30-50%
+        # high for codegen-heavy queries (measured: 5.2 -> 1.6 -> 1.2 ->
+        # 1.1s on minhash_similarity_estimate).  Stop once a run improves
+        # on the best by < 10%, cap at 5 runs.
         "best = None\n"
-        "for _ in range(2):\n"
+        "for _ in range(5):\n"
         "    t0 = time.perf_counter()\n"
         f"    df = spec.fn(spark, {SF_DIR!r})\n"
         "    df.count() if len(df.columns) > 6 else len(df.collect())\n"
         "    dt = time.perf_counter() - t0\n"
+        "    if best is not None and dt > best * 0.9:\n"
+        "        best = min(best, dt)\n"
+        "        break\n"
         "    best = dt if best is None else min(best, dt)\n"
         "print(json.dumps({'isolated': round(best, 3)}))\n"
         "spark.stop()\n"
@@ -233,6 +241,18 @@ def main() -> None:
     # scan of a session pays classloading + codegen compilation).
     spark.range(1).count()
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # Tier up the JIT on representative query shapes (agg / join /
+    # explode-groupBy) before any timing: without this, whichever query
+    # the interleave puts FIRST reads 30-50% high on a fresh JVM, and
+    # its recorded number moves round-over-round whenever the headline
+    # list grows and shifts positions (the r7 minhash_similarity_estimate
+    # false flag).  Untimed, so the cost lands on bench wall, not on any
+    # query's number.
+    for _warm in ("daily_stats", "star_join_revenue", "minhash_lsh_pairs"):
+        _spec = REGISTRY.get(_warm)
+        if _spec is not None:
+            _df = _spec.fn(spark, SF_DIR)
+            _df.count() if len(_df.columns) > 6 else len(_df.collect())
 
     # Steady-state timing: best of 2 runs per query.  Run 1 absorbs one-time
     # costs (codegen compile, broadcast build, file listing); run 2 is the
