@@ -121,6 +121,7 @@ HEADLINE = [
     "streaming_bigram_lm_score",        # trained-model stream scoring
     "image_dup_groups",                 # aHash image near-dup candidates
     "wav_energy_segments",              # energy VAD over decoded PCM
+    "heaps_law_curve",                  # trigram-type vocabulary growth
 ]
 
 

@@ -9788,6 +9788,32 @@ def _wire_vad() -> None:
 _wire_vad()
 
 
+def _wire_heaps() -> None:
+    from killrweather_spark.functions.curation import heaps_law_curve_sql
+
+    @register(
+        "heaps_law_curve",
+        heaps_law_curve_sql(),
+        survey_ref="beyond-ref datasheet statistic "
+        "(curation.py:heaps_law_curve) — vocabulary growth across 8 "
+        "doc_id-prefix checkpoints, the Heaps'-law curve (V ~ K*n^beta; "
+        "near-linear growth flags unique-noise corpora).  Type unit is "
+        "the word TRIGRAM (the shipped corpus' closed 31-word unigram "
+        "vocabulary saturates in the first octile; its ~31^3 trigram "
+        "space keeps the curve informative).  Scale: one tokenize pass "
+        "to a (gram, first_doc_id) min-agg + a docs-sized token-count "
+        "projection; each checkpoint is a broadcast-8-row theta-join — "
+        "no per-point re-tokenization",
+    )
+    def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.curation import heaps_law_curve
+
+        return heaps_law_curve(load_table(spark, sf_dir, "documents"))
+
+
+_wire_heaps()
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

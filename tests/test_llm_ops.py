@@ -1480,3 +1480,38 @@ def test_wav_energy_segments_silent_clip_emits_nothing(spark):
         [(1, bytearray(blob))], "doc_id bigint, content binary"
     )
     assert wav_energy_segments(df).count() == 0
+
+
+def test_heaps_curve_monotone_and_handcounted(spark):
+    """Checkpoints partition the id range; counts are cumulative and
+    monotone; the trigram types of a 2-doc toy corpus are hand-countable."""
+    from killrweather_spark.functions.curation import heaps_law_curve
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),        # trigrams: 'a b c', 'b c d'
+            (1, "a b c e"),        # adds 'b c e' (shares 'a b c')
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(heaps_law_curve(docs, points=2).collect(),
+                  key=lambda r: r.ck_idx)
+    assert [(r.ck_idx, r.n_docs, r.n_tokens, r.n_terms) for r in rows] == [
+        (1, 1, 4, 2),
+        (2, 2, 8, 3),
+    ]
+    # monotonicity on the real fixture
+    full = sorted(
+        heaps_law_curve(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ).collect(),
+        key=lambda r: r.ck_idx,
+    )
+    for a, b in zip(full, full[1:]):
+        assert b.n_docs > a.n_docs
+        assert b.n_tokens > a.n_tokens
+        assert b.n_terms >= a.n_terms
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        heaps_law_curve(docs, points=0)
