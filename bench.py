@@ -122,6 +122,7 @@ HEADLINE = [
     "image_dup_groups",                 # aHash image near-dup candidates
     "wav_energy_segments",              # energy VAD over decoded PCM
     "heaps_law_curve",                  # trigram-type vocabulary growth
+    "image_dup_verified",               # exact pixel rescore of hash groups
 ]
 
 

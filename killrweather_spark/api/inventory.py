@@ -9814,6 +9814,41 @@ def _wire_heaps() -> None:
 _wire_heaps()
 
 
+def _wire_image_verify() -> None:
+    from killrweather_spark.functions.multimodal import (
+        image_dup_verified_sql,
+    )
+
+    @register(
+        "image_dup_verified",
+        image_dup_verified_sql(),
+        survey_ref="beyond-ref image-dedup VERIFY stage "
+        "(multimodal.py:image_dup_verified) — the exact rescore behind "
+        "image_dup_groups: every same-hash same-dims pair decodes BOTH "
+        "payloads and reports the mean absolute per-channel pixel "
+        "distance (0 = true duplicate; the keep/drop threshold input). "
+        "The candidate space is hash-group self-equi-join (no "
+        "cartesian), payloads join by id, the double decode is "
+        "row-local Arrow work; the oracle replays the distance "
+        "arithmetically from the two seeds.  Completes the "
+        "screen -> group -> verify pipeline for the image modality, "
+        "mirroring minhash_lsh_pairs -> minhash_similarity_estimate "
+        "on text",
+    )
+    def q_image_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.multimodal import (
+            image_dup_verified,
+            synth_png_pixels,
+        )
+
+        return image_dup_verified(
+            synth_png_pixels(load_table(spark, sf_dir, "documents"))
+        )
+
+
+_wire_image_verify()
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

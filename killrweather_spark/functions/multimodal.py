@@ -899,3 +899,119 @@ def wav_energy_segments_sql() -> str:
            CAST(peak_amp AS BIGINT) AS peak_amp
     FROM seg
     """
+
+
+def image_dup_verified(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The exact-verify stage behind :func:`image_ahash` collisions —
+    the bolt-on `image_dup_groups`' docstring promises: for every
+    same-hash, same-dimensions pair, decode BOTH payloads and compute
+    the mean absolute per-channel pixel distance,
+    ``mad_micro = (10⁶ · Σ|pa − pb|) div (w·h·3)`` — 0 for true
+    duplicates, small for near-dups, the number a keep/drop threshold
+    reads.  Returns ``(doc_a, doc_b, width, height, mad_micro)``.
+
+    Scale shape is the dedup-pipeline standard: the pair space is the
+    hash groups (a self-equi-join on the 64-bit hash — no cartesian;
+    group sizes are bounded by the collision rate), payloads join in by
+    id, and the double decode is row-local Arrow work.  Dimension
+    equality is part of the join key: cross-dimension collisions are
+    incomparable pixel-wise and a production rescorer would resize
+    first (the resize stub's contract).
+    """
+    ah = image_ahash(df, id_col)
+    a = ah.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("ahash"),
+        F.col("width"),
+        F.col("height"),
+    )
+    b = ah.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("ahash"),
+        F.col("width"),
+        F.col("height"),
+    )
+    pairs = a.join(b, ["ahash", "width", "height"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    ca = df.select(
+        F.col(id_col).alias("doc_a"), F.col("content").alias("content_a")
+    )
+    cb = df.select(
+        F.col(id_col).alias("doc_b"), F.col("content").alias("content_b")
+    )
+    joined = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", "width", "height",
+                "content_a", "content_b")
+    )
+    schema = (
+        "doc_a bigint, doc_b bigint, width int, height int, "
+        "mad_micro bigint"
+    )
+    dec = decode_png_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("a", "b", "w", "h", "m")}
+            for da, db, w, h, ca_, cb_ in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["width"], pdf["height"],
+                pdf["content_a"], pdf["content_b"],
+            ):
+                _, _, pa = dec(bytes(ca_))
+                _, _, pb = dec(bytes(cb_))
+                sad = sum(abs(x - y) for x, y in zip(pa, pb))
+                rows["a"].append(da)
+                rows["b"].append(db)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["m"].append((1_000_000 * sad) // (int(w) * int(h) * 3))
+            yield pd.DataFrame(
+                {"doc_a": rows["a"], "doc_b": rows["b"],
+                 "width": rows["w"], "height": rows["h"],
+                 "mad_micro": rows["m"]}
+            )
+
+    return joined.mapInPandas(batches, schema)
+
+
+def image_dup_verified_sql() -> str:
+    """DuckDB oracle for :func:`image_dup_verified` over
+    :func:`synth_png_pixels` payloads: aHash groups via
+    :func:`image_ahash_sql`, the pixel distance replayed arithmetically
+    — ``Σ_{x,y,c} |(7x+11y+13c+s_a)%256 − (7x+11y+13c+s_b)%256|``."""
+    return f"""
+    WITH ah AS ({image_ahash_sql()}),
+    dims AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) AS seed
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.width AS width, a.height AS height,
+             da.seed AS seed_a, db.seed AS seed_b
+      FROM ah a
+      JOIN ah b ON a.ahash = b.ahash AND a.width = b.width
+               AND a.height = b.height AND a.doc_id < b.doc_id
+      JOIN dims da ON da.doc_id = a.doc_id
+      JOIN dims db ON db.doc_id = b.doc_id
+    ),
+    px AS (
+      SELECT doc_a, doc_b, width, height,
+             SUM(ABS((7 * x.x + 11 * y.y + 13 * c.c + seed_a) % 256
+                   - (7 * x.x + 11 * y.y + 13 * c.c + seed_b) % 256))
+               AS sad
+      FROM pairs,
+           unnest(generate_series(0, width - 1)) AS x(x),
+           unnest(generate_series(0, height - 1)) AS y(y),
+           unnest(generate_series(0, 2)) AS c(c)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST((1000000 * sad) // (width * height * 3) AS BIGINT)
+             AS mad_micro
+    FROM px
+    """

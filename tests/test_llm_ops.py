@@ -1515,3 +1515,32 @@ def test_heaps_curve_monotone_and_handcounted(spark):
 
     with _pytest.raises(ValueError):
         heaps_law_curve(docs, points=0)
+
+
+def test_image_dup_verified_identical_and_shifted(spark):
+    """Two identical images verify at mad_micro=0; a +10-brightness twin
+    (same aHash — shift-invariant) verifies at exactly 10,000,000 micro
+    (mean |diff| = 10); a different-dims image never pairs."""
+    from killrweather_spark.functions.multimodal import (
+        encode_png,
+        image_dup_verified,
+    )
+
+    base = [(3 * x + 5 * y) % 200 for y in range(8) for x in range(8)]
+    px1 = bytes(v for v in base for _ in range(3))
+    px2 = bytes(v + 10 for v in base for _ in range(3))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(8, 8, px1))),
+            (2, bytearray(encode_png(8, 8, px1))),   # exact duplicate of 1
+            (3, bytearray(encode_png(8, 8, px2))),   # shifted near-dup
+            (4, bytearray(encode_png(4, 4, px1[: 4 * 4 * 3]))),  # other dims
+        ],
+        "doc_id bigint, content binary",
+    )
+    rows = {(r.doc_a, r.doc_b): r.mad_micro
+            for r in image_dup_verified(df).collect()}
+    assert rows[(1, 2)] == 0
+    assert rows[(1, 3)] == 10_000_000
+    assert rows[(2, 3)] == 10_000_000
+    assert all(4 not in k for k in rows)
