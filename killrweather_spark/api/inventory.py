@@ -9824,12 +9824,14 @@ def _wire_image_verify() -> None:
         image_dup_verified_sql(),
         survey_ref="beyond-ref image-dedup VERIFY stage "
         "(multimodal.py:image_dup_verified) — the exact rescore behind "
-        "image_dup_groups: every same-hash same-dims pair decodes BOTH "
-        "payloads and reports the mean absolute per-channel pixel "
-        "distance (0 = true duplicate; the keep/drop threshold input). "
-        "The candidate space is hash-group self-equi-join (no "
-        "cartesian), payloads join by id, the double decode is "
-        "row-local Arrow work; the oracle replays the distance "
+        "image_dup_groups: every non-canonical member of a same-hash "
+        "same-dims group decodes alongside the group's min-id CANONICAL "
+        "and reports the mean absolute per-channel pixel distance (0 = "
+        "true duplicate; the keep/drop threshold input).  STAR pairing, "
+        "not all-pairs: linear in group size (all-pairs measured 33x on "
+        "10x data on the synthetic derivation), the SemDeDup/"
+        "representative shape.  Payloads join by id, the double decode "
+        "is row-local Arrow work; the oracle replays the distance "
         "arithmetically from the two seeds.  Completes the "
         "screen -> group -> verify pipeline for the image modality, "
         "mirroring minhash_lsh_pairs -> minhash_similarity_estimate "
@@ -9929,12 +9931,18 @@ DRIVER_WINDOW = [
                                    # components' first driver row
     "canonical_docs",              # r07 promotion: cluster-representative
                                    # election's first driver row
-    # text analysis family
-    "text_quality",
+    # text analysis family (text_quality r1-r6 green, rotated out late-r7;
+    # bm25_search keeps text analysis in-window.  passage_dedup_rewrite is
+    # the late-r7 rewrite-dedup flagship — CCNet line dedup that EDITS
+    # documents, never driver-checked)
+    "passage_dedup_rewrite",
     # Arrow applyInPandas path (first driver row for grouped pandas)
     "pandas_rank_normalize",       # r07 promotion
-    # multimodal (Arrow mapInPandas path)
-    "media_decode_dims",
+    # multimodal (Arrow mapInPandas path; media_decode_dims r2-r6 green,
+    # rotated out late-r7 — png/wav keep real decode in-window, and
+    # image_dup_verified exercises the same container path plus the
+    # image screen->group->verify pipeline, never driver-checked)
+    "image_dup_verified",
     "png_pixel_stats",
     "wav_audio_stats",             # r07 flagship: real RIFF/PCM decode
     # decontamination screens

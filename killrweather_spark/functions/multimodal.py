@@ -903,27 +903,32 @@ def wav_energy_segments_sql() -> str:
 
 def image_dup_verified(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The exact-verify stage behind :func:`image_ahash` collisions —
-    the bolt-on `image_dup_groups`' docstring promises: for every
-    same-hash, same-dimensions pair, decode BOTH payloads and compute
-    the mean absolute per-channel pixel distance,
+    the bolt-on `image_dup_groups`' docstring promises: every non-
+    canonical member of a same-hash same-dimensions group is decoded
+    alongside the group's CANONICAL image (the min doc_id, the one
+    `image_dup_groups` elects and `canonical_docs` would keep) and
+    scored by mean absolute per-channel pixel distance,
     ``mad_micro = (10⁶ · Σ|pa − pb|) div (w·h·3)`` — 0 for true
-    duplicates, small for near-dups, the number a keep/drop threshold
-    reads.  Returns ``(doc_a, doc_b, width, height, mad_micro)``.
+    duplicates, small for near-dups, the keep/drop threshold input.
+    Returns ``(doc_a, doc_b, width, height, mad_micro)`` with ``doc_a``
+    the canonical.
 
-    Scale shape is the dedup-pipeline standard: the pair space is the
-    hash groups (a self-equi-join on the 64-bit hash — no cartesian;
-    group sizes are bounded by the collision rate), payloads join in by
-    id, and the double decode is row-local Arrow work.  Dimension
-    equality is part of the join key: cross-dimension collisions are
-    incomparable pixel-wise and a production rescorer would resize
-    first (the resize stub's contract).
+    STAR verification, not all-pairs, deliberately: the keep/drop
+    decision only needs each member's distance TO THE SURVIVOR, so the
+    pair count is linear in group size — all-pairs is m(m-1)/2 per
+    group and measured 33× on 10× data on the synthetic derivation
+    (whose collision space grows both sides); the star form is the
+    SemDeDup/centroid-representative shape.  The candidate space is a
+    hash-keyed join of members to their group canonical (no cartesian),
+    payloads join in by id, the double decode is row-local Arrow work.
+    Dimension equality is part of the group key: cross-dimension
+    collisions are incomparable pixel-wise and a production rescorer
+    would resize first (the resize stub's contract).
     """
     ah = image_ahash(df, id_col)
-    a = ah.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("ahash"),
-        F.col("width"),
-        F.col("height"),
+    canon = (
+        ah.groupBy("ahash", "width", "height")
+        .agg(F.min(id_col).alias("doc_a"))
     )
     b = ah.select(
         F.col(id_col).alias("doc_b"),
@@ -931,7 +936,7 @@ def image_dup_verified(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col("width"),
         F.col("height"),
     )
-    pairs = a.join(b, ["ahash", "width", "height"]).filter(
+    pairs = b.join(canon, ["ahash", "width", "height"]).filter(
         F.col("doc_a") < F.col("doc_b")
     )
     ca = df.select(
@@ -979,8 +984,9 @@ def image_dup_verified(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def image_dup_verified_sql() -> str:
     """DuckDB oracle for :func:`image_dup_verified` over
     :func:`synth_png_pixels` payloads: aHash groups via
-    :func:`image_ahash_sql`, the pixel distance replayed arithmetically
-    — ``Σ_{x,y,c} |(7x+11y+13c+s_a)%256 − (7x+11y+13c+s_b)%256|``."""
+    :func:`image_ahash_sql`, the star pairing via a min-id group
+    canonical, the pixel distance replayed arithmetically —
+    ``Σ_{x,y,c} |(7x+11y+13c+s_a)%256 − (7x+11y+13c+s_b)%256|``."""
     return f"""
     WITH ah AS ({image_ahash_sql()}),
     dims AS (
@@ -988,14 +994,18 @@ def image_dup_verified_sql() -> str:
              CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) AS seed
       FROM documents
     ),
+    canon AS (
+      SELECT ahash, width, height, MIN(doc_id) AS doc_a
+      FROM ah GROUP BY 1, 2, 3
+    ),
     pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.width AS width, a.height AS height,
+      SELECT c.doc_a, b.doc_id AS doc_b,
+             b.width AS width, b.height AS height,
              da.seed AS seed_a, db.seed AS seed_b
-      FROM ah a
-      JOIN ah b ON a.ahash = b.ahash AND a.width = b.width
-               AND a.height = b.height AND a.doc_id < b.doc_id
-      JOIN dims da ON da.doc_id = a.doc_id
+      FROM ah b
+      JOIN canon c ON b.ahash = c.ahash AND b.width = c.width
+                  AND b.height = c.height AND c.doc_a < b.doc_id
+      JOIN dims da ON da.doc_id = c.doc_a
       JOIN dims db ON db.doc_id = b.doc_id
     ),
     px AS (

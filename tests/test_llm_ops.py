@@ -1518,9 +1518,11 @@ def test_heaps_curve_monotone_and_handcounted(spark):
 
 
 def test_image_dup_verified_identical_and_shifted(spark):
-    """Two identical images verify at mad_micro=0; a +10-brightness twin
-    (same aHash — shift-invariant) verifies at exactly 10,000,000 micro
-    (mean |diff| = 10); a different-dims image never pairs."""
+    """STAR verification against the group canonical (min doc_id): the
+    exact duplicate verifies at mad_micro=0, the +10-brightness twin
+    (same aHash — shift-invariant) at exactly 10,000,000 micro (mean
+    |diff| = 10), member-to-member pairs are NOT emitted, and a
+    different-dims image never pairs."""
     from killrweather_spark.functions.multimodal import (
         encode_png,
         image_dup_verified,
@@ -1542,5 +1544,5 @@ def test_image_dup_verified_identical_and_shifted(spark):
             for r in image_dup_verified(df).collect()}
     assert rows[(1, 2)] == 0
     assert rows[(1, 3)] == 10_000_000
-    assert rows[(2, 3)] == 10_000_000
+    assert (2, 3) not in rows  # star form: canonical pairs only
     assert all(4 not in k for k in rows)
