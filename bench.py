@@ -123,6 +123,7 @@ HEADLINE = [
     "wav_energy_segments",              # energy VAD over decoded PCM
     "heaps_law_curve",                  # trigram-type vocabulary growth
     "image_dup_verified",               # exact pixel rescore of hash groups
+    "image_hamming_pairs",              # banded near-collision hash ring
 ]
 
 

@@ -9851,6 +9851,39 @@ def _wire_image_verify() -> None:
 _wire_image_verify()
 
 
+def _wire_image_hamming() -> None:
+    from killrweather_spark.functions.multimodal import (
+        image_hamming_pairs_sql,
+    )
+
+    @register(
+        "image_hamming_pairs",
+        image_hamming_pairs_sql(),
+        survey_ref="beyond-ref image NEAR-dup ring "
+        "(multimodal.py:image_hamming_pairs) — the image analog of "
+        "simhash_hamming_pairs: perceptual hashes differing by 1-2 bits "
+        "(exact collisions stay image_dup_groups' domain).  Banded LSH "
+        "candidates (4 x 16-bit bands, >=2 agreeing — 100% recall at "
+        "distance <=2 by pigeonhole, pinned vs brute force in tests), "
+        "then the full 64-bit Hamming distance as an in-row "
+        "conv->XOR->bit_count fold over the 16 hex nibbles.  Scale: the "
+        "standard LSH-band join shape, no cartesian, no payload decode "
+        "past hashing",
+    )
+    def q_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.multimodal import (
+            image_hamming_pairs,
+            synth_png_pixels,
+        )
+
+        return image_hamming_pairs(
+            synth_png_pixels(load_table(spark, sf_dir, "documents"))
+        )
+
+
+_wire_image_hamming()
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

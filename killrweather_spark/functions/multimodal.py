@@ -1025,3 +1025,105 @@ def image_dup_verified_sql() -> str:
              AS mad_micro
     FROM px
     """
+
+
+# Near-collision ring parameters: 4 bands x 16 bits over the 64-bit
+# aHash; pairs must agree on >= 2 bands and sit at Hamming distance
+# 1..IMG_HAM_MAX.  Pigeonhole recall guarantee: flipping <= 2 bits
+# breaks at most 2 of the 4 bands, so every true <=2-distance pair
+# shares >= 2 bands — the banded join misses nothing it claims.
+IMG_HAM_BANDS = 4
+IMG_HAM_MIN_BANDS = 2
+IMG_HAM_MAX = 2
+
+
+def image_hamming_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The NEAR ring around :func:`image_ahash` collisions — the image
+    analog of text's ``simhash_hamming_pairs``: images whose perceptual
+    hashes differ by 1..:data:`IMG_HAM_MAX` bits (exact collisions are
+    `image_dup_groups`' domain and excluded here).  Candidates come from
+    a banded self-join (4 x 16-bit bands, >= 2 agreeing — 100% recall at
+    distance <= 2 by pigeonhole), then the full 64-bit Hamming distance
+    is an in-row fold over the 16 hex nibbles (conv -> XOR ->
+    bit_count).  Returns ``(doc_a, doc_b, hamming)``.
+
+    Scale: the banded join is keyed on (band, 16-bit value) — the
+    standard LSH-band shape, no cartesian; the distance fold is pure
+    codegen arithmetic on 16-char strings, no payload decode.  A
+    pixel-level rescore would bolt on exactly like
+    :func:`image_dup_verified` does for exact collisions.
+    """
+    ah = image_ahash(df, id_col).select(
+        F.col(id_col).alias("doc_id"), "ahash"
+    )
+    bands = ah.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {IMG_HAM_BANDS - 1}),"
+                " b -> struct(b AS band, substring(ahash, 4 * b + 1, 4)"
+                " AS bv))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "ahash", F.col("bb.band"), F.col("bb.bv"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("ha"),
+        "band", "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hb"),
+        "band", "bv",
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "ha", "hb")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= IMG_HAM_MIN_BANDS)
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, 16), 0L, (acc, p) -> acc"
+        " + bit_count(cast(conv(substring(ha, p, 1), 16, 10) AS BIGINT)"
+        " ^ cast(conv(substring(hb, p, 1), 16, 10) AS BIGINT)))"
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(
+            (F.col("hamming") >= 1) & (F.col("hamming") <= IMG_HAM_MAX)
+        )
+        .select(
+            "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+        )
+    )
+
+
+def image_hamming_pairs_sql() -> str:
+    """DuckDB oracle for :func:`image_hamming_pairs`: same bands, same
+    >= 2-band gate, nibble XOR popcount via the strpos hex lookup."""
+    return f"""
+    WITH ah AS ({image_ahash_sql()}),
+    bands AS (
+      SELECT doc_id, ahash, b.b AS band,
+             substr(ahash, 4 * b.b + 1, 4) AS bv
+      FROM ah, unnest(generate_series(0, {IMG_HAM_BANDS - 1})) AS b(b)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             a.ahash AS ha, c.ahash AS hb, COUNT(*) AS nb
+      FROM bands a
+      JOIN bands c ON a.band = c.band AND a.bv = c.bv
+                  AND a.doc_id < c.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    dist AS (
+      SELECT doc_a, doc_b,
+             (SELECT SUM(bit_count(
+                  xor(strpos('0123456789abcdef', substr(ha, p.p, 1)) - 1,
+                      strpos('0123456789abcdef', substr(hb, p.p, 1)) - 1)))
+              FROM unnest(generate_series(1, 16)) AS p(p)) AS hamming
+      FROM cand WHERE nb >= {IMG_HAM_MIN_BANDS}
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM dist WHERE hamming BETWEEN 1 AND {IMG_HAM_MAX}
+    """

@@ -1546,3 +1546,33 @@ def test_image_dup_verified_identical_and_shifted(spark):
     assert rows[(1, 3)] == 10_000_000
     assert (2, 3) not in rows  # star form: canonical pairs only
     assert all(4 not in k for k in rows)
+
+
+def test_image_hamming_pairs_match_brute_force(spark):
+    """Pigeonhole recall pin: the banded join recovers EVERY pair at
+    Hamming distance 1..2 — brute-force all-pairs distance over the
+    per-image hashes must equal the operator's output exactly."""
+    from killrweather_spark.functions.multimodal import (
+        IMG_HAM_MAX,
+        image_ahash,
+        image_hamming_pairs,
+        synth_png_pixels,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    imgs = synth_png_pixels(docs)
+    hashes = {r.doc_id: int(r.ahash, 16)
+              for r in image_ahash(imgs).collect()}
+    ids = sorted(hashes)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if 1 <= d <= IMG_HAM_MAX:
+                want[(a, b)] = d
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in image_hamming_pairs(imgs).collect()}
+    assert got == want
+    assert want, "fixture produced no near pairs — test is vacuous"
