@@ -925,7 +925,11 @@ def image_dup_verified(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     collisions are incomparable pixel-wise and a production rescorer
     would resize first (the resize stub's contract).
     """
-    ah = image_ahash(df, id_col)
+    from killrweather_spark.plans.caching import persist_once
+
+    # the hash table feeds the canonical-election AND member branches;
+    # persist so the Python decode lineage runs once
+    ah = image_ahash(df, id_col).transform(persist_once)
     canon = (
         ah.groupBy("ahash", "width", "height")
         .agg(F.min(id_col).alias("doc_a"))
@@ -1035,6 +1039,14 @@ def image_dup_verified_sql() -> str:
 IMG_HAM_BANDS = 4
 IMG_HAM_MIN_BANDS = 2
 IMG_HAM_MAX = 2
+# Band-bucket cap (the GRAM_DF_CAP pattern): a band value shared by more
+# than this many images is non-discriminative boilerplate (structured
+# synthetic hashes cluster hard — sf0.1 measured a 1,408-member bucket,
+# ~1M pairs from ONE band value, 3.7M banded pairs total) and is dropped
+# from candidate generation on BOTH engines.  64 keeps the gate SF
+# honest (5 buckets over cap at sf0.01, so the cap path is
+# parity-tested) while bounding per-bucket pair work at cap²/2.
+IMG_BAND_CAP = 64
 
 
 def image_hamming_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1042,21 +1054,37 @@ def image_hamming_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     analog of text's ``simhash_hamming_pairs``: images whose perceptual
     hashes differ by 1..:data:`IMG_HAM_MAX` bits (exact collisions are
     `image_dup_groups`' domain and excluded here).  Candidates come from
-    a banded self-join (4 x 16-bit bands, >= 2 agreeing — 100% recall at
-    distance <= 2 by pigeonhole), then the full 64-bit Hamming distance
-    is an in-row fold over the 16 hex nibbles (conv -> XOR ->
-    bit_count).  Returns ``(doc_a, doc_b, hamming)``.
+    a banded self-join (4 x 16-bit bands, >= 2 agreeing), then the full
+    64-bit Hamming distance is an in-row fold over the 16 hex nibbles
+    (conv -> XOR -> bit_count).  Returns ``(doc_a, doc_b, hamming)``.
+
+    Band values shared by more than :data:`IMG_BAND_CAP` images are
+    dropped from candidate generation on both engines (the
+    ``GRAM_DF_CAP`` move): a hot band is non-discriminative
+    boilerplate, and retaining it makes one bucket quadratic —
+    measured 1,408 members / ~1M pairs from a single band value at
+    sf0.1.  Recall: among pairs whose agreeing bands survive the cap,
+    <= 2 flipped bits break at most 2 of 4 bands, so the >= 2-band gate
+    misses nothing (the pigeonhole argument, pinned vs brute force in
+    tests); pairs related ONLY through boilerplate bands are exactly
+    the ones a near-dup miner doesn't want.
 
     Scale: the banded join is keyed on (band, 16-bit value) — the
-    standard LSH-band shape, no cartesian; the distance fold is pure
-    codegen arithmetic on 16-char strings, no payload decode.  A
-    pixel-level rescore would bolt on exactly like
-    :func:`image_dup_verified` does for exact collisions.
+    standard LSH-band shape, no cartesian, per-bucket work bounded at
+    cap²/2; the distance fold is pure codegen arithmetic on 16-char
+    strings, no payload decode.  A pixel-level rescore would bolt on
+    exactly like :func:`image_dup_verified` does for exact collisions.
     """
-    ah = image_ahash(df, id_col).select(
-        F.col(id_col).alias("doc_id"), "ahash"
+    from killrweather_spark.plans.caching import persist_once
+
+    # the hash table feeds bucket-count AND candidate branches; without a
+    # persist the Python decode lineage re-runs per branch
+    ah = (
+        image_ahash(df, id_col)
+        .select(F.col(id_col).alias("doc_id"), "ahash")
+        .transform(persist_once)
     )
-    bands = ah.select(
+    bands_all = ah.select(
         "doc_id",
         "ahash",
         F.explode(
@@ -1067,6 +1095,13 @@ def image_hamming_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "ahash", F.col("bb.band"), F.col("bb.bv"))
+    cold = (
+        bands_all.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") <= IMG_BAND_CAP)
+        .select("band", "bv")
+    )
+    bands = bands_all.join(cold, ["band", "bv"])
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("ahash").alias("ha"),
         "band", "bv",
@@ -1100,13 +1135,21 @@ def image_hamming_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def image_hamming_pairs_sql() -> str:
     """DuckDB oracle for :func:`image_hamming_pairs`: same bands, same
-    >= 2-band gate, nibble XOR popcount via the strpos hex lookup."""
+    band-bucket cap, same >= 2-band gate, nibble XOR popcount via the
+    strpos hex lookup."""
     return f"""
     WITH ah AS ({image_ahash_sql()}),
-    bands AS (
+    bands_all AS (
       SELECT doc_id, ahash, b.b AS band,
              substr(ahash, 4 * b.b + 1, 4) AS bv
       FROM ah, unnest(generate_series(0, {IMG_HAM_BANDS - 1})) AS b(b)
+    ),
+    cold AS (
+      SELECT band, bv FROM bands_all
+      GROUP BY 1, 2 HAVING COUNT(*) <= {IMG_BAND_CAP}
+    ),
+    bands AS (
+      SELECT b.* FROM bands_all b JOIN cold USING (band, bv)
     ),
     cand AS (
       SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,

@@ -1549,11 +1549,17 @@ def test_image_dup_verified_identical_and_shifted(spark):
 
 
 def test_image_hamming_pairs_match_brute_force(spark):
-    """Pigeonhole recall pin: the banded join recovers EVERY pair at
-    Hamming distance 1..2 — brute-force all-pairs distance over the
-    per-image hashes must equal the operator's output exactly."""
+    """Recall pin vs a brute-force replication of the full contract
+    (band-bucket cap + >= 2 retained shared bands + Hamming 1..2):
+    the operator's output must match the all-pairs reference exactly,
+    and the cap must actually FIRE on the fixture so the capped path
+    is what's being pinned."""
+    from collections import Counter
+
     from killrweather_spark.functions.multimodal import (
+        IMG_BAND_CAP,
         IMG_HAM_MAX,
+        IMG_HAM_MIN_BANDS,
         image_ahash,
         image_hamming_pairs,
         synth_png_pixels,
@@ -1563,16 +1569,59 @@ def test_image_hamming_pairs_match_brute_force(spark):
         "/root/testdata/sf0.001/documents.parquet"
     ).limit(120)
     imgs = synth_png_pixels(docs)
-    hashes = {r.doc_id: int(r.ahash, 16)
-              for r in image_ahash(imgs).collect()}
+    hashes = {r.doc_id: r.ahash for r in image_ahash(imgs).collect()}
+    buckets = Counter(
+        (b, h[4 * b:4 * b + 4]) for h in hashes.values() for b in range(4)
+    )
+    cold = {k for k, c in buckets.items() if c <= IMG_BAND_CAP}
     ids = sorted(hashes)
     want = {}
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            d = bin(hashes[a] ^ hashes[b]).count("1")
+            ha, hb = hashes[a], hashes[b]
+            shared = sum(
+                1
+                for k in range(4)
+                if ha[4 * k:4 * k + 4] == hb[4 * k:4 * k + 4]
+                and (k, ha[4 * k:4 * k + 4]) in cold
+            )
+            if shared < IMG_HAM_MIN_BANDS:
+                continue
+            d = bin(int(ha, 16) ^ int(hb, 16)).count("1")
             if 1 <= d <= IMG_HAM_MAX:
                 want[(a, b)] = d
     got = {(r.doc_a, r.doc_b): r.hamming
            for r in image_hamming_pairs(imgs).collect()}
     assert got == want
     assert want, "fixture produced no near pairs — test is vacuous"
+
+
+def test_image_hamming_pigeonhole_recall_under_cap(spark):
+    """With every band bucket under the cap, the banded join recovers
+    EVERY pair at distance <= 2 (flipping <= 2 bits breaks at most 2 of
+    4 bands): hand-built hashes at distance 1 and 2 from a base image
+    must both surface."""
+    from killrweather_spark.functions.multimodal import (
+        encode_png,
+        image_hamming_pairs,
+    )
+
+    # three 8x8 images: base half-black/half-white; one sampled pixel
+    # flipped (distance 1); two sampled pixels flipped (distance 2)
+    def img(flips):
+        px = bytearray(
+            (255 if x >= 4 else 0)
+            for y in range(8) for x in range(8) for _ in range(3)
+        )
+        for (fx, fy) in flips:
+            for c in range(3):
+                px[3 * (fy * 8 + fx) + c] = 255
+        return bytearray(encode_png(8, 8, bytes(px)))
+
+    df = spark.createDataFrame(
+        [(1, img([])), (2, img([(0, 0)])), (3, img([(0, 0), (1, 1)]))],
+        "doc_id bigint, content binary",
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in image_hamming_pairs(df).collect()}
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 1}
