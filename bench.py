@@ -124,6 +124,7 @@ HEADLINE = [
     "heaps_law_curve",                  # trigram-type vocabulary growth
     "image_dup_verified",               # exact pixel rescore of hash groups
     "image_hamming_pairs",              # banded near-collision hash ring
+    "image_grid_verify",                # cross-dims grid-resample verify
 ]
 
 

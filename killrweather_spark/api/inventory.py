@@ -9884,6 +9884,39 @@ def _wire_image_hamming() -> None:
 _wire_image_hamming()
 
 
+def _wire_image_grid_verify() -> None:
+    from killrweather_spark.functions.multimodal import (
+        image_grid_verify_sql,
+    )
+
+    @register(
+        "image_grid_verify",
+        image_grid_verify_sql(),
+        survey_ref="beyond-ref image-dedup CROSS-DIMENSION verify "
+        "(multimodal.py:image_grid_verify) — the pairs the exact pixel "
+        "verifier cannot touch (133 of 182 collision pairs on the "
+        "fixtures have differing dims): the production resize step IS "
+        "the hash's own 8x8 nearest-point gray grid, so each member and "
+        "its canonical are decoded, resampled onto that grid, and "
+        "scored by mean absolute gray distance.  Star pairing, id-keyed "
+        "payload joins, row-local double decode — closing the last "
+        "image-dedup gap (exact-dims -> image_dup_verified, near-hash "
+        "-> image_hamming_pairs, cross-dims -> here)",
+    )
+    def q_image_grid_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.multimodal import (
+            image_grid_verify,
+            synth_png_pixels,
+        )
+
+        return image_grid_verify(
+            synth_png_pixels(load_table(spark, sf_dir, "documents"))
+        )
+
+
+_wire_image_grid_verify()
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

@@ -1170,3 +1170,132 @@ def image_hamming_pairs_sql() -> str:
     SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
     FROM dist WHERE hamming BETWEEN 1 AND {IMG_HAM_MAX}
     """
+
+
+def image_grid_verify(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Verification for the pairs :func:`image_dup_verified` cannot
+    touch — same-hash collisions with DIFFERENT dimensions (the majority
+    on the shipped fixtures: 133 of 182 star pairs), where pixel space
+    is incomparable.  The resize step a production rescorer would run is
+    exactly the hash's own 8×8 nearest-point gray downsample, so each
+    member and its group canonical are decoded, resampled onto that
+    grid, and scored by mean absolute gray distance,
+    ``grid_mad_micro = (10⁶ · Σ₆₄|ga − gb|) div 64``.  Returns
+    ``(doc_a, doc_b, grid_mad_micro)`` with ``doc_a`` the canonical;
+    same-dims pairs are excluded (the exact pixel verifier owns them).
+
+    Same scale shape as :func:`image_dup_verified`: star pairing
+    (linear in group size), id-keyed payload joins, row-local double
+    decode in the Arrow batch.
+    """
+    from killrweather_spark.plans.caching import persist_once
+
+    ah = image_ahash(df, id_col).transform(persist_once)
+    canon = ah.groupBy("ahash").agg(F.min(id_col).alias("doc_a"))
+    ca_dims = ah.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("width").alias("wa"),
+        F.col("height").alias("ha_px"),
+    )
+    pairs = (
+        ah.select(
+            F.col(id_col).alias("doc_b"), "ahash",
+            F.col("width").alias("wb"), F.col("height").alias("hb_px"),
+        )
+        .join(canon, "ahash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(ca_dims, "doc_a")
+        .filter(
+            (F.col("wa") != F.col("wb")) | (F.col("ha_px") != F.col("hb_px"))
+        )
+    )
+    ca = df.select(
+        F.col(id_col).alias("doc_a"), F.col("content").alias("content_a")
+    )
+    cb = df.select(
+        F.col(id_col).alias("doc_b"), F.col("content").alias("content_b")
+    )
+    joined = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", "content_a", "content_b")
+    )
+    schema = "doc_a bigint, doc_b bigint, grid_mad_micro bigint"
+    dec = decode_png_pixels
+
+    def grid_grays(content: bytes) -> list[int]:
+        w, h, px = dec(content)
+        out = []
+        for j in range(8):
+            y = (j * h) // 8
+            for i in range(8):
+                x = (i * w) // 8
+                off = 3 * (y * w + x)
+                out.append((px[off] + px[off + 1] + px[off + 2]) // 3)
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"a": [], "b": [], "m": []}
+            for da, db, ca_, cb_ in zip(
+                pdf["doc_a"], pdf["doc_b"],
+                pdf["content_a"], pdf["content_b"],
+            ):
+                ga = grid_grays(bytes(ca_))
+                gb = grid_grays(bytes(cb_))
+                sad = sum(abs(x - y) for x, y in zip(ga, gb))
+                rows["a"].append(da)
+                rows["b"].append(db)
+                rows["m"].append((1_000_000 * sad) // 64)
+            yield pd.DataFrame(
+                {"doc_a": rows["a"], "doc_b": rows["b"],
+                 "grid_mad_micro": rows["m"]}
+            )
+
+    return joined.mapInPandas(batches, schema)
+
+
+def image_grid_verify_sql() -> str:
+    """DuckDB oracle for :func:`image_grid_verify`: star pairs from
+    :func:`image_ahash_sql` restricted to differing dims, each side's
+    8×8 grid grays replayed from its own (w, h, seed) triple."""
+    return f"""
+    WITH ah AS ({image_ahash_sql()}),
+    dims AS (
+      SELECT doc_id,
+             1 + CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 16 AS w,
+             1 + CAST(concat('0x', substr(md5(text), 5, 4)) AS INTEGER) % 16 AS h,
+             CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) AS seed
+      FROM documents
+    ),
+    canon AS (SELECT ahash, MIN(doc_id) AS doc_a FROM ah GROUP BY 1),
+    pairs AS (
+      SELECT c.doc_a, b.doc_id AS doc_b,
+             da.w AS wa, da.h AS hpa, da.seed AS sa,
+             db.w AS wb, db.h AS hpb, db.seed AS sb
+      FROM ah b
+      JOIN canon c ON b.ahash = c.ahash AND c.doc_a < b.doc_id
+      JOIN dims da ON da.doc_id = c.doc_a
+      JOIN dims db ON db.doc_id = b.doc_id
+      WHERE (da.w, da.h) <> (db.w, db.h)
+    ),
+    g AS (
+      SELECT doc_a, doc_b,
+             SUM(ABS(
+               (((7 * ((i.i * wa) // 8) + 11 * ((j.j * hpa) // 8) + sa) % 256)
+                + ((7 * ((i.i * wa) // 8) + 11 * ((j.j * hpa) // 8) + 13 + sa) % 256)
+                + ((7 * ((i.i * wa) // 8) + 11 * ((j.j * hpa) // 8) + 26 + sa) % 256)) // 3
+               -
+               (((7 * ((i.i * wb) // 8) + 11 * ((j.j * hpb) // 8) + sb) % 256)
+                + ((7 * ((i.i * wb) // 8) + 11 * ((j.j * hpb) // 8) + 13 + sb) % 256)
+                + ((7 * ((i.i * wb) // 8) + 11 * ((j.j * hpb) // 8) + 26 + sb) % 256)) // 3
+             )) AS sad
+      FROM pairs,
+           unnest(generate_series(0, 7)) AS i(i),
+           unnest(generate_series(0, 7)) AS j(j)
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST((1000000 * sad) // 64 AS BIGINT) AS grid_mad_micro
+    FROM g
+    """

@@ -1625,3 +1625,32 @@ def test_image_hamming_pigeonhole_recall_under_cap(spark):
     got = {(r.doc_a, r.doc_b): r.hamming
            for r in image_hamming_pairs(df).collect()}
     assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 1}
+
+
+def test_image_grid_verify_cross_dims_only(spark):
+    """A 16x16 image and its 8x8 nearest-point downsample share an aHash
+    (same grid grays by construction) and verify at grid_mad_micro=0;
+    same-dims pairs are excluded (the exact verifier owns them)."""
+    from killrweather_spark.functions.multimodal import (
+        encode_png,
+        image_grid_verify,
+    )
+
+    # 16x16 base: gray g(x, y) = 10 * (x // 2) (vertical stripes, constant
+    # per 2-px column); its 8x8 nearest-point downsample samples (2i, 2j)
+    # -> g = 10 * i, which equals the 8x8 image g(i, j) = 10 * i exactly.
+    px16 = bytes(
+        10 * (x // 2) for y in range(16) for x in range(16) for _ in range(3)
+    )
+    px8 = bytes(10 * x for y in range(8) for x in range(8) for _ in range(3))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(16, 16, px16))),
+            (2, bytearray(encode_png(8, 8, px8))),
+            (3, bytearray(encode_png(8, 8, px8))),  # same-dims twin of 2
+        ],
+        "doc_id bigint, content binary",
+    )
+    rows = {(r.doc_a, r.doc_b): r.grid_mad_micro
+            for r in image_grid_verify(df).collect()}
+    assert rows == {(1, 2): 0, (1, 3): 0}  # (2,3) same-dims: excluded
