@@ -1178,9 +1178,12 @@ def heaps_law_curve(df: DataFrame, points: int = 8) -> DataFrame:
         .select(
             F.col("ck_idx").cast("bigint"),
             (
+                # integer div, not float `/` + cast: float is exact only
+                # when `points` is a power of two — the oracle floors
                 F.col("lo")
-                + ((F.col("hi") - F.col("lo") + 1) * F.col("ck_idx"))
-                / points
+                + F.expr(
+                    f"((hi - lo + 1) * ck_idx) div {points}"
+                )
             )
             .cast("bigint")
             .alias("id_below"),
