@@ -125,6 +125,7 @@ HEADLINE = [
     "image_dup_verified",               # exact pixel rescore of hash groups
     "image_hamming_pairs",              # banded near-collision hash ring
     "image_grid_verify",                # cross-dims grid-resample verify
+    "streaming_passage_screen",         # stream probe of the passage index
 ]
 
 

@@ -9917,6 +9917,50 @@ def _wire_image_grid_verify() -> None:
 _wire_image_grid_verify()
 
 
+def _wire_streaming_passage_screen() -> None:
+    from killrweather_spark.functions.curation import (
+        streaming_passage_screen_sql,
+    )
+
+    @register(
+        "streaming_passage_screen",
+        streaming_passage_screen_sql(),
+        survey_ref="§2.9 ext: incremental crawl ingestion as a STREAM "
+        "(curation.py:streaming_passage_screen) — arriving documents "
+        "probe yesterday's passage-digest index (built once in batch "
+        "from the even-doc_id half, persisted) with a stream-static "
+        "LEFT join and one stateful per-doc rollup: known_ratio_micro "
+        "near 10^6 = re-crawl/mirror, the drop signal "
+        "new_batch_dup_screen applies in batch.  Integer arithmetic "
+        "end-to-end makes the drained stream bit-identical to the "
+        "batch replay, so the batch SQL is the oracle (even docs score "
+        "exactly 10^6; odd docs ~20% on the fixtures)",
+    )
+    def q_streaming_passage_screen(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from killrweather_spark.functions.curation import (
+            streaming_passage_screen,
+        )
+        from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+        docs = load_table(spark, sf_dir, "documents")
+        ref = docs.filter(F.col("doc_id") % 2 == 0)
+        screened = streaming_passage_screen(
+            ref, _documents_stream(spark, sf_dir)
+        )
+        name = f"stream_passage_screen_{uuid.uuid4().hex[:8]}"
+        return run_stream_to_batch(
+            screened, tempfile.mkdtemp(), name, "complete"
+        )
+
+
+_wire_streaming_passage_screen()
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

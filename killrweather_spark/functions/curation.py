@@ -1253,3 +1253,100 @@ def heaps_law_curve_sql(points: int = 8) -> str:
     SELECT d.ck_idx, d.id_below, d.n_docs, d.n_tokens, t.n_terms
     FROM docs_per d JOIN terms_per t USING (ck_idx, id_below)
     """
+
+
+def passage_ref_digests(ref_docs: DataFrame, seg_len: int = PASSAGE_LEN) -> DataFrame:
+    """The reference corpus's distinct passage digests — the batch-built
+    index :func:`streaming_passage_screen` probes (build once per crawl
+    snapshot, digest-sized, not corpus-sized)."""
+    from killrweather_spark.functions.text import tokens
+
+    base = ref_docs.select(
+        F.col("doc_id"), tokens(F.col("text")).alias("__toks")
+    ).filter(F.size("__toks") >= 1)
+    seg_arr = F.expr(
+        f"transform(sequence(1, size(__toks), {seg_len}),"
+        f" s -> array_join(slice(__toks, s, {seg_len}), ' '))"
+    )
+    return (
+        base.select(F.explode(seg_arr).alias("seg"))
+        .select(F.md5("seg").alias("dig"))
+        .distinct()
+    )
+
+
+def streaming_passage_screen(
+    ref_docs: DataFrame,
+    stream_docs: DataFrame,
+    seg_len: int = PASSAGE_LEN,
+) -> DataFrame:
+    """Incremental crawl ingestion as a STREAM: arriving documents are
+    scored against yesterday's passage index — per document, how many of
+    its passages the reference corpus already contains
+    (``known_ratio_micro = 10⁶·n_known div n_segments``; high ratio =
+    re-crawl/mirror, the drop signal `new_batch_dup_screen` applies in
+    batch).  The index (:func:`passage_ref_digests`) is built ONCE in
+    batch and persisted; each micro-batch explodes its passages, probes
+    the index with a stream-static LEFT join on the digest, and rolls up
+    per document — ONE stateful aggregation, within Structured
+    Streaming's limit.  Integer arithmetic end-to-end, so the batch
+    replay of the same documents is bit-identical and the batch SQL is
+    the oracle.
+    """
+    from killrweather_spark.functions.text import tokens
+    from killrweather_spark.plans.caching import persist_once
+
+    ref = passage_ref_digests(ref_docs, seg_len).withColumnRenamed(
+        "dig", "ref_dig"
+    ).transform(persist_once)
+    base = stream_docs.select(
+        F.col("doc_id"), tokens(F.col("text")).alias("__toks")
+    ).filter(F.size("__toks") >= 1)
+    seg_arr = F.expr(
+        f"transform(sequence(1, size(__toks), {seg_len}),"
+        f" s -> array_join(slice(__toks, s, {seg_len}), ' '))"
+    )
+    segs = base.select(
+        "doc_id", F.explode(seg_arr).alias("__seg")
+    ).select("doc_id", F.md5("__seg").alias("dig"))
+    probed = segs.join(ref, segs["dig"] == ref["ref_dig"], "left")
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(
+            F.when(F.col("ref_dig").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_known"),
+        F.expr(
+            "cast((1000000 * sum(CASE WHEN ref_dig IS NOT NULL THEN 1"
+            " ELSE 0 END)) div count(*) AS BIGINT)"
+        ).alias("known_ratio_micro"),
+    )
+
+
+def streaming_passage_screen_sql(seg_len: int = PASSAGE_LEN) -> str:
+    """DuckDB oracle: the reference index is the even-doc_id half (the
+    registered query's 'yesterday's crawl' split), arrivals are the full
+    corpus — even docs score 10⁶ exactly, odd docs partial."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1
+    ),
+    segs AS (
+      SELECT doc_id,
+             md5(array_to_string(w[s:s+{seg_len - 1}], ' ')) AS dig
+      FROM base, UNNEST(generate_series(1, len(w), {seg_len})) AS t(s)
+    ),
+    ref AS (SELECT DISTINCT dig FROM segs WHERE doc_id % 2 = 0),
+    j AS (
+      SELECT s.doc_id,
+             CASE WHEN r.dig IS NOT NULL THEN 1 ELSE 0 END AS k
+      FROM segs s LEFT JOIN ref r ON s.dig = r.dig
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(k) AS BIGINT) AS n_known,
+           CAST((1000000 * SUM(k)) // COUNT(*) AS BIGINT)
+             AS known_ratio_micro
+    FROM j GROUP BY doc_id
+    """

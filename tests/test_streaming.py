@@ -802,3 +802,52 @@ def test_streaming_bigram_lm_matches_batch_across_microbatches(spark, tmp_path):
         (r.doc_id, r.n_bigrams, r.mean_p_micro) for r in got.collect()
     } == want
     assert not any(r.doc_id == 6 for r in got.collect())
+
+
+def test_streaming_passage_screen_matches_batch_across_microbatches(
+    spark, tmp_path
+):
+    """The passage screen is batch-equivalent over multiple triggers:
+    the index is built once from the reference half, the stream drains 3
+    files one per trigger, and every per-doc known-ratio matches the
+    batch graph bit-for-bit (a fully-known doc scores exactly 10^6)."""
+    from killrweather_spark.functions.curation import (
+        streaming_passage_screen,
+    )
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    docs = [
+        (0, "aa bb cc dd ee ff"),          # reference (even)
+        (2, "gg hh ii jj kk ll"),          # reference (even)
+        (1, "aa bb cc xx yy zz"),          # half known
+        (3, "aa bb cc dd ee ff"),          # fully known -> 10^6
+        (5, "qq rr ss tt uu vv"),          # novel -> 0
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ref = df.filter(F.col("doc_id") % 2 == 0)
+    src = tmp_path / "psrc"
+    src.mkdir()
+    for i in range(3):
+        df.filter((F.col("doc_id") % 3) == i).coalesce(1).write.parquet(
+            str(src / f"p{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_known, r.known_ratio_micro)
+        for r in run_stream_to_batch(
+            streaming_passage_screen(ref, stream),
+            str(tmp_path / "ckpt_ps"), "stream_ps", "complete",
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.n_segments, r.n_known, r.known_ratio_micro)
+        for r in streaming_passage_screen(ref, df).collect()
+    }
+    assert got == want
+    assert got[3] == (2, 2, 1_000_000)
+    assert got[5] == (2, 0, 0)
+    assert got[1] == (2, 1, 500_000)
