@@ -3127,13 +3127,37 @@ def q_semantic_eval_screen_ivf_fixed(
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
-    """Per-corpus index location for the trained IVF tables.  Deterministic
-    build ⇒ presence is the only staleness signal needed for the immutable
-    fixture corpora (production keys the path by corpus snapshot)."""
+    """Per-corpus index location for the trained IVF tables, keyed by a
+    CONTENT FINGERPRINT of the embeddings parquet (relative path + size
+    + mtime_ns of every data file, sha256'd) in addition to the corpus
+    basename.  A regenerated corpus — or a different corpus that happens
+    to share the basename — therefore maps to a NEW index path and
+    triggers a rebuild instead of silently probing a stale index; the
+    deterministic build makes the rebuild byte-identical when the corpus
+    truly is unchanged.  (Production keys the path by corpus snapshot id
+    the same way.)"""
+    import hashlib
     import os as _os
 
     base = _os.path.basename(_os.path.normpath(sf_dir))
-    return f"/tmp/sg_ivf_index_{base}_c8_i2"
+    root = _os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.sha256()
+    if _os.path.isdir(root):
+        entries = []
+        for dirpath, _dirs, files in _os.walk(root):
+            for fn in files:
+                p = _os.path.join(dirpath, fn)
+                st = _os.stat(p)
+                entries.append(
+                    (_os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+                )
+        for rel, size, mt in sorted(entries):
+            h.update(f"{rel}\x00{size}\x00{mt}\x00".encode())
+    elif _os.path.exists(root):
+        st = _os.stat(root)
+        h.update(f"{st.st_size}\x00{st.st_mtime_ns}\x00".encode())
+    fp = h.hexdigest()[:16]
+    return f"/tmp/sg_ivf_index_{base}_{fp}_c8_i2"
 
 
 @register(
@@ -9460,8 +9484,12 @@ _wire_mix_queries()
     "and exact_dup (domain mix auditable via the kept source column)",
 )
 def q_domain_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final-weight apply step: every doc the trained perceptron calls
-    in-domain (w·x > 0), with source + integer margin."""
+    """Final-weight apply step in ``above_mean`` (budgeted-selection)
+    mode: every doc whose trained-perceptron margin w·x exceeds the
+    corpus-mean margin (a 1-row broadcast aggregate threshold), with
+    source + integer margin.  The production sign gate (keep w·x > 0)
+    is the ``mode="sign"`` variant, pinned on a separable fixture in
+    tests — the synthetic corpus gives it no signal here."""
     return domain_filtered_corpus(
         load_table(spark, sf_dir, "documents"), "src0", epochs=3,
         mode="above_mean",

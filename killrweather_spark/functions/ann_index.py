@@ -149,9 +149,12 @@ def ensure_ivf_index(
     vec_col: str = "embedding",
 ) -> str:
     """Build-once gate: train + write only when the index directory is
-    absent (the deterministic build makes a rebuild byte-identical, so
-    presence is the only staleness signal needed for the immutable
-    fixture corpora; production would key the path by corpus snapshot)."""
+    absent.  Presence is a valid staleness signal ONLY when the caller
+    keys ``index_dir`` by corpus identity — pass a path that embeds a
+    corpus fingerprint/snapshot id (the registry's ``_ivf_index_dir``
+    hashes the embeddings parquet's file sizes + mtimes into the path),
+    so a regenerated or renamed corpus rebuilds instead of probing a
+    stale index."""
     if not os.path.isdir(index_dir):
         build_ivf_index(df, index_dir, n_centroids, iters, id_col, vec_col)
     return index_dir

@@ -57,8 +57,9 @@ gate's k is small; batching slots into ``_learn`` behind the same
 vocabulary build needs it.  Round 7 delivered that slot:
 :func:`bpe_merge_table_batched` below selects the top-m mutually
 NON-CONFLICTING pairs per round (greedy down the exact (count desc,
-left, right) ranking, skipping any pair that shares a symbol with — or
-whose symbol equals the concatenation of — a higher-ranked pick) and
+left, right) ranking, skipping any pair that shares a symbol with a
+higher-ranked pick, whose symbol equals that pick's concatenation, or
+whose own concatenation equals one of that pick's symbols) and
 applies them in ONE fold pass, cutting a 32k-merge build from 32k to
 32k/m driver-serialized rounds while staying deterministic and
 oracle-replayable.
@@ -233,14 +234,18 @@ def _batch_sel_expr(m: int) -> str:
     array ``cl`` of ``(npc, a, b)`` structs: walk best-first, keep a pair
     iff fewer than ``m`` are kept AND it shares no symbol with a kept
     pair AND neither of its symbols equals a kept pair's concatenation
-    (so no within-round chain merge can fire — the folds commute)."""
+    AND its own concatenation equals no kept pair's symbol (both fusion
+    directions — so no within-round chain merge can fire in either
+    order and the folds commute)."""
     return (
         "aggregate(cl, "
         "cast(array() as array<struct<npc:bigint,a:string,b:string>>), "
         f"(acc, x) -> CASE WHEN size(acc) >= {m} THEN acc "
         "WHEN exists(acc, p -> p.a = x.a OR p.a = x.b OR p.b = x.a "
         "OR p.b = x.b OR x.a = concat(p.a, p.b) "
-        "OR x.b = concat(p.a, p.b)) THEN acc "
+        "OR x.b = concat(p.a, p.b) "
+        "OR concat(x.a, x.b) = p.a "
+        "OR concat(x.a, x.b) = p.b) THEN acc "
         "ELSE concat(acc, array(x)) END)"
     )
 
@@ -271,9 +276,10 @@ def bpe_merge_table_batched(
     ``cand_window`` (default 4·m) candidates by ``(count desc, left,
     right)`` — a TakeOrderedAndProject, never a full sort — then a JVM
     fold down that tiny sorted array greedily keeps up to ``m`` pairs
-    that are mutually conflict-free: no shared symbol, and no symbol
-    equal to a higher pick's fusion (which would let a chain merge fire
-    within the round).  All kept pairs are applied in ONE per-word fold
+    that are mutually conflict-free: no shared symbol, no symbol equal
+    to a higher pick's fusion, and no fusion equal to a higher pick's
+    symbol (either direction would let a chain merge fire within the
+    round).  All kept pairs are applied in ONE per-word fold
     pass; at most one pair can match at any position, so the batched
     fold equals ``m`` sequential strict folds.
 
@@ -405,14 +411,18 @@ def bpe_merge_table_batched_sql(
             f"      ORDER BY pc DESC, a, b LIMIT {T})"
         )
         for i in range(1, m + 1):
-            # conflict of candidate x with pick j: shared symbol, or a
-            # symbol equal to j's fusion; NULL picks (exhausted step)
-            # must not poison the WHERE — COALESCE(..., FALSE)
+            # conflict of candidate x with pick j: shared symbol, a
+            # symbol equal to j's fusion, or x's own fusion equal to one
+            # of j's symbols (both chain-merge directions); NULL picks
+            # (exhausted step) must not poison the WHERE —
+            # COALESCE(..., FALSE)
             conds = " AND ".join(
                 f"NOT COALESCE(x.a = j{j}.mleft OR x.a = j{j}.mright"
                 f" OR x.b = j{j}.mleft OR x.b = j{j}.mright"
                 f" OR x.a = j{j}.mleft || j{j}.mright"
-                f" OR x.b = j{j}.mleft || j{j}.mright, FALSE)"
+                f" OR x.b = j{j}.mleft || j{j}.mright"
+                f" OR x.a || x.b = j{j}.mleft"
+                f" OR x.a || x.b = j{j}.mright, FALSE)"
                 for j in range(1, i)
             )
             srcs = f"c{r} x" + "".join(

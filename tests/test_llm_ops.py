@@ -1246,9 +1246,38 @@ def test_bpe_batched_selection_is_conflict_free(spark):
                             & {b.left_sym, b.right_sym}), (a, b)
                 assert b.left_sym != a.left_sym + a.right_sym, (a, b)
                 assert b.right_sym != a.left_sym + a.right_sym, (a, b)
+                assert b.left_sym + b.right_sym != a.left_sym, (a, b)
+                assert b.left_sym + b.right_sym != a.right_sym, (a, b)
     # round 1's top pick is the strict-greedy winner
     first = min(by_round[1], key=lambda r: r.rank_in_round)
     assert (first.left_sym, first.right_sym) == ("a", "n")
+
+
+def test_bpe_batched_guard_rejects_fusion_equal_to_higher_symbol(spark):
+    """The SYMMETRIC conflict direction (ADVICE r07): a candidate whose
+    own fusion equals a higher pick's SYMBOL must be rejected — e.g.
+    picks ('abcd','e') then ('ab','cd') would let the fold chain-merge
+    within the round ('ab'+'cd' -> 'abcd', then 'abcd'+'e').  Pinned
+    directly on the JVM selection expression with a synthetic candidate
+    array (reaching this state end-to-end needs a multi-round corpus
+    where 'abcd' formed by a different merge path)."""
+    from pyspark.sql import functions as F
+
+    from killrweather_spark.functions.bpe import _batch_sel_expr
+
+    cl = ("array(named_struct('npc', -10L, 'a', 'abcd', 'b', 'e'), "
+          "named_struct('npc', -9L, 'a', 'ab', 'b', 'cd'), "
+          "named_struct('npc', -8L, 'a', 'x', 'b', 'y'))")
+    sel = (
+        spark.range(1)
+        .select(F.expr(cl).alias("cl"))
+        .select(F.expr(_batch_sel_expr(4)).alias("sel"))
+        .collect()[0].sel
+    )
+    picked = [(p.a, p.b) for p in sel]
+    assert ("abcd", "e") in picked
+    assert ("x", "y") in picked
+    assert ("ab", "cd") not in picked, picked
 
 
 def test_bpe_batched_rejects_bad_params(spark):

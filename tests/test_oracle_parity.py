@@ -96,15 +96,41 @@ def test_edge_fixture_parity(spark, tmp_path):
     # vector still gets a bucket: all projections 0 → all '1' bits)
     screens = ("semantic_eval_screen", "semantic_eval_screen_vectorized",
                "semantic_eval_screen_lsh", "semantic_eval_screen_banded")
+    # The registered exact screens bake dim=_EMB_DIM (64) into both
+    # engines' ragged-vector exclusion, which on this 4-dim fixture would
+    # exclude EVERY vector — both sides empty, the zero-norm assertion
+    # vacuous.  Re-parameterize the exact pair with the fixture's dim so
+    # the exclusion path stays genuinely exercised (ADVICE r07).
+    from killrweather_spark.api.inventory import (
+        _exact_screen_sql, _SCREEN_THRESHOLD,
+    )
+    from killrweather_spark.functions.similarity import (
+        semantic_screen, semantic_screen_vectorized,
+    )
+    from killrweather_spark.sources.readers import load_table
+
+    edge_dim = 4
+    emb_fx = load_table(spark, str(fx), "embeddings")
+    exact_fns = {
+        "semantic_eval_screen": semantic_screen,
+        "semantic_eval_screen_vectorized": semantic_screen_vectorized,
+    }
     for name in ("semantic_dup_candidates", "cosine_topk",
                  "cdc_merge_snapshot", "semantic_screen_recall",
                  "semantic_screen_recall_banded") + screens:
-        spec = REGISTRY[name]
-        df = spec.fn(spark, str(fx))
-        d = compare(name, df, con, spec.sql)
+        if name in exact_fns:
+            df = exact_fns[name](emb_fx, lambda c: c % 10 == 0,
+                                 threshold=_SCREEN_THRESHOLD, dim=edge_dim)
+            d = compare(name, df, con, _exact_screen_sql(dim=edge_dim))
+        else:
+            spec = REGISTRY[name]
+            df = spec.fn(spark, str(fx))
+            d = compare(name, df, con, spec.sql)
         assert d.ok, (name, d.messages[:3])
         if name in screens:  # zero-norm train never flagged
-            assert 2 not in {r.train_id for r in df.collect()}, name
+            rows = df.collect()
+            assert rows, f"{name}: edge screen returned no rows (vacuous)"
+            assert 2 not in {r.train_id for r in rows}, name
 
     # the semantics themselves, independent of the oracle:
     snap = {r.user_id: r.last_event_id
