@@ -5,7 +5,9 @@ Prints ONE JSON line:
 
 The driver runs this per-round at sf0.1 and records BENCH_r{N}.json; run it
 locally at sf0.01 while iterating (``SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01
-python bench.py``).
+python bench.py``).  The same JSON is also written to ``bench_out.json`` at
+the repo root so per-query timings survive even when a stdout capture
+truncates.
 """
 
 from __future__ import annotations
@@ -338,21 +340,29 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "vs_prior": prior_name,
-                "isolated": isolated,
-                "drift": drift,
-                "regressions": regressions,
-            }
+    payload = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "vs_prior": prior_name,
+        "isolated": isolated,
+        "drift": drift,
+        "regressions": regressions,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # Also land the full result as a repo-root artifact: the driver's
+    # BENCH_r{N}.json keeps only a 2,000-char stdout tail (BENCH_r07's
+    # per-query numbers survived only via the sf1 leg file), so the
+    # parseable record must not depend on stdout capture.
+    try:
+        (Path(__file__).resolve().parent / "bench_out.json").write_text(
+            line + "\n"
         )
-    )
+    except OSError as e:
+        print(f"bench_out.json write failed: {e}", file=sys.stderr)
     spark.stop()
 
 

@@ -70,10 +70,13 @@ def running_totals_by_key(
     explicit named state slots (ValueState/ListState/MapState), timers, and
     TTL live on a ``StatefulProcessor`` object instead of one opaque tuple.
 
-    Environment-gated like the Kafka paths: the API's state-server protocol
-    needs ``google.protobuf`` (absent in this container) and the RocksDB
-    state store provider — the test skips when the import fails; the
-    operator itself is the durable artifact.
+    The API's state-server protocol needs ``google.protobuf`` and the
+    RocksDB state store provider.  No protobuf is pip-installed in this
+    container, but ``protobuf_shim.enable_vendored_protobuf`` surfaces the
+    Cloud SDK's vendored pure-Python runtime to driver AND workers (a
+    PYTHONPATH ``sitecustomize`` shim — a driver-side import alone leaves
+    the spawned state-server worker crashing), so since round 8 the
+    round-trip test RUNS end-to-end here instead of skipping.
 
     State here is one ValueState row per key — the running totals monoid.
     Each microbatch emits the key's updated totals (update-mode

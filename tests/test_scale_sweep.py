@@ -3,7 +3,8 @@
 The driver's correctness gate runs at sf0.01; bugs that only exist at larger
 data (int64 overflow in per-group scalar steps, unbounded quadratics,
 reduction-order float drift) are invisible there.  This sweep re-runs the
-ENTIRE 148-query DuckDB compare at sf0.001 (empty-group edges) and sf0.1
+ENTIRE registry-wide DuckDB compare (every registered query — see
+``len(REGISTRY)``) at sf0.001 (empty-group edges) and sf0.1
 (100× the gate's data).  It found two real bugs on first run: an int64
 overflow in ``corr_stats``'s final cross products and a heap-exhausting
 quadratic in ``lsh_recall_eval``'s truth side — both invisible at sf0.01.
