@@ -128,6 +128,10 @@ HEADLINE = [
     "image_hamming_pairs",              # banded near-collision hash ring
     "image_grid_verify",                # cross-dims grid-resample verify
     "streaming_passage_screen",         # stream probe of the passage index
+    # round-8 additions
+    "image_ring_verified",              # component-star rescore of the ring
+    "lang_filtered_corpus",             # trained language-ID gate
+    "lang_gate_funnel",                 # gate integrated into the funnel
 ]
 
 

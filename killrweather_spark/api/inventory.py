@@ -9945,6 +9945,110 @@ def _wire_image_grid_verify() -> None:
 _wire_image_grid_verify()
 
 
+def _wire_image_ring_verify() -> None:
+    from killrweather_spark.functions.multimodal import (
+        image_ring_verified_sql,
+    )
+
+    @register(
+        "image_ring_verified",
+        image_ring_verified_sql(),
+        survey_ref="beyond-ref image-dedup NEAR-RING verify "
+        "(multimodal.py:image_ring_verified) — the rescore "
+        "image_hamming_pairs promised: ring edges (hash distance 1-2) "
+        "cluster into connected components (the dedup_components "
+        "hash-min label propagation, O(log n) rounds on ring EDGES "
+        "only), each member scores once against its component's min-id "
+        "canonical on the 8x8 grid-resample comparator (ring membership "
+        "is dims-agnostic, so raw pixel space may be incomparable).  "
+        "STAR pairing keeps pair count linear in ring size — the same "
+        "move that took the exact verifier 33x -> 5.9x on the sf1 "
+        "decade.  Completes the verify symmetry: exact-dims -> "
+        "image_dup_verified, cross-dims -> image_grid_verify, near-ring "
+        "-> here; oracle = recursive transitive closure + arithmetic "
+        "grid replay",
+    )
+    def q_image_ring_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.multimodal import (
+            image_ring_verified,
+            synth_png_pixels,
+        )
+
+        return image_ring_verified(
+            synth_png_pixels(load_table(spark, sf_dir, "documents"))
+        )
+
+
+_wire_image_ring_verify()
+
+
+def _wire_lang_gate() -> None:
+    from killrweather_spark.functions.lang import (
+        lang_filtered_corpus_sql,
+        lang_gate_funnel_sql,
+        lang_trigram_profiles_sql,
+    )
+
+    @register(
+        "lang_trigram_profiles",
+        lang_trigram_profiles_sql(),
+        survey_ref="beyond-ref curation: TRAINED language-ID profiles "
+        "(lang.py:lang_trigram_profiles) — Cavnar-Trenkle char-trigram "
+        "profiles trained ON-CLUSTER from the corpus's declared labels: "
+        "one explode pass, a (lang, gram) rollup, integer micro-weights "
+        "over the lang's full trigram mass, top-64 grams per lang.  The "
+        "profile table is |langs|*k rows — broadcastable at ANY corpus "
+        "size, which is the whole design: training scales with the "
+        "corpus, serving state doesn't",
+    )
+    def q_lang_trigram_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.lang import lang_trigram_profiles
+
+        return lang_trigram_profiles(load_table(spark, sf_dir, "documents"))
+
+    @register(
+        "lang_filtered_corpus",
+        lang_filtered_corpus_sql(mode="match_declared"),
+        survey_ref="beyond-ref curation: the language GATE "
+        "(lang.py:lang_filtered_corpus) — the lang_id heuristic's "
+        "trained successor and the stage every real pipeline runs "
+        "first.  Scoring is per-doc gram counts x the BROADCAST profile "
+        "table, one codegen sum per (doc, lang), argmax with lang-asc "
+        "tiebreak.  Registered in match_declared (metadata-consistency) "
+        "mode: the five synthetic languages share one vocabulary, so "
+        "the production target-lang gate has no signal here (it is "
+        "pinned on a disjoint-alphabet fixture in tests where it "
+        "separates perfectly) while declared-vs-detected agreement "
+        "keeps the row non-trivial — the same mode argument "
+        "domain_filtered_corpus documents",
+    )
+    def q_lang_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.lang import lang_filtered_corpus
+
+        return lang_filtered_corpus(
+            load_table(spark, sf_dir, "documents"), mode="match_declared"
+        )
+
+    @register(
+        "lang_gate_funnel",
+        lang_gate_funnel_sql(),
+        survey_ref="beyond-ref curation: the trained language gate "
+        "INTEGRATED as stage 1 of the Gopher-rules funnel "
+        "(lang.py:lang_gate_funnel) — lang_mismatch -> too_short -> "
+        "too_long -> low_stopword -> kept, first-failure attribution, "
+        "integer micro shares; quality priors are language-specific, so "
+        "the language stage precedes every quality rule.  filter_funnel "
+        "keeps the untrained-rules-only shape for comparison",
+    )
+    def q_lang_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.lang import lang_gate_funnel
+
+        return lang_gate_funnel(load_table(spark, sf_dir, "documents"))
+
+
+_wire_lang_gate()
+
+
 def _wire_streaming_passage_screen() -> None:
     from killrweather_spark.functions.curation import (
         streaming_passage_screen_sql,

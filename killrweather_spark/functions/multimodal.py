@@ -1209,6 +1209,19 @@ def image_grid_verify(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             (F.col("wa") != F.col("wb")) | (F.col("ha_px") != F.col("hb_px"))
         )
     )
+    return _grid_mad_rescore(df, pairs.select("doc_a", "doc_b"), id_col)
+
+
+def _grid_mad_rescore(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shared grid-resample comparator behind :func:`image_grid_verify`
+    and :func:`image_ring_verified`: join payloads onto ``(doc_a,
+    doc_b)`` candidate pairs by id, decode both sides row-locally in the
+    Arrow batch, resample each onto the hash's own 8×8 nearest-point
+    gray grid, and score ``grid_mad_micro = (10⁶ · Σ₆₄|ga − gb|) div
+    64``.  Closures are factory-local so they pickle BY VALUE (the
+    worker-import gotcha documented in FIXTURES.md)."""
     ca = df.select(
         F.col(id_col).alias("doc_a"), F.col("content").alias("content_a")
     )
@@ -1253,6 +1266,108 @@ def image_grid_verify(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return joined.mapInPandas(batches, schema)
+
+
+def image_ring_verified(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pixel-level rescore for the Hamming NEAR ring — the stage
+    :func:`image_hamming_pairs` has promised since round 7 ("a
+    pixel-level rescore would bolt on exactly like image_dup_verified").
+    Exact collisions get :func:`image_dup_verified`, cross-dims
+    collisions get :func:`image_grid_verify`; this completes the
+    symmetry for hash distance 1..:data:`IMG_HAM_MAX`.
+
+    STAR pattern against the ring-COMPONENT canonical: ring edges are
+    clustered with hash-min connected components
+    (``curation.py:connected_components`` — the same O(log n)
+    label-propagation used by ``dedup_components``), each non-canonical
+    member is scored once against its component's min-id node, so pair
+    count is linear in ring size exactly like the exact-collision star
+    (which measured 33× → 5.9× on the sf1 decade when it switched from
+    all-pairs).  The comparator is the 8×8 grid resample, not raw pixel
+    MAD: ring membership is dims-agnostic (the aHash lives on the grid),
+    so members of one component can differ in dimensions.
+
+    Returns ``(doc_a, doc_b, grid_mad_micro)`` with ``doc_a`` the
+    component canonical.  Scale shape: the banded+capped candidate
+    generation is inherited from :func:`image_hamming_pairs` (per-bucket
+    work ≤ cap²/2), components run on ring EDGES only (a graph orders of
+    magnitude smaller than the corpus), payload joins are id-keyed, and
+    the double decode is row-local Arrow work.
+    """
+    from killrweather_spark.functions.curation import connected_components
+
+    ring = image_hamming_pairs(df, id_col)
+    comp = connected_components(ring.select("doc_a", "doc_b"))
+    star = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("component").cast("bigint").alias("doc_a"),
+        F.col("node").cast("bigint").alias("doc_b"),
+    )
+    return _grid_mad_rescore(df, star, id_col)
+
+
+def image_ring_verified_sql() -> str:
+    """DuckDB oracle for :func:`image_ring_verified`: the ring replayed
+    via :func:`image_hamming_pairs_sql` (nested WITH), components via
+    the same recursive transitive closure as ``dedup_components``'s
+    oracle, the star pairs' grid grays replayed from each side's
+    ``(w, h, seed)`` triple as in :func:`image_grid_verify_sql`.  The
+    ring CTE is MATERIALIZED — edges references it twice (the 2^k
+    inlining class)."""
+    return f"""
+    WITH RECURSIVE ring AS MATERIALIZED ({image_hamming_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ring
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM ring
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS node, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    star AS (
+      SELECT component AS doc_a, node AS doc_b
+      FROM comp WHERE node != component
+    ),
+    dims AS (
+      SELECT doc_id,
+             1 + CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 16 AS w,
+             1 + CAST(concat('0x', substr(md5(text), 5, 4)) AS INTEGER) % 16 AS h,
+             CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) AS seed
+      FROM documents
+    ),
+    sp AS (
+      SELECT s.doc_a, s.doc_b,
+             da.w AS wa, da.h AS hpa, da.seed AS sa,
+             db.w AS wb, db.h AS hpb, db.seed AS sb
+      FROM star s
+      JOIN dims da ON da.doc_id = s.doc_a
+      JOIN dims db ON db.doc_id = s.doc_b
+    ),
+    g AS (
+      SELECT doc_a, doc_b,
+             SUM(ABS(
+               (((7 * ((i.i * wa) // 8) + 11 * ((j.j * hpa) // 8) + sa) % 256)
+                + ((7 * ((i.i * wa) // 8) + 11 * ((j.j * hpa) // 8) + 13 + sa) % 256)
+                + ((7 * ((i.i * wa) // 8) + 11 * ((j.j * hpa) // 8) + 26 + sa) % 256)) // 3
+               -
+               (((7 * ((i.i * wb) // 8) + 11 * ((j.j * hpb) // 8) + sb) % 256)
+                + ((7 * ((i.i * wb) // 8) + 11 * ((j.j * hpb) // 8) + 13 + sb) % 256)
+                + ((7 * ((i.i * wb) // 8) + 11 * ((j.j * hpb) // 8) + 26 + sb) % 256)) // 3
+             )) AS sad
+      FROM sp,
+           unnest(generate_series(0, 7)) AS i(i),
+           unnest(generate_series(0, 7)) AS j(j)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST((1000000 * sad) // 64 AS BIGINT) AS grid_mad_micro
+    FROM g
+    """
 
 
 def image_grid_verify_sql() -> str:

@@ -1683,3 +1683,90 @@ def test_image_grid_verify_cross_dims_only(spark):
     rows = {(r.doc_a, r.doc_b): r.grid_mad_micro
             for r in image_grid_verify(df).collect()}
     assert rows == {(1, 2): 0, (1, 3): 0}  # (2,3) same-dims: excluded
+
+
+def test_lang_gate_target_mode_separates_disjoint_alphabets(spark):
+    """The production target-lang gate on a corpus the trained profiles
+    can actually separate: two declared languages with DISJOINT
+    character sets.  mode='target' must keep exactly the docs written in
+    the target language — including one MISLABELED doc (declared 'bb',
+    written in 'aa' characters), which match_declared would drop and the
+    target gate correctly keeps."""
+    from killrweather_spark.functions.lang import lang_filtered_corpus
+
+    aa = "xyz zyx xzy yxz zxy yzx xyz zyx xzy yxz"
+    bb = "qrs srq qsr rqs sqr rsq qrs srq qsr rqs"
+    docs = spark.createDataFrame(
+        [
+            (1, aa, "aa", "s0"),
+            (2, aa + " xyz", "aa", "s0"),
+            (3, bb, "bb", "s1"),
+            (4, bb + " qrs", "bb", "s1"),
+            (5, aa, "bb", "s1"),   # mislabeled: bb metadata, aa text
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    kept = {r.doc_id: r.pred_lang
+            for r in lang_filtered_corpus(
+                docs, k=16, mode="target", target="aa"
+            ).collect()}
+    assert kept == {1: "aa", 2: "aa", 5: "aa"}
+    # and the audit mode drops exactly the mislabeled doc
+    audited = {r.doc_id
+               for r in lang_filtered_corpus(
+                   docs, k=16, mode="match_declared"
+               ).collect()}
+    assert audited == {1, 2, 3, 4}
+
+
+def test_lang_gate_funnel_telescopes_to_total(spark, sf001_docs=None):
+    """Funnel shares are first-failure exclusive: n_docs sums to the
+    corpus size and every stage label is one of the five."""
+    from killrweather_spark.functions.lang import lang_gate_funnel
+    from killrweather_spark.sources.readers import load_table
+
+    from tests.conftest import SF001
+
+    docs = load_table(spark, SF001, "documents")
+    rows = lang_gate_funnel(docs).collect()
+    assert {r.stage for r in rows} <= {
+        "lang_mismatch", "too_short", "too_long", "low_stopword", "kept"
+    }
+    assert sum(r.n_docs for r in rows) == docs.count()
+    kept = {r.stage: r.n_docs for r in rows}.get("kept", 0)
+    assert kept > 0  # the gate doesn't annihilate the corpus
+
+
+def test_image_ring_verified_component_star(spark):
+    """A hand-built Hamming chain A-B-C (1 bit, then 1 more bit, flips
+    in different bands so every edge survives the >=2-band gate) forms
+    ONE ring component with canonical A; the star rescore scores each
+    member against A only — (A,B) one 200-gray cell apart, (A,C) two —
+    and never emits the member-member pair (B,C)."""
+    from killrweather_spark.functions.multimodal import (
+        encode_png,
+        image_ring_verified,
+    )
+
+    def img(extra_cells):
+        # 8x8 gray image: cells k < 32 at 200, else 0, plus extra_cells
+        # at 200.  Grid == pixels at 8x8, so aHash bits are exactly
+        # (gray > integer mean) per cell.
+        g = [200 if (k < 32 or k in extra_cells) else 0 for k in range(64)]
+        return bytearray(
+            encode_png(8, 8, bytes(v for k in range(64) for v in (g[k],) * 3))
+        )
+
+    df = spark.createDataFrame(
+        [
+            (1, img(set())),        # A: bits k<32
+            (2, img({40})),         # B: +bit 40 (band 2) -> ham(A,B)=1
+            (3, img({40, 56})),     # C: +bit 56 (band 3) -> ham(B,C)=1,
+                                    # ham(A,C)=2 with bands 0,1 agreeing
+        ],
+        "doc_id bigint, content binary",
+    )
+    rows = {(r.doc_a, r.doc_b): r.grid_mad_micro
+            for r in image_ring_verified(df).collect()}
+    one_cell = (1_000_000 * 200) // 64
+    assert rows == {(1, 2): one_cell, (1, 3): 2 * one_cell}
