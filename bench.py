@@ -132,6 +132,7 @@ HEADLINE = [
     "image_ring_verified",              # component-star rescore of the ring
     "lang_filtered_corpus",             # trained language-ID gate
     "lang_gate_funnel",                 # gate integrated into the funnel
+    "streaming_image_screen",           # stream probe of the aHash index
 ]
 
 

@@ -10049,6 +10049,51 @@ def _wire_lang_gate() -> None:
 _wire_lang_gate()
 
 
+def _wire_streaming_image_screen() -> None:
+    from killrweather_spark.functions.multimodal import (
+        streaming_image_screen_sql,
+    )
+
+    @register(
+        "streaming_image_screen",
+        streaming_image_screen_sql(),
+        survey_ref="§2.9 ext: incremental IMAGE ingestion as a stream "
+        "(multimodal.py:streaming_image_screen) — the image mirror of "
+        "streaming_passage_screen: arriving PNG payloads decode+aHash "
+        "inside the micro-batch (the batch pipeline's Arrow mapInPandas "
+        "runs per trigger unchanged), probe the batch-built persisted "
+        "hash index with a stream-static LEFT join, one stateful "
+        "per-(width, height) rollup of n_images / n_known / "
+        "known_ratio_micro.  Batch replay is bit-identical (integer "
+        "arithmetic end-to-end), so the batch SQL is the oracle; "
+        "cross-microbatch equivalence pinned with maxFilesPerTrigger=1 "
+        "in tests",
+    )
+    def q_streaming_image_screen(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from killrweather_spark.functions.multimodal import (
+            streaming_image_screen,
+            synth_png_pixels,
+        )
+        from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+        docs = load_table(spark, sf_dir, "documents")
+        ref = synth_png_pixels(docs.filter(F.col("doc_id") % 2 == 0))
+        arrivals = synth_png_pixels(_documents_stream(spark, sf_dir))
+        screened = streaming_image_screen(ref, arrivals)
+        name = f"stream_image_screen_{uuid.uuid4().hex[:8]}"
+        return run_stream_to_batch(
+            screened, tempfile.mkdtemp(), name, "complete"
+        )
+
+
+_wire_streaming_image_screen()
+
+
 def _wire_streaming_passage_screen() -> None:
     from killrweather_spark.functions.curation import (
         streaming_passage_screen_sql,

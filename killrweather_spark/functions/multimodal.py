@@ -1370,6 +1370,73 @@ def image_ring_verified_sql() -> str:
     """
 
 
+def streaming_image_screen(
+    ref_imgs: DataFrame, stream_imgs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental image ingestion as a STREAM — the image mirror of
+    ``curation.py:streaming_passage_screen``: arriving payloads are
+    decoded and aHashed in the micro-batch (the same Arrow
+    ``mapInPandas`` the batch pipeline uses — Structured Streaming runs
+    it per trigger unchanged), probe the persisted reference hash index
+    with a stream-static LEFT join, and roll up per ``(width, height)``
+    cell — ``n_images``, ``n_known`` (hash already indexed: the
+    re-crawl/mirror drop signal ``image_dup_groups`` applies in batch),
+    and ``known_ratio_micro``.  ONE stateful aggregation, within
+    Structured Streaming's limit; integer arithmetic end-to-end, so the
+    batch replay of the same payloads is bit-identical and the batch SQL
+    is the oracle.
+
+    Scale: the index is hash-distinct (corpus-bounded but
+    near-dup-compressed), built ONCE in batch and persisted; each
+    micro-batch touches only its own arrivals — decode cost is
+    per-arrival, the probe is a hash-keyed join, state is
+    |distinct dims| rows (≤ 256 here).
+    """
+    from killrweather_spark.plans.caching import persist_once
+
+    ref = (
+        image_ahash(ref_imgs, id_col)
+        .select(F.col("ahash").alias("ref_hash"))
+        .distinct()
+        .transform(persist_once)
+    )
+    arr = image_ahash(stream_imgs, id_col)
+    probed = arr.join(ref, arr["ahash"] == ref["ref_hash"], "left")
+    return probed.groupBy("width", "height").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum(F.when(F.col("ref_hash").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_known"),
+        F.expr(
+            "cast((1000000 * sum(CASE WHEN ref_hash IS NOT NULL THEN 1"
+            " ELSE 0 END)) div count(*) AS BIGINT)"
+        ).alias("known_ratio_micro"),
+    )
+
+
+def streaming_image_screen_sql() -> str:
+    """DuckDB oracle for :func:`streaming_image_screen`: the reference
+    index is the even-doc_id half's distinct aHashes (the registered
+    query's 'yesterday's corpus' split), arrivals are the full corpus.
+    ``ah`` is MATERIALIZED — referenced by both the index and the
+    arrival sides."""
+    return f"""
+    WITH ah AS MATERIALIZED ({image_ahash_sql()}),
+    ref AS (SELECT DISTINCT ahash FROM ah WHERE doc_id % 2 = 0),
+    j AS (
+      SELECT a.width, a.height,
+             CASE WHEN r.ahash IS NOT NULL THEN 1 ELSE 0 END AS k
+      FROM ah a LEFT JOIN ref r ON a.ahash = r.ahash
+    )
+    SELECT CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(k) AS BIGINT) AS n_known,
+           CAST((1000000 * SUM(k)) // COUNT(*) AS BIGINT)
+             AS known_ratio_micro
+    FROM j GROUP BY width, height
+    """
+
+
 def image_grid_verify_sql() -> str:
     """DuckDB oracle for :func:`image_grid_verify`: star pairs from
     :func:`image_ahash_sql` restricted to differing dims, each side's

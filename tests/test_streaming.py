@@ -857,3 +857,54 @@ def test_streaming_passage_screen_matches_batch_across_microbatches(
     assert got[3] == (2, 2, 1_000_000)
     assert got[5] == (2, 0, 0)
     assert got[1] == (2, 1, 500_000)
+
+
+def test_streaming_image_screen_matches_batch_across_microbatches(
+    spark, tmp_path
+):
+    """The image screen is batch-equivalent over multiple triggers: the
+    aHash index is built once from the reference half, the stream drains
+    3 parquet files one per trigger (decode+hash runs inside each
+    micro-batch), and the per-dims known counts match the batch graph
+    bit-for-bit.  doc 3 reuses doc 0's text (identical synthesized PNG,
+    hence identical hash -> known); doc 5's novel text is unknown."""
+    from killrweather_spark.functions.multimodal import (
+        streaming_image_screen,
+        synth_png_pixels,
+    )
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    docs = [
+        (0, "reference image text alpha"),
+        (2, "reference image text beta"),
+        (1, "reference image text alpha x"),   # different text -> own hash
+        (3, "reference image text alpha"),     # same text as 0 -> known
+        (5, "totally novel arrival payload"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ref = synth_png_pixels(df.filter(F.col("doc_id") % 2 == 0))
+    src = tmp_path / "isrc"
+    src.mkdir()
+    for i in range(3):
+        df.filter((F.col("doc_id") % 3) == i).coalesce(1).write.parquet(
+            str(src / f"p{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    got = {
+        (r.width, r.height): (r.n_images, r.n_known, r.known_ratio_micro)
+        for r in run_stream_to_batch(
+            streaming_image_screen(ref, synth_png_pixels(stream)),
+            str(tmp_path / "ckpt_is"), "stream_is", "complete",
+        ).collect()
+    }
+    want = {
+        (r.width, r.height): (r.n_images, r.n_known, r.known_ratio_micro)
+        for r in streaming_image_screen(ref, synth_png_pixels(df)).collect()
+    }
+    assert got == want
+    assert sum(n for n, _, _ in got.values()) == len(docs)
+    assert sum(k for _, k, _ in got.values()) >= 3  # docs 0, 2, 3 known
