@@ -133,6 +133,8 @@ HEADLINE = [
     "lang_filtered_corpus",             # trained language-ID gate
     "lang_gate_funnel",                 # gate integrated into the funnel
     "streaming_image_screen",           # stream probe of the aHash index
+    "unigram_lm_vocab",                 # SentencePiece-style induction
+    "unigram_subword_stats",            # unigram Viterbi apply
 ]
 
 

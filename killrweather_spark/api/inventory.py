@@ -10094,6 +10094,58 @@ def _wire_streaming_image_screen() -> None:
 _wire_streaming_image_screen()
 
 
+def _wire_unigram() -> None:
+    from killrweather_spark.functions.unigram import (
+        unigram_lm_vocab_sql,
+        unigram_subword_stats_sql,
+    )
+
+    @register(
+        "unigram_lm_vocab",
+        unigram_lm_vocab_sql(),
+        survey_ref="beyond-ref tokenizer family: SentencePiece-style "
+        "unigram-LM induction (unigram.py:unigram_lm_vocab) — the "
+        "top-down counterpart to bpe_merge_table: over-complete "
+        "substring seed (top-64 by corpus mass + all chars), then "
+        "Viterbi-EM rounds whose costs are scaled-integer neg-log "
+        "probabilities from a pure-integer shift-and-square log2 fold "
+        "(floor(2^16 log2 x) — no libm ln anywhere, so both engines "
+        "are bit-identical).  The E-step is ONE JVM aggregate "
+        "expression per word (array DP over positions), the corpus is "
+        "touched once, and every round runs on vocabulary-sized state "
+        "— the BPE guard inherited (pinned structurally in tests).  "
+        "Oracle replays induction with the same integer folds; its "
+        "E-step enumerates segmentations recursively + struct-MIN",
+    )
+    def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.unigram import unigram_lm_vocab
+
+        return unigram_lm_vocab(load_table(spark, sf_dir, "documents"))
+
+    @register(
+        "unigram_subword_stats",
+        unigram_subword_stats_sql(),
+        survey_ref="beyond-ref tokenizer family: unigram-LM APPLY "
+        "(unigram.py:unigram_subword_stats) — Viterbi-segment every "
+        "document with the induced vocabulary: per-doc n_words / "
+        "n_subwords / compression_micro, the bpe_subword_stats shape.  "
+        "Segmentation runs per DISTINCT word (vocabulary-sized) and "
+        "joins back by word — the corpus pays one tokenize pass and "
+        "one word-keyed join, never a per-token DP",
+    )
+    def q_unigram_subword_stats(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from killrweather_spark.functions.unigram import (
+            unigram_subword_stats,
+        )
+
+        return unigram_subword_stats(load_table(spark, sf_dir, "documents"))
+
+
+_wire_unigram()
+
+
 def _wire_streaming_passage_screen() -> None:
     from killrweather_spark.functions.curation import (
         streaming_passage_screen_sql,

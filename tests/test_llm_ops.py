@@ -1198,6 +1198,70 @@ def test_ivf_probe_depth_curve_is_monotone_and_anchored(spark):
     assert rows[1].n_caught >= rows[0].n_caught
 
 
+def test_unigram_rounds_are_vocabulary_bound(spark):
+    """The unigram induction touches the corpus ONCE: seeding and every
+    Viterbi-EM round run on the bare (word, cnt) frame alone.  Pinned
+    structurally like the BPE guard — _induce accepts a word-count frame
+    (no documents anywhere), the final vocabulary plan is
+    checkpoint-backed with no file scan, and state never exceeds
+    seed_k + |alphabet| pieces."""
+    from killrweather_spark.functions.unigram import _induce
+
+    wc = spark.createDataFrame(
+        [("banana", 10), ("bandana", 5), ("ananas", 3)],
+        ["word", "cnt"],
+    )
+    vocab = _induce(wc, rounds=2, seed_k=8)
+    rows = vocab.collect()
+    assert 0 < len(rows) <= 8 + 6  # seed_k + alphabet {a,b,d,n,s}
+    plan = vocab._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        vocab._jdf.queryExecution(), "simple"
+    )
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan
+
+
+def test_unigram_dominant_word_becomes_one_piece(spark):
+    """On a corpus dominated by one word, the seed contains the whole
+    word (length <= UNI_MAX_PIECE) and Viterbi keeps it whole — its
+    best segmentation is 1 subword, so the doc's compression equals the
+    word length; chars survive the M-step at floor count 1."""
+    from killrweather_spark.functions.unigram import (
+        unigram_lm_vocab,
+        unigram_subword_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "spark spark spark data") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    # 'spar' 'park' are 4-char substrings; 'data' is a whole word
+    vocab = {r.piece: r.piece_count for r in unigram_lm_vocab(docs).collect()}
+    assert "data" in vocab and vocab["data"] == 20
+    stats = unigram_subword_stats(docs).collect()
+    # every doc identical: 4 words (3x spark + data); spark (5 chars,
+    # > max piece 4) splits into 2 pieces, data stays whole ->
+    # n_subwords = 3*2 + 1 = 7, chars = 3*5 + 4 = 19
+    for r in stats:
+        assert r.n_words == 4
+        assert r.n_subwords == 7
+        assert r.compression_micro == (1_000_000 * 19) // 7
+
+
+def test_unigram_rejects_bad_rounds(spark):
+    import pytest as _pytest
+
+    from killrweather_spark.functions.unigram import (
+        _induce,
+        unigram_lm_vocab_sql,
+    )
+
+    wc = spark.createDataFrame([("ab", 1)], ["word", "cnt"])
+    with _pytest.raises(ValueError):
+        _induce(wc, rounds=0, seed_k=4)
+    with _pytest.raises(ValueError):
+        unigram_lm_vocab_sql(rounds=0)
+
+
 def test_bpe_batched_m1_equals_strict_greedy(spark):
     """With m = 1 the batched induction must reproduce strict greedy
     merge-for-merge: same pairs, same counts, same order."""
