@@ -10209,110 +10209,89 @@ _wire_streaming_passage_screen()
 # bench, tests — sees one consistent order.
 DRIVER_WINDOW = [
     # ------------------------------------------------------------------
-    # r07 rotation: the hard burn-down round.  14 slots rotate from
-    # multi-round-green §2 rows (every one keeps the identical value-exact
-    # check in tests/test_oracle_parity.py) toward never-driver-verified
-    # families + the round-7 flagships.  OUT in r07 (rounds driver-green):
-    # daily_precip (r1-r6; streaming_daily_precip keeps the A4 rollup
-    # in-window), annual_precip (r1-r6; 5 agg rows remain),
-    # projection_filter (r1-r6; ReadSchema plan pin retained),
-    # join_multi_key (r1-r6; star_join keeps J1's multi-key equi shape),
-    # set_ops (r2-r6), hourly_tumbling_window (r2-r6; lag_features +
-    # streaming_hopping_counts keep event-time windows), rollup_agg
-    # (r3-r6; grouping_sets_agg takes the grouping-family slot),
-    # asof_join_latest_order (r3-r6; scd2_point_in_time_join keeps the
-    # as-of shape), dedup_exact_groups (r2-r6; 5 dedup rows remain),
-    # decontaminate_ngrams (r2-r6; the screen family keeps decontam),
-    # cosine_topk (r2-r6; ann_ivf_trained keeps ANN), multimodal_embedding
-    # (r2-r6; media_decode_dims/png/wav keep the Arrow path),
-    # semantic_eval_screen_lsh (r5-r6; the ivf screen + lsh_fixed stay),
-    # pack_sequences (r2-r6; filter_funnel + curation_pipeline_report
-    # keep curation).
+    # r08 rotation: the burn-down round the r7 verdict prescribed —
+    # 30 of the 50 slots go to never-driver-verified rows (union of
+    # r1-r7 windows was 93 of 212 queries; this rotation takes the
+    # union to 123 of 219).  Every §2 family keeps one multi-round
+    # anchor; every r7 promotion that was green exactly once is
+    # retained for a second round (the r6-promotions precedent), except
+    # canonical_docs (the dedup family keeps three other reps).
+    # OUT in r08 (rounds driver-green): monthly_hilow, topk_daily_precip,
+    # distinct_users_in_range, current_weather, json_extract,
+    # join_dim_broadcast, streaming_daily_precip, minhash_lsh_pairs
+    # (all r1-r7); year_cumulative_precip (r1,r3-r7);
+    # ngram_jaccard_df_capped (r4-r7); new_batch_dup_screen,
+    # semantic_dup_candidates, approx_distinct_hll, filter_funnel,
+    # tpch_pricing_summary, lag_features (r3-r7); important_stock_value,
+    # overstocked_suppliers (r5-r7); png_pixel_stats,
+    # semantic_eval_screen_ivf, curation_pipeline_report,
+    # cdc_merge_snapshot, scd2_point_in_time_join, dq_rule_violations,
+    # bm25_search, kcenter_coreset, bigram_lm_quality,
+    # dsir_importance_weights, embedding_top_pc (r6-r7);
+    # canonical_docs (r7).  All keep the identical value-exact check in
+    # tests/test_oracle_parity.py.
     # ------------------------------------------------------------------
-    # §2.4 aggregations
-    "daily_stats",
-    "monthly_hilow",
-    "topk_daily_precip",
-    "distinct_users_in_range",
-    "year_cumulative_precip",      # A9 — the declared-never-written tier
-    # §2.2 projections / filters / parse
-    "current_weather",
-    "csv_roundtrip",
-    "json_extract",
-    "json_variant_stats",          # r07 promotion: the Spark VARIANT path's
-                                   # first driver row (S11 extension)
-    # §2.3 joins
-    "join_dim_broadcast",
-    "star_join_revenue",
-    # §2.8 scalar functions
-    "date_format_parts",
-    # §2.5/2.6 windows, grouping & order
-    "grouping_sets_agg",           # r07 promotion: GROUPING SETS' first
-                                   # driver row (rollup_agg rotates out)
-    # §2.11 query API surface
-    "monthly_temperature",         # the reference's declared-unimplemented
-                                   # request — keeps its driver row
-    # §2.9 streaming semantics (batch-replayable forms)
-    "streaming_daily_precip",
-    "streaming_session_windows",   # r07 promotion: session-gap windows'
-                                   # first driver row (hopping windows stay
-                                   # oracle-pytest — hourly_tumbling_window
-                                   # held the event-time-window driver row
-                                   # for 5 rounds)
-    # dedup family
-    "minhash_lsh_pairs",
-    "ngram_jaccard_df_capped",
-    "new_batch_dup_screen",
-    "semantic_dup_candidates",
-    "fuzzy_name_pairs",            # r07 promotion: deletion-neighborhood
-                                   # fuzzy blocking's first driver row
-    "dedup_components",            # r07 promotion: union-find connected
-                                   # components' first driver row
-    "canonical_docs",              # r07 promotion: cluster-representative
-                                   # election's first driver row
-    # text analysis family (text_quality r1-r6 green, rotated out late-r7;
-    # bm25_search keeps text analysis in-window.  passage_dedup_rewrite is
-    # the late-r7 rewrite-dedup flagship — CCNet line dedup that EDITS
-    # documents, never driver-checked)
+    # §2 family anchors (multi-round green, one per family)
+    "daily_stats",                 # §2.4 aggregations
+    "csv_roundtrip",               # §2.2 parse/cast
+    "date_format_parts",           # §2.8 scalar functions
+    "star_join_revenue",           # §2.3 joins
+    "monthly_temperature",         # §2.11 request API
+    # r07 promotions retained for a second round
+    "json_variant_stats",
+    "grouping_sets_agg",
+    "streaming_session_windows",
+    "fuzzy_name_pairs",
+    "dedup_components",
     "passage_dedup_rewrite",
-    # Arrow applyInPandas path (first driver row for grouped pandas)
-    "pandas_rank_normalize",       # r07 promotion
-    # multimodal (Arrow mapInPandas path; media_decode_dims r2-r6 green,
-    # rotated out late-r7 — png/wav keep real decode in-window, and
-    # image_dup_verified exercises the same container path plus the
-    # image screen->group->verify pipeline, never driver-checked)
+    "pandas_rank_normalize",
     "image_dup_verified",
-    "png_pixel_stats",
-    "wav_audio_stats",             # r07 flagship: real RIFF/PCM decode
-    # decontamination screens
-    "semantic_eval_screen_ivf",
-    "semantic_eval_screen_lsh_fixed",  # r07 flagship: production eval
-                                       # regime for the approximate family
-    # curation / sketch families
-    "approx_distinct_hll",
-    "filter_funnel",
-    "curation_pipeline_report",
-    # TPC-H batch + feature engineering flagships
-    "tpch_pricing_summary",
-    "lag_features",
-    "important_stock_value",
-    "overstocked_suppliers",
-    # r06 promotions (1 round green — retained for a second round)
-    "cdc_merge_snapshot",
-    "scd2_point_in_time_join",
-    "dq_rule_violations",
-    "bm25_search",
-    "kcenter_coreset",
-    "bigram_lm_quality",
-    "dsir_importance_weights",
-    "embedding_top_pc",
-    # r07 flagships — the round's new operators
-    "ann_ivf_trained",             # trained-centroid IVF, build-once/probe-many
-    "kcenter_pp_coreset",          # D²-sampling k-center++
-    "domain_filtered_corpus",      # perceptron apply: margin gate
-    # r07 promotions — the round-6 flagships never driver-checked
+    "wav_audio_stats",
+    "semantic_eval_screen_lsh_fixed",
+    "ann_ivf_trained",
+    "kcenter_pp_coreset",
+    "domain_filtered_corpus",
     "bpe_merge_table",
     "bpe_subword_stats",
+    # ------------------------------------------------------------------
+    # first-timers: r08 flagships
+    # ------------------------------------------------------------------
+    "unigram_lm_vocab",            # SentencePiece-style induction
+    "unigram_subword_stats",       # unigram Viterbi apply
+    "image_ring_verified",         # component-star rescore of the ring
+    "lang_trigram_profiles",       # trained language-ID profiles
+    "lang_filtered_corpus",        # the language gate
+    "lang_gate_funnel",            # gate integrated into the funnel
+    "streaming_image_screen",      # stream probe of the aHash index
+    # first-timers: r07 operators never windowed
+    "image_hamming_pairs",
+    "image_grid_verify",
+    "wav_energy_segments",
+    "heaps_law_curve",
+    "streaming_passage_screen",
+    "pii_scrub_report",
+    "html_text_extract",
+    "streaming_bigram_lm_score",
+    "kn_bigram_quality",
+    "bpe_merge_table_batched",
+    # first-timers: TPC-H batch-2 shapes (zero driver history)
+    "cheapest_supplier_per_part",
+    "disjunctive_predicate_revenue",
+    "unshipped_revenue_topk",
+    "returned_revenue_by_customer",
+    "shipmode_priority_counts",
+    # first-timers: sketches
+    "heavy_hitters_cms",
+    "hist_quantile_events",
+    # first-timers: graph
+    "copurchase_triangles",
+    "pagerank_copurchase",
+    # first-timers: window-function family
+    "activity_islands",
+    "ewma_daily_value",
+    "gap_fill_forward",
+    # first-timers: §2.7 set operations (ALL forms)
+    "set_ops_all",
 ]
 
 
