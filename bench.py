@@ -135,6 +135,7 @@ HEADLINE = [
     "streaming_image_screen",           # stream probe of the aHash index
     "unigram_lm_vocab",                 # SentencePiece-style induction
     "unigram_subword_stats",            # unigram Viterbi apply
+    "streaming_tws_totals",             # transformWithStateInPandas totals
 ]
 
 

@@ -10146,6 +10146,92 @@ def _wire_unigram() -> None:
 _wire_unigram()
 
 
+def _wire_streaming_tws() -> None:
+    @register(
+        "streaming_tws_totals",
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events GROUP BY user_id
+        """,
+        survey_ref="§2.9 T4 ext: the running-totals counter on Spark 4's "
+        "transformWithStateInPandas (streaming/stateful.py:"
+        "running_totals_by_key) — explicit named ValueState per key on "
+        "the RocksDB state store, the arbitrary-state successor to "
+        "applyInPandasWithState.  UN-GATED in round 8: the API's "
+        "protobuf state-server runtime is vendored via protobuf_shim "
+        "(enabled at query build; the state-server worker inherits the "
+        "current process env at spawn, so this works even in a vanilla "
+        "already-running driver session — verified).  Update-mode "
+        "emissions fold to the batch COUNT/SUM answer with "
+        "max(n)/max_by(sum_cents, n) — the latest cumulative per key "
+        "regardless of how availableNow batched the files — so the "
+        "batch GROUP BY is the oracle, the repo's batch-equivalence "
+        "pattern on a third stateful API",
+    )
+    def q_streaming_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from killrweather_spark.streaming.pipeline import run_stream_to_batch
+        from killrweather_spark.streaming.protobuf_shim import (
+            enable_vendored_protobuf,
+        )
+        from killrweather_spark.streaming.stateful import (
+            running_totals_by_key,
+        )
+
+        status, detail = enable_vendored_protobuf()
+        if status in ("failed", "absent"):
+            raise RuntimeError(
+                "transformWithStateInPandas needs google.protobuf:"
+                f" {status} ({detail})"
+            )
+        if status == "vendored":
+            # The state-server worker is spawned by the JVM, whose env
+            # snapshot predates the shim when the session was built
+            # before this query (the driver gate's vanilla session).
+            # sc.environment rides the Python-function envVars into the
+            # worker spawn, so set it too — verified to reach the
+            # worker even on an already-running JVM.
+            import os as _os
+
+            spark.sparkContext.environment["PYTHONPATH"] = _os.environ[
+                "PYTHONPATH"
+            ]
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        out = running_totals_by_key(ev, "user_id", "cents")
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            name = f"stream_tws_totals_{uuid.uuid4().hex[:8]}"
+            drained = run_stream_to_batch(
+                out, tempfile.mkdtemp(), name, "update"
+            )
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+        return drained.groupBy("user_id").agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max_by("sum_cents", "n").cast("bigint").alias("sum_cents"),
+        )
+
+
+_wire_streaming_tws()
+
+
 def _wire_streaming_passage_screen() -> None:
     from killrweather_spark.functions.curation import (
         streaming_passage_screen_sql,
