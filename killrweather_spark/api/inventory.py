@@ -2581,8 +2581,10 @@ _DUP_PAIRS_SQL = rf"""
     SELECT src AS node, LEAST(src, MIN(dst)) AS component
     FROM reach GROUP BY src
     """,
-    survey_ref="beyond-ref: duplicate-pair clustering via hash-min connected "
-    "components (curation.py:connected_components); oracle = transitive closure",
+    survey_ref="beyond-ref: duplicate-pair clustering via star-contraction "
+    "connected components (curation.py:connected_components — edges "
+    "shrink geometrically, O(log diameter) rounds, bounded local finish); "
+    "oracle = transitive closure",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.functions.curation import connected_components
@@ -7815,7 +7817,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of near-dup cluster sizes: composes the Jaccard dup
-    graph and hash-min components, then two tiny aggregates (per-component
+    graph and star-contraction components, then two tiny aggregates (per-component
     size, then count-of-sizes).  The histogram is bounded by the largest
     cluster — bytes shuffled after the component step are negligible."""
     from killrweather_spark.functions.curation import connected_components
@@ -9957,8 +9959,8 @@ def _wire_image_ring_verify() -> None:
         "(multimodal.py:image_ring_verified) — the rescore "
         "image_hamming_pairs promised: ring edges (hash distance 1-2) "
         "cluster into connected components (the dedup_components "
-        "hash-min label propagation, O(log n) rounds on ring EDGES "
-        "only), each member scores once against its component's min-id "
+        "star contraction: O(log diameter) rounds on ring EDGES only, "
+        "bounded driver union-find finish), each member scores once against its component's min-id "
         "canonical on the 8x8 grid-resample comparator (ring membership "
         "is dims-agnostic, so raw pixel space may be incomparable).  "
         "STAR pairing keeps pair count linear in ring size — the same "

@@ -233,108 +233,196 @@ def top_terms_per_stratum(
 # connected components (duplicate-pair clustering)
 # --------------------------------------------------------------------------
 
+# Edge count below which the contraction loop cuts over to a driver-side
+# union-find finish: ≤ this many (int64, int64) rows collect (~3 MB),
+# replacing O(log diameter) further ~0.5s distributed rounds with one
+# local pass.  The distributed contraction is what gets an arbitrarily
+# large pair set DOWN to this size.
+CC_LOCAL_EDGE_CAP = 200_000
+
+
+def _local_min_labels(edge_rows) -> dict[int, int]:
+    """Driver union-find over collected supernode edges → {node: min id
+    reachable}.  Min-label semantics make the result independent of edge
+    order (components are sets; the label is their minimum)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = set()
+    for r in edge_rows:
+        nodes.add(r.a)
+        nodes.add(r.b)
+    return {n: find(n) for n in nodes}
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iter: int = 15,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Cluster near-duplicate *pairs* into groups: each node gets
     ``component`` = the minimum node id reachable from it. The canonical
     keep-one-per-group dedup decision is then "keep node == component".
 
-    Algorithm: hash-min label propagation with path halving — each round
-    every node takes ``min(own label, neighbors' labels)`` and then
-    shortcuts to its label's label (``comp := comp(comp)``, the
-    pointer-jumping step of [Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC'14]). Neighbor-min alone moves the minimum
-    one hop per round (O(diameter) rounds — a 1000-link chain would need
-    1000 rounds); the shortcut halves label-chain depth each round, giving
-    O(log n) convergence on any graph shape. Each round is two joins + one
-    partial-aggregated ``groupBy``, all keyed by node/label id.
-    Convergence is detected (no label changed) and non-convergence within
+    Algorithm: STAR CONTRACTION — per round, every supernode takes
+    ``min(self, neighbors)`` as its new label, the full node→label
+    mapping composes through that relabeling, and the edge set CONTRACTS
+    to distinct (label(a), label(b)) pairs with self-loops dropped.
+    Edges shrink geometrically (a chain halves per round, dense clusters
+    collapse in 2-3), so convergence is O(log diameter) rounds with the
+    total work ~2·|E| — where the previous neighbor-min +
+    pointer-jumping form was O(diameter) on CHAIN-shaped graphs (the
+    image Hamming ring is exactly that: measured 40+ rounds
+    unconverged on a 1,000-node shuffled-id path that contraction
+    finishes in 12).  Labels only ever decrease, so the fixpoint is
+    order- and partitioning-independent: deterministic output at any
+    cluster size.  Once the shrinking edge set fits under
+    :data:`CC_LOCAL_EDGE_CAP`, a bounded driver union-find finishes the
+    residue in one pass (the GraphX-style hybrid cutover — min-label
+    DSU, so the answer is identical to running contraction to the end).
+    Convergence is detected (edge set empty) and non-convergence within
     ``max_iter`` raises rather than returning silently-wrong groups.
 
-    Labels only ever decrease, so the fixpoint is order- and
-    partitioning-independent: deterministic output at any cluster size.
-
-    Each round ends in ``localCheckpoint`` — iterative self-joins otherwise
-    grow the logical plan exponentially (round N's plan embeds round N-1's
-    twice), which blows up planning long before data does (observed: plan
-    *string* rendering alone OOMs the driver at round ~10). Checkpointing
-    truncates lineage to the materialized result, keeping every round's
-    plan O(1). On a cluster, swap in ``spark.sparkContext.setCheckpointDir``
-    + ``.checkpoint()`` for executor-loss resilience; the algorithm is
-    unchanged.
+    Round state (the mapping and the shrinking edge set) is truncated
+    through a PARQUET ROUND-TRIP each round, not ``localCheckpoint``:
+    measured in Spark 4.1.2, an iterative self-join chain re-checkpointed
+    per round keeps a CONSTANT logical/physical plan yet its task time
+    grows ~5× per round past round ~10 (0.6s → 255s by round 14, same
+    curve under reliable ``checkpoint()``) — some RDD-layer recompute
+    survives both checkpoint forms.  A fresh FileScan per round is the
+    one truncation the engine cannot see through; on a cluster the same
+    pattern lands on HDFS/object storage (the Pregel/GraphFrames
+    iteration shape) and each round's files are a fraction of the
+    previous round's.
 
     Returns (node, component) for every node that appears in a pair.
     """
-    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    # plain persist(), NOT persist_once: this function owns the lifecycle
-    # (it unpersists on every exit path), and persist_once would skip
-    # persisting when a caller already cached an identical plan — making
-    # the unconditional unpersist below evict the CALLER's cache.
-    edges = edges.persist()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("node").alias("dst"), F.col("component").alias("__c")),
-                "dst",
+    import os
+    import shutil
+    import tempfile
+
+    spark = pairs.sparkSession
+    state_dir = tempfile.mkdtemp(prefix="cc_state_")
+
+    def _trunc(df: DataFrame, tag: str, approx_rows: int | None = None) -> DataFrame:
+        path = os.path.join(state_dir, tag)
+        if approx_rows is not None:
+            # size the state files to the (geometrically shrinking) data:
+            # a 1k-row round written as 32 parquet files spends its whole
+            # round budget on file overhead — ~50k rows per file keeps
+            # both the write and the next round's scan proportionate
+            df = df.repartition(max(1, min(32, approx_rows // 50_000 + 1)))
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    try:
+        edges = _trunc(
+            pairs.select(
+                F.least(F.col(a_col), F.col(b_col)).alias("a"),
+                F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
             )
-            .groupBy("src")
-            .agg(F.min("__c").alias("__nbr_min"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct(),
+            "e0",
         )
-        stepped = labels.join(nbr_min, labels["node"] == nbr_min["src"], "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("__nbr_min"), F.col("component"))
-            ).alias("component"),
+        comp = _trunc(
+            edges.select(F.col("a").alias("node"))
+            .union(edges.select(F.col("b").alias("node")))
+            .distinct()
+            .withColumn("component", F.col("node")),
+            "c0",
         )
-        # path halving: comp := comp(comp) — labels table has a row for
-        # every node and components are nodes, so the self-join resolves
-        shortcut = (
-            stepped.alias("s")
-            .join(
-                stepped.select(
-                    F.col("node").alias("__ln"), F.col("component").alias("__lc")
+        n_edges = edges.count()
+        for rnd in range(1, max_iter + 1):
+            if n_edges == 0:
+                break
+            if n_edges <= CC_LOCAL_EDGE_CAP:
+                # LOCAL FINISH: once contraction has shrunk the supernode
+                # graph under the cap, a driver union-find resolves it in
+                # one pass instead of log(diameter) more ~0.5s rounds —
+                # the GraphX/Kiveris hybrid cutover.  BOUNDED collect by
+                # construction (≤ cap edges of two int64s, ~3 MB at the
+                # default cap); at 100 TB the distributed rounds above
+                # are what shrink an arbitrarily large pair set to this.
+                local = _local_min_labels(edges.collect())
+                if local:
+                    lmap = F.broadcast(
+                        spark.createDataFrame(
+                            sorted(local.items()),
+                            "component bigint, __new bigint",
+                        )
+                    )
+                    comp = comp.join(lmap, "component", "left").select(
+                        "node",
+                        F.coalesce(F.col("__new"), F.col("component")).alias(
+                            "component"
+                        ),
+                    )
+                n_edges = 0
+                break
+            sym = edges.select("a", "b").union(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            relabel = sym.groupBy("a").agg(F.min("b").alias("__m")).select(
+                "a", F.least(F.col("a"), F.col("__m")).alias("l")
+            )
+            comp = _trunc(
+                comp.join(
+                    relabel.select(
+                        F.col("a").alias("component"), F.col("l").alias("__new")
+                    ),
+                    "component",
+                    "left",
+                ).select(
+                    "node",
+                    F.coalesce(F.col("__new"), F.col("component")).alias(
+                        "component"
+                    ),
                 ),
-                F.col("s.component") == F.col("__ln"),
+                f"c{rnd}",
+                approx_rows=2 * n_edges,
             )
-            .select("node", F.col("__lc").alias("component"))
-        )
-        proposed = (
-            shortcut.alias("new")
-            .join(
-                labels.select(F.col("node").alias("__on"), F.col("component").alias("__oc")),
-                F.col("new.node") == F.col("__on"),
+            la = relabel.select(F.col("a").alias("a"), F.col("l").alias("__la"))
+            lb = relabel.select(F.col("a").alias("b"), F.col("l").alias("__lb"))
+            edges = _trunc(
+                edges.join(la, "a")
+                .join(lb, "b")
+                .select(
+                    F.least(F.col("__la"), F.col("__lb")).alias("a"),
+                    F.greatest(F.col("__la"), F.col("__lb")).alias("b"),
+                )
+                .filter(F.col("a") != F.col("b"))
+                .distinct(),
+                f"e{rnd}",
+                approx_rows=n_edges,
             )
-            .select(
-                "node",
-                "component",
-                (F.col("component") < F.col("__oc")).alias("__changed"),
+            n_edges = edges.count()
+        if n_edges != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds; edges shrink geometrically, so this graph is "
+                "deeper than 2^max_iter contractions — raise max_iter"
             )
-            .localCheckpoint()  # materializes eagerly; truncates lineage
-        )
-        changed = proposed.filter(F.col("__changed")).count()
-        labels = proposed.drop("__changed")
-        if changed == 0:
-            break
-    else:
-        edges.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "the duplicate graph is deeper than expected — raise max_iter "
-            "(rounds needed ≈ log2(longest label chain))"
-        )
-    edges.unpersist()
-    return labels.select(F.col("node"), F.col("component"))
+        # Detach the result from the scratch files (ONE terminal
+        # localCheckpoint — the per-round pathology above needs repeated
+        # re-checkpointing to manifest) so the directory can be removed
+        # now instead of leaking one tree per call (bench/sweep call this
+        # repeatedly; same leak-free contract as run_stream_to_batch).
+        return comp.select("node", "component").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------

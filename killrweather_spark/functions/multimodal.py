@@ -1277,9 +1277,11 @@ def image_ring_verified(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     symmetry for hash distance 1..:data:`IMG_HAM_MAX`.
 
     STAR pattern against the ring-COMPONENT canonical: ring edges are
-    clustered with hash-min connected components
-    (``curation.py:connected_components`` — the same O(log n)
-    label-propagation used by ``dedup_components``), each non-canonical
+    clustered with star-contraction connected components
+    (``curation.py:connected_components`` — O(log diameter) rounds on
+    a geometrically shrinking edge set, with a bounded driver
+    union-find finish once the residue fits; the same operator behind
+    ``dedup_components``), each non-canonical
     member is scored once against its component's min-id node, so pair
     count is linear in ring size exactly like the exact-collision star
     (which measured 33× → 5.9× on the sf1 decade when it switched from

@@ -209,18 +209,56 @@ def test_stratified_sample_exact_fraction_and_deterministic(spark):
                      .select("doc_id").collect()}
 
 
-def test_connected_components_long_chain_converges(spark):
-    """Worst-case graph shape: a single long path. Pure neighbor-min needs
-    O(length) rounds; the pointer-jumping step must get there in O(log n)."""
+def test_connected_components_long_chain_converges(spark, monkeypatch):
+    """Worst-case graph shape: a single long path with SHUFFLED ids (the
+    image Hamming ring's shape — sorted ids flatter min-propagation).
+    The DISTRIBUTED star-contraction path (local cutover disabled) must
+    converge in O(log n) rounds: edges halve per contraction, so a
+    300-path needs ~9, far under max_iter=15.  The old neighbor-min +
+    single-jump form measured 40+ rounds unconverged on this shape."""
+    import random
+
+    import killrweather_spark.functions.curation as C
     from killrweather_spark.functions.curation import connected_components
 
     n = 300
+    random.seed(13)
+    ids = list(range(n + 1))
+    random.shuffle(ids)
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+        [(ids[i], ids[i + 1]) for i in range(n)], ["doc_a", "doc_b"]
     )
+    monkeypatch.setattr(C, "CC_LOCAL_EDGE_CAP", 0)  # force distributed
     got = connected_components(chain, max_iter=15).collect()
     assert len(got) == n + 1
     assert {r["component"] for r in got} == {0}
+
+
+def test_connected_components_hybrid_paths_agree(spark, monkeypatch):
+    """All three execution regimes — immediate local cutover (small
+    graph), pure distributed contraction, and distributed-then-local
+    hybrid — must produce the identical (node, min-reachable-id) map."""
+    import random
+
+    import killrweather_spark.functions.curation as C
+    from killrweather_spark.functions.curation import connected_components
+
+    random.seed(5)
+    ids = list(range(120))
+    random.shuffle(ids)
+    pairs = [(ids[i], ids[i + 1]) for i in range(99)] + [
+        (7000, 7001), (7001, 7002), (9100, 9101),
+    ]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    results = []
+    for cap in (200_000, 0, 40):
+        monkeypatch.setattr(C, "CC_LOCAL_EDGE_CAP", cap)
+        results.append(
+            {(r.node, r.component)
+             for r in connected_components(df).collect()}
+        )
+    assert results[0] == results[1] == results[2]
+    assert results[0]  # non-empty
 
 
 def test_pack_sequences_budget_and_determinism(spark):
