@@ -136,6 +136,7 @@ HEADLINE = [
     "unigram_lm_vocab",                 # SentencePiece-style induction
     "unigram_subword_stats",            # unigram Viterbi apply
     "streaming_tws_totals",             # transformWithStateInPandas totals
+    "streaming_lang_screen",            # trained lang gate, stream form
 ]
 
 

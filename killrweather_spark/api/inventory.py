@@ -10234,6 +10234,46 @@ def _wire_streaming_tws() -> None:
 _wire_streaming_tws()
 
 
+def _wire_streaming_lang_screen() -> None:
+    from killrweather_spark.functions.lang import lang_filtered_corpus_sql
+
+    @register(
+        "streaming_lang_screen",
+        lang_filtered_corpus_sql(mode="match_declared"),
+        survey_ref="§2.9 ext: the trained language gate in its DEPLOYMENT "
+        "shape (lang.py:lang_scores_stream) — profiles trained once in "
+        "batch and persisted, arriving documents scored as a STREAM via "
+        "per-occurrence trigram rows x the broadcast profile table + ONE "
+        "stateful (doc, lang) rollup; argmax/gate on the drained state "
+        "(the streaming_tws_totals post-drain pattern).  sum(weight) "
+        "over cnt=1 occurrences ≡ batch's sum(cnt*weight), so replaying "
+        "the corpus reproduces lang_filtered_corpus bit-for-bit and its "
+        "batch SQL is the oracle VERBATIM — every trained model in the "
+        "repo now ships its streaming form (LM, passage index, image "
+        "index, language gate)",
+    )
+    def q_streaming_lang_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from killrweather_spark.functions.lang import (
+            gate_drained_scores,
+            lang_scores_stream,
+        )
+        from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+        docs = load_table(spark, sf_dir, "documents")
+        scored = lang_scores_stream(docs, _documents_stream(spark, sf_dir))
+        name = f"stream_lang_screen_{uuid.uuid4().hex[:8]}"
+        drained = run_stream_to_batch(
+            scored, tempfile.mkdtemp(), name, "complete"
+        )
+        return gate_drained_scores(docs, drained)
+
+
+_wire_streaming_lang_screen()
+
+
 def _wire_streaming_passage_screen() -> None:
     from killrweather_spark.functions.curation import (
         streaming_passage_screen_sql,

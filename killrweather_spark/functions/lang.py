@@ -232,6 +232,72 @@ def lang_gate_funnel(
     )
 
 
+def lang_scores_stream(
+    model_docs: DataFrame,
+    stream_docs: DataFrame,
+    k: int = LANG_PROFILE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The language gate's DEPLOYMENT shape: profiles trained ONCE in
+    batch (:func:`lang_trigram_profiles` over ``model_docs``, persisted),
+    arriving documents scored as a STREAM — per-occurrence trigram rows
+    join the broadcast profile table, then ONE stateful ``(doc, lang)``
+    rollup (a single grouping, within Structured Streaming's
+    one-aggregation limit).  ``sum(weight)`` over cnt=1 occurrence rows
+    ≡ the batch scorer's ``sum(cnt·weight)``, so replaying the training
+    corpus through the stream reproduces :func:`lang_profile_scores`
+    bit-for-bit; the argmax/gate step runs on the drained result (the
+    ``streaming_tws_totals`` post-drain pattern), making
+    ``lang_filtered_corpus``'s batch SQL the oracle verbatim."""
+    from killrweather_spark.plans.caching import persist_once
+
+    profiles = lang_trigram_profiles(model_docs, k, text_col).transform(
+        persist_once
+    )
+    grams = _doc_grams(
+        stream_docs.select(id_col, text_col), [id_col], text_col
+    )
+    return (
+        grams.join(
+            F.broadcast(profiles.select("lang", "gram", "weight_micro")),
+            "gram",
+        )
+        .groupBy(id_col, "lang")
+        .agg(F.sum("weight_micro").cast("bigint").alias("score_micro"))
+    )
+
+
+def gate_drained_scores(
+    docs: DataFrame, drained: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Post-drain gate: struct-MIN argmax over the drained (doc, lang)
+    scores, metadata join, keep declared==detected — the batch gate's
+    exact tail, applied to a stream's drained state."""
+    pred = (
+        drained.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score_micro")).alias("nsc"),
+                    F.col("lang").alias("plang"),
+                )
+            ).alias("__s")
+        )
+        .select(
+            id_col,
+            F.col("__s.plang").alias("pred_lang"),
+            (-F.col("__s.nsc")).cast("bigint").alias("score_micro"),
+        )
+    )
+    return (
+        docs.select(id_col, "lang", "source")
+        .join(pred, id_col)
+        .filter(F.col("pred_lang") == F.col("lang"))
+        .select(id_col, "lang", "source", "pred_lang", "score_micro")
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------

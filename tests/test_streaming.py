@@ -908,3 +908,55 @@ def test_streaming_image_screen_matches_batch_across_microbatches(
     assert got == want
     assert sum(n for n, _, _ in got.values()) == len(docs)
     assert sum(k for _, k, _ in got.values()) >= 3  # docs 0, 2, 3 known
+
+
+def test_streaming_lang_screen_matches_batch_across_microbatches(
+    spark, tmp_path
+):
+    """The language gate's streaming form is batch-equivalent over
+    multiple triggers: profiles train once from the full corpus, the
+    stream drains 3 parquet files one per trigger (keys from different
+    files land in different triggers, so the (doc, lang) state must
+    survive across micro-batches), and the drained gate equals
+    lang_filtered_corpus on the same docs bit-for-bit — including
+    dropping the mislabeled document."""
+    from killrweather_spark.functions.lang import (
+        gate_drained_scores,
+        lang_filtered_corpus,
+        lang_scores_stream,
+    )
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    docs = [
+        (1, "xyz zyx xzy yxz zxy xyz zyx", "aa", "s0"),
+        (2, "xyz zyx xzy extra xyz zyx", "aa", "s0"),
+        (3, "qrs srq qsr rqs sqr qrs", "bb", "s1"),
+        (4, "qrs srq qsr other qrs srq", "bb", "s1"),
+        (5, "xyz zyx xzy yxz", "bb", "s1"),   # mislabeled -> dropped
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string"
+    )
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    for i in range(3):
+        df.filter((F.col("doc_id") % 3) == i).coalesce(1).write.parquet(
+            str(src / f"p{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    drained = run_stream_to_batch(
+        lang_scores_stream(df, stream, k=16),
+        str(tmp_path / "ckpt_ls"), "stream_ls", "complete",
+    )
+    got = {tuple(r) for r in gate_drained_scores(df, drained).collect()}
+    want = {tuple(r)
+            for r in lang_filtered_corpus(df, k=16,
+                                          mode="match_declared").collect()}
+    assert got == want
+    assert {r[0] for r in got} == {1, 2, 3, 4}  # mislabeled doc 5 dropped
