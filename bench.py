@@ -137,6 +137,7 @@ HEADLINE = [
     "unigram_subword_stats",            # unigram Viterbi apply
     "streaming_tws_totals",             # transformWithStateInPandas totals
     "streaming_lang_screen",            # trained lang gate, stream form
+    "semantic_dup_candidates_ivf",      # SemDeDup over trained IVF cells
 ]
 
 

@@ -7538,6 +7538,136 @@ def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dup_candidates_ivf_sql() -> str:
+    """Oracle for the trained-cell SemDeDup scan: the shared comp/nrm
+    CTEs + the IVF training replay (``ivf_trained_parts_sql`` with no
+    probe tail — ``l2`` is the trained assignment), then the identical
+    sized/md5-sub-bucketed pair tail as ``semantic_dup_candidates`` with
+    ``label`` replaced by the trained ``cell``."""
+    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
+
+    train = ",\n    ".join(
+        ivf_trained_parts_sql(
+            n_centroids=8, iters=2, n_probe=0, probe_tail=False
+        )
+    )
+    return f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    {train},
+    psized AS (
+      SELECT l.vec_id, l.cell,
+             GREATEST(CAST(CEIL(COUNT(*) OVER (PARTITION BY l.cell)
+                                / {SEMDEDUP_CLUSTER_CAP}.0) AS BIGINT), 1)
+               AS n_sub
+      FROM l2 l JOIN nrm USING (vec_id)
+    ),
+    pbucketed AS (
+      SELECT vec_id, cell,
+             (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+              % n_sub) AS sub
+      FROM psized
+    ),
+    pcomp AS (
+      SELECT c.vec_id, b.cell, b.sub, c.pos, c.q
+      FROM comp c JOIN pbucketed b USING (vec_id)
+    ),
+    pdots AS (
+      SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+             SUM(a.q * b.q) AS dot
+      FROM pcomp a JOIN pcomp b
+        ON a.cell = b.cell AND a.sub = b.sub AND a.pos = b.pos
+       AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(cell AS BIGINT) AS cell, a_id AS vec_a, b_id AS vec_b,
+           dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cosine
+    FROM pdots
+    JOIN nrm na ON na.vec_id = a_id
+    JOIN nrm nb ON nb.vec_id = b_id
+    WHERE dot / (SQRT(na.norm2) * SQRT(nb.norm2)) >= 0.30
+    """
+
+
+@register(
+    "semantic_dup_candidates_ivf",
+    None,  # set right below (needs the builder above)
+    survey_ref="",
+)
+def q_semantic_dup_candidates_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED clusters, served from the IVF index: the
+    production form of semantic_dup_candidates, whose clusters come from
+    the dataset's label metadata.  Here the cluster IS the trained IVF
+    cell, and the pair scan reads the index's array-form ``vectors``
+    table (built once per corpus, cell-partitioned) — zero re-embedding,
+    zero re-training per scan.  Same skew guard as the label form:
+    cells above SEMDEDUP_CLUSTER_CAP sub-split on an md5 bucket on both
+    engines.  The self-join keys on (cell, sub); cosines are per-row
+    zip_with/aggregate folds over int32 arrays."""
+    import os as _os
+
+    from killrweather_spark.functions.ann_index import ensure_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ensure_ivf_index(emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2)
+    vec = spark.read.parquet(_os.path.join(idx, "vectors")).filter(
+        F.col("norm2") > 0
+    )
+    sizes = vec.groupBy("cell").agg(
+        semdedup_n_sub(F.count(F.lit(1))).alias("n_sub")
+    )
+    base = vec.join(maybe_broadcast(sizes), "cell").withColumn(
+        "sub", semdedup_sub_bucket(F.col("vec_id"), F.col("n_sub"))
+    )
+    a = base.select(
+        F.col("cell"),
+        F.col("sub"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        F.col("norm2").alias("na"),
+    )
+    b = base.select(
+        F.col("cell"),
+        F.col("sub"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        F.col("norm2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x.cast("bigint") * y),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    return (
+        a.join(b, ["cell", "sub"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / (F.sqrt("na") * F.sqrt("nb")))
+        .filter(F.col("cosine") >= 0.30)
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "vec_a",
+            "vec_b",
+            "cosine",
+        )
+    )
+
+
+# QuerySpec is frozen — replace (same two-step pattern as ann_ivf_trained:
+# the SQL builder needs ivf_trained_parts_sql + this module's CTE text)
+REGISTRY["semantic_dup_candidates_ivf"] = QuerySpec(
+    fn=REGISTRY["semantic_dup_candidates_ivf"].fn,
+    sql=_semantic_dup_candidates_ivf_sql(),
+    survey_ref="beyond-ref SemDeDup over TRAINED clusters "
+    "(inventory.py:q_semantic_dup_candidates_ivf) — the production form "
+    "of semantic_dup_candidates: clusters are the trained IVF cells and "
+    "the pair scan reads the index's cell-partitioned array-form vectors "
+    "table (build-once, fingerprint-keyed), so dedup, ANN serving, and "
+    "the eval screens all share ONE trained artifact.  Cluster-cap "
+    "sub-bucketing and the per-row zip_with cosine are identical to the "
+    "label form; oracle replays the Lloyd training relationally "
+    "(ivf_trained_parts_sql) then the same pair tail",
+)
+
+
 @register(
     "orders_per_customer_histogram",
     """

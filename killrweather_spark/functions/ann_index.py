@@ -21,6 +21,11 @@ Index layout (``build_ivf_index``), all integer, all deterministic:
   scan, pinned in tests.
 - ``norms/``      — (cell, vec_id, norm2): per-vector squared norms,
   same partitioning, so the rescore never touches unprobed cells.
+- ``vectors/``    — (cell, vec_id, qv, norm2): the same quantized
+  components in ARRAY form, one row per vector, same partitioning — the
+  pair-scan layout (SemDeDup over trained cells ships whole vectors
+  through the per-cell self-join as int32 arrays instead of exploding
+  per-component rows).
 
 Training determinism: initial cells are ``vec_id % n_centroids`` (no
 RNG); each Lloyd iteration is an integer M-step (floor-mean centroids)
@@ -110,6 +115,10 @@ def build_ivf_index(
     in ``<index_dir>.tmp`` and the directory is renamed into place, so a
     killed build never leaves a half-index a probe could read."""
     tmp = index_dir + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
     comp = (
         quantized_components(df, id_col, vec_col)
         .withColumnRenamed(id_col, "vec_id")
@@ -137,6 +146,30 @@ def build_ivf_index(
         os.path.join(tmp, "norms")
     )
     cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    # array-form member table for pair scans (SemDeDup over trained
+    # cells): same ×10⁶ quantization as `inverted`, one row per vector,
+    # norm2 inline (0 rows kept — readers filter), int32 components
+    # (|q| ≤ ~10⁶) so the per-cell pair shuffle carries half the bytes
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("int"),
+    )
+    vectors = (
+        df.select(F.col(id_col).alias("vec_id"), qv.alias("qv"))
+        .withColumn(
+            "norm2",
+            F.aggregate(
+                F.col("qv"),
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x.cast("bigint") * x,
+            ),
+        )
+        .join(labels, "vec_id")
+        .select("cell", "vec_id", "qv", "norm2")
+    )
+    vectors.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(tmp, "vectors")
+    )
     os.rename(tmp, index_dir)
 
 
@@ -154,8 +187,17 @@ def ensure_ivf_index(
     corpus fingerprint/snapshot id (the registry's ``_ivf_index_dir``
     hashes the embeddings parquet's file sizes + mtimes into the path),
     so a regenerated or renamed corpus rebuilds instead of probing a
-    stale index."""
-    if not os.path.isdir(index_dir):
+    stale index.  Completeness-checked per table: an index built by an
+    older layout (missing a newer table, e.g. ``vectors``) rebuilds
+    whole rather than failing the first reader."""
+    required = ("inverted", "norms", "centroids", "vectors")
+    if not all(
+        os.path.isdir(os.path.join(index_dir, t)) for t in required
+    ):
+        if os.path.isdir(index_dir):
+            import shutil
+
+            shutil.rmtree(index_dir)
         build_ivf_index(df, index_dir, n_centroids, iters, id_col, vec_col)
     return index_dir
 
