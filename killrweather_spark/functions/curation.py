@@ -271,22 +271,27 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate *pairs* into groups: each node gets
     ``component`` = the minimum node id reachable from it. The canonical
     keep-one-per-group dedup decision is then "keep node == component".
 
-    Algorithm: STAR CONTRACTION — per round, every supernode takes
-    ``min(self, neighbors)`` as its new label, the full node→label
-    mapping composes through that relabeling, and the edge set CONTRACTS
-    to distinct (label(a), label(b)) pairs with self-loops dropped.
-    Edges shrink geometrically (a chain halves per round, dense clusters
-    collapse in 2-3), so convergence is O(log diameter) rounds with the
-    total work ~2·|E| — where the previous neighbor-min +
-    pointer-jumping form was O(diameter) on CHAIN-shaped graphs (the
-    image Hamming ring is exactly that: measured 40+ rounds
-    unconverged on a 1,000-node shuffled-id path that contraction
-    finishes in 12).  Labels only ever decrease, so the fixpoint is
+    Algorithm: STAR CONTRACTION WITH POINTER-JUMPED RELABELING — per
+    round, every supernode takes ``min(self, neighbors)`` as a tentative
+    label, that label map is then SHORTCUT TO ITS ROOTS by composing it
+    with itself until fixpoint (pointer jumping: hop distance doubles
+    per jump, so a depth-d label chain resolves in ⌈log₂ d⌉ cheap
+    map-self-joins), the full node→label mapping composes through the
+    jumped relabeling, and the edge set CONTRACTS to distinct
+    (label(a), label(b)) pairs with self-loops dropped.  The jump step
+    matters: min(self, neighbors) alone moves a label ONE id-hop per
+    round, which on a MONOTONE-ID chain (ids ascending along the path —
+    the advisor's counterexample) contracts only ~1 edge per round,
+    O(n) rounds; with the jump, every supernode lands on a label-tree
+    root each round and two adjacent roots cannot both survive (the
+    larger one has a smaller neighbor), so the contraction is geometric
+    for ANY id ordering.  Labels only ever decrease, so the fixpoint is
     order- and partitioning-independent: deterministic output at any
     cluster size.  Once the shrinking edge set fits under
     :data:`CC_LOCAL_EDGE_CAP`, a bounded driver union-find finishes the
@@ -302,22 +307,33 @@ def connected_components(
     grows ~5× per round past round ~10 (0.6s → 255s by round 14, same
     curve under reliable ``checkpoint()``) — some RDD-layer recompute
     survives both checkpoint forms.  A fresh FileScan per round is the
-    one truncation the engine cannot see through; on a cluster the same
-    pattern lands on HDFS/object storage (the Pregel/GraphFrames
-    iteration shape) and each round's files are a fraction of the
-    previous round's.
+    one truncation the engine cannot see through.
+
+    ``state_dir`` is where that round state lands.  Default: a
+    ``cc_state_<uuid>`` subtree of the session's checkpoint dir when one
+    is set (``sc.setCheckpointDir`` points at HDFS/object storage on a
+    real cluster, so EXECUTORS can read and write it — a driver-local
+    ``mkdtemp`` path cannot work multi-node), else a driver-local
+    tempdir with an explicit ``file://`` scheme (correct for local mode,
+    loudly wrong-scheme rather than silently-HDFS on a cluster).  The
+    tree is removed through the Hadoop FileSystem API, so cleanup works
+    for any scheme.
 
     Returns (node, component) for every node that appears in a pair.
     """
-    import os
-    import shutil
     import tempfile
+    import uuid
 
     spark = pairs.sparkSession
-    state_dir = tempfile.mkdtemp(prefix="cc_state_")
+    if state_dir is None:
+        ckpt = spark.sparkContext.getCheckpointDir()
+        if ckpt:
+            state_dir = ckpt.rstrip("/") + "/cc_state_" + uuid.uuid4().hex
+        else:
+            state_dir = "file://" + tempfile.mkdtemp(prefix="cc_state_")
 
     def _trunc(df: DataFrame, tag: str, approx_rows: int | None = None) -> DataFrame:
-        path = os.path.join(state_dir, tag)
+        path = state_dir.rstrip("/") + "/" + tag
         if approx_rows is not None:
             # size the state files to the (geometrically shrinking) data:
             # a 1k-row round written as 32 parquet files spends its whole
@@ -345,6 +361,10 @@ def connected_components(
             "c0",
         )
         n_edges = edges.count()
+        # comp holds ALL original nodes forever — size its state files by
+        # that (constant) count, not by the shrinking edge count, which
+        # by late rounds would funnel the full node map into 1 partition.
+        n_nodes = comp.count()
         for rnd in range(1, max_iter + 1):
             if n_edges == 0:
                 break
@@ -375,9 +395,46 @@ def connected_components(
             sym = edges.select("a", "b").union(
                 edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
             )
-            relabel = sym.groupBy("a").agg(F.min("b").alias("__m")).select(
-                "a", F.least(F.col("a"), F.col("__m")).alias("l")
+            relabel = _trunc(
+                sym.groupBy("a").agg(F.min("b").alias("__m")).select(
+                    "a", F.least(F.col("a"), F.col("__m")).alias("l")
+                ),
+                f"r{rnd}_0",
+                approx_rows=2 * n_edges,
             )
+            # POINTER-JUMP the label map to its roots: l ← l∘l until
+            # fixpoint.  Hop distance doubles per jump, so a label chain
+            # of depth d (monotone-id paths build depth ~d=|chain|)
+            # resolves in ⌈log₂ d⌉ self-joins; most graphs need 0-1.
+            # Without this, min(self, neighbors) moves labels one id-hop
+            # per ROUND and ascending-id chains contract O(1) edges per
+            # round (the O(n)-rounds failure mode).  Labels only
+            # decrease under composition, so correctness is unchanged —
+            # a label is always a node known-connected to its owner.
+            for jump in range(1, 64):
+                nxt = _trunc(
+                    relabel.alias("r1")
+                    .join(
+                        relabel.alias("r2"),
+                        F.col("r1.l") == F.col("r2.a"),
+                        "left",
+                    )
+                    .select(
+                        F.col("r1.a").alias("a"),
+                        F.coalesce(F.col("r2.l"), F.col("r1.l")).alias("l"),
+                    ),
+                    f"r{rnd}_{jump}",
+                    approx_rows=2 * n_edges,
+                )
+                moved = (
+                    nxt.alias("n")
+                    .join(relabel.alias("o"), "a")
+                    .filter(F.col("n.l") != F.col("o.l"))
+                    .count()
+                )
+                relabel = nxt
+                if moved == 0:
+                    break
             comp = _trunc(
                 comp.join(
                     relabel.select(
@@ -392,7 +449,7 @@ def connected_components(
                     ),
                 ),
                 f"c{rnd}",
-                approx_rows=2 * n_edges,
+                approx_rows=n_nodes,
             )
             la = relabel.select(F.col("a").alias("a"), F.col("l").alias("__la"))
             lb = relabel.select(F.col("a").alias("b"), F.col("l").alias("__lb"))
@@ -412,8 +469,10 @@ def connected_components(
         if n_edges != 0:
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
-                "rounds; edges shrink geometrically, so this graph is "
-                "deeper than 2^max_iter contractions — raise max_iter"
+                "rounds. With pointer-jumped relabeling each round merges "
+                "every supernode that has a smaller neighbor, so this "
+                "should not happen on any ordinary graph — raise max_iter "
+                "(and please report the graph shape)"
             )
         # Detach the result from the scratch files (ONE terminal
         # localCheckpoint — the per-round pathology above needs repeated
@@ -422,7 +481,15 @@ def connected_components(
         # repeatedly; same leak-free contract as run_stream_to_batch).
         return comp.select("node", "component").localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(state_dir, ignore_errors=True)
+        # Scheme-aware cleanup: the state tree may live on HDFS/object
+        # storage (checkpoint-dir default on a cluster) or local disk —
+        # the Hadoop FileSystem API deletes either.
+        try:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(state_dir)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+        except Exception:
+            pass
 
 
 # --------------------------------------------------------------------------

@@ -45,22 +45,48 @@ _SITECUSTOMIZE = '''\
 Present on PYTHONPATH only when the interpreter that launched Spark had
 no installed google.protobuf: the `google` symlink next to this file
 supplies the Cloud SDK's vendored pure-Python runtime to every spawned
-Python worker, and the validator no-op below accepts the one-minor
-gencode/runtime skew (Spark gencode 6.33 vs vendored runtime 6.32 --
-wire-format stable; the TWS round-trip test exercises it end-to-end).
+Python worker, and the SCOPED validator relaxation below accepts only a
+one-minor-version gencode/runtime skew within the same major (Spark
+gencode 6.33 vs vendored runtime 6.32 -- wire-format stable; the TWS
+round-trip test exercises it end-to-end).  Any other skew still goes
+through the stock validator, so unrelated protobuf users in processes
+inheriting this PYTHONPATH keep full validation.
 """
 try:
     from google.protobuf import runtime_version as _rv
-    _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+
+    _orig = _rv.ValidateProtobufRuntimeVersion
+
+    def _scoped(gen_version, major, minor, patch, suffix, location,
+                *a, **k):
+        same_major = major == _rv.MAJOR
+        one_minor_ahead = 0 <= (minor - _rv.MINOR) <= 1
+        if same_major and one_minor_ahead:
+            return None
+        return _orig(gen_version, major, minor, patch, suffix,
+                     location, *a, **k)
+
+    _rv.ValidateProtobufRuntimeVersion = _scoped
 except Exception:
     pass
 '''
 
 
 def _relax_validator() -> None:
+    """Driver-side twin of the sitecustomize relaxation: accept ONLY a
+    gencode one minor ahead of the vendored runtime within the same
+    major; everything else keeps stock validation."""
     from google.protobuf import runtime_version as rv
 
-    rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+    orig = rv.ValidateProtobufRuntimeVersion
+
+    def _scoped(gen_version, major, minor, patch, suffix, location, *a, **k):
+        if major == rv.MAJOR and 0 <= (minor - rv.MINOR) <= 1:
+            return None
+        return orig(gen_version, major, minor, patch, suffix, location,
+                    *a, **k)
+
+    rv.ValidateProtobufRuntimeVersion = _scoped
 
 
 def enable_vendored_protobuf() -> tuple[str, str]:
@@ -87,15 +113,37 @@ def enable_vendored_protobuf() -> tuple[str, str]:
         if not os.path.isdir(os.path.join(gdir, "protobuf")):
             continue
         try:
-            shim = os.path.join(tempfile.gettempdir(), "sg_protobuf_shim")
-            os.makedirs(shim, exist_ok=True)
+            # Per-user, 0700 shim dir: a fixed world-shared path would
+            # let another local user pre-create the symlink /
+            # sitecustomize.py and inject code into every worker.  The
+            # path is keyed by uid and, if it already exists, must be a
+            # real directory we own with no group/other write bits —
+            # otherwise fall back to a fresh private mkdtemp.
+            shim = os.path.join(
+                tempfile.gettempdir(), f"sg_protobuf_shim_{os.getuid()}"
+            )
+            try:
+                os.makedirs(shim, mode=0o700, exist_ok=False)
+            except FileExistsError:
+                st = os.lstat(shim)
+                import stat as _stat
+
+                if (
+                    not _stat.S_ISDIR(st.st_mode)
+                    or st.st_uid != os.getuid()
+                    or st.st_mode & 0o022
+                ):
+                    shim = tempfile.mkdtemp(prefix="sg_protobuf_shim_")
             link = os.path.join(shim, "google")
+            if os.path.islink(link) and os.readlink(link) != gdir:
+                os.unlink(link)  # stale or foreign target — replace
             if not os.path.islink(link) and not os.path.exists(link):
                 os.symlink(gdir, link)
             sc = os.path.join(shim, "sitecustomize.py")
             if (not os.path.exists(sc)
                     or open(sc).read() != _SITECUSTOMIZE):
-                with open(sc, "w") as f:
+                fd = os.open(sc, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+                with os.fdopen(fd, "w") as f:
                     f.write(_SITECUSTOMIZE)
             os.environ["PYTHONPATH"] = (
                 shim + os.pathsep + os.environ.get("PYTHONPATH", "")

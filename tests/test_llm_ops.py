@@ -234,6 +234,45 @@ def test_connected_components_long_chain_converges(spark, monkeypatch):
     assert {r["component"] for r in got} == {0}
 
 
+def test_connected_components_monotone_chain_converges(spark, monkeypatch):
+    """The advisor's counterexample: a path whose ids ASCEND along the
+    chain.  min(self, neighbors) alone moves each label one id-hop per
+    round there (O(n) rounds — 1000 edges would blow max_iter=50); the
+    pointer-jump shortcut resolves the label map to its roots within a
+    round, restoring geometric contraction for any id ordering."""
+    import killrweather_spark.functions.curation as C
+    from killrweather_spark.functions.curation import connected_components
+
+    n = 400
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a bigint, doc_b bigint"
+    )
+    monkeypatch.setattr(C, "CC_LOCAL_EDGE_CAP", 0)  # force distributed
+    got = connected_components(chain, max_iter=12).collect()
+    assert len(got) == n + 1
+    assert {r["component"] for r in got} == {0}
+
+
+def test_connected_components_state_dir_param(spark, tmp_path):
+    """Explicit state_dir is honored (the multi-node story: callers point
+    it at shared storage; default is the session checkpoint dir) and the
+    scratch tree is removed afterwards via the Hadoop FS API."""
+    import os
+
+    from killrweather_spark.functions.curation import connected_components
+
+    sd = str(tmp_path / "cc_scratch")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(pairs, state_dir=sd).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert not os.path.exists(sd)  # cleaned up
+
+
 def test_connected_components_hybrid_paths_agree(spark, monkeypatch):
     """All three execution regimes — immediate local cutover (small
     graph), pure distributed contraction, and distributed-then-local
