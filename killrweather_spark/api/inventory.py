@@ -10274,6 +10274,26 @@ def _wire_unigram() -> None:
 
         return unigram_subword_stats(load_table(spark, sf_dir, "documents"))
 
+    from killrweather_spark.functions.unigram import unigram_lm_pruned_sql
+
+    @register(
+        "unigram_lm_pruned",
+        unigram_lm_pruned_sql(),
+        survey_ref="beyond-ref tokenizer family: the SentencePiece OUTER "
+        "loop (unigram.py:unigram_lm_pruned) — Viterbi-EM rounds "
+        "interleaved with vocabulary pruning down a fixed budget "
+        "schedule (64-seed → 48 → 32 → 24 multi-char pieces), loss "
+        "proxied by Viterbi usage mass, ties (count DESC, piece), "
+        "chars exempt so segmentability is invariant.  Same "
+        "integer-log2 cost arithmetic as unigram_lm_vocab; every round "
+        "stays vocabulary-bound and the prune is a top-k over <=64 "
+        "rows.  Oracle replays the full prune chain CTE-for-round",
+    )
+    def q_unigram_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.unigram import unigram_lm_pruned
+
+        return unigram_lm_pruned(load_table(spark, sf_dir, "documents"))
+
 
 _wire_unigram()
 
@@ -10446,6 +10466,69 @@ def _wire_streaming_passage_screen() -> None:
 
 
 _wire_streaming_passage_screen()
+
+
+def _wire_pq() -> None:
+    from killrweather_spark.functions.pq import (
+        ann_pq_adc_sql,
+        ann_pq_recall_sql,
+        pq_codebooks_sql,
+    )
+
+    @register(
+        "pq_codebooks",
+        pq_codebooks_sql(_EMB_COMP_NRM_SQL),
+        survey_ref="beyond-ref similarity family: product-quantization "
+        "codebook training (pq.py:pq_codebooks) — 4 contiguous "
+        "subspaces x 8-code k-means each, deterministic integer Lloyd "
+        "(vec_id % ks init, floor-mean M-step, squared-L2 argmin "
+        "E-step, ties smallest code).  The output is dim*ks rows "
+        "regardless of corpus size — the broadcast artifact of the "
+        "512x-compression story at production dims.  Oracle replays "
+        "the training relationally, iteration for iteration",
+    )
+    def q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.pq import pq_codebooks
+
+        return pq_codebooks(load_table(spark, sf_dir, "embeddings"))
+
+    @register(
+        "ann_pq_adc",
+        ann_pq_adc_sql(_EMB_COMP_NRM_SQL),
+        survey_ref="beyond-ref similarity family: PQ asymmetric-distance "
+        "ANN (pq.py:ann_pq_adc) — per-query LUT of partial dots vs "
+        "every (subspace, code) centroid (M*ks rows, broadcast), "
+        "candidate approx dot = SUM of M LUT hits over the COMPRESSED "
+        "code table (map-side aggregable scan, never a corpus-width "
+        "vector read), top-8 shortlist exact-rescored to quantized "
+        "cosine — scores exact, candidates approximate, the ANN-family "
+        "contract.  Composes with IVF partition pruning for sub-scan "
+        "latency at corpus scale",
+    )
+    def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.pq import ann_pq_adc
+
+        return ann_pq_adc(
+            load_table(spark, sf_dir, "embeddings"), lambda c: c < 5
+        )
+
+    @register(
+        "ann_pq_recall",
+        ann_pq_recall_sql(_EMB_COMP_NRM_SQL),
+        survey_ref="beyond-ref ANN QA: the PQ-ADC answer's measured "
+        "recall vs exact brute-force top-3 on the same queries — the "
+        "one-number cost of the compression.  Bounded query premise "
+        "shared with every recall row",
+    )
+    def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.pq import ann_pq_recall
+
+        return ann_pq_recall(
+            load_table(spark, sf_dir, "embeddings"), lambda c: c < 5
+        )
+
+
+_wire_pq()
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,460 @@
+"""Product quantization (PQ) for embedding compression + ADC ANN search.
+
+Completes the similarity family's compression ladder next to int8
+coarse-quantization (``similarity.py``) and the trained IVF index
+(``ann_index.py``): PQ [Jégou et al. 2011, "Product Quantization for
+Nearest Neighbor Search"] splits the embedding into :data:`PQ_M`
+contiguous subspaces, trains an independent :data:`PQ_KS`-code k-means
+codebook per subspace, and stores each vector as M small code ids — at
+production dims (1024-d float32 → 8 uint8 codes) a 512× memory
+compression, which is why a 100 TB embedding corpus fits a PQ code table
+in cluster RAM.
+
+Search is ADC (asymmetric distance computation): the query stays
+unquantized; per query a LookUp Table of partial dot products against
+every (subspace, code) centroid is built (M·ks rows — broadcast-sized by
+construction), and a candidate's approximate dot is the SUM of M LUT
+hits keyed by its stored codes — a codes-table scan + broadcast join +
+map-side aggregable SUM, never a corpus-width vector read.  The top
+:data:`PQ_SHORTLIST` per query by approximate dot are then EXACT-rescored
+(quantized-integer cosine), so returned scores are exact and only the
+candidate set is approximate — the ANN-family contract shared with
+``ann_int8_rescored`` and ``ann_ivf_trained``.
+
+Training determinism (the oracle-replay contract inherited from
+``ann_index.py``): initial code = ``vec_id % ks`` in every subspace (no
+RNG); each Lloyd iteration is an integer floor-mean M-step and an exact
+int64 squared-L2 argmin E-step with ties to the smallest code, all on
+×10⁶-quantized components — so Spark and the DuckDB oracle produce
+byte-identical codebooks, codes, and rankings.
+
+Scale shape at 100 TB: codebooks are M·ks·(dim/M) = dim·ks rows
+(broadcast always); encoding is one corpus pass (broadcast join +
+per-(vec,subspace) argmin); the ADC scan touches M·|corpus| code rows —
+the compressed representation — and composes with the IVF partitioning
+(probe cells first, ADC within probed partitions) exactly like
+``ann_ivf_trained``'s literal partition filters when a corpus-sized
+deployment needs sub-scan latency.
+
+Reference parity note: the reference keeps no ANN surface; this extends
+SURVEY §2's beyond-reference similarity family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from killrweather_spark.functions.similarity import (
+    cosine_norms,
+    quantized_components,
+)
+from killrweather_spark.plans.caching import persist_once
+
+PQ_M = 4  # subspaces
+PQ_KS = 8  # codes per subspace codebook
+PQ_ITERS = 2  # Lloyd iterations
+PQ_SHORTLIST = 8  # ADC shortlist per query before exact rescore
+
+
+def _sub_components(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, sub, pos, q): quantized components tagged with their
+    subspace ``sub = (pos-1)·M div dim`` — dim read from the data (a
+    1-row broadcast scalar), so the split adapts to any embedding
+    width."""
+    comp = quantized_components(df, id_col, vec_col).withColumnRenamed(
+        id_col, "vec_id"
+    )
+    dim = comp.agg(F.max("pos").alias("__d"))
+    return comp.crossJoin(F.broadcast(dim)).select(
+        "vec_id",
+        F.expr(f"((pos - 1) * {PQ_M}) div __d").cast("bigint").alias("sub"),
+        "pos",
+        "q",
+    )
+
+
+def _pq_mstep(scomp: DataFrame, labels: DataFrame) -> DataFrame:
+    """(sub, code, pos, c): floor-mean centroids per subspace codebook
+    (the kmeans sign-safe integer form)."""
+    return (
+        scomp.join(labels, ["vec_id", "sub"])
+        .groupBy("sub", "code", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "sub",
+            "code",
+            "pos",
+            F.expr("(s - ((s % n + n) % n)) div n").cast("bigint").alias("c"),
+        )
+    )
+
+
+def _pq_estep(scomp: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): exact int64 squared-L2 argmin per subspace
+    over the broadcast codebooks, ties to the smallest code."""
+    d2 = (
+        scomp.join(F.broadcast(cents), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        d2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+
+def _train(
+    df: DataFrame,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (scomp, codebooks, codes) — the tagged components, the
+    final M-step codebooks, and the corpus codes under them."""
+    scomp = persist_once(_sub_components(df, id_col, vec_col))
+    labels = (
+        df.select(F.col(id_col).alias("vec_id"))
+        .crossJoin(
+            F.broadcast(
+                scomp.sparkSession.range(PQ_M).select(
+                    F.col("id").cast("bigint").alias("sub")
+                )
+            )
+        )
+        .select(
+            "vec_id", "sub", (F.col("vec_id") % ks).cast("bigint").alias("code")
+        )
+    )
+    cents = None
+    for _ in range(iters):
+        cents = _pq_mstep(scomp, labels)
+        labels = _pq_estep(scomp, cents)
+    return scomp, cents, labels
+
+
+def pq_codebooks(
+    df: DataFrame,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained per-subspace codebooks: ``(subspace, code, pos, c)``.
+    dim·ks rows regardless of corpus size — the artifact a deployment
+    broadcasts to every encoder."""
+    _, cents, _ = _train(df, iters, ks, id_col, vec_col)
+    return cents.select(
+        F.col("sub").alias("subspace"), "code", "pos", "c"
+    )
+
+
+def ann_pq_adc(
+    df: DataFrame,
+    query_pred,
+    k: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine ANN via PQ codes + ADC: per query, a broadcast LUT of
+    partial dots against every (subspace, code) centroid; a candidate's
+    approximate dot is the sum of its M LUT hits (a scan of the
+    COMPRESSED code table, map-side aggregable); the ``shortlist`` best
+    per query are exact-rescored to quantized cosine.  Returns
+    ``(query_id, neighbor_id, cosine)`` with exact scores over the
+    PQ-shortlisted candidate set."""
+    scomp, cents, codes = _train(df, iters, ks, id_col, vec_col)
+    qcomp = scomp.filter(query_pred(F.col("vec_id"))).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    lut = (
+        qcomp.join(F.broadcast(cents), ["sub", "pos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(F.col("q") * F.col("c")).cast("bigint").alias("pdot"))
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adot"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adot").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        approx.withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    comp = scomp.select("vec_id", "pos", "q")
+    qflat = comp.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "q", "qa"
+    )
+    dots = (
+        comp.join(
+            F.broadcast(short), F.col("vec_id") == F.col("neighbor_id")
+        )
+        .join(qflat, ["query_id", "pos"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("q") * F.col("qa")).alias("dot"))
+    )
+    nrm = cosine_norms(comp, "vec_id")
+    qn = nrm.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "norm2", "qnorm2"
+    )
+    sims = (
+        dots.join(
+            nrm.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("norm2").alias("nnorm2"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def ann_pq_recall(
+    df: DataFrame,
+    query_pred,
+    k: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+) -> DataFrame:
+    """Recall of the PQ-ADC answer against exact brute-force top-k over
+    the same queries: ``(n_true, n_caught, recall_micro)`` — the
+    one-number answer to "how much does 512× compression cost here".
+    The exact side is corpus-quadratic by nature, so the caller bounds
+    the query set (the recall contract every screen-recall row uses)."""
+    from killrweather_spark.functions.similarity import cosine_topk
+
+    got = ann_pq_adc(df, query_pred, k, shortlist, iters, ks).select(
+        "query_id", "neighbor_id"
+    )
+    truth = cosine_topk(df, query_pred, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    caught = truth.join(got, ["query_id", "neighbor_id"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_caught = caught.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_caught")
+    )
+    return (
+        n_true.crossJoin(n_caught)
+        .select(
+            "n_true",
+            "n_caught",
+            F.expr("(1000000 * n_caught) div greatest(n_true, 1)")
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+def pq_parts_sql(
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+) -> list[str]:
+    """CTE parts replaying the PQ training relationally over the
+    registry's shared ``comp`` CTE: subspace tagging, the ``vec_id % ks``
+    init, and per-iteration floor-mean M-step + squared-L2 argmin E-step
+    (ties smallest code).  Callers append the ADC / codebook tail."""
+    parts = [
+        "pdim AS (SELECT MAX(pos) AS d FROM comp)",
+        f"scomp AS MATERIALIZED (SELECT c.vec_id, "
+        f"((c.pos - 1) * {m}) // d AS sub, c.pos, c.q\n"
+        "      FROM comp c CROSS JOIN pdim)",
+        f"pl0 AS (SELECT DISTINCT vec_id, s.s AS sub,"
+        f" CAST(vec_id % {ks} AS BIGINT) AS code\n"
+        f"      FROM comp, unnest(generate_series(0, {m - 1})) AS s(s))",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"pcent{t} AS MATERIALIZED (\n"
+            "      SELECT sub, code, pos, (s - ((s % n + n) % n)) // n AS c\n"
+            "      FROM (SELECT sc.sub, l.code, sc.pos,\n"
+            "                   CAST(SUM(sc.q) AS BIGINT) AS s,\n"
+            "                   CAST(COUNT(*) AS BIGINT) AS n\n"
+            f"            FROM scomp sc JOIN pl{t - 1} l\n"
+            "              ON l.vec_id = sc.vec_id AND l.sub = sc.sub\n"
+            "            GROUP BY 1, 2, 3))"
+        )
+        parts.append(
+            f"pd{t} AS (SELECT sc.vec_id, sc.sub, ct.code,\n"
+            "             CAST(SUM((sc.q - ct.c) * (sc.q - ct.c)) AS BIGINT)"
+            " AS d2\n"
+            f"      FROM scomp sc JOIN pcent{t} ct\n"
+            "        ON ct.sub = sc.sub AND ct.pos = sc.pos\n"
+            "      GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"pl{t} AS MATERIALIZED (SELECT vec_id, sub, code FROM pd{t}\n"
+            "      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub"
+            " ORDER BY d2, code) = 1)"
+        )
+    return parts
+
+
+def pq_codebooks_sql(
+    comp_nrm_sql: str,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+) -> str:
+    parts = pq_parts_sql(iters, ks, m)
+    return (
+        f"WITH {comp_nrm_sql},\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT sub AS subspace, code, pos, c FROM pcent{iters}
+    """
+    )
+
+
+def _adc_parts_sql(
+    query_pred: str,
+    shortlist: int,
+    iters: int,
+    ks: int,
+    m: int,
+) -> list[str]:
+    """PQ training parts + the ADC tail through ``pdots`` (exact dot
+    products of the shortlisted candidates)."""
+    parts = pq_parts_sql(iters, ks, m)
+    qp = query_pred.replace("vec_id", "sc.vec_id")
+    parts += [
+        f"plut AS MATERIALIZED (\n"
+        "      SELECT sc.vec_id AS query_id, ct.sub, ct.code,\n"
+        "             CAST(SUM(sc.q * ct.c) AS BIGINT) AS pdot\n"
+        f"      FROM scomp sc JOIN pcent{iters} ct\n"
+        "        ON ct.sub = sc.sub AND ct.pos = sc.pos\n"
+        f"      WHERE {qp} GROUP BY 1, 2, 3)",
+        f"papprox AS (SELECT l.query_id, cd.vec_id AS neighbor_id,\n"
+        "             SUM(l.pdot) AS adot\n"
+        f"      FROM pl{iters} cd JOIN plut l\n"
+        "        ON l.sub = cd.sub AND l.code = cd.code\n"
+        "      WHERE cd.vec_id != l.query_id GROUP BY 1, 2)",
+        "pshort AS MATERIALIZED (SELECT query_id, neighbor_id FROM papprox\n"
+        "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY adot DESC, neighbor_id) <= {shortlist})",
+        "pdots AS (SELECT s.query_id, s.neighbor_id, SUM(a.q * b.q) AS dot\n"
+        "      FROM pshort s\n"
+        "      JOIN comp a ON a.vec_id = s.query_id\n"
+        "      JOIN comp b ON b.vec_id = s.neighbor_id AND b.pos = a.pos\n"
+        "      GROUP BY 1, 2)",
+    ]
+    return parts
+
+
+def ann_pq_adc_sql(
+    comp_nrm_sql: str,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+) -> str:
+    parts = _adc_parts_sql(query_pred, shortlist, iters, ks, m)
+    return (
+        f"WITH {comp_nrm_sql},\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id,
+           dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+    FROM pdots
+    JOIN nrm qn ON qn.vec_id = query_id
+    JOIN nrm cn ON cn.vec_id = neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) <= {k}
+    """
+    )
+
+
+def ann_pq_recall_sql(
+    comp_nrm_sql: str,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+) -> str:
+    """Exact brute-force top-k truth LEFT-joined against the PQ-ADC
+    answer set, one summary row — the ``ann_recall_ivf_trained``
+    shape."""
+    parts = _adc_parts_sql(query_pred, shortlist, iters, ks, m)
+    qp_a = query_pred.replace("vec_id", "a.vec_id")
+    parts.append(
+        f"""got AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+        FROM pdots
+        JOIN nrm qn ON qn.vec_id = query_id
+        JOIN nrm cn ON cn.vec_id = neighbor_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) <= {k})"""
+    )
+    parts.append(
+        f"""truth AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+        FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     SUM(a.q * b.q) AS dot
+              FROM comp a
+              JOIN comp b ON a.pos = b.pos AND ({qp_a})
+                         AND a.vec_id != b.vec_id
+              GROUP BY 1, 2)
+        JOIN nrm qn ON qn.vec_id = query_id
+        JOIN nrm cn ON cn.vec_id = neighbor_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) <= {k})"""
+    )
+    return (
+        f"WITH {comp_nrm_sql},\n    "
+        + ",\n    ".join(parts)
+        + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST((1000000 * SUM(CASE WHEN g.neighbor_id IS NOT NULL
+                                    THEN 1 ELSE 0 END))
+                // GREATEST(COUNT(*), 1) AS BIGINT) AS recall_micro
+    FROM truth t
+    LEFT JOIN got g ON g.query_id = t.query_id
+                   AND g.neighbor_id = t.neighbor_id
+    """
+    )

@@ -175,18 +175,31 @@ def _segment(words: DataFrame, costs: DataFrame) -> DataFrame:
 
 
 def _induce(
-    words: DataFrame, rounds: int, seed_k: int
+    words: DataFrame,
+    rounds: int,
+    seed_k: int,
+    prune_schedule: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Run seeding + ``rounds`` of Viterbi-EM on a bare ``(word, cnt)``
     frame; returns the final ``(piece, cnt)`` vocabulary.  State is
     localCheckpointed per round (the BPE lineage rule), so round N's
-    plan never embeds round N-1's."""
+    plan never embeds round N-1's.
+
+    With ``prune_schedule`` (one entry per round, overriding ``rounds``),
+    round *r* additionally PRUNES the multi-char vocabulary to the top
+    ``prune_schedule[r-1]`` pieces by ``(count DESC, piece)`` after its
+    M-step — the SentencePiece outer loop, with Viterbi usage mass as
+    the loss proxy (the piece the corpus barely routes through is the
+    piece whose removal costs least); single chars are never pruned, so
+    every word stays segmentable."""
+    if prune_schedule is not None:
+        rounds = len(prune_schedule)
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     words = words.localCheckpoint(eager=True)
     vocab = _seed_vocab(words, seed_k).localCheckpoint(eager=True)
     chars = vocab.filter(F.length("piece") == 1).select("piece")
-    for _ in range(rounds):
+    for rnd in range(rounds):
         seg = _segment(words, _piece_costs(vocab))
         usage = (
             seg.select(
@@ -207,6 +220,11 @@ def _induce(
         kept_multi = usage.filter(F.length("piece") > 1).select(
             "piece", F.col("used").alias("cnt")
         )
+        if prune_schedule is not None:
+            kept_multi = (
+                kept_multi.orderBy(F.col("cnt").desc(), "piece")
+                .limit(prune_schedule[rnd])
+            )
         vocab = kept_chars.union(kept_multi).localCheckpoint(eager=True)
     return vocab
 
@@ -218,6 +236,40 @@ def unigram_lm_vocab(
     ``(piece, piece_count, cost_fp)`` with counts from the final E-step
     and costs from those counts (what a Viterbi APPLY would consume)."""
     vocab = _induce(_word_counts(docs), rounds, seed_k)
+    return _piece_costs(vocab).select(
+        "piece",
+        F.col("cnt").alias("piece_count"),
+        "cost_fp",
+    )
+
+
+UNI_PRUNE_SCHEDULE = (48, 32, 24)
+
+
+def unigram_lm_pruned(
+    docs: DataFrame,
+    prune_schedule: tuple[int, ...] = UNI_PRUNE_SCHEDULE,
+    seed_k: int = UNI_SEED_K,
+) -> DataFrame:
+    """The SentencePiece OUTER loop: Viterbi-EM rounds interleaved with
+    vocabulary pruning down a fixed schedule of multi-char piece budgets
+    (production: ~20% shaved per iteration from an over-complete seed
+    until the target vocab size; here ``seed_k``→48→32→24 so the oracle
+    replays a structurally fixed chain).  The loss proxy is Viterbi
+    usage mass — hard-EM's analogue of SentencePiece's
+    likelihood-drop-if-removed score: a piece the corpus rarely routes
+    through contributes least to corpus likelihood.  Pruning is
+    ``(count DESC, piece)`` — deterministic on both engines.  Single
+    characters are exempt (the keep-chars rule), so segmentability is
+    invariant.  Returns ``(piece, piece_count, cost_fp)`` like
+    :func:`unigram_lm_vocab`.
+
+    Scale shape: identical to :func:`unigram_lm_vocab` — every round is
+    vocabulary-bound (the corpus is touched once for word counts), and
+    the prune is a top-k over ≤ seed_k rows."""
+    vocab = _induce(
+        _word_counts(docs), 0, seed_k, prune_schedule=prune_schedule
+    )
     return _piece_costs(vocab).select(
         "piece",
         F.col("cnt").alias("piece_count"),
@@ -299,12 +351,21 @@ def _ilog2fp_sql(x: str) -> str:
     )
 
 
-def _uni_ctes(rounds: int, seed_k: int, w0_from: str | None = None) -> str:
+def _uni_ctes(
+    rounds: int,
+    seed_k: int,
+    w0_from: str | None = None,
+    prune_schedule: tuple[int, ...] | None = None,
+) -> str:
     """The induction CTE chain (``uw`` → ``uvocab{rounds}`` →
     ``ucosts_final``).  Per round: costs (integer fold), edges, a
     recursive all-segmentations enumeration, struct-MIN best path,
     usage rollup, char floor.  Multiply-referenced CTEs are
-    MATERIALIZED (the 2^k inlining class)."""
+    MATERIALIZED (the 2^k inlining class).  ``prune_schedule`` mirrors
+    :func:`_induce`'s prune: round r keeps the top schedule[r-1]
+    multi-char pieces by (cnt DESC, piece), chars exempt."""
+    if prune_schedule is not None:
+        rounds = len(prune_schedule)
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     src = (
@@ -332,8 +393,15 @@ def _uni_ctes(rounds: int, seed_k: int, w0_from: str | None = None) -> str:
         "uvocab0 AS MATERIALIZED (SELECT piece, cnt FROM utop"
         " UNION SELECT piece, cnt FROM uchars)",
     ]
+    def vname(r: int) -> str:
+        return (
+            f"uvp{r}"
+            if prune_schedule is not None and r >= 1
+            else f"uvocab{r}"
+        )
+
     for r in range(1, rounds + 1):
-        prev = f"uvocab{r - 1}"
+        prev = vname(r - 1)
         parts.append(
             f"utot{r} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM {prev})"
         )
@@ -380,16 +448,28 @@ def _uni_ctes(rounds: int, seed_k: int, w0_from: str | None = None) -> str:
             f"      SELECT piece, used AS cnt FROM uusage{r}"
             " WHERE len(piece) > 1)"
         )
+        if prune_schedule is not None:
+            parts.append(
+                f"uvp{r} AS MATERIALIZED (\n"
+                f"      SELECT piece, cnt FROM uvocab{r}"
+                " WHERE len(piece) = 1\n"
+                "      UNION ALL\n"
+                "      SELECT piece, cnt FROM (\n"
+                f"        SELECT piece, cnt FROM uvocab{r}"
+                " WHERE len(piece) > 1\n"
+                f"        ORDER BY cnt DESC, piece"
+                f" LIMIT {prune_schedule[r - 1]}))"
+            )
     parts.append(
         f"utot_f AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t"
-        f" FROM uvocab{rounds})"
+        f" FROM {vname(rounds)})"
     )
     parts.append(
         "ucosts_final AS MATERIALIZED (\n"
         "      SELECT piece, cnt AS piece_count,\n"
         f"             {_ilog2fp_sql('t')} - {_ilog2fp_sql('cnt')}"
         " AS cost_fp\n"
-        f"      FROM uvocab{rounds} CROSS JOIN utot_f)"
+        f"      FROM {vname(rounds)} CROSS JOIN utot_f)"
     )
     return ",\n    ".join(parts)
 
@@ -399,6 +479,16 @@ def unigram_lm_vocab_sql(
 ) -> str:
     return f"""
     WITH RECURSIVE {_uni_ctes(rounds, seed_k)}
+    SELECT piece, piece_count, cost_fp FROM ucosts_final
+    """
+
+
+def unigram_lm_pruned_sql(
+    prune_schedule: tuple[int, ...] = UNI_PRUNE_SCHEDULE,
+    seed_k: int = UNI_SEED_K,
+) -> str:
+    return f"""
+    WITH RECURSIVE {_uni_ctes(0, seed_k, prune_schedule=prune_schedule)}
     SELECT piece, piece_count, cost_fp FROM ucosts_final
     """
 
