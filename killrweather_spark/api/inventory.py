@@ -5387,6 +5387,38 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _wire_hybrid_rrf() -> None:
+    from killrweather_spark.functions.search import hybrid_rrf_search_sql
+
+    @register(
+        "hybrid_rrf_search",
+        hybrid_rrf_search_sql(_BM25_TERMS, query_vec_id=0, depth=20, k=10),
+        survey_ref="beyond-ref retrieval: hybrid lexical+semantic search "
+        "fused by reciprocal rank fusion (search.py:hybrid_rrf_search) — "
+        "BM25 top-20 for the term query, exact-cosine top-20 for the "
+        "vector query, fused score = sum of 1e6 div (60 + rank) in "
+        "integer micro-units (bit-identical across engines where float "
+        "1/(k+r) sums drift).  Each side is an independently bounded "
+        "TakeOrdered; the fusion joins two <=20-row lists.  The "
+        "semantic candidate generator swaps for ann_pq_adc / "
+        "ivf_probe_topk at corpus scale — fusion is generator-agnostic",
+    )
+    def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.search import hybrid_rrf_search
+
+        return hybrid_rrf_search(
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings"),
+            _BM25_TERMS,
+            query_vec_id=0,
+            depth=20,
+            k=10,
+        )
+
+
+_wire_hybrid_rrf()
+
+
 @register(
     "cohort_retention",
     """
@@ -10378,6 +10410,76 @@ def _wire_streaming_tws() -> None:
         return drained.groupBy("user_id").agg(
             F.max("n").cast("bigint").alias("n"),
             F.max_by("sum_cents", "n").cast("bigint").alias("sum_cents"),
+        )
+
+    @register(
+        "streaming_tws_daily_counts",
+        """
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+        """,
+        survey_ref="§2.9 T4 ext: per-user per-day running counts on "
+        "transformWithStateInPandas MAPSTATE (streaming/stateful.py:"
+        "daily_counts_by_key) — the state slot the running-totals row "
+        "doesn't exercise: a keyed map (day -> count) per grouping key, "
+        "the shape of any per-entity sub-keyed accumulator.  Only "
+        "batch-touched days re-emit, so emission volume tracks batch "
+        "content, not state size.  Counts are monotone, so the drained "
+        "updates fold to the batch GROUP BY with max(n) per (user, day) "
+        "— the batch-equivalence oracle, same protobuf-shim enablement "
+        "as streaming_tws_totals",
+    )
+    def q_streaming_tws_daily_counts(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from killrweather_spark.streaming.pipeline import run_stream_to_batch
+        from killrweather_spark.streaming.protobuf_shim import (
+            enable_vendored_protobuf,
+        )
+        from killrweather_spark.streaming.stateful import daily_counts_by_key
+
+        status, detail = enable_vendored_protobuf()
+        if status in ("failed", "absent"):
+            raise RuntimeError(
+                "transformWithStateInPandas needs google.protobuf:"
+                f" {status} ({detail})"
+            )
+        if status == "vendored":
+            import os as _os
+
+            spark.sparkContext.environment["PYTHONPATH"] = _os.environ[
+                "PYTHONPATH"
+            ]
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id",
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        out = daily_counts_by_key(ev, "user_id", "day")
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            name = f"stream_tws_daily_{uuid.uuid4().hex[:8]}"
+            drained = run_stream_to_batch(
+                out, tempfile.mkdtemp(), name, "update"
+            )
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+        return drained.groupBy("user_id", "day").agg(
+            F.max("n").cast("bigint").alias("n")
+        ).select(
+            "user_id", F.col("day").cast("date").alias("day"), "n"
         )
 
 

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from killrweather_spark.functions.text import tokens
 
@@ -113,11 +114,169 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10) -> DataFrame
     )
 
 
-def bm25_topk_sql(query_terms: list[str], k: int = 10) -> str:
-    """DuckDB oracle for :func:`bm25_topk` — same integer arithmetic."""
-    terms = ", ".join(f"'{t}'" for t in query_terms)
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_SCALE = 1_000_000  # integer micro-units: 1e6 div (K + rank)
+
+
+def hybrid_rrf_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    depth: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via RECIPROCAL RANK FUSION
+    [Cormack et al. 2009]: BM25 ranks the term query, exact cosine ranks
+    the vector query (the embedding of ``query_vec_id`` — ids align with
+    ``doc_id`` in the synthetic corpus), each list is cut at ``depth``,
+    and a document's fused score is ``Σ_lists 1e6 div (60 + rank)`` —
+    integer micro-units, so both engines agree bit-for-bit where float
+    1/(k+r) sums would drift.  Returns the top-``k``
+    ``(doc_id, lex_rank, sem_rank, rrf_micro)`` (ranks NULL for a list
+    that missed the doc), ordered fused-desc with doc_id tiebreak.
+
+    Scale shape: each side is an independently bounded top-``depth``
+    (BM25's TakeOrdered; the semantic side is one broadcast-query dot
+    pass — swap in ``ann_pq_adc``/``ivf_probe_topk`` for the
+    corpus-scale candidate generator, the fusion is agnostic); the
+    fusion itself joins two ≤depth-row lists — driver-free,
+    broadcast-trivial."""
+    from killrweather_spark.functions.similarity import (
+        cosine_norms,
+        quantized_components,
+    )
+
+    lex = bm25_topk(docs, query_terms, k=depth).select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        )
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    comp = quantized_components(emb)
+    qv = comp.filter(F.col("vec_id") == query_vec_id).select(
+        "pos", F.col("q").alias("qa")
+    )
+    nrm = cosine_norms(comp)
+    qn = nrm.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("norm2").alias("qnorm2")
+    )
+    sem = (
+        comp.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(qv), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("qa")).alias("dot"))
+        .join(nrm, "vec_id")
+        .crossJoin(F.broadcast(qn))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("norm2"))),
+        )
+        # bounded TakeOrdered first, then rank the <=depth survivors —
+        # never a corpus-wide single-partition row_number
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(depth)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id")))
+            .cast("bigint")
+            .alias("sem_rank"),
+        )
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_micro",
+            (
+                F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rank)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + sem_rank)"),
+                    F.lit(0),
+                )
+            ).cast("bigint"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", "lex_rank", "sem_rank", "rrf_micro")
+    )
+
+
+def hybrid_rrf_search_sql(
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    depth: int = 20,
+    k: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`hybrid_rrf_search` — same BM25 integer
+    arithmetic, same quantized cosine, same integer fusion."""
     return f"""
-    WITH tok AS (
+    WITH {_bm25_ctes_sql(query_terms)},
+    bm AS (
+      SELECT doc_id, CAST(SUM(tf_norm_micro * idf_milli) AS BIGINT) AS score
+      FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT {depth}
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS lex_rank
+      FROM bm
+    ),
+    comp AS (
+      SELECT e.vec_id, i.i AS pos,
+             CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS q
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS i(i)
+    ),
+    nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id
+            HAVING SUM(q * q) > 0),
+    qv AS (SELECT pos, q AS qa FROM comp WHERE vec_id = {query_vec_id}),
+    qn AS (SELECT norm2 AS qnorm2 FROM nrm WHERE vec_id = {query_vec_id}),
+    sem AS (
+      SELECT doc_id, sem_rank FROM (
+        SELECT c.vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY SUM(c.q * qv.qa)
+                          / (SQRT(ANY_VALUE(qn.qnorm2))
+                             * SQRT(ANY_VALUE(n.norm2))) DESC,
+                          c.vec_id) AS BIGINT) AS sem_rank
+        FROM comp c
+        JOIN qv USING (pos)
+        JOIN nrm n ON n.vec_id = c.vec_id
+        CROSS JOIN qn
+        WHERE c.vec_id != {query_vec_id}
+        GROUP BY c.vec_id)
+      WHERE sem_rank <= {depth}
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.lex_rank AS lex_rank,
+           s.sem_rank AS sem_rank,
+           CAST(COALESCE({RRF_SCALE} // ({RRF_K} + l.lex_rank), 0)
+                + COALESCE({RRF_SCALE} // ({RRF_K} + s.sem_rank), 0)
+                AS BIGINT) AS rrf_micro
+    FROM lex l
+    FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT {k}
+    """
+
+
+def _bm25_ctes_sql(query_terms: list[str]) -> str:
+    """The BM25 scoring CTE chain through ``scored`` — shared by the
+    stand-alone oracle and the RRF-fusion oracle."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""tok AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
       FROM documents
     ),
@@ -146,7 +305,13 @@ def bm25_topk_sql(query_terms: list[str], k: int = 10) -> str:
                // (2 * df.df + 1) AS idf_milli
       FROM tf JOIN df USING (term) CROSS JOIN stats s
       JOIN dl ON tf.doc_id = dl.doc_id
-    )
+    )"""
+
+
+def bm25_topk_sql(query_terms: list[str], k: int = 10) -> str:
+    """DuckDB oracle for :func:`bm25_topk` — same integer arithmetic."""
+    return f"""
+    WITH {_bm25_ctes_sql(query_terms)}
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
            CAST(SUM(tf_norm_micro * idf_milli) AS BIGINT) AS score
@@ -155,3 +320,5 @@ def bm25_topk_sql(query_terms: list[str], k: int = 10) -> str:
     ORDER BY score DESC, doc_id
     LIMIT {k}
     """
+
+

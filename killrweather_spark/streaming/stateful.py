@@ -121,3 +121,74 @@ def running_totals_by_key(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def daily_counts_by_key(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+) -> DataFrame:
+    """Per-key per-day running event counts on ``MapState`` — the second
+    ``transformWithStateInPandas`` form, exercising the state slot the
+    running-totals operator doesn't: a keyed MAP (day → count) per
+    grouping key, the shape of any per-entity sub-keyed accumulator
+    (per-user per-day activity, per-device per-hour readings, per-doc
+    per-shingle counts).  Only the days TOUCHED by the current
+    microbatch are re-emitted (update-mode semantics), so emission
+    volume tracks batch content, not state size.
+
+    Batch equivalence: counts are monotone, so the drained stream folds
+    to ``COUNT(*) GROUP BY key, day`` with ``max(n)`` per (key, day)
+    regardless of how availableNow batched the files — the repo's
+    batch-equivalence pattern.
+
+    Scale posture: state lives in the RocksDB state store keyed by the
+    grouping key with the day as the map's user key — per-key memory is
+    bounded by active days, and the store's changelog checkpointing
+    carries it across restarts.  ``day`` rides as a string inside the
+    map key (the state-server encodes map keys as rows; a stable string
+    beats engine-specific date encodings) and is cast back to DATE by
+    the caller's fold.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} bigint, {day_col} string, n bigint"
+
+    class DailyCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "day string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            touched: dict[str, int] = {}
+            for pdf in rows:
+                for day, cnt in pdf[day_col].value_counts().items():
+                    touched[str(day)] = touched.get(str(day), 0) + int(cnt)
+            out_days, out_ns = [], []
+            for day, add in sorted(touched.items()):
+                prev = self._counts.getValue((day,))
+                n = (int(prev[0]) if prev is not None else 0) + add
+                self._counts.updateValue((day,), (n,))
+                out_days.append(day)
+                out_ns.append(n)
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out_days),
+                    day_col: out_days,
+                    "n": out_ns,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        DailyCounts(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
