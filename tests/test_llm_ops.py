@@ -1911,3 +1911,117 @@ def test_image_ring_verified_component_star(spark):
             for r in image_ring_verified(df).collect()}
     one_cell = (1_000_000 * 200) // 64
     assert rows == {(1, 2): one_cell, (1, 3): 2 * one_cell}
+
+
+def test_unigram_prune_respects_budget_and_keeps_chars(spark):
+    """The SentencePiece outer loop: after the prune schedule, the
+    multi-char vocabulary never exceeds the final budget, every single
+    character survives (segmentability invariant), and the heaviest
+    multi-char piece is kept over lighter ones."""
+    from killrweather_spark.functions.unigram import (
+        _induce,
+        unigram_lm_pruned,
+    )
+    from killrweather_spark.functions.bpe import _word_counts
+
+    docs = spark.createDataFrame(
+        [(i, "spark data lake house spark data") for i in range(10)]
+        + [(100 + i, "rare words here") for i in range(2)],
+        "doc_id bigint, text string",
+    )
+    out = unigram_lm_pruned(docs, prune_schedule=(8, 4), seed_k=32)
+    rows = out.collect()
+    multi = [r for r in rows if len(r.piece) > 1]
+    chars = {r.piece for r in rows if len(r.piece) == 1}
+    assert len(multi) <= 4
+    corpus_chars = set("sparkdatalakehouserarewordshere")
+    assert corpus_chars <= chars
+    # 'data' (mass 20) must outrank any piece from the 2-doc tail
+    kept = {r.piece for r in multi}
+    assert "data" in kept
+    # prune composes with the plain induction: no-schedule == rounds form
+    wc = _word_counts(docs)
+    plain = {
+        (r.piece, r.cnt) for r in _induce(wc, rounds=2, seed_k=32).collect()
+    }
+    assert plain  # sanity: the unpruned path still runs
+
+
+def test_pq_codebooks_shape_and_adc_recall(spark):
+    """PQ on a clustered fixture: codebooks are (subspace, code)-keyed
+    with every position of the subspace present; ADC with exact rescore
+    achieves full recall when clusters are PQ-separable (each subspace
+    sees distinct per-cluster values)."""
+    from killrweather_spark.functions.pq import (
+        PQ_M,
+        ann_pq_recall,
+        pq_codebooks,
+    )
+
+    # 4 DIRECTIONALLY distinct clusters x 10 vectors, 8 dims: cluster c
+    # points along dims {2c, 2c+1} (cosine ~1 within, ~0.02 across), a
+    # tiny jitter on dim 2c orders the exact truth deterministically
+    rows = []
+    for c in range(4):
+        for j in range(10):
+            vec = [0.01] * 8
+            vec[2 * c] = 1.0 + 0.001 * j
+            vec[2 * c + 1] = 1.0
+            rows.append((c * 10 + j, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cb = pq_codebooks(emb, iters=2, ks=4).collect()
+    assert {r.subspace for r in cb} <= set(range(PQ_M))
+    for s in {r.subspace for r in cb}:
+        poss = {r.pos for r in cb if r.subspace == s}
+        assert len(poss) == 2  # 8 dims / 4 subspaces
+    # shortlist >= same-cluster candidate count, so ADC code ties within
+    # the cluster cannot chop a true neighbor before the exact rescore
+    rec = ann_pq_recall(
+        emb, lambda c: c < 5, k=3, shortlist=9, iters=2, ks=4
+    ).collect()[0]
+    assert rec.n_true == 15
+    assert rec.recall_micro == 1_000_000, rec
+
+
+def test_hybrid_rrf_fusion_math_and_sources(spark):
+    """RRF fusion: a doc present in both lists scores the exact integer
+    sum of its two reciprocal ranks; single-list docs carry a NULL rank
+    on the missing side and only that side's contribution."""
+    from killrweather_spark.functions.search import hybrid_rrf_search
+
+    # doc 1 is the lexical hit (mentions the query terms), docs 2-3 are
+    # semantic-only neighbors of doc 0's embedding, doc 1's embedding is
+    # orthogonal-ish so it stays out of the semantic top-2
+    docs = spark.createDataFrame(
+        [
+            (0, "query anchor document"),
+            (1, "spark join window spark join window"),
+            (2, "nothing lexical here"),
+            (3, "nor here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.99, 0.1, 0.0, 0.0]),
+            (3, [0.98, 0.15, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r.doc_id: r
+        for r in hybrid_rrf_search(
+            docs, emb, ["spark", "join", "window"],
+            query_vec_id=0, depth=2, k=10,
+        ).collect()
+    }
+    # doc 1: lexical rank 1, semantic absent (depth=2 keeps docs 2,3)
+    assert got[1].lex_rank == 1 and got[1].sem_rank is None
+    assert got[1].rrf_micro == 1_000_000 // 61
+    # doc 2: best semantic neighbor, no query terms
+    assert got[2].sem_rank == 1 and got[2].lex_rank is None
+    assert got[2].rrf_micro == 1_000_000 // 61
+    assert got[3].sem_rank == 2
+    assert got[3].rrf_micro == 1_000_000 // 62

@@ -960,3 +960,64 @@ def test_streaming_lang_screen_matches_batch_across_microbatches(
                                           mode="match_declared").collect()}
     assert got == want
     assert {r[0] for r in got} == {1, 2, 3, 4}  # mislabeled doc 5 dropped
+
+
+def test_transform_with_state_mapstate_daily_counts(spark, tmp_path):
+    """The MapState form: per-key (day -> count) accumulates ACROSS
+    microbatches (maxFilesPerTrigger=1 forces two), only batch-touched
+    days re-emit, and the drained max(n) per (key, day) equals the batch
+    GROUP BY — the batch-equivalence contract."""
+    from tests.conftest import PROTOBUF_STATUS
+
+    status, detail = PROTOBUF_STATUS
+    if status in ("failed", "absent"):
+        pytest.skip(f"google.protobuf unavailable ({status}): {detail}")
+    import json
+    from collections import Counter
+
+    from killrweather_spark.streaming.stateful import daily_counts_by_key
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"k": i % 2, "day": f"2025-01-0{1 + (i % 3)}"} for i in range(24)
+    ]
+    # both files touch the same (key, day) cells -> the second batch MUST
+    # read the first batch's MapState back, not restart from zero
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:12]))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows[12:]))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema("k bigint, day string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = daily_counts_by_key(stream, "k", "day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_daily")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.k, r.day): r.n
+        for r in spark.table("tws_daily")
+        .groupBy("k", "day")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    want = Counter((r["k"], r["day"]) for r in rows)
+    assert got == dict(want)
+    # update-mode means cumulative re-emissions exist; the raw table must
+    # contain an intermediate (first-batch) value below the final count
+    raw = spark.table("tws_daily").collect()
+    assert any(r.n < want[(r.k, r.day)] for r in raw)
