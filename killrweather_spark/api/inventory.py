@@ -10652,27 +10652,27 @@ _wire_pq()
 # bench, tests — sees one consistent order.
 DRIVER_WINDOW = [
     # ------------------------------------------------------------------
-    # r08 rotation: the burn-down round the r7 verdict prescribed —
-    # 30 of the 50 slots go to never-driver-verified rows (union of
-    # r1-r7 windows was 93 of 212 queries; this rotation takes the
-    # union to 123 of 219).  Every §2 family keeps one multi-round
-    # anchor; every r7 promotion that was green exactly once is
-    # retained for a second round (the r6-promotions precedent), except
-    # canonical_docs (the dedup family keeps three other reps).
-    # OUT in r08 (rounds driver-green): monthly_hilow, topk_daily_precip,
-    # distinct_users_in_range, current_weather, json_extract,
-    # join_dim_broadcast, streaming_daily_precip, minhash_lsh_pairs
-    # (all r1-r7); year_cumulative_precip (r1,r3-r7);
-    # ngram_jaccard_df_capped (r4-r7); new_batch_dup_screen,
-    # semantic_dup_candidates, approx_distinct_hll, filter_funnel,
-    # tpch_pricing_summary, lag_features (r3-r7); important_stock_value,
-    # overstocked_suppliers (r5-r7); png_pixel_stats,
-    # semantic_eval_screen_ivf, curation_pipeline_report,
-    # cdc_merge_snapshot, scd2_point_in_time_join, dq_rule_violations,
-    # bm25_search, kcenter_coreset, bigram_lm_quality,
-    # dsir_importance_weights, embedding_top_pc (r6-r7);
-    # canonical_docs (r7).  All keep the identical value-exact check in
-    # tests/test_oracle_parity.py.
+    # r09 rotation: burn-down continues — 36 of the 50 slots go to
+    # never-driver-verified rows (union of r1-r8 windows was 123 of
+    # 222; this rotation takes the union to 159 of 228).  Keeps: the
+    # five multi-round §2 anchors plus one second-round representative
+    # per r8-promotion family (the r7/r8 precedent).
+    # OUT in r09 (all stay value-exact in tests/test_oracle_parity.py):
+    # the r7 promotions on their third green round (json_variant_stats,
+    # grouping_sets_agg, streaming_session_windows, fuzzy_name_pairs,
+    # dedup_components, passage_dedup_rewrite, pandas_rank_normalize,
+    # image_dup_verified, wav_audio_stats, semantic_eval_screen_lsh_fixed,
+    # ann_ivf_trained, kcenter_pp_coreset, domain_filtered_corpus,
+    # bpe_merge_table, bpe_subword_stats) and the r8 first-timers not
+    # kept as family reps (unigram_subword_stats, lang_trigram_profiles,
+    # lang_gate_funnel, image_hamming_pairs, image_grid_verify,
+    # wav_energy_segments, heaps_law_curve, streaming_passage_screen,
+    # pii_scrub_report, html_text_extract, streaming_bigram_lm_score,
+    # kn_bigram_quality, bpe_merge_table_batched,
+    # disjunctive_predicate_revenue, unshipped_revenue_topk,
+    # returned_revenue_by_customer, shipmode_priority_counts,
+    # hist_quantile_events, copurchase_triangles, ewma_daily_value,
+    # gap_fill_forward).
     # ------------------------------------------------------------------
     # §2 family anchors (multi-round green, one per family)
     "daily_stats",                 # §2.4 aggregations
@@ -10680,61 +10680,61 @@ DRIVER_WINDOW = [
     "date_format_parts",           # §2.8 scalar functions
     "star_join_revenue",           # §2.3 joins
     "monthly_temperature",         # §2.11 request API
-    # r07 promotions retained for a second round
-    "json_variant_stats",
-    "grouping_sets_agg",
-    "streaming_session_windows",
-    "fuzzy_name_pairs",
-    "dedup_components",
-    "passage_dedup_rewrite",
-    "pandas_rank_normalize",
-    "image_dup_verified",
-    "wav_audio_stats",
-    "semantic_eval_screen_lsh_fixed",
-    "ann_ivf_trained",
-    "kcenter_pp_coreset",
-    "domain_filtered_corpus",
-    "bpe_merge_table",
-    "bpe_subword_stats",
+    # r08 promotions retained for a second round (one per family)
+    "unigram_lm_vocab",            # tokenizer family
+    "image_ring_verified",         # image dedup family
+    "lang_filtered_corpus",        # language gate family
+    "streaming_image_screen",      # streaming screens
+    "cheapest_supplier_per_part",  # TPC-H batch-2 shapes
+    "heavy_hitters_cms",           # sketches
+    "pagerank_copurchase",         # graph
+    "activity_islands",            # window-function family
+    "set_ops_all",                 # §2.7 set operations
     # ------------------------------------------------------------------
-    # first-timers: r08 flagships
+    # first-timers: r09 flagships
     # ------------------------------------------------------------------
-    "unigram_lm_vocab",            # SentencePiece-style induction
-    "unigram_subword_stats",       # unigram Viterbi apply
-    "image_ring_verified",         # component-star rescore of the ring
-    "lang_trigram_profiles",       # trained language-ID profiles
-    "lang_filtered_corpus",        # the language gate
-    "lang_gate_funnel",            # gate integrated into the funnel
-    "streaming_image_screen",      # stream probe of the aHash index
-    # first-timers: r07 operators never windowed
-    "image_hamming_pairs",
-    "image_grid_verify",
-    "wav_energy_segments",
-    "heaps_law_curve",
-    "streaming_passage_screen",
-    "pii_scrub_report",
-    "html_text_extract",
-    "streaming_bigram_lm_score",
-    "kn_bigram_quality",
-    "bpe_merge_table_batched",
-    # first-timers: TPC-H batch-2 shapes (zero driver history)
-    "cheapest_supplier_per_part",
-    "disjunctive_predicate_revenue",
-    "unshipped_revenue_topk",
-    "returned_revenue_by_customer",
-    "shipmode_priority_counts",
-    # first-timers: sketches
-    "heavy_hitters_cms",
-    "hist_quantile_events",
-    # first-timers: graph
-    "copurchase_triangles",
-    "pagerank_copurchase",
-    # first-timers: window-function family
-    "activity_islands",
-    "ewma_daily_value",
-    "gap_fill_forward",
-    # first-timers: §2.7 set operations (ALL forms)
-    "set_ops_all",
+    "unigram_lm_pruned",           # SentencePiece outer prune loop
+    "pq_codebooks",                # product-quantization training
+    "ann_pq_adc",                  # PQ asymmetric-distance ANN
+    "ann_pq_recall",               # PQ recall vs exact truth
+    "hybrid_rrf_search",           # BM25 + cosine reciprocal rank fusion
+    "streaming_tws_daily_counts",  # transformWithState MapState form
+    # first-timers: r08 operators never windowed
+    "streaming_tws_totals",        # transformWithState ValueState form
+    "streaming_lang_screen",       # streamed language gate
+    "semantic_dup_candidates_ivf", # SemDeDup over trained IVF cells
+    # first-timers: TPC-H-shape batch analytics (zero driver history)
+    "promo_discount_revenue",
+    "nation_trade_volume",
+    "nation_market_share",
+    "nation_profit_by_year",
+    "waiting_orders_suppliers",
+    "top_supplier_revenue",
+    "small_quantity_revenue",
+    "late_shipment_priorities",
+    "large_volume_orders",
+    "local_supplier_volume",
+    "promo_revenue_share",
+    "idle_rich_customers",
+    "supplier_variety_by_parttype",
+    "orders_per_customer_histogram",
+    # first-timers: join-shape family
+    "range_join_ship_window",
+    "semi_join_returned_orders",
+    "anti_join_customers_no_orders",
+    "bloom_prefilter_join",
+    "full_outer_year_over_year",
+    # first-timers: streaming family
+    "streaming_dedup_keys",
+    "streaming_hourly_counts",
+    "streaming_topk_precip",
+    # first-timers: window/analytics family
+    "cube_agg",
+    "window_navigation",
+    "rolling_median_events",
+    # first-timers: skew + quantized-ANN reps
+    "salted_daily_precip",
+    "ann_int8_rescored",
 ]
 
 
