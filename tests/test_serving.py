@@ -101,3 +101,115 @@ def test_serving_jobs_tagged_into_fair_pool(async_engine):
 
     assert async_engine.submit(probe).result(timeout=ASK_TIMEOUT_S * 6)
     assert sc.getLocalProperty("spark.scheduler.pool") is None
+
+
+def test_http_ask_endpoint_serves_all_eight_requests(async_engine):
+    """The remote transport the reference client uses (remote actor ask,
+    KillrWeatherClientApp.scala:122-123) as JSON-over-HTTP: all eight
+    §2.11 requests answer over a real socket, NoDataAvailable is an
+    empty rows list, unknown requests/args are 400s, and every answer
+    lands inside the 5 s ask budget."""
+    import json
+    import urllib.request
+
+    from killrweather_spark.api.http_serving import WeatherHttpServer
+
+    def ask(addr, request, args, expect=200):
+        req = urllib.request.Request(
+            f"http://{addr[0]}:{addr[1]}/ask",
+            data=json.dumps({"request": request, "args": args}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=ASK_TIMEOUT_S * 2) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    with WeatherHttpServer(async_engine) as srv:
+        addr = srv.address
+        asks = [
+            ("GetWeatherStation", {"wsid": WSID}),
+            ("GetCurrentWeather", {"wsid": WSID}),
+            ("GetDailyTemperature",
+             {"wsid": WSID, "year": 2008, "month": 1, "day": 1}),
+            ("GetMonthlyTemperature",
+             {"wsid": WSID, "year": 2008, "month": 1}),
+            ("GetMonthlyHiLowTemperature",
+             {"wsid": WSID, "year": 2008, "month": 1}),
+            ("GetPrecipitation", {"wsid": WSID, "year": 2008}),
+            ("GetTopKPrecipitation", {"wsid": WSID, "year": 2008, "k": 5}),
+            ("GetSkyConditionLookup", {"code": 1}),
+        ]
+        t0 = time.perf_counter()
+        for name, args in asks:
+            status, body = ask(addr, name, args)
+            assert status == 200, (name, body)
+            assert body["request"] == name
+            assert body["n"] == len(body["rows"]) >= 1, (name, body)
+        assert time.perf_counter() - t0 < ASK_TIMEOUT_S * len(asks)
+        # the demo client's wsid is in the answer, over the wire
+        status, body = ask(addr, "GetCurrentWeather", {"wsid": WSID})
+        assert body["rows"][0]["wsid"] == WSID
+        # NoDataAvailable sentinel: unknown station → 200 with rows: []
+        status, body = ask(addr, "GetCurrentWeather", {"wsid": "000000:00000"})
+        assert status == 200 and body["n"] == 0 and body["rows"] == []
+        # protocol errors are 400s, not crashes
+        status, body = ask(addr, "GetWeather", {"wsid": WSID})
+        assert status == 400 and "unknown request" in body["error"]
+        status, body = ask(addr, "GetDailyTemperature", {"wsid": WSID})
+        assert status == 400 and set(body["missing"]) == {"year", "month", "day"}
+        status, body = ask(
+            addr, "GetWeatherStation", {"wsid": WSID, "nope": 1}
+        )
+        assert status == 400 and body["unknown"] == ["nope"]
+
+
+def test_http_ask_concurrent_clients_overlap(async_engine):
+    """Four wire clients firing the six-query loop at once: every answer
+    arrives, total wall time shows overlap (the FAIR-pool + thread-pool
+    path the in-process test pins, now through real sockets)."""
+    import json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from killrweather_spark.api.http_serving import WeatherHttpServer
+
+    loop = [
+        ("GetWeatherStation", {"wsid": WSID}),
+        ("GetCurrentWeather", {"wsid": WSID}),
+        ("GetDailyTemperature",
+         {"wsid": WSID, "year": 2008, "month": 1, "day": 2}),
+        ("GetMonthlyHiLowTemperature",
+         {"wsid": WSID, "year": 2008, "month": 1}),
+        ("GetPrecipitation", {"wsid": WSID, "year": 2008}),
+        ("GetTopKPrecipitation", {"wsid": WSID, "year": 2008}),
+    ]
+
+    with WeatherHttpServer(async_engine) as srv:
+        host, port = srv.address
+
+        def client(_i):
+            out = []
+            for name, args in loop:
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/ask",
+                    data=json.dumps(
+                        {"request": name, "args": args}
+                    ).encode(),
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    out.append(json.loads(r.read()))
+            return out
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            results = list(ex.map(client, range(4)))
+        elapsed = time.perf_counter() - t0
+        assert all(len(r) == 6 for r in results)
+        assert all(b["n"] >= 1 for r in results for b in r)
+        # identical answers across clients (no cross-request leakage)
+        assert all(r == results[0] for r in results[1:])
+        assert elapsed < ASK_TIMEOUT_S * 6, f"wire serving convoyed: {elapsed:.1f}s"
