@@ -10482,6 +10482,76 @@ def _wire_streaming_tws() -> None:
             "user_id", F.col("day").cast("date").alias("day"), "n"
         )
 
+    @register(
+        "streaming_tws_distinct_types",
+        """
+        SELECT user_id,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_values,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                 AS values
+        FROM events GROUP BY user_id
+        """,
+        survey_ref="§2.9 T4 ext: per-user distinct event-type set on "
+        "transformWithStateInPandas LISTSTATE (streaming/stateful.py:"
+        "distinct_values_by_key) — completes the arbitrary-state slot "
+        "coverage (ValueState: tws_totals; MapState: tws_daily_counts; "
+        "ListState here), the shape of any per-entity accumulated "
+        "collection.  The set only grows, so drained updates fold to "
+        "the batch COUNT(DISTINCT)/sorted-set answer with max_by — the "
+        "batch-equivalence oracle; per-key state is value-domain "
+        "bounded, with the HLL-sketch swap documented for unbounded "
+        "domains",
+    )
+    def q_streaming_tws_distinct_types(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from killrweather_spark.streaming.pipeline import run_stream_to_batch
+        from killrweather_spark.streaming.protobuf_shim import (
+            enable_vendored_protobuf,
+        )
+        from killrweather_spark.streaming.stateful import (
+            distinct_values_by_key,
+        )
+
+        status, detail = enable_vendored_protobuf()
+        if status in ("failed", "absent"):
+            raise RuntimeError(
+                "transformWithStateInPandas needs google.protobuf:"
+                f" {status} ({detail})"
+            )
+        if status == "vendored":
+            import os as _os
+
+            spark.sparkContext.environment["PYTHONPATH"] = _os.environ[
+                "PYTHONPATH"
+            ]
+        ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
+        out = distinct_values_by_key(ev, "user_id", "event_type")
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            name = f"stream_tws_distinct_{uuid.uuid4().hex[:8]}"
+            drained = run_stream_to_batch(
+                out, tempfile.mkdtemp(), name, "update"
+            )
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+        return drained.groupBy("user_id").agg(
+            F.max("n_values").cast("bigint").alias("n_values"),
+            F.max_by("values", "n_values").alias("values"),
+        )
+
 
 _wire_streaming_tws()
 
@@ -10629,6 +10699,30 @@ def _wire_pq() -> None:
             load_table(spark, sf_dir, "embeddings"), lambda c: c < 5
         )
 
+    from killrweather_spark.functions.pq import ann_ivfpq_sql
+
+    @register(
+        "ann_ivfpq",
+        ann_ivfpq_sql(_EMB_COMP_NRM_SQL),
+        survey_ref="beyond-ref similarity family: the production ANN "
+        "composition IVFADC (pq.py:ann_ivfpq) — the trained IVF index "
+        "bounds WHICH vectors are considered (n_probe probed cells read "
+        "via the persisted partition-pruned index, the ivf_probe_topk "
+        "move), PQ codes bound WHAT is read per candidate (M code ids, "
+        "not the vector), ADC LUT scoring, exact rescore of the "
+        "shortlist.  Oracle composes the IVF training replay with the "
+        "PQ training replay over the shared comp CTE",
+    )
+    def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.ann_index import ensure_ivf_index
+        from killrweather_spark.functions.pq import ann_ivfpq
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ensure_ivf_index(
+            emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2
+        )
+        return ann_ivfpq(spark, idx, emb, lambda c: c < 5)
+
 
 _wire_pq()
 
@@ -10680,7 +10774,9 @@ DRIVER_WINDOW = [
     "date_format_parts",           # §2.8 scalar functions
     "star_join_revenue",           # §2.3 joins
     "monthly_temperature",         # §2.11 request API
-    # r08 promotions retained for a second round (one per family)
+    # r08 promotions retained for a second round (one per family;
+    # activity_islands/set_ops_all ceded their second round to the two
+    # late-r9 flagships below — both families stay oracle-covered)
     "unigram_lm_vocab",            # tokenizer family
     "image_ring_verified",         # image dedup family
     "lang_filtered_corpus",        # language gate family
@@ -10688,8 +10784,6 @@ DRIVER_WINDOW = [
     "cheapest_supplier_per_part",  # TPC-H batch-2 shapes
     "heavy_hitters_cms",           # sketches
     "pagerank_copurchase",         # graph
-    "activity_islands",            # window-function family
-    "set_ops_all",                 # §2.7 set operations
     # ------------------------------------------------------------------
     # first-timers: r09 flagships
     # ------------------------------------------------------------------
@@ -10699,6 +10793,8 @@ DRIVER_WINDOW = [
     "ann_pq_recall",               # PQ recall vs exact truth
     "hybrid_rrf_search",           # BM25 + cosine reciprocal rank fusion
     "streaming_tws_daily_counts",  # transformWithState MapState form
+    "streaming_tws_distinct_types", # transformWithState ListState form
+    "ann_ivfpq",                   # IVFADC: IVF pruning x PQ-ADC scoring
     # first-timers: r08 operators never windowed
     "streaming_tws_totals",        # transformWithState ValueState form
     "streaming_lang_screen",       # streamed language gate

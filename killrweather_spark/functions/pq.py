@@ -277,6 +277,132 @@ def ann_pq_recall(
     )
 
 
+def ann_ivfpq(
+    spark,
+    index_dir: str,
+    df: DataFrame,
+    query_pred,
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production ANN composition — IVF candidate pruning × PQ-ADC
+    scoring [Jégou et al. 2011's IVFADC, on raw vectors]: the trained
+    IVF index bounds WHICH vectors are considered (read only the
+    ``n_probe`` probed cells — partition-pruned, the
+    ``ivf_probe_topk`` move), PQ codes bound WHAT is read per candidate
+    (M code ids instead of the vector), and the ADC LUT turns scoring
+    into a broadcast join + SUM.  Shortlist exact-rescored as always:
+    scores exact, candidates doubly approximate.  (Classic IVFADC
+    encodes residuals x−centroid for tighter codes; raw-vector PQ keeps
+    the oracle replay independent of the IVF training and is a
+    deployed variant — the residual refinement bolts onto ``_train``
+    by subtracting the broadcast cell centroid in ``scomp``.)
+
+    At 100 TB: probed-cell reads are ``n_probe/n_centroids`` of the
+    corpus via literal partition filters; the ADC scan within them
+    touches the compressed code table; nothing corpus-sized shuffles."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cells = spark.read.parquet(os.path.join(index_dir, "norms")).select(
+        "cell", "vec_id", "norm2"
+    )
+    scomp, pqcents, codes = _train(df, iters, ks, id_col, vec_col)
+    comp = scomp.select("vec_id", "pos", "q")
+    qcomp = comp.filter(query_pred(F.col("vec_id"))).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    # IVF side: rank centroids per query, keep n_probe cells
+    qd2 = (
+        qcomp.join(F.broadcast(cents), "pos")
+        .groupBy("query_id", "cell")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .alias("d2")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qd2.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    # PQ-ADC side: LUT per (query, subspace, code); candidate approx dot
+    # = sum of its M code hits
+    qsub = scomp.filter(query_pred(F.col("vec_id"))).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    lut = (
+        qsub.join(F.broadcast(pqcents), ["sub", "pos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(F.col("q") * F.col("c")).cast("bigint").alias("pdot"))
+    )
+    approx = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adot"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adot").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        approx.withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qflat = comp.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "q", "qa"
+    )
+    dots = (
+        comp.join(
+            F.broadcast(short), F.col("vec_id") == F.col("neighbor_id")
+        )
+        .join(qflat, ["query_id", "pos"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("q") * F.col("qa")).alias("dot"))
+    )
+    nrm = cosine_norms(comp, "vec_id")
+    qn = nrm.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "norm2", "qnorm2"
+    )
+    sims = (
+        dots.join(
+            nrm.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("norm2").alias("nnorm2"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -394,6 +520,73 @@ def ann_pq_adc_sql(
     SELECT query_id, neighbor_id,
            dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
     FROM pdots
+    JOIN nrm qn ON qn.vec_id = query_id
+    JOIN nrm cn ON cn.vec_id = neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) <= {k}
+    """
+    )
+
+
+def ann_ivfpq_sql(
+    comp_nrm_sql: str,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+) -> str:
+    """DuckDB oracle for :func:`ann_ivfpq` — the IVF training replay
+    (cells + query cell ranking) composed with the PQ training replay
+    (codes + LUT), candidates restricted to probed cells, ADC ranking,
+    exact rescore tail."""
+    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
+
+    parts = ivf_trained_parts_sql(
+        n_centroids, ivf_iters, n_probe=0, query_pred=query_pred,
+        probe_tail=False,
+    )
+    parts += pq_parts_sql(iters, ks, m)
+    qp = query_pred.replace("vec_id", "sc.vec_id")
+    parts += [
+        f"iprobes AS (SELECT query_id, cell FROM qd\n"
+        "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY d2, cell) <= {n_probe})",
+        f"icand AS (SELECT p.query_id, l.vec_id\n"
+        f"      FROM iprobes p JOIN l{ivf_iters} l ON l.cell = p.cell\n"
+        "      WHERE l.vec_id != p.query_id)",
+        f"plut AS MATERIALIZED (\n"
+        "      SELECT sc.vec_id AS query_id, ct.sub, ct.code,\n"
+        "             CAST(SUM(sc.q * ct.c) AS BIGINT) AS pdot\n"
+        f"      FROM scomp sc JOIN pcent{iters} ct\n"
+        "        ON ct.sub = sc.sub AND ct.pos = sc.pos\n"
+        f"      WHERE {qp} GROUP BY 1, 2, 3)",
+        f"iapprox AS (SELECT c.query_id, c.vec_id AS neighbor_id,\n"
+        "             SUM(l.pdot) AS adot\n"
+        f"      FROM icand c JOIN pl{iters} cd ON cd.vec_id = c.vec_id\n"
+        "      JOIN plut l ON l.query_id = c.query_id\n"
+        "        AND l.sub = cd.sub AND l.code = cd.code\n"
+        "      GROUP BY 1, 2)",
+        "ishort AS MATERIALIZED (SELECT query_id, neighbor_id FROM iapprox\n"
+        "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY adot DESC, neighbor_id) <= {shortlist})",
+        "idots AS (SELECT s.query_id, s.neighbor_id, SUM(a.q * b.q) AS dot\n"
+        "      FROM ishort s\n"
+        "      JOIN comp a ON a.vec_id = s.query_id\n"
+        "      JOIN comp b ON b.vec_id = s.neighbor_id AND b.pos = a.pos\n"
+        "      GROUP BY 1, 2)",
+    ]
+    return (
+        f"WITH {comp_nrm_sql},\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id,
+           dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+    FROM idots
     JOIN nrm qn ON qn.vec_id = query_id
     JOIN nrm cn ON cn.vec_id = neighbor_id
     QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id

@@ -192,3 +192,60 @@ def daily_counts_by_key(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def distinct_values_by_key(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "event_type",
+) -> DataFrame:
+    """Per-key distinct-value set on ``ListState`` — the third
+    ``transformWithStateInPandas`` state slot (ValueState: running
+    totals; MapState: daily counts; here a LIST holding the set's
+    members), the shape of any per-entity accumulated collection
+    (seen event types, visited pages, contacted hosts).  Each batch
+    unions the arriving values into the stored list and re-emits the
+    key's full sorted set: ``(key, n_values, values)`` with ``values``
+    comma-joined — the set only grows, so the drained stream folds to
+    the batch ``COUNT(DISTINCT)/sorted set`` with ``max`` semantics.
+
+    Scale posture: per-key state is bounded by the value-domain
+    cardinality (event types, not events); emission re-sends a key's
+    set only on batches that touch the key.  For unbounded domains the
+    production variant swaps the exact list for a sketch (HLL/CMS) in
+    the same ValueState slot — the operator shape is identical.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} bigint, n_values bigint, values string"
+
+    class DistinctValues(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getListState("seen", "v string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = {t[0] for t in self._seen.get()} if self._seen.exists() else set()
+            for pdf in rows:
+                seen.update(str(v) for v in pdf[value_col].unique())
+            ordered = sorted(seen)
+            self._seen.put([(v,) for v in ordered])
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_values": [len(ordered)],
+                    "values": [",".join(ordered)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        DistinctValues(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
