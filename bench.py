@@ -138,6 +138,14 @@ HEADLINE = [
     "streaming_tws_totals",             # transformWithStateInPandas totals
     "streaming_lang_screen",            # trained lang gate, stream form
     "semantic_dup_candidates_ivf",      # SemDeDup over trained IVF cells
+    # round-9 additions
+    "unigram_lm_pruned",                # SentencePiece outer prune loop
+    "pq_codebooks",                     # product-quantization training
+    "ann_pq_adc",                       # PQ asymmetric-distance ANN
+    "ann_ivfpq",                        # IVFADC: IVF pruning x PQ-ADC
+    "hybrid_rrf_search",                # BM25 + cosine rank fusion
+    "streaming_tws_daily_counts",       # transformWithState MapState form
+    "streaming_tws_distinct_types",     # transformWithState ListState form
 ]
 
 
