@@ -10415,7 +10415,7 @@ def _wire_streaming_tws() -> None:
     @register(
         "streaming_tws_daily_counts",
         """
-        SELECT user_id, CAST(ts AS DATE) AS day,
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY user_id, CAST(ts AS DATE)
         """,
@@ -10476,10 +10476,11 @@ def _wire_streaming_tws() -> None:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, prior)
+        # day stays a 'yyyy-MM-dd' string end-to-end — the repo's
+        # day-column convention (dtype-parity: DuckDB DATE materializes
+        # as datetime64, Spark DATE as object)
         return drained.groupBy("user_id", "day").agg(
             F.max("n").cast("bigint").alias("n")
-        ).select(
-            "user_id", F.col("day").cast("date").alias("day"), "n"
         )
 
     @register(

@@ -154,7 +154,10 @@ def pq_codebooks(
     broadcasts to every encoder."""
     _, cents, _ = _train(df, iters, ks, id_col, vec_col)
     return cents.select(
-        F.col("sub").alias("subspace"), "code", "pos", "c"
+        F.col("sub").alias("subspace"),
+        "code",
+        F.col("pos").cast("bigint").alias("pos"),
+        "c",
     )
 
 
