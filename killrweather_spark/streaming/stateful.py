@@ -249,3 +249,98 @@ def distinct_values_by_key(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def totals_with_idle_flush(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    cents_col: str = "cents",
+    idle_ms: int = 0,
+) -> DataFrame:
+    """Running totals + PROCESSING-TIME TIMERS — the last
+    ``transformWithStateInPandas`` capability the other operators don't
+    exercise: ``handle.registerTimer`` / ``handleExpiredTimer``, the
+    session-flush/TTL-eviction primitive (emit-and-forget a key that has
+    gone idle, close a session on silence, expire a cache entry).
+
+    Each batch updates the key's ValueState totals, emits the running
+    row (``flushed=false``), and re-arms a processing-time timer
+    ``idle_ms`` past the batch's processing time.  Spark fires EVERY
+    expired timer during the next microbatch — keys with and without
+    fresh input alike (measured; a production ``idle_ms`` is set well
+    past the batch interval so an active key's re-arm outruns its
+    expiry): ``handleExpiredTimer`` emits the key's totals marked
+    ``flushed=true`` and CLEARS the state — the idle-session flush,
+    pinned in tests with disjoint idle/active key sets so no assertion
+    rides on intra-batch input/timer ordering.
+
+    Scale posture: timers live in the state store next to the state row
+    (one per key), fire in the batch loop without a corpus scan, and the
+    flush CLEARS state — the mechanism that keeps total state bounded by
+    ACTIVE keys instead of all keys ever seen.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", LongType())]
+    )
+    out_schema = (
+        f"{key_col} bigint, n bigint, sum_cents bigint, flushed boolean"
+    )
+
+    class IdleFlushTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, s = self._totals.get()
+            else:
+                n, s = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                s += int(pdf[cents_col].sum())
+            self._totals.update((n, s))
+            # re-arm: one live timer per key (old ones are superseded —
+            # deleteTimer keeps the store to a single registration)
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + idle_ms
+            )
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [n],
+                    "sum_cents": [s],
+                    "flushed": [False],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._totals.exists():
+                n, s = self._totals.get()
+                self._totals.clear()
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]],
+                        "n": [int(n)],
+                        "sum_cents": [int(s)],
+                        "flushed": [True],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        IdleFlushTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

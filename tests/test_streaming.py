@@ -1021,3 +1021,63 @@ def test_transform_with_state_mapstate_daily_counts(spark, tmp_path):
     # contain an intermediate (first-batch) value below the final count
     raw = spark.table("tws_daily").collect()
     assert any(r.n < want[(r.k, r.day)] for r in raw)
+
+
+def test_transform_with_state_timers_flush_idle_keys(spark, tmp_path):
+    """Processing-time timers (the session-flush/TTL primitive): keys
+    0,1,2 appear only in batch 1 and arm immediate-expiry timers; batch
+    2 carries only key 3, so batch 2 FIRES the idle keys' timers — their
+    final batch-1 totals arrive flushed=true and their state is CLEARED.
+    (Expired timers fire during the batch for every expired key,
+    with-input or not; the test keeps idle and active keys disjoint so
+    no assertion depends on intra-batch input/timer ordering.)"""
+    from tests.conftest import PROTOBUF_STATUS
+
+    status, detail = PROTOBUF_STATUS
+    if status in ("failed", "absent"):
+        pytest.skip(f"google.protobuf unavailable ({status}): {detail}")
+    import json
+
+    from killrweather_spark.streaming.stateful import totals_with_idle_flush
+
+    src = tmp_path / "in"
+    src.mkdir()
+    b1 = [{"k": k, "cents": 100 + k} for k in (0, 1, 2) for _ in range(3)]
+    b2 = [{"k": 3, "cents": 500} for _ in range(2)]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in b2))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema("k bigint, cents bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = totals_with_idle_flush(stream, "k", "cents", idle_ms=0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_timers")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("tws_timers").collect()
+    flushed = {r.k: (r.n, r.sum_cents) for r in rows if r.flushed}
+    live = {(r.k, r.n, r.sum_cents) for r in rows if not r.flushed}
+    # the three idle keys were flushed with their exact batch-1 totals
+    assert flushed[0] == (3, 3 * 100)
+    assert flushed[1] == (3, 3 * 101)
+    assert flushed[2] == (3, 3 * 102)
+    # their pre-flush running rows were emitted in batch 1
+    for k in (0, 1, 2):
+        assert (k, 3, 3 * (100 + k)) in live
+    # the batch-2 key accumulated normally
+    assert (3, 2, 1000) in live
+    # a flushed key never reports twice (state was CLEARED); key 3 may
+    # or may not flush depending on whether a trailing empty batch ran
+    assert sorted(flushed) in ([0, 1, 2], [0, 1, 2, 3])
