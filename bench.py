@@ -184,10 +184,17 @@ def _round_num(p: Path) -> int:
 
 
 def _prior_bench(sf: float) -> tuple[str, dict[str, float]] | None:
-    """Most recent driver-recorded BENCH_r{N}.json at the SAME scale factor
-    (cross-SF timings are not comparable)."""
+    """Most recent prior timings at the SAME scale factor (cross-SF
+    timings are not comparable).  The repo-root ``bench_out.json`` — the
+    artifact the PREVIOUS round committed — is preferred: the driver's
+    BENCH_r{N}.json captures only a 2,000-char stdout tail, so rounds
+    whose query map outgrew the tail parse to null there and the
+    fallback would otherwise reach back to a many-rounds-stale file."""
     root = Path(__file__).resolve().parent
-    for p in sorted(root.glob("BENCH_r*.json"), key=_round_num, reverse=True):
+    candidates = [root / "bench_out.json"] + sorted(
+        root.glob("BENCH_r*.json"), key=_round_num, reverse=True
+    )
+    for p in candidates:
         try:
             d = json.loads(p.read_text())
             parsed = d.get("parsed") or d

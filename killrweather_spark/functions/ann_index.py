@@ -170,6 +170,20 @@ def build_ivf_index(
     vectors.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(tmp, "vectors")
     )
+    # PQ side of the index (the IVFADC layout): per-subspace codebooks
+    # (dim·ks rows — the broadcast artifact) and every vector's M code
+    # ids PARTITIONED BY its trained IVF cell, so an ADC probe reads
+    # n_probe cells of the COMPRESSED representation — at production
+    # dims the codes are ~512× smaller than the vectors they stand for.
+    from killrweather_spark.functions.pq import _train as _pq_train
+
+    _, pqcents, pqcodes = _pq_train(df, id_col=id_col, vec_col=vec_col)
+    pqcents.write.mode("overwrite").parquet(os.path.join(tmp, "pqcents"))
+    pqcodes.join(labels, "vec_id").select(
+        "cell", "vec_id", "sub", "code"
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(tmp, "pqcodes")
+    )
     os.rename(tmp, index_dir)
 
 
@@ -190,7 +204,14 @@ def ensure_ivf_index(
     stale index.  Completeness-checked per table: an index built by an
     older layout (missing a newer table, e.g. ``vectors``) rebuilds
     whole rather than failing the first reader."""
-    required = ("inverted", "norms", "centroids", "vectors")
+    required = (
+        "inverted",
+        "norms",
+        "centroids",
+        "vectors",
+        "pqcents",
+        "pqcodes",
+    )
     if not all(
         os.path.isdir(os.path.join(index_dir, t)) for t in required
     ):

@@ -288,8 +288,6 @@ def ann_ivfpq(
     k: int = 3,
     n_probe: int = 2,
     shortlist: int = PQ_SHORTLIST,
-    iters: int = PQ_ITERS,
-    ks: int = PQ_KS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -306,20 +304,27 @@ def ann_ivfpq(
     deployed variant — the residual refinement bolts onto ``_train``
     by subtracting the broadcast cell centroid in ``scomp``.)
 
-    At 100 TB: probed-cell reads are ``n_probe/n_centroids`` of the
-    corpus via literal partition filters; the ADC scan within them
-    touches the compressed code table; nothing corpus-sized shuffles."""
+    At 100 TB: EVERY corpus-sized read is partition-pruned to the
+    probed cells via literal cell filters from a bounded driver-side
+    probe collect (the ``ivf_probe_topk`` contract) — the ADC scan
+    reads the index's cell-partitioned ``pqcodes`` table (the
+    compressed representation, persisted at build time), the rescore
+    reads only the probed cells' inverted lists and norms; the query
+    side is serving-sized by premise.  Nothing corpus-sized shuffles
+    at probe time."""
     import os
 
+    from killrweather_spark.functions.ann_index import IVF_MAX_PROBE_CELLS
+
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    cells = spark.read.parquet(os.path.join(index_dir, "norms")).select(
-        "cell", "vec_id", "norm2"
+    pqcents = spark.read.parquet(os.path.join(index_dir, "pqcents"))
+    queries = df.filter(query_pred(F.col(id_col)))
+    qscomp = persist_once(
+        _sub_components(queries, id_col, vec_col).withColumnRenamed(
+            "vec_id", "query_id"
+        )
     )
-    scomp, pqcents, codes = _train(df, iters, ks, id_col, vec_col)
-    comp = scomp.select("vec_id", "pos", "q")
-    qcomp = comp.filter(query_pred(F.col("vec_id"))).withColumnRenamed(
-        "vec_id", "query_id"
-    )
+    qcomp = qscomp.select("query_id", "pos", "q")
     # IVF side: rank centroids per query, keep n_probe cells
     qd2 = (
         qcomp.join(F.broadcast(cents), "pos")
@@ -337,23 +342,35 @@ def ann_ivfpq(
         .filter(F.col("rk") <= n_probe)
         .select("query_id", "cell")
     )
-    cand = (
-        cells.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
+    # BOUNDED driver collect → literal partition filters (the serving
+    # move shared with ivf_probe_topk, same guard)
+    probe_rows = probes.collect()
+    if len(probe_rows) > IVF_MAX_PROBE_CELLS:
+        raise ValueError(
+            f"probe list has {len(probe_rows)} entries"
+            f" (> {IVF_MAX_PROBE_CELLS}): the query set is not"
+            " serving-sized — batch it"
+        )
+    cell_list = sorted({r.cell for r in probe_rows})
+    probes_df = F.broadcast(
+        spark.createDataFrame(
+            sorted({(int(r.query_id), int(r.cell)) for r in probe_rows}),
+            "query_id bigint, cell bigint",
+        )
     )
-    # PQ-ADC side: LUT per (query, subspace, code); candidate approx dot
-    # = sum of its M code hits
-    qsub = scomp.filter(query_pred(F.col("vec_id"))).withColumnRenamed(
-        "vec_id", "query_id"
-    )
+    # PQ-ADC side: LUT per (query, subspace, code); candidates are the
+    # probed cells' PERSISTED code rows — partition-pruned, compressed
     lut = (
-        qsub.join(F.broadcast(pqcents), ["sub", "pos"])
+        qscomp.join(F.broadcast(pqcents), ["sub", "pos"])
         .groupBy("query_id", "sub", "code")
         .agg(F.sum(F.col("q") * F.col("c")).cast("bigint").alias("pdot"))
     )
+    codes = spark.read.parquet(os.path.join(index_dir, "pqcodes")).filter(
+        F.col("cell").isin(cell_list)
+    )
     approx = (
-        cand.join(codes, "vec_id")
+        codes.join(probes_df, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(lut), ["query_id", "sub", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("pdot").alias("adot"))
@@ -366,20 +383,30 @@ def ann_ivfpq(
         .filter(F.col("rk") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    qflat = comp.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-        "q", "qa"
+    # exact rescore: probed cells' inverted lists + norms only
+    inv = spark.read.parquet(os.path.join(index_dir, "inverted")).filter(
+        F.col("cell").isin(cell_list)
     )
     dots = (
-        comp.join(
+        inv.select("vec_id", "pos", "q")
+        .join(
             F.broadcast(short), F.col("vec_id") == F.col("neighbor_id")
         )
-        .join(qflat, ["query_id", "pos"])
+        .join(
+            qcomp.withColumnRenamed("q", "qa"), ["query_id", "pos"]
+        )
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum(F.col("q") * F.col("qa")).alias("dot"))
     )
-    nrm = cosine_norms(comp, "vec_id")
-    qn = nrm.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-        "norm2", "qnorm2"
+    nrm = (
+        spark.read.parquet(os.path.join(index_dir, "norms"))
+        .filter(F.col("cell").isin(cell_list))
+        .select("vec_id", "norm2")
+    )
+    qn = (
+        qcomp.groupBy("query_id")
+        .agg(F.sum(F.col("q") * F.col("q")).alias("qnorm2"))
+        .filter(F.col("qnorm2") > 0)
     )
     sims = (
         dots.join(
