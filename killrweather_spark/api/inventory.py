@@ -10724,6 +10724,27 @@ def _wire_pq() -> None:
         )
         return ann_ivfpq(spark, idx, emb, lambda c: c < 5)
 
+    from killrweather_spark.functions.pq import ann_ivfpq_recall_sql
+
+    @register(
+        "ann_ivfpq_recall",
+        ann_ivfpq_recall_sql(_EMB_COMP_NRM_SQL),
+        survey_ref="beyond-ref ANN QA: the IVFADC answer's measured "
+        "recall vs exact brute-force top-3 — the COMBINED cost of cell "
+        "pruning x code quantization, the number a deployment tunes "
+        "n_probe/shortlist against.  Bounded query premise shared with "
+        "every recall row",
+    )
+    def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.ann_index import ensure_ivf_index
+        from killrweather_spark.functions.pq import ann_ivfpq_recall
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ensure_ivf_index(
+            emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2
+        )
+        return ann_ivfpq_recall(spark, idx, emb, lambda c: c < 5)
+
 
 _wire_pq()
 

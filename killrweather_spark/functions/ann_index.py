@@ -49,6 +49,7 @@ are exact); this extends SURVEY §2's beyond-reference similarity family.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -184,7 +185,26 @@ def build_ivf_index(
     ).write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(tmp, "pqcodes")
     )
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump(_index_params(n_centroids, iters), f)
     os.rename(tmp, index_dir)
+
+
+def _index_params(n_centroids: int, iters: int) -> dict:
+    """The build parameters baked into an index's tables.  Stored as
+    ``_meta.json`` and compared by :func:`ensure_ivf_index`: the corpus
+    fingerprint in the path catches DATA drift, this catches PARAMETER
+    drift — e.g. a PQ geometry bump would otherwise leave every existing
+    index silently serving stale codebooks."""
+    from killrweather_spark.functions.pq import PQ_ITERS, PQ_KS, PQ_M
+
+    return {
+        "n_centroids": n_centroids,
+        "iters": iters,
+        "pq_m": PQ_M,
+        "pq_ks": PQ_KS,
+        "pq_iters": PQ_ITERS,
+    }
 
 
 def ensure_ivf_index(
@@ -212,9 +232,16 @@ def ensure_ivf_index(
         "pqcents",
         "pqcodes",
     )
-    if not all(
+    complete = all(
         os.path.isdir(os.path.join(index_dir, t)) for t in required
-    ):
+    )
+    if complete:
+        try:
+            with open(os.path.join(index_dir, "_meta.json")) as f:
+                complete = json.load(f) == _index_params(n_centroids, iters)
+        except (OSError, ValueError):
+            complete = False  # pre-meta layout — rebuild
+    if not complete:
         if os.path.isdir(index_dir):
             import shutil
 

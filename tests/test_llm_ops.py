@@ -1947,16 +1947,21 @@ def test_unigram_prune_respects_budget_and_keeps_chars(spark):
     assert plain  # sanity: the unpruned path still runs
 
 
-def test_pq_codebooks_shape_and_adc_recall(spark):
+def test_pq_codebooks_shape_and_adc_recall(spark, monkeypatch):
     """PQ on a clustered fixture: codebooks are (subspace, code)-keyed
     with every position of the subspace present; ADC with exact rescore
     achieves full recall when clusters are PQ-separable (each subspace
-    sees distinct per-cluster values)."""
+    sees distinct per-cluster values).  PQ_M pinned to 4 so the 8-dim
+    fixture splits 2 dims/subspace regardless of the production
+    default."""
+    import killrweather_spark.functions.pq as P
     from killrweather_spark.functions.pq import (
-        PQ_M,
         ann_pq_recall,
         pq_codebooks,
     )
+
+    monkeypatch.setattr(P, "PQ_M", 4)
+    PQ_M = 4
 
     # 4 DIRECTIONALLY distinct clusters x 10 vectors, 8 dims: cluster c
     # points along dims {2c, 2c+1} (cosine ~1 within, ~0.02 across), a
