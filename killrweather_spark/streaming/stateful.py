@@ -344,3 +344,104 @@ def totals_with_idle_flush(
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+def eventtime_session_finalize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    gap_seconds: int = 600,
+) -> DataFrame:
+    """Watermark-driven session finalization — ``transformWithState`` in
+    its THIRD time mode (``EventTime``; ``None`` and ``ProcessingTime``
+    are covered by the totals/flush operators): per key, accumulate
+    (count, sum, max event time) and keep ONE event-time timer armed at
+    ``max_ts + gap``.  When the WATERMARK — driven by the data, not the
+    wall clock — passes that point, the session provably cannot extend
+    (later rows would be late beyond the watermark), so the timer fires:
+    the final totals emit with ``closed=true`` and the state clears.
+    This is the custom-logic form of ``session_window`` aggregation —
+    the shape to reach for when the per-session result is not a built-in
+    aggregate (model state, decayed counters, a sketch).
+
+    The caller must put a watermark on ``ts_col`` BEFORE this operator
+    (``stream.withWatermark(ts_col, ...)``); event-time timers fire on
+    watermark advancement, which availableNow batching drives
+    deterministically from the data's own timestamps.
+
+    Scale posture: one ValueState row + one timer per key; timers fire
+    in the batch loop without scans, and closing clears state — bounded
+    by OPEN sessions, not history.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", LongType()),
+            StructField("max_ms", LongType()),
+        ]
+    )
+    out_schema = (
+        f"{key_col} bigint, n bigint, sum_cents bigint, closed boolean"
+    )
+    gap_ms = gap_seconds * 1000
+
+    class SessionFinalize(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._acc = handle.getValueState("acc", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._acc.exists():
+                n, s, mx = self._acc.get()
+            else:
+                n, s, mx = 0, 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                s += int(pdf[cents_col].sum())
+                batch_mx = int(
+                    pd.to_datetime(pdf[ts_col]).astype("int64").max()
+                    // 1_000_000
+                )
+                mx = max(mx, batch_mx)
+            self._acc.update((n, s, mx))
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(mx + gap_ms)
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [n],
+                    "sum_cents": [s],
+                    "closed": [False],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._acc.exists():
+                n, s, _mx = self._acc.get()
+                self._acc.clear()
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]],
+                        "n": [int(n)],
+                        "sum_cents": [int(s)],
+                        "closed": [True],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        SessionFinalize(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="EventTime",
+    )

@@ -1081,3 +1081,69 @@ def test_transform_with_state_timers_flush_idle_keys(spark, tmp_path):
     # a flushed key never reports twice (state was CLEARED); key 3 may
     # or may not flush depending on whether a trailing empty batch ran
     assert sorted(flushed) in ([0, 1, 2], [0, 1, 2, 3])
+
+
+def test_transform_with_state_eventtime_session_close(spark, tmp_path):
+    """Event-time timers (the third TWS time mode): sessions for keys
+    0,1 (events at 10:00, gap 10 min) must CLOSE once the watermark —
+    driven by key 9's later data, not the wall clock — passes 10:10.
+    Three files force three microbatches so the watermark provably
+    advances past the idle sessions' expiry."""
+    from tests.conftest import PROTOBUF_STATUS
+
+    status, detail = PROTOBUF_STATUS
+    if status in ("failed", "absent"):
+        pytest.skip(f"google.protobuf unavailable ({status}): {detail}")
+    import json
+
+    from killrweather_spark.streaming.stateful import (
+        eventtime_session_finalize,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    b1 = [
+        {"k": k, "ts": "2025-01-01 10:00:00", "cents": 100 + k}
+        for k in (0, 1)
+        for _ in range(3)
+    ]
+    b2 = [{"k": 9, "ts": "2025-01-01 11:00:00", "cents": 500}]
+    b3 = [{"k": 9, "ts": "2025-01-01 12:00:00", "cents": 700}]
+    for name, rows in (("a.json", b1), ("b.json", b2), ("c.json", b3)):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema("k bigint, ts timestamp, cents bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = eventtime_session_finalize(
+        stream, "k", "ts", "cents", gap_seconds=600
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_et_sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("tws_et_sessions").collect()
+    closed = {r.k: (r.n, r.sum_cents) for r in rows if r.closed}
+    live = {(r.k, r.n, r.sum_cents) for r in rows if not r.closed}
+    # the idle sessions closed with their exact totals once the
+    # watermark passed their gap — and only once (state cleared)
+    assert closed[0] == (3, 3 * 100)
+    assert closed[1] == (3, 3 * 101)
+    assert sum(1 for r in rows if r.closed and r.k in (0, 1)) == 2
+    # their pre-close running rows exist; key 9 accumulated across
+    # batches and may or may not have closed (needs a trailing batch)
+    assert (0, 3, 300) in live and (1, 3, 303) in live
+    assert (9, 2, 1200) in live
+    assert set(closed) <= {0, 1, 9}
