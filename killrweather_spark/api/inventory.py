@@ -10749,6 +10749,31 @@ def _wire_pq() -> None:
 _wire_pq()
 
 
+def _wire_tfidf_pairs() -> None:
+    from killrweather_spark.functions.dedup import tfidf_cosine_pairs_sql
+
+    @register(
+        "tfidf_cosine_pairs",
+        tfidf_cosine_pairs_sql(),
+        survey_ref="beyond-ref dedup family: TF-IDF-weighted cosine over "
+        "sparse word-trigram vectors (dedup.py:tfidf_cosine_pairs) — the "
+        "weighted-lexical modality between set overlap (MinHash/Jaccard) "
+        "and dense-embedding cosine: repeated rare phrases dominate, "
+        "boilerplate contributes ~nothing.  Integer idf floor "
+        "arithmetic; candidates generated ONLY through terms with "
+        "df in [2, 20] (per-term fan-out capped at df_cap^2 — the "
+        "prefix-filter bound, same bucketed-candidates contract as the "
+        "LSH families); term-keyed dot over candidate docs only",
+    )
+    def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.dedup import tfidf_cosine_pairs
+
+        return tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_wire_tfidf_pairs()
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

@@ -574,3 +574,153 @@ def decontaminate(
         "n_hits",
         (F.col("n_hits") / F.col("n_grams")).alias("hit_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF weighted cosine near-dup (sparse lexical vectors)
+# --------------------------------------------------------------------------
+
+# Blocking cap: candidate pairs are generated only through terms whose
+# document frequency is in [2, cap], bounding per-term fan-out at
+# cap·(cap-1)/2 pairs — the prefix-filter idea.  A term rarer than 2
+# cannot pair; a term commoner than the cap carries no dedup signal and
+# would quadratically blow the candidate set (boilerplate phrases).
+TFIDF_DF_CAP = 20
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    df_cap: int = TFIDF_DF_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by TF-IDF-WEIGHTED cosine over sparse
+    word-trigram vectors — the weighted-lexical modality between set
+    overlap (MinHash/Jaccard: every shingle counts equally) and dense
+    embeddings (cosine over learned vectors): repeated rare phrases
+    dominate the score, boilerplate contributes ~nothing.
+
+    Pipeline, all JVM: word trigrams per doc → integer tf·idf weights
+    (``idf_milli = (1000·(N+1)) div (df+1)`` — floor arithmetic, both
+    engines bit-identical) → candidates through RARE terms only
+    (df ∈ [2, ``df_cap``]; the blocking bound above) → full-vector dot
+    over each candidate pair's shared terms → cosine ≥ ``threshold``.
+
+    Scale shape: the only quadratic step is per-rare-term and capped at
+    df_cap² — the same bucketed-candidates contract as the LSH families;
+    the dot joins are term-keyed over candidate docs only; the df table
+    (vocabulary-sized) broadcasts.  Returns (doc_a, doc_b, cosine),
+    doc_a < doc_b.
+    """
+    from killrweather_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(ts) - 3, -1)), "
+                "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+            )
+        ).alias("term"),
+    )
+    tf = tri.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    w = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.expr("(1000 * (__n + 1)) div (df + 1)"))
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    rare = df_.filter(
+        (F.col("df") >= 2) & (F.col("df") <= df_cap)
+    ).select("term")
+    posting = tf.join(F.broadcast(rare), "term").select("term", "doc_id")
+    cand = (
+        posting.alias("a")
+        .join(posting.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    wa = w.select(
+        F.col("doc_id").alias("da"), "term", F.col("w").alias("wa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("db"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        cand.join(wa, "da")
+        .join(wb, ["db", "term"])
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(nrm.select(F.col("doc_id").alias("da"),
+                             F.col("n2").alias("na")), "da")
+        .join(nrm.select(F.col("doc_id").alias("db"),
+                         F.col("n2").alias("nb")), "db")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "cosine",
+        )
+    )
+
+
+def tfidf_cosine_pairs_sql(
+    threshold: float = 0.3, df_cap: int = TFIDF_DF_CAP
+) -> str:
+    """DuckDB oracle for :func:`tfidf_cosine_pairs` — same trigram
+    terms, same integer idf floor arithmetic, same rare-term blocking."""
+    return f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+             FROM documents),
+    tri AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS term
+            FROM toks, unnest(generate_series(1, len(ts) - 2)) AS g(i)),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tri GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * ((1000 * (n.n + 1)) // (df.df + 1)) AS w
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+    nrm AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY 1),
+    rare AS (SELECT term FROM df WHERE df BETWEEN 2 AND {df_cap}),
+    cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             FROM tf a JOIN tf b ON a.term = b.term
+                                AND a.doc_id < b.doc_id
+             JOIN rare r ON r.term = a.term),
+    dots AS (SELECT c.da, c.db, SUM(wa.w * wb.w) AS dot
+             FROM cand c
+             JOIN w wa ON wa.doc_id = c.da
+             JOIN w wb ON wb.doc_id = c.db AND wb.term = wa.term
+             GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           dot / (SQRT(na.n2) * SQRT(nb.n2)) AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = da
+    JOIN nrm nb ON nb.doc_id = db
+    WHERE dot / (SQRT(na.n2) * SQRT(nb.n2)) >= {threshold}
+    """

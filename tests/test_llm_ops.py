@@ -2030,3 +2030,36 @@ def test_hybrid_rrf_fusion_math_and_sources(spark):
     assert got[2].rrf_micro == 1_000_000 // 61
     assert got[3].sem_rank == 2
     assert got[3].rrf_micro == 1_000_000 // 62
+
+
+def test_tfidf_cosine_pairs_weights_rare_phrases(spark):
+    """Weighted-lexical dedup: two docs sharing a RARE phrase repeatedly
+    score far above two docs sharing only corpus-common boilerplate —
+    the separation set-overlap measures can't make; and the blocking
+    cap drops candidates whose only shared terms are common."""
+    from killrweather_spark.functions.dedup import tfidf_cosine_pairs
+
+    common = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(0, common + " zephyr quantum flux zephyr quantum flux"),
+         (1, common + " zephyr quantum flux zephyr quantum flux extra"),
+         (2, common + " completely different rare tail here"),
+         (3, common + " another unrelated rare ending phrase")]
+        + [(10 + i, common) for i in range(25)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(docs, threshold=0.0, df_cap=20).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] > 0.8
+    # docs 2,3 share only the common prefix: the common trigrams'
+    # df (29) exceeds the cap, so they are never even candidates
+    assert (2, 3) not in got
+    # thresholding keeps the near-dup pair only
+    kept = {
+        (r.doc_a, r.doc_b)
+        for r in tfidf_cosine_pairs(docs, threshold=0.3).collect()
+    }
+    assert (0, 1) in kept
+    assert all(a == 0 and b == 1 for a, b in kept) or len(kept) <= 3
