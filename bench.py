@@ -146,6 +146,8 @@ HEADLINE = [
     "hybrid_rrf_search",                # BM25 + cosine rank fusion
     "streaming_tws_daily_counts",       # transformWithState MapState form
     "streaming_tws_distinct_types",     # transformWithState ListState form
+    "ann_ivfpq_recall",                 # combined IVF x PQ recall measure
+    "tfidf_cosine_pairs",               # weighted-lexical near-dup pairs
 ]
 
 

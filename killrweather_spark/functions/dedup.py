@@ -592,6 +592,7 @@ def tfidf_cosine_pairs(
     docs: DataFrame,
     threshold: float = 0.3,
     df_cap: int = TFIDF_DF_CAP,
+    min_shared: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -654,10 +655,12 @@ def tfidf_cosine_pairs(
         posting.alias("a")
         .join(posting.alias("b"), "term")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+        .select("da", "db")
     )
     wa = w.select(
         F.col("doc_id").alias("da"), "term", F.col("w").alias("wa")
@@ -690,7 +693,9 @@ def tfidf_cosine_pairs(
 
 
 def tfidf_cosine_pairs_sql(
-    threshold: float = 0.3, df_cap: int = TFIDF_DF_CAP
+    threshold: float = 0.3,
+    df_cap: int = TFIDF_DF_CAP,
+    min_shared: int = 2,
 ) -> str:
     """DuckDB oracle for :func:`tfidf_cosine_pairs` — same trigram
     terms, same integer idf floor arithmetic, same rare-term blocking."""
@@ -708,10 +713,11 @@ def tfidf_cosine_pairs_sql(
           FROM tf JOIN df USING (term) CROSS JOIN n),
     nrm AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY 1),
     rare AS (SELECT term FROM df WHERE df BETWEEN 2 AND {df_cap}),
-    cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    cand AS (SELECT a.doc_id AS da, b.doc_id AS db
              FROM tf a JOIN tf b ON a.term = b.term
                                 AND a.doc_id < b.doc_id
-             JOIN rare r ON r.term = a.term),
+             JOIN rare r ON r.term = a.term
+             GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}),
     dots AS (SELECT c.da, c.db, SUM(wa.w * wb.w) AS dot
              FROM cand c
              JOIN w wa ON wa.doc_id = c.da
