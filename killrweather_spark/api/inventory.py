@@ -10822,14 +10822,14 @@ DRIVER_WINDOW = [
     "star_join_revenue",           # §2.3 joins
     "monthly_temperature",         # §2.11 request API
     # r08 promotions retained for a second round (one per family;
-    # activity_islands/set_ops_all ceded their second round to the two
-    # late-r9 flagships below — both families stay oracle-covered)
+    # activity_islands/set_ops_all/heavy_hitters_cms ceded their second
+    # round to the three late-r9 flagships below — all three families
+    # stay oracle-covered)
     "unigram_lm_vocab",            # tokenizer family
     "image_ring_verified",         # image dedup family
     "lang_filtered_corpus",        # language gate family
     "streaming_image_screen",      # streaming screens
     "cheapest_supplier_per_part",  # TPC-H batch-2 shapes
-    "heavy_hitters_cms",           # sketches
     "pagerank_copurchase",         # graph
     # ------------------------------------------------------------------
     # first-timers: r09 flagships
@@ -10842,6 +10842,7 @@ DRIVER_WINDOW = [
     "streaming_tws_daily_counts",  # transformWithState MapState form
     "streaming_tws_distinct_types", # transformWithState ListState form
     "ann_ivfpq",                   # IVFADC: IVF pruning x PQ-ADC scoring
+    "tfidf_cosine_pairs",          # weighted-lexical near-dup pairs
     # first-timers: r08 operators never windowed
     "streaming_tws_totals",        # transformWithState ValueState form
     "streaming_lang_screen",       # streamed language gate
