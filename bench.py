@@ -157,6 +157,39 @@ HEADLINE = [
 REGRESSION_RATIO = 1.5
 REGRESSION_FLOOR_SEC = 0.25
 
+# Sane band for the fleet-median environment shift.  Outside it, the
+# normalization must NOT be trusted silently: a genuine uniform
+# regression (a global code/config change slowing every query ~1.3×)
+# is exactly what a big median shift looks like from inside the
+# workload.  The band bound plus the engine-free probe below turn that
+# blind spot into a loud flag instead of a silent pass.
+ENV_DRIFT_BAND = (0.75, 1.35)
+# env_drift_ratio and the probe's own round-over-round ratio must agree
+# within this tolerance for the shift to be attested as "environment".
+DRIFT_ATTEST_TOL = 0.10
+
+
+def _cpu_probe() -> float:
+    """Engine-free host-speed probe: SHA-256 over 256 MiB of fixed
+    bytes — no Spark, no JVM, no I/O, no dependence on the workload
+    being gated.  Its round-over-round ratio ATTESTS env_drift_ratio:
+    a fleet-median shift is "environment drift" only if an independent
+    workload moved the same way.  A fleet that slowed while the probe
+    did not is the uniform-true-regression signature the median
+    normalization would otherwise absorb."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = b""
+        for _ in range(256):
+            d = hashlib.sha256(d + buf).digest()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
 
 def _interleaved(names: list[str]) -> list[str]:
     """Alternate the older half of the headline set with the newer half.
@@ -185,7 +218,7 @@ def _round_num(p: Path) -> int:
     return int(m.group(1)) if m else -1
 
 
-def _prior_bench(sf: float) -> tuple[str, dict[str, float]] | None:
+def _prior_bench(sf: float) -> tuple[str, dict[str, float], float | None] | None:
     """Most recent prior timings at the SAME scale factor (cross-SF
     timings are not comparable).  The repo-root ``bench_out.json`` — the
     artifact the PREVIOUS round committed — is preferred: the driver's
@@ -204,7 +237,7 @@ def _prior_bench(sf: float) -> tuple[str, dict[str, float]] | None:
         except (json.JSONDecodeError, AttributeError, OSError):
             continue
         if q and parsed.get("sf") == sf:
-            return p.name, q
+            return p.name, q, parsed.get("cpu_probe_sec")
     return None
 
 
@@ -271,6 +304,8 @@ def main() -> None:
     from killrweather_spark.api.inventory import REGISTRY
     from killrweather_spark.session import get_session
 
+    probe_start = _cpu_probe()
+
     spark = get_session(app_name="killrweather_spark_bench")
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -325,11 +360,16 @@ def main() -> None:
     drift: dict[str, dict] = {}
     regressions: dict[str, dict] = {}
     isolated: dict[str, float | None] = {k: None for k in timings}
+    probe_end = _cpu_probe()
+    # min of the two legs = the host's least-contended speed this session
+    cpu_probe_sec = round(min(probe_start, probe_end), 4)
+
     prior_name = None
     env_drift_ratio = 1.0
+    drift_attestation: dict | None = None
     prior = _prior_bench(sf)
     if prior is not None:
-        prior_name, prior_q = prior
+        prior_name, prior_q, prior_probe = prior
         # ENVIRONMENT NORMALIZATION: the shared-subset MEDIAN now/prior
         # ratio.  Rounds run on a shared host whose effective speed
         # moves between sessions (r9 measured a uniform 1.28× shift
@@ -346,6 +386,44 @@ def main() -> None:
         )
         if len(shared_ratios) >= 10:
             env_drift_ratio = shared_ratios[len(shared_ratios) // 2]
+        # ATTEST the shift with the engine-free probe: "environment
+        # drift" is only believable if an independent workload moved
+        # the same way.  Disagreement is the uniform-true-regression
+        # signature — flag it loudly; never normalize it away.
+        if prior_probe and len(shared_ratios) >= 10:
+            probe_ratio = cpu_probe_sec / prior_probe
+            agree = abs(env_drift_ratio / probe_ratio - 1) <= DRIFT_ATTEST_TOL
+            drift_attestation = {
+                "probe_ratio": round(probe_ratio, 4),
+                "fleet_median_ratio": round(env_drift_ratio, 4),
+                "verdict": "agree" if agree else "DISAGREE",
+            }
+            if not agree:
+                print(
+                    "bench DRIFT ATTESTATION FAILED: fleet-median shift "
+                    f"{env_drift_ratio:.3f}x vs engine-free CPU probe "
+                    f"{probe_ratio:.3f}x (>{DRIFT_ATTEST_TOL:.0%} apart). "
+                    "The workload-wide shift is NOT explained by host "
+                    "speed — treat as a possible fleet-wide TRUE "
+                    "regression and adjudicate by hand.",
+                    file=sys.stderr,
+                )
+        if not (ENV_DRIFT_BAND[0] <= env_drift_ratio <= ENV_DRIFT_BAND[1]):
+            print(
+                f"bench ENV DRIFT OUT OF BAND: ratio {env_drift_ratio:.3f} "
+                f"outside {ENV_DRIFT_BAND} — refusing to normalize; "
+                "comparing against RAW prior numbers so a fleet-wide "
+                "slowdown surfaces as regressions instead of being "
+                "absorbed.",
+                file=sys.stderr,
+            )
+            env_drift_out_of_band = round(env_drift_ratio, 4)
+            drift_attestation = dict(
+                drift_attestation or {},
+                out_of_band=env_drift_out_of_band,
+                verdict="OUT_OF_BAND",
+            )
+            env_drift_ratio = 1.0
         for k, now in timings.items():
             then = prior_q.get(k)
             norm_then = then * env_drift_ratio if then is not None else None
@@ -398,6 +476,8 @@ def main() -> None:
         "sf": sf,
         "vs_prior": prior_name,
         "env_drift_ratio": round(env_drift_ratio, 4),
+        "cpu_probe_sec": cpu_probe_sec,
+        "drift_attestation": drift_attestation,
         "isolated": isolated,
         "drift": drift,
         "regressions": regressions,

@@ -10652,8 +10652,9 @@ def _wire_pq() -> None:
         "pq_codebooks",
         pq_codebooks_sql(_EMB_COMP_NRM_SQL),
         survey_ref="beyond-ref similarity family: product-quantization "
-        "codebook training (pq.py:pq_codebooks) — 4 contiguous "
-        "subspaces x 8-code k-means each, deterministic integer Lloyd "
+        "codebook training (pq.py:pq_codebooks) — PQ_M=16 contiguous "
+        "subspaces x PQ_KS=16-code k-means each, deterministic integer "
+        "Lloyd "
         "(vec_id % ks init, floor-mean M-step, squared-L2 argmin "
         "E-step, ties smallest code).  The output is dim*ks rows "
         "regardless of corpus size — the broadcast artifact of the "

@@ -411,7 +411,14 @@ def connected_components(
             # round (the O(n)-rounds failure mode).  Labels only
             # decrease under composition, so correctness is unchanged —
             # a label is always a node known-connected to its owner.
-            for jump in range(1, 64):
+            # Chain depth is bounded by n_nodes, so ⌈log₂ n_nodes⌉ jumps
+            # always suffice; the convergence probe (a __moved flag
+            # computed IN the jump pass, then a limit-1 scan of the
+            # just-written state file) exits the common 0-1-jump case
+            # without the join+full-count job a diff of two label maps
+            # would cost.
+            max_jumps = max(1, (max(n_nodes, 2) - 1).bit_length())
+            for jump in range(1, max_jumps + 1):
                 nxt = _trunc(
                     relabel.alias("r1")
                     .join(
@@ -422,17 +429,16 @@ def connected_components(
                     .select(
                         F.col("r1.a").alias("a"),
                         F.coalesce(F.col("r2.l"), F.col("r1.l")).alias("l"),
+                        (
+                            F.col("r2.l").isNotNull()
+                            & (F.col("r2.l") != F.col("r1.l"))
+                        ).alias("__moved"),
                     ),
                     f"r{rnd}_{jump}",
                     approx_rows=2 * n_edges,
                 )
-                moved = (
-                    nxt.alias("n")
-                    .join(relabel.alias("o"), "a")
-                    .filter(F.col("n.l") != F.col("o.l"))
-                    .count()
-                )
-                relabel = nxt
+                moved = nxt.filter("__moved").limit(1).count()
+                relabel = nxt.select("a", "l")
                 if moved == 0:
                     break
             comp = _trunc(

@@ -619,11 +619,16 @@ def tfidf_cosine_pairs(
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
     )
-    tri = toks.select(
+    # Docs with <3 tokens produce NO trigrams.  sequence(0, -1) is the
+    # trap: Spark yields [0, -1] (a DESCENDING two-step sequence), so the
+    # unguarded transform indexes ts[-1]/ts[2] out of bounds — an
+    # INVALID_ARRAY_INDEX abort under ANSI mode, bogus short-gram terms
+    # (never produced by the oracle's empty generate_series) without it.
+    tri = toks.filter(F.size("ts") >= 3).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, greatest(size(ts) - 3, -1)), "
+                "transform(sequence(0, size(ts) - 3), "
                 "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
             )
         ).alias("term"),

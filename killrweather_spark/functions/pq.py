@@ -6,9 +6,9 @@ coarse-quantization (``similarity.py``) and the trained IVF index
 Nearest Neighbor Search"] splits the embedding into :data:`PQ_M`
 contiguous subspaces, trains an independent :data:`PQ_KS`-code k-means
 codebook per subspace, and stores each vector as M small code ids — at
-production dims (1024-d float32 → 8 uint8 codes) a 512× memory
-compression, which is why a 100 TB embedding corpus fits a PQ code table
-in cluster RAM.
+production dims (1024-d float32 → M=16 4-bit codes, 8 bytes/vector) a
+512× memory compression, which is why a 100 TB embedding corpus fits a
+PQ code table in cluster RAM.
 
 Search is ADC (asymmetric distance computation): the query stays
 unquantized; per query a LookUp Table of partial dot products against

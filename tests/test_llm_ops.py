@@ -2044,7 +2044,13 @@ def test_tfidf_cosine_pairs_weights_rare_phrases(spark):
         [(0, common + " zephyr quantum flux zephyr quantum flux"),
          (1, common + " zephyr quantum flux zephyr quantum flux extra"),
          (2, common + " completely different rare tail here"),
-         (3, common + " another unrelated rare ending phrase")]
+         (3, common + " another unrelated rare ending phrase"),
+         # <3-token docs: must yield ZERO trigrams (sequence(0, -1)
+         # is descending in Spark — unguarded it indexes out of
+         # bounds / emits short-gram terms the oracle never produces)
+         (4, "tiny doc"),
+         (5, "solo"),
+         (6, "")]
         + [(10 + i, common) for i in range(25)],
         "doc_id bigint, text string",
     )
@@ -2053,6 +2059,8 @@ def test_tfidf_cosine_pairs_weights_rare_phrases(spark):
         for r in tfidf_cosine_pairs(docs, threshold=0.0, df_cap=20).collect()
     }
     assert (0, 1) in got and got[(0, 1)] > 0.8
+    # short docs contribute no terms, hence never pair (and never abort)
+    assert not any(a in (4, 5, 6) or b in (4, 5, 6) for a, b in got)
     # docs 2,3 share only the common prefix: the common trigrams'
     # df (29) exceeds the cap, so they are never even candidates
     assert (2, 3) not in got
