@@ -10775,6 +10775,32 @@ def _wire_tfidf_pairs() -> None:
 _wire_tfidf_pairs()
 
 
+def _wire_exact_substring() -> None:
+    from killrweather_spark.functions.dedup import exact_substring_pairs_sql
+
+    @register(
+        "exact_substring_pairs",
+        exact_substring_pairs_sql(),
+        survey_ref="beyond-ref dedup family: suffix-array exact-substring "
+        "dedup (dedup.py:exact_substring_pairs; Lee et al. 2022) — "
+        "maximal exact shared token runs >= min_len across doc pairs, "
+        "re-expressed relationally: md5 k-gram anchors (df in [2, 20], "
+        "the bucketed-candidates cap), anchor self-join, then "
+        "gaps-and-islands over (pair, offset-delta) recovers maximal "
+        "runs in ONE window shuffle — no binary-doubling rounds.  The "
+        "last missing overlap modality next to set (MinHash), bit "
+        "(SimHash), passage (CCNet rewrite), fingerprint (winnowing) "
+        "and weighted-lexical (TF-IDF)",
+    )
+    def q_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.dedup import exact_substring_pairs
+
+        return exact_substring_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_wire_exact_substring()
+
+
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------

@@ -735,3 +735,149 @@ def tfidf_cosine_pairs_sql(
     JOIN nrm nb ON nb.doc_id = db
     WHERE dot / (SQRT(na.n2) * SQRT(nb.n2)) >= {threshold}
     """
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (suffix-array modality, Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+# Seed anchor width in tokens: two docs are candidates only where they
+# share an exact SUBSTRING_K-token run.  Anchors commoner than
+# SUBSTRING_DF_CAP docs carry no dedup signal (boilerplate) and would
+# quadratically blow the anchor self-join, so they are dropped BEFORE
+# pairing — the same bucketed-candidates contract as GRAM_DF_CAP.
+SUBSTRING_K = 6
+SUBSTRING_DF_CAP = 20
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    k: int = SUBSTRING_K,
+    min_len: int = 10,
+    df_cap: int = SUBSTRING_DF_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal exact shared token substrings of >= ``min_len`` tokens
+    across document pairs — the suffix-array dedup modality of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), completing the family next to set overlap (MinHash), bit
+    similarity (SimHash), passage rewrite (CCNet), fingerprints
+    (winnowing) and weighted-lexical cosine (TF-IDF).
+
+    The suffix-array build is re-expressed relationally so it is both
+    distributed and oracle-replayable: every ``k``-token window becomes
+    a positioned anchor ``(doc_id, pos, md5(k-gram))``; anchors shared
+    by 2..``df_cap`` docs self-join into ``(doc_a, doc_b, pa, pb)``
+    matches; within a pair, matches at the SAME offset delta
+    ``pb - pa`` whose ``pa`` positions are consecutive form one shared
+    run (gaps-and-islands: ``pa - row_number()`` is constant inside a
+    run), and a run of ``m`` consecutive anchors is an exact shared
+    substring of ``m + k - 1`` tokens.  No binary doubling pass is
+    needed — the window function recovers maximal runs in one shuffle.
+
+    Scale shape: the only quadratic step is per-anchor-digest and capped
+    at ``df_cap``² (boilerplate anchors never pair); the islands window
+    partitions by (pair, delta) — run-sized partitions, no skew; digests
+    are fixed-width md5 so anchor rows stay narrow regardless of k.
+    Returns one row per maximal run: (doc_a, doc_b, start_a, start_b,
+    match_tokens), positions 1-based in token space.
+    """
+    from killrweather_spark.functions.text import tokens
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
+    )
+    # sequence(1, size-k+1) is descending for short docs (the
+    # sequence(1, 0) trap): filter size >= k first, which also matches
+    # DuckDB's empty generate_series exactly.
+    kg = (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {k} + 1), "
+                    f"i -> md5(concat_ws(' ', slice(ts, i, {k}))))"
+                )
+            ).alias("pos0", "dig"),
+        )
+        .select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), "dig"
+        )
+        .transform(persist_once)
+    )
+    keep = (
+        kg.groupBy("dig")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= df_cap))
+        .select("dig")
+    )
+    a = kg.join(keep, "dig")
+    anch = (
+        a.alias("x")
+        .join(a.alias("y"), "dig")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            F.col("x.pos").alias("pa"),
+            F.col("y.pos").alias("pb"),
+            (F.col("y.pos") - F.col("x.pos")).alias("delta"),
+        )
+    )
+    w = Window.partitionBy("da", "db", "delta").orderBy("pa")
+    runs = anch.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("da", "db", "delta", "grp")
+        .agg(
+            F.min("pa").cast("bigint").alias("start_a"),
+            F.min("pb").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + k - 1).cast("bigint").alias("match_tokens"),
+        )
+        .filter(F.col("match_tokens") >= min_len)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "start_a",
+            "start_b",
+            "match_tokens",
+        )
+    )
+
+
+def exact_substring_pairs_sql(
+    k: int = SUBSTRING_K,
+    min_len: int = 10,
+    df_cap: int = SUBSTRING_DF_CAP,
+) -> str:
+    """DuckDB oracle for :func:`exact_substring_pairs` — same md5
+    anchors, same df cap, same gaps-and-islands run recovery."""
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                  FROM documents),
+    kg AS (SELECT doc_id, i AS pos,
+                  md5(list_aggregate(ts[i:i+{k}-1], 'string_agg', ' ')) AS dig
+           FROM toks, unnest(generate_series(1, len(ts) - {k} + 1)) AS g(i)
+           WHERE len(ts) >= {k}),
+    keep AS (SELECT dig FROM kg
+             GROUP BY dig
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {df_cap}),
+    a AS (SELECT kg.* FROM kg JOIN keep USING (dig)),
+    anch AS (SELECT x.doc_id AS da, y.doc_id AS db,
+                    x.pos AS pa, y.pos AS pb, y.pos - x.pos AS delta
+             FROM a x JOIN a y ON x.dig = y.dig AND x.doc_id < y.doc_id),
+    runs AS (SELECT da, db, delta, pa, pb,
+                    pa - ROW_NUMBER() OVER (
+                        PARTITION BY da, db, delta ORDER BY pa) AS grp
+             FROM anch),
+    agg AS (SELECT da, db,
+                   CAST(MIN(pa) AS BIGINT) AS start_a,
+                   CAST(MIN(pb) AS BIGINT) AS start_b,
+                   CAST(COUNT(*) + {k} - 1 AS BIGINT) AS match_tokens
+            FROM runs GROUP BY da, db, delta, grp)
+    SELECT da AS doc_a, db AS doc_b, start_a, start_b, match_tokens
+    FROM agg WHERE match_tokens >= {min_len}
+    """

@@ -2071,3 +2071,35 @@ def test_tfidf_cosine_pairs_weights_rare_phrases(spark):
     }
     assert (0, 1) in kept
     assert all(a == 0 and b == 1 for a, b in kept) or len(kept) <= 3
+
+
+def test_exact_substring_pairs_recovers_maximal_runs(spark):
+    """Suffix-array modality semantics: a shared 12-token run is
+    reported ONCE as one maximal island (not per-anchor), boilerplate
+    anchors above the df cap never pair, and short overlaps below
+    min_len are dropped."""
+    from killrweather_spark.functions.dedup import exact_substring_pairs
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(0, "preamble one two " + run + " tail zero"),
+         (1, "different start " + run + " other ending words"),
+         # short overlap: exactly k=6 shared tokens < min_len=10
+         (2, "x1 x2 alpha bravo charlie delta echo foxtrot y1 y2 y3 y4"),
+         # boilerplate pair: shared text but via anchors with df > cap
+         (3, boiler + " unique3 only3"),
+         (4, boiler + " unique4 only4")]
+        + [(10 + i, boiler + f" filler{i} pad{i}") for i in range(25)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.start_a, r.start_b, r.match_tokens)
+        for r in exact_substring_pairs(docs, k=6, min_len=10).collect()
+    }
+    # one maximal island: 12 shared tokens, doc0 pos 4 (1-based), doc1 pos 3
+    assert got[(0, 1)] == (4, 3, 12)
+    # doc2 shares only a 6-token run with docs 0/1 — below min_len
+    assert not any(2 in p for p in got)
+    # boilerplate anchors exceed the df cap (27 docs share them): no pairs
+    assert not any(a >= 3 and b >= 3 for a, b in got)
