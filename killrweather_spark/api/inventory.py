@@ -9844,6 +9844,76 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(stage)
 
 
+_EMB_STAGE_DIRS: dict[str, str] = {}
+
+
+def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table as a bounded *stream* (parquet file source) —
+    the deterministic stand-in for a vector-ingest topic, mirroring
+    ``_documents_stream``."""
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = _EMB_STAGE_DIRS.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="stream_embeddings_")
+        os.symlink(path, os.path.join(stage, "embeddings.parquet"))
+        _EMB_STAGE_DIRS[sf_dir] = stage
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def _wire_streaming_semantic_screen() -> None:
+    from killrweather_spark.functions.pq import (
+        streaming_semantic_screen_sql,
+    )
+
+    @register(
+        "streaming_semantic_screen",
+        streaming_semantic_screen_sql(_EMB_COMP_NRM_SQL),
+        survey_ref="§2.9 ext: incremental EMBEDDING ingestion as a "
+        "stream (pq.py:streaming_semantic_screen) — the dense-vector "
+        "mirror of streaming_passage_screen/streaming_image_screen, "
+        "closing the screen family over the similarity modality.  "
+        "Arriving vectors probe the PERSISTED IVFADC index with every "
+        "pre-rollup step stateless (the streaming constraint): cell "
+        "assignment is an expression over the collected broadcast "
+        "centroids, candidates come from a stream-static join on the "
+        "cell-partitioned compressed pqcodes (pre-packed per vector), "
+        "ADC scoring is a zip_with fold against the literal codebook "
+        "LUT, then ONE stateful per-arrival rollup.  Integer arithmetic "
+        "end-to-end, so batch replay is bit-identical and the batch SQL "
+        "(IVF+PQ training replayed relationally) is the oracle",
+    )
+    def q_streaming_semantic_screen(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from killrweather_spark.functions.ann_index import ensure_ivf_index
+        from killrweather_spark.functions.pq import (
+            streaming_semantic_screen,
+        )
+        from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ensure_ivf_index(
+            emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2
+        )
+        screened = streaming_semantic_screen(
+            spark, idx, _embeddings_stream(spark, sf_dir)
+        )
+        name = f"stream_semantic_screen_{uuid.uuid4().hex[:8]}"
+        return run_stream_to_batch(
+            screened, tempfile.mkdtemp(), name, "complete"
+        )
+
+
+_wire_streaming_semantic_screen()
+
+
 def _wire_streaming_lm() -> None:
     from killrweather_spark.functions.lm import bigram_lm_scores_sql
 

@@ -816,3 +816,263 @@ def ann_pq_recall_sql(
                    AND g.neighbor_id = t.neighbor_id
     """
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming semantic screen over the persisted IVFADC index
+# --------------------------------------------------------------------------
+
+# Build-time collect guard: the model tables pulled to the driver at
+# query-build time (centroids: n_centroids·dim rows; pqcents: dim·ks
+# rows) are broadcast-sized BY CONSTRUCTION — this cap turns a
+# mis-built index into a loud error instead of a driver OOM.
+SCREEN_MODEL_MAX_ROWS = 100_000
+
+
+def streaming_semantic_screen(
+    spark,
+    index_dir: str,
+    stream_vecs: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental EMBEDDING ingestion as a STREAM — the dense-vector
+    mirror of ``curation.py:streaming_passage_screen`` /
+    ``multimodal.py:streaming_image_screen``, closing the screen family
+    over the similarity modality: arriving vectors probe the persisted
+    IVFADC index (:func:`killrweather_spark.functions.ann_index.
+    build_ivf_index`) and roll up, per arrival, how many indexed
+    same-cell vectors already look semantically equivalent
+    (``n_known`` at PQ-approximate cosine ≥ ``threshold`` — the
+    dedup-drop signal ``ann_ivfpq`` refines in batch).
+
+    The streaming constraint shapes the plan: Structured Streaming
+    allows ONE stateful aggregation, so everything before the final
+    per-arrival rollup must be stateless.  That is exactly what the
+    IVFADC artifacts enable —
+
+    - **cell assignment** is a pure EXPRESSION: the trained centroids
+      (n_centroids·dim rows, the broadcast artifact) are collected at
+      query-build time into a literal array, and the arrival's probe
+      cell is ``array_min`` over per-cell integer squared-L2 structs
+      (ties to the smallest cell, same rule as training);
+    - **candidate fetch** is a stream-static equi-join on that cell
+      against the index's COMPRESSED ``pqcodes`` table, pre-packed in
+      batch to one (cell, cand_id, codes[M], norm2) row per vector —
+      the stream never touches raw corpus vectors;
+    - **ADC scoring** is a pure expression too: the PQ codebooks
+      (dim·ks rows) become a literal per-subspace code→subvector map,
+      and the approximate dot is a ``zip_with`` fold of the candidate's
+      M codes against the arrival's quantized components — integer
+      arithmetic end-to-end, so batch replay of the same arrivals is
+      bit-identical and the batch SQL is the oracle.
+
+    Scale: per-arrival work is |cell| candidate rows × one dim-length
+    fold; the static side is the persisted compressed index (~512×
+    smaller than the vectors at production dims), partitioned by cell;
+    state is one row per arrival in the rollup.  Returns
+    (vec_id, cell, n_candidates, n_known, best_adot).
+    """
+    import os
+
+    cents_rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    )
+    pqc_rows = (
+        spark.read.parquet(os.path.join(index_dir, "pqcents")).collect()
+    )
+    if max(len(cents_rows), len(pqc_rows)) > SCREEN_MODEL_MAX_ROWS:
+        raise ValueError(
+            f"index model tables too large to inline "
+            f"(centroids={len(cents_rows)}, pqcents={len(pqc_rows)} rows"
+            f" > {SCREEN_MODEL_MAX_ROWS}): not a broadcast-shaped index"
+        )
+
+    by_cell: dict[int, dict[int, int]] = {}
+    for r in cents_rows:
+        by_cell.setdefault(int(r.cell), {})[int(r.pos)] = int(r.c)
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(
+                    *[F.lit(d[p]).cast("bigint") for p in sorted(d)]
+                ).alias("cv"),
+            )
+            for cell, d in sorted(by_cell.items())
+        ]
+    )
+    # pq_lit: per subspace (dense 0..M-1), a MAP code -> [(pos, c)...]
+    # (maps, not positional arrays: a codebook can lose codes to empty
+    # clusters during training, so code ids are NOT guaranteed dense)
+    by_sub: dict[int, dict[int, list[tuple[int, int]]]] = {}
+    for r in pqc_rows:
+        by_sub.setdefault(int(r.sub), {}).setdefault(int(r.code), []).append(
+            (int(r.pos), int(r.c))
+        )
+    sub_maps = []
+    for sub in sorted(by_sub):
+        kv = []
+        for code, pcs in sorted(by_sub[sub].items()):
+            kv.append(F.lit(code).cast("bigint"))
+            kv.append(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("pos"),
+                            F.lit(c).cast("bigint").alias("c"),
+                        )
+                        for p, c in sorted(pcs)
+                    ]
+                )
+            )
+        sub_maps.append(F.create_map(*kv))
+    pq_lit = F.array(*sub_maps)
+
+    zero = F.lit(0).cast("bigint")
+    codes_tbl = spark.read.parquet(os.path.join(index_dir, "pqcodes"))
+    norms_tbl = spark.read.parquet(os.path.join(index_dir, "norms"))
+    packed = (
+        codes_tbl.groupBy("cell", "vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda x: x["code"].cast("bigint"),
+            ).alias("codes")
+        )
+        # inner join: zero-norm vectors have no defined cosine and are
+        # not candidates (mirrors cosine_norms / the oracle's nrm CTE)
+        .join(norms_tbl.select("vec_id", "norm2"), "vec_id")
+        .select(
+            F.col("cell").alias("cand_cell"),
+            F.col("vec_id").alias("cand_id"),
+            "codes",
+            F.col("norm2").alias("cand_norm2"),
+        )
+        .transform(persist_once)
+    )
+
+    q_expr = F.expr(
+        f"transform({vec_col}, x ->"
+        " cast(round(cast(x as double) * 1000000) as bigint))"
+    )
+    arr = stream_vecs.select(
+        F.col(id_col).alias("vec_id"), q_expr.alias("q")
+    ).withColumn(
+        "qnorm2",
+        F.aggregate(F.col("q"), zero, lambda s, x: s + x * x),
+    ).filter(F.col("qnorm2") > 0).withColumn(
+        "cell",
+        F.array_min(
+            F.transform(
+                cent_lit,
+                lambda ct: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q"), ct["cv"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        zero,
+                        lambda s, x: s + x,
+                    ).alias("d2"),
+                    ct["cell"].alias("cell"),
+                ),
+            )
+        )["cell"].cast("bigint"),
+    )
+    probed = arr.join(
+        packed,
+        (arr["cell"] == packed["cand_cell"])
+        & (arr["vec_id"] != packed["cand_id"]),
+        "left",
+    )
+    adot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            pq_lit,
+            lambda cd, subm: F.aggregate(
+                F.element_at(subm, cd),
+                zero,
+                lambda s, pc: s + F.element_at(F.col("q"), pc["pos"]) * pc["c"],
+            ),
+        ),
+        zero,
+        lambda s, x: s + x,
+    )
+    scored = probed.withColumn("adot", adot).withColumn(
+        "known",
+        F.when(
+            F.col("adot")
+            / (F.sqrt(F.col("cand_norm2")) * F.sqrt(F.col("qnorm2")))
+            >= threshold,
+            1,
+        ).otherwise(0),
+    )
+    return scored.groupBy("vec_id", "cell").agg(
+        F.count("cand_id").cast("bigint").alias("n_candidates"),
+        F.sum("known").cast("bigint").alias("n_known"),
+        F.max("adot").cast("bigint").alias("best_adot"),
+    )
+
+
+def streaming_semantic_screen_sql(
+    comp_nrm_sql: str,
+    threshold: float = 0.25,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+) -> str:
+    """DuckDB oracle for :func:`streaming_semantic_screen` — IVF + PQ
+    training replayed relationally (the arrivals ARE the indexed
+    corpus), every arrival assigned its single nearest trained cell,
+    same-cell candidates ADC-scored through the replayed codebooks,
+    per-arrival rollup."""
+    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
+
+    parts = ivf_trained_parts_sql(
+        n_centroids, ivf_iters, n_probe=0, query_pred="TRUE",
+        probe_tail=False,
+    )
+    parts += pq_parts_sql(iters, ks, m)
+    parts += [
+        "acell AS MATERIALIZED (SELECT query_id, cell FROM qd\n"
+        "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY d2, cell) = 1)",
+        f"plut AS MATERIALIZED (\n"
+        "      SELECT sc.vec_id AS query_id, ct.sub, ct.code,\n"
+        "             CAST(SUM(sc.q * ct.c) AS BIGINT) AS pdot\n"
+        f"      FROM scomp sc JOIN pcent{iters} ct\n"
+        "        ON ct.sub = sc.sub AND ct.pos = sc.pos GROUP BY 1, 2, 3)",
+        f"scand AS (SELECT a.query_id, a.cell, l.vec_id AS cand_id\n"
+        f"      FROM acell a JOIN l{ivf_iters} l ON l.cell = a.cell\n"
+        "        AND l.vec_id != a.query_id\n"
+        "      JOIN nrm cn ON cn.vec_id = l.vec_id)",
+        f"adots AS (SELECT c.query_id, c.cell, c.cand_id,\n"
+        "             CAST(SUM(l.pdot) AS BIGINT) AS adot\n"
+        f"      FROM scand c JOIN pl{iters} cd ON cd.vec_id = c.cand_id\n"
+        "      JOIN plut l ON l.query_id = c.query_id\n"
+        "        AND l.sub = cd.sub AND l.code = cd.code GROUP BY 1, 2, 3)",
+        "sscored AS (SELECT a.query_id, a.cell, a.cand_id, a.adot,\n"
+        "             CASE WHEN a.adot / (SQRT(qn.norm2) * SQRT(cn.norm2))"
+        f" >= {threshold} THEN 1 ELSE 0 END AS k\n"
+        "      FROM adots a JOIN nrm qn ON qn.vec_id = a.query_id\n"
+        "      JOIN nrm cn ON cn.vec_id = a.cand_id)",
+    ]
+    return (
+        "WITH "
+        + comp_nrm_sql
+        + ",\n    "
+        + ",\n    ".join(parts)
+        + """
+    SELECT a.query_id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+           CAST(COUNT(s.cand_id) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(s.k), 0) AS BIGINT) AS n_known,
+           CAST(MAX(s.adot) AS BIGINT) AS best_adot
+    FROM acell a
+    JOIN nrm qn ON qn.vec_id = a.query_id
+    LEFT JOIN sscored s ON s.query_id = a.query_id
+    GROUP BY 1, 2
+    """
+    )

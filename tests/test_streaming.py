@@ -1147,3 +1147,60 @@ def test_transform_with_state_eventtime_session_close(spark, tmp_path):
     assert (0, 3, 300) in live and (1, 3, 303) in live
     assert (9, 2, 1200) in live
     assert set(closed) <= {0, 1, 9}
+
+
+def test_streaming_semantic_screen_matches_batch_across_microbatches(
+    spark, tmp_path
+):
+    """The dense-vector screen is batch-equivalent over multiple
+    triggers: the IVFADC index is built once, the stream drains 3
+    parquet files one per trigger (cell assignment + ADC scoring run
+    as expressions inside each micro-batch), and the per-arrival rows
+    match the batch graph bit-for-bit.  Four well-separated clusters of
+    3 near-identical vectors each: every arrival should find its 2
+    cluster-mates known."""
+    from killrweather_spark.functions.ann_index import build_ivf_index
+    from killrweather_spark.functions.pq import streaming_semantic_screen
+    from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+    base = {
+        0: [1.0, 0.9] + [0.01] * 14,
+        1: [0.01] * 4 + [1.0, 0.8] + [0.01] * 10,
+        2: [0.01] * 8 + [0.9, 1.0] + [0.01] * 6,
+        3: [0.01] * 12 + [0.8, 1.0] + [0.01] * 2,
+    }
+    rows = [
+        (g * 3 + j, [v + 0.001 * j for v in base[g]])
+        for g in range(4)
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(df, idx, n_centroids=4, iters=2)
+
+    src = tmp_path / "esrc"
+    src.mkdir()
+    for i in range(3):
+        df.filter((F.col("vec_id") % 3) == i).coalesce(1).write.parquet(
+            str(src / f"p{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    got = {
+        r.vec_id: (r.cell, r.n_candidates, r.n_known, r.best_adot)
+        for r in run_stream_to_batch(
+            streaming_semantic_screen(spark, idx, stream),
+            str(tmp_path / "ckpt_ss"), "stream_ss", "complete",
+        ).collect()
+    }
+    want = {
+        r.vec_id: (r.cell, r.n_candidates, r.n_known, r.best_adot)
+        for r in streaming_semantic_screen(spark, idx, df).collect()
+    }
+    assert got == want
+    assert len(got) == 12
+    # near-identical cluster-mates score over the screen threshold
+    assert sum(k for _, _, k, _ in got.values()) >= 12
