@@ -9914,6 +9914,56 @@ def _wire_streaming_semantic_screen() -> None:
 _wire_streaming_semantic_screen()
 
 
+def _wire_cross_modal() -> None:
+    from killrweather_spark.functions.multimodal import cross_modal_topk_sql
+
+    @register(
+        "cross_modal_topk",
+        cross_modal_topk_sql(_EMB_COMP_NRM_SQL),
+        survey_ref="beyond-ref multimodal family: CLIP-style CROSS-MODAL "
+        "retrieval (multimodal.py:text_stub_embeddings + "
+        "ann_index.py:ivf_probe_topk) — two modality tables, ONE shared "
+        "vector space: text queries are encoded by a deterministic stub "
+        "tower (md5 token sums per dimension — a real deployment swaps "
+        "in the learned encoder; the Spark plumbing is the operator) "
+        "and probe the PERSISTED corpus-side IVF index exactly like a "
+        "same-modality query: centroid ranking, n_probe partition-"
+        "pruned cell reads, exact rescore.  Query ids offset by 10^6 so "
+        "the index's self-exclusion never drops a cross-modal hit; "
+        "oracle replays encoder + IVF training relationally",
+    )
+    def q_cross_modal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.ann_index import (
+            ensure_ivf_index,
+            ivf_probe_topk,
+        )
+        from killrweather_spark.functions.multimodal import (
+            CROSS_MODAL_ID_OFFSET,
+            text_stub_embeddings,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 8
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ensure_ivf_index(
+            emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2
+        )
+        hits = ivf_probe_topk(
+            spark, idx, text_stub_embeddings(docs), k=3, n_probe=2
+        )
+        return hits.select(
+            (F.col("query_id") - CROSS_MODAL_ID_OFFSET)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("neighbor_id").alias("vec_id"),
+            "cosine",
+        )
+
+
+_wire_cross_modal()
+
+
 def _wire_streaming_lm() -> None:
     from killrweather_spark.functions.lm import bigram_lm_scores_sql
 

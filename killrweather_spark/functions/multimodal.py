@@ -1483,3 +1483,124 @@ def image_grid_verify_sql() -> str:
            CAST((1000000 * sad) // 64 AS BIGINT) AS grid_mad_micro
     FROM g
     """
+
+
+# --------------------------------------------------------------------------
+# Cross-modal retrieval (CLIP-style shared vector space)
+# --------------------------------------------------------------------------
+
+# Text queries and image/audio corpus vectors share ONE id space only by
+# accident of the synthetic tables; the offset keeps the index's
+# self-exclusion (`vec_id != query_id`) from dropping a legitimate
+# cross-modal hit when a doc_id happens to equal a vec_id.
+CROSS_MODAL_ID_OFFSET = 1_000_000
+CROSS_MODAL_DIM = 64
+
+
+def text_stub_embeddings(
+    docs: DataFrame,
+    dim: int = CROSS_MODAL_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic stand-in for a CLIP-style TEXT encoder into the
+    corpus' shared ``dim``-d vector space — the featurizer is a stub
+    (per-dimension md5-hashed token sums; a real deployment swaps in
+    the learned text tower), but everything around it is the real
+    operator shape: a second modality producing vectors in the SAME
+    space as ``embeddings.embedding``, ready to probe the persisted
+    IVFADC index cross-modally.
+
+    Component ``d`` is ``Σ_tokens ((md5(token ':' d)[:6] as int) % 2001
+    - 1000) / 1000`` — integer token contributions, so the ×10⁶
+    quantization downstream is exact and the DuckDB oracle replays the
+    encoder bit-for-bit.  All JVM (codegen md5/conv/aggregate); one
+    projection, no shuffle.  Returns (``vec_id`` =
+    ``id + CROSS_MODAL_ID_OFFSET``, ``embedding array<double>``).
+    """
+    from killrweather_spark.functions.text import tokens
+
+    return docs.select(
+        (F.col(id_col) + CROSS_MODAL_ID_OFFSET)
+        .cast("bigint")
+        .alias("vec_id"),
+        tokens(F.col(text_col)).alias("__ts"),
+    ).select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(1, {dim}), d -> "
+            "aggregate(__ts, cast(0 as bigint), (s, t) -> "
+            "s + (cast(conv(substr(md5(concat(t, ':', d)), 1, 6), 16, 10)"
+            " as bigint) % 2001) - 1000"
+            ") / cast(1000 as double))"
+        ).alias("embedding"),
+    )
+
+
+def cross_modal_topk_sql(
+    comp_nrm_sql: str,
+    query_pred: str = "doc_id < 8",
+    k: int = 3,
+    n_probe: int = 2,
+    dim: int = CROSS_MODAL_DIM,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+) -> str:
+    """DuckDB oracle for the cross-modal probe: the stub text encoder
+    replayed per (doc, dim), quantized into the shared component space,
+    IVF training replayed relationally, text queries ranked against the
+    trained centroids, probed cells' members exact-rescored."""
+    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
+
+    parts = ivf_trained_parts_sql(
+        n_centroids, ivf_iters, n_probe=0, query_pred="FALSE",
+        probe_tail=False,
+    )
+    parts += [
+        f"xtoks AS (SELECT doc_id,"
+        " unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t\n"
+        f"      FROM documents WHERE {query_pred})",
+        f"xqcomp AS MATERIALIZED (\n"
+        f"      SELECT doc_id + {CROSS_MODAL_ID_OFFSET} AS query_id,"
+        " g.d AS pos,\n"
+        "             CAST(ROUND(CAST(SUM(\n"
+        "               (CAST(('0x' || substr(md5(t || ':' || g.d), 1, 6))"
+        " AS BIGINT) % 2001) - 1000\n"
+        "             ) AS DOUBLE) / 1000.0 * 1000000) AS BIGINT) AS q\n"
+        f"      FROM xtoks, unnest(generate_series(1, {dim})) AS g(d)\n"
+        "      GROUP BY 1, 2)",
+        "xqn AS (SELECT query_id, SUM(q * q) AS qnorm2 FROM xqcomp\n"
+        "      GROUP BY 1 HAVING SUM(q * q) > 0)",
+        f"xqd AS (SELECT c.query_id, ct.cell,\n"
+        "             CAST(SUM((c.q - ct.c) * (c.q - ct.c)) AS BIGINT)"
+        " AS d2\n"
+        f"      FROM xqcomp c JOIN cent{ivf_iters} ct USING (pos)"
+        " GROUP BY 1, 2)",
+        f"xprobes AS (SELECT query_id, cell FROM xqd\n"
+        "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY d2, cell) <= {n_probe})",
+        f"xcand AS (SELECT p.query_id, l.vec_id\n"
+        f"      FROM xprobes p JOIN l{ivf_iters} l ON l.cell = p.cell)",
+        "xdots AS (SELECT c.query_id, c.vec_id AS neighbor_id,\n"
+        "             SUM(a.q * b.q) AS dot\n"
+        "      FROM xcand c\n"
+        "      JOIN xqcomp a ON a.query_id = c.query_id\n"
+        "      JOIN comp b ON b.vec_id = c.vec_id AND b.pos = a.pos\n"
+        "      GROUP BY 1, 2)",
+    ]
+    return (
+        "WITH "
+        + comp_nrm_sql
+        + ",\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(d.query_id - {CROSS_MODAL_ID_OFFSET} AS BIGINT) AS doc_id,
+           d.neighbor_id AS vec_id,
+           d.dot / (SQRT(q.qnorm2) * SQRT(n.norm2)) AS cosine
+    FROM xdots d
+    JOIN xqn q ON q.query_id = d.query_id
+    JOIN nrm n ON n.vec_id = d.neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY d.query_id
+                               ORDER BY cosine DESC, d.neighbor_id) <= {k}
+    """
+    )
