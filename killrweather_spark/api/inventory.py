@@ -10940,92 +10940,85 @@ _wire_exact_substring()
 # bench, tests — sees one consistent order.
 DRIVER_WINDOW = [
     # ------------------------------------------------------------------
-    # r09 rotation: burn-down continues — 36 of the 50 slots go to
-    # never-driver-verified rows (union of r1-r8 windows was 123 of
-    # 222; this rotation takes the union to 159 of 228).  Keeps: the
-    # five multi-round §2 anchors plus one second-round representative
-    # per r8-promotion family (the r7/r8 precedent).
-    # OUT in r09 (all stay value-exact in tests/test_oracle_parity.py):
-    # the r7 promotions on their third green round (json_variant_stats,
-    # grouping_sets_agg, streaming_session_windows, fuzzy_name_pairs,
-    # dedup_components, passage_dedup_rewrite, pandas_rank_normalize,
-    # image_dup_verified, wav_audio_stats, semantic_eval_screen_lsh_fixed,
-    # ann_ivf_trained, kcenter_pp_coreset, domain_filtered_corpus,
-    # bpe_merge_table, bpe_subword_stats) and the r8 first-timers not
-    # kept as family reps (unigram_subword_stats, lang_trigram_profiles,
-    # lang_gate_funnel, image_hamming_pairs, image_grid_verify,
-    # wav_energy_segments, heaps_law_curve, streaming_passage_screen,
-    # pii_scrub_report, html_text_extract, streaming_bigram_lm_score,
-    # kn_bigram_quality, bpe_merge_table_batched,
-    # disjunctive_predicate_revenue, unshipped_revenue_topk,
-    # returned_revenue_by_customer, shipmode_priority_counts,
-    # hist_quantile_events, copurchase_triangles, ewma_daily_value,
-    # gap_fill_forward).
+    # r10 rotation: burn-down, round two — 45 of the 50 slots go to
+    # never-driver-verified rows (union of r1-r9 windows was 162 of
+    # 232; this rotation takes the union to 207 of 235, leaving a
+    # 28-row backlog for r11).  Keeps: four multi-round §2 anchors plus
+    # the streaming-screen family anchor.
+    # OUT in r10 (all stay value-exact in tests/test_oracle_parity.py):
+    # the r9 promotions on their second green round (unigram_lm_vocab,
+    # image_ring_verified, lang_filtered_corpus,
+    # cheapest_supplier_per_part, pagerank_copurchase, date_format_parts
+    # and the 9 r9 flagships: unigram_lm_pruned, pq_codebooks,
+    # ann_pq_adc, ann_pq_recall, hybrid_rrf_search,
+    # streaming_tws_daily_counts, streaming_tws_distinct_types,
+    # ann_ivfpq, tfidf_cosine_pairs) and the r9 first-timer blocks
+    # (14 TPC-H shapes, 5 join shapes, 3 streaming, 3 window/analytics,
+    # salted_daily_precip, ann_int8_rescored, streaming_tws_totals,
+    # streaming_lang_screen, semantic_dup_candidates_ivf).
     # ------------------------------------------------------------------
     # §2 family anchors (multi-round green, one per family)
     "daily_stats",                 # §2.4 aggregations
     "csv_roundtrip",               # §2.2 parse/cast
-    "date_format_parts",           # §2.8 scalar functions
     "star_join_revenue",           # §2.3 joins
     "monthly_temperature",         # §2.11 request API
-    # r08 promotions retained for a second round (one per family;
-    # activity_islands/set_ops_all/heavy_hitters_cms ceded their second
-    # round to the three late-r9 flagships below — all three families
-    # stay oracle-covered)
-    "unigram_lm_vocab",            # tokenizer family
-    "image_ring_verified",         # image dedup family
-    "lang_filtered_corpus",        # language gate family
-    "streaming_image_screen",      # streaming screens
-    "cheapest_supplier_per_part",  # TPC-H batch-2 shapes
-    "pagerank_copurchase",         # graph
+    "streaming_image_screen",      # §2.9 streaming screens
     # ------------------------------------------------------------------
-    # first-timers: r09 flagships
+    # first-timers: r10 flagships
     # ------------------------------------------------------------------
-    "unigram_lm_pruned",           # SentencePiece outer prune loop
-    "pq_codebooks",                # product-quantization training
-    "ann_pq_adc",                  # PQ asymmetric-distance ANN
-    "ann_pq_recall",               # PQ recall vs exact truth
-    "hybrid_rrf_search",           # BM25 + cosine reciprocal rank fusion
-    "streaming_tws_daily_counts",  # transformWithState MapState form
-    "streaming_tws_distinct_types", # transformWithState ListState form
-    "ann_ivfpq",                   # IVFADC: IVF pruning x PQ-ADC scoring
-    "tfidf_cosine_pairs",          # weighted-lexical near-dup pairs
-    # first-timers: r08 operators never windowed
-    "streaming_tws_totals",        # transformWithState ValueState form
-    "streaming_lang_screen",       # streamed language gate
-    "semantic_dup_candidates_ivf", # SemDeDup over trained IVF cells
-    # first-timers: TPC-H-shape batch analytics (zero driver history)
-    "promo_discount_revenue",
-    "nation_trade_volume",
-    "nation_market_share",
-    "nation_profit_by_year",
-    "waiting_orders_suppliers",
-    "top_supplier_revenue",
-    "small_quantity_revenue",
-    "late_shipment_priorities",
-    "large_volume_orders",
-    "local_supplier_volume",
-    "promo_revenue_share",
-    "idle_rich_customers",
-    "supplier_variety_by_parttype",
-    "orders_per_customer_histogram",
-    # first-timers: join-shape family
-    "range_join_ship_window",
-    "semi_join_returned_orders",
-    "anti_join_customers_no_orders",
-    "bloom_prefilter_join",
-    "full_outer_year_over_year",
-    # first-timers: streaming family
-    "streaming_dedup_keys",
-    "streaming_hourly_counts",
-    "streaming_topk_precip",
-    # first-timers: window/analytics family
-    "cube_agg",
-    "window_navigation",
-    "rolling_median_events",
-    # first-timers: skew + quantized-ANN reps
-    "salted_daily_precip",
-    "ann_int8_rescored",
+    "exact_substring_pairs",       # suffix-array exact-substring dedup
+    "streaming_semantic_screen",   # dense-vector screen over IVFADC
+    "cross_modal_topk",            # CLIP-style shared-space probe
+    # first-timers: ANN / screen recall + eval rows
+    "ann_ivf_probe_curve",
+    "ann_recall_ivf_trained",
+    "ann_ivfpq_recall",
+    "semantic_screen_recall",
+    "semantic_screen_recall_banded",
+    "semantic_screen_recall_ivf",
+    "lsh_recall_eval",
+    "minhash_similarity_estimate",
+    # first-timers: eval-screen production variants
+    "semantic_eval_screen_vectorized",
+    "semantic_eval_screen_fixed",
+    "semantic_eval_screen_banded",
+    "semantic_eval_screen_ivf_fixed",
+    # first-timers: window/date extensions
+    "interpolate_linear",
+    "time_weighted_avg",
+    "hopping_window_counts",
+    "top_paths_3",
+    "trend_slope_per_user",
+    "dow_seasonality",
+    # first-timers: profiling / data QA
+    "dataset_card",
+    "mad_outlier_days",
+    "lang_confusion_matrix",
+    "embedding_outliers",
+    "length_histogram",
+    "corr_stats",
+    # first-timers: curation / training-data assembly
+    "stratified_sample",
+    "train_test_split",
+    "corpus_mix",
+    "quantile_filter_docs",
+    "training_order_shard",
+    "chunk_documents",
+    # first-timers: CDC / data quality
+    "fk_integrity_audit",
+    "scd2_intervals",
+    "snapshot_diff_events",
+    # first-timers: streaming extensions
+    "streaming_running_max",
+    "streaming_stream_stream_join",
+    "streaming_enrich_dim_join",
+    "streaming_hopping_counts",
+    "streaming_dedup_within_watermark",
+    # first-timers: behavioral analytics
+    "funnel_conversion",
+    "cohort_retention",
+    "rfm_segments",
+    "event_transitions",
 ]
 
 
