@@ -148,6 +148,11 @@ HEADLINE = [
     "streaming_tws_distinct_types",     # transformWithState ListState form
     "ann_ivfpq_recall",                 # combined IVF x PQ recall measure
     "tfidf_cosine_pairs",               # weighted-lexical near-dup pairs
+    # round-10 operators
+    "exact_substring_pairs",            # suffix-array exact-substring dedup
+    "streaming_semantic_screen",        # dense-vector screen over IVFADC
+    "cross_modal_topk",                 # CLIP-style shared-space probe
+    "ann_ivfpq_residual",               # residual-encoded IVFADC
 ]
 
 

