@@ -42,7 +42,7 @@ SURVEY §2's beyond-reference similarity family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -874,6 +874,102 @@ def ann_pq_recall_sql(
 SCREEN_MODEL_MAX_ROWS = 100_000
 
 
+# Static screen state per (session, index, build stamp): the collected
+# centroid/codebook literals and the packed candidate table are
+# immutable once an index is built (the dir is corpus-fingerprint-keyed
+# and _meta.json changes on any rebuild), so repeated screen queries —
+# every micro-batch replan, every bench run — reuse one persisted
+# packed table and identical literal trees instead of re-collecting and
+# re-persisting per call.
+_SCREEN_STATE: dict = {}
+
+
+def _screen_static_state(spark, index_dir: str):
+    import os
+
+    stamp = os.path.getmtime(os.path.join(index_dir, "_meta.json"))
+    key = (id(spark), index_dir, stamp)
+    hit = _SCREEN_STATE.get(key)
+    if hit is not None:
+        return hit
+
+    cents_rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    )
+    pqc_rows = (
+        spark.read.parquet(os.path.join(index_dir, "pqcents")).collect()
+    )
+    if max(len(cents_rows), len(pqc_rows)) > SCREEN_MODEL_MAX_ROWS:
+        raise ValueError(
+            f"index model tables too large to inline "
+            f"(centroids={len(cents_rows)}, pqcents={len(pqc_rows)} rows"
+            f" > {SCREEN_MODEL_MAX_ROWS}): not a broadcast-shaped index"
+        )
+
+    by_cell: dict[int, dict[int, int]] = {}
+    for r in cents_rows:
+        by_cell.setdefault(int(r.cell), {})[int(r.pos)] = int(r.c)
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(
+                    *[F.lit(d[p]).cast("bigint") for p in sorted(d)]
+                ).alias("cv"),
+            )
+            for cell, d in sorted(by_cell.items())
+        ]
+    )
+    # Positional code tables per subspace, zero-filled at code-id gaps
+    # (a missing code id is never referenced: stored codes are argmins
+    # over EXISTING codebook rows).  Each table is ONE nested-array
+    # literal, and the ADC fold is UNROLLED into plain element_at
+    # products — higher-order functions are interpreted
+    # (CodegenFallback) and folding |cell| candidates per arrival
+    # through a lambda tree measured ~14 s at sf0.1; the unrolled form
+    # whole-stage-codegens and runs the same integers in well under a
+    # second once the stage is compiled.
+    by_sub: dict[int, dict[int, list[tuple[int, int]]]] = {}
+    for r in pqc_rows:
+        by_sub.setdefault(int(r.sub), {}).setdefault(int(r.code), []).append(
+            (int(r.pos), int(r.c))
+        )
+    sub_tables: list[tuple[list[int], Column]] = []
+    for sub in sorted(by_sub):
+        codes_d = by_sub[sub]
+        poss = sorted({p for pcs in codes_d.values() for p, _ in pcs})
+        table = [
+            [int(dict(codes_d.get(code, ())).get(p, 0)) for p in poss]
+            for code in range(max(codes_d) + 1)
+        ]
+        sub_tables.append((poss, F.lit(table)))
+
+    codes_tbl = spark.read.parquet(os.path.join(index_dir, "pqcodes"))
+    norms_tbl = spark.read.parquet(os.path.join(index_dir, "norms"))
+    packed = (
+        codes_tbl.groupBy("cell", "vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda x: x["code"].cast("bigint"),
+            ).alias("codes")
+        )
+        # inner join: zero-norm vectors have no defined cosine and are
+        # not candidates (mirrors cosine_norms / the oracle's nrm CTE)
+        .join(norms_tbl.select("vec_id", "norm2"), "vec_id")
+        .select(
+            F.col("cell").alias("cand_cell"),
+            F.col("vec_id").alias("cand_id"),
+            "codes",
+            F.col("norm2").alias("cand_norm2"),
+        )
+        .transform(persist_once)
+    )
+    state = (cent_lit, sub_tables, packed)
+    _SCREEN_STATE[key] = state
+    return state
+
+
 def streaming_semantic_screen(
     spark,
     index_dir: str,
@@ -919,84 +1015,8 @@ def streaming_semantic_screen(
     state is one row per arrival in the rollup.  Returns
     (vec_id, cell, n_candidates, n_known, best_adot).
     """
-    import os
-
-    cents_rows = (
-        spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
-    )
-    pqc_rows = (
-        spark.read.parquet(os.path.join(index_dir, "pqcents")).collect()
-    )
-    if max(len(cents_rows), len(pqc_rows)) > SCREEN_MODEL_MAX_ROWS:
-        raise ValueError(
-            f"index model tables too large to inline "
-            f"(centroids={len(cents_rows)}, pqcents={len(pqc_rows)} rows"
-            f" > {SCREEN_MODEL_MAX_ROWS}): not a broadcast-shaped index"
-        )
-
-    by_cell: dict[int, dict[int, int]] = {}
-    for r in cents_rows:
-        by_cell.setdefault(int(r.cell), {})[int(r.pos)] = int(r.c)
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(
-                    *[F.lit(d[p]).cast("bigint") for p in sorted(d)]
-                ).alias("cv"),
-            )
-            for cell, d in sorted(by_cell.items())
-        ]
-    )
-    # pq_lit: per subspace (dense 0..M-1), a MAP code -> [(pos, c)...]
-    # (maps, not positional arrays: a codebook can lose codes to empty
-    # clusters during training, so code ids are NOT guaranteed dense)
-    by_sub: dict[int, dict[int, list[tuple[int, int]]]] = {}
-    for r in pqc_rows:
-        by_sub.setdefault(int(r.sub), {}).setdefault(int(r.code), []).append(
-            (int(r.pos), int(r.c))
-        )
-    sub_maps = []
-    for sub in sorted(by_sub):
-        kv = []
-        for code, pcs in sorted(by_sub[sub].items()):
-            kv.append(F.lit(code).cast("bigint"))
-            kv.append(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(p).alias("pos"),
-                            F.lit(c).cast("bigint").alias("c"),
-                        )
-                        for p, c in sorted(pcs)
-                    ]
-                )
-            )
-        sub_maps.append(F.create_map(*kv))
-    pq_lit = F.array(*sub_maps)
-
+    cent_lit, sub_tables, packed = _screen_static_state(spark, index_dir)
     zero = F.lit(0).cast("bigint")
-    codes_tbl = spark.read.parquet(os.path.join(index_dir, "pqcodes"))
-    norms_tbl = spark.read.parquet(os.path.join(index_dir, "norms"))
-    packed = (
-        codes_tbl.groupBy("cell", "vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda x: x["code"].cast("bigint"),
-            ).alias("codes")
-        )
-        # inner join: zero-norm vectors have no defined cosine and are
-        # not candidates (mirrors cosine_norms / the oracle's nrm CTE)
-        .join(norms_tbl.select("vec_id", "norm2"), "vec_id")
-        .select(
-            F.col("cell").alias("cand_cell"),
-            F.col("vec_id").alias("cand_id"),
-            "codes",
-            F.col("norm2").alias("cand_norm2"),
-        )
-        .transform(persist_once)
-    )
 
     q_expr = F.expr(
         f"transform({vec_col}, x ->"
@@ -1025,26 +1045,56 @@ def streaming_semantic_screen(
             )
         )["cell"].cast("bigint"),
     )
+    # Arrivals usually come off a NARROW source (a file-stream
+    # micro-batch is often one scan partition); the per-candidate ADC
+    # fold below is the CPU stage and higher-order functions are
+    # interpreted, so spread the (tiny) arrival rows across every task
+    # slot first — a |batch|-row round-robin exchange per trigger buys
+    # full-width scoring (measured 13.7 s -> ~2 s at sf0.1 where one
+    # core otherwise folds all 500k candidate rows).
+    arr = arr.repartition(
+        stream_vecs.sparkSession.sparkContext.defaultParallelism
+    )
+    # broadcast the packed candidate side: the join key has only
+    # n_centroids distinct values, so a shuffle join would collapse the
+    # fold onto n_centroids tasks (measured: 8 of 32 busy); broadcast
+    # keeps the scoring in the arrivals' round-robin partitions.  The
+    # packed table is the COMPRESSED index (M bytes + norm per vector)
+    # — broadcast-sized far beyond bench SFs; a corpus too big for that
+    # switches this join to the cell-partitioned shuffle form.
     probed = arr.join(
-        packed,
+        F.broadcast(packed),
         (arr["cell"] == packed["cand_cell"])
         & (arr["vec_id"] != packed["cand_id"]),
         "left",
     )
-    adot = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            pq_lit,
-            lambda cd, subm: F.aggregate(
-                F.element_at(subm, cd),
-                zero,
-                lambda s, pc: s + F.element_at(F.col("q"), pc["pos"]) * pc["c"],
+    # One named column per subspace row so each codebook literal
+    # appears ONCE in the plan — inlining it into every product term
+    # made Catalyst re-walk the big constants per term and fresh-plan
+    # latency (paid PER MICRO-BATCH: incremental execution replans
+    # every trigger) measured seconds; with single-reference rows the
+    # same integers plan in tens of milliseconds.
+    for si, (_, a_lit) in enumerate(sub_tables):
+        probed = probed.withColumn(
+            f"__r{si}",
+            F.element_at(
+                a_lit,
+                (F.element_at(F.col("codes"), si + 1) + 1).cast("int"),
             ),
-        ),
-        zero,
-        lambda s, x: s + x,
-    )
-    scored = probed.withColumn("adot", adot).withColumn(
+        )
+    adot_terms = []
+    for si, (poss, _) in enumerate(sub_tables):
+        for j, p in enumerate(poss):
+            adot_terms.append(
+                F.element_at(F.col("q"), p)
+                * F.element_at(F.col(f"__r{si}"), j + 1)
+            )
+    adot = adot_terms[0]
+    for t in adot_terms[1:]:
+        adot = adot + t
+    scored = probed.withColumn("adot", adot).drop(
+        *[f"__r{si}" for si in range(len(sub_tables))]
+    ).withColumn(
         "known",
         F.when(
             F.col("adot")
