@@ -153,6 +153,7 @@ HEADLINE = [
     "streaming_semantic_screen",        # dense-vector screen over IVFADC
     "cross_modal_topk",                 # CLIP-style shared-space probe
     "ann_ivfpq_residual",               # residual-encoded IVFADC
+    "streaming_semantic_screen_fixed",  # fixed-arrival production twin
 ]
 
 

@@ -9914,6 +9914,56 @@ def _wire_streaming_semantic_screen() -> None:
 _wire_streaming_semantic_screen()
 
 
+def _wire_streaming_semantic_screen_fixed() -> None:
+    from killrweather_spark.functions.pq import (
+        streaming_semantic_screen_sql,
+    )
+
+    @register(
+        "streaming_semantic_screen_fixed",
+        streaming_semantic_screen_sql(
+            _EMB_COMP_NRM_SQL, arrival_pred="vec_id < 1000"
+        ),
+        survey_ref="§2.9 ext: the semantic screen's PRODUCTION arrival "
+        "regime — the benchmark form feeds the WHOLE corpus as arrivals "
+        "while cell size also grows with corpus (pair-product growth by "
+        "dataset construction, the grown-eval-screen story); a real "
+        "deployment's per-trigger arrival batch is bounded, so this "
+        "twin pins arrivals to an absolute id window (vec_id < 1000) "
+        "and corpus growth adds INDEX rows only — per-arrival cost "
+        "then scales with cell size alone (linear until n_centroids is "
+        "grown with the corpus, the standard IVF rule).  The recorded "
+        "sf1 evidence row, mirroring semantic_eval_screen_fixed",
+    )
+    def q_streaming_semantic_screen_fixed(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from killrweather_spark.functions.ann_index import ensure_ivf_index
+        from killrweather_spark.functions.pq import (
+            streaming_semantic_screen,
+        )
+        from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ensure_ivf_index(
+            emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2
+        )
+        arrivals = _embeddings_stream(spark, sf_dir).filter(
+            F.col("vec_id") < 1000
+        )
+        screened = streaming_semantic_screen(spark, idx, arrivals)
+        name = f"stream_sem_screen_fx_{uuid.uuid4().hex[:8]}"
+        return run_stream_to_batch(
+            screened, tempfile.mkdtemp(), name, "complete"
+        )
+
+
+_wire_streaming_semantic_screen_fixed()
+
+
 def _wire_cross_modal() -> None:
     from killrweather_spark.functions.multimodal import cross_modal_topk_sql
 

@@ -1118,6 +1118,7 @@ def streaming_semantic_screen_sql(
     iters: int = PQ_ITERS,
     ks: int = PQ_KS,
     m: int = PQ_M,
+    arrival_pred: str = "TRUE",
 ) -> str:
     """DuckDB oracle for :func:`streaming_semantic_screen` — IVF + PQ
     training replayed relationally (the arrivals ARE the indexed
@@ -1127,7 +1128,7 @@ def streaming_semantic_screen_sql(
     from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
 
     parts = ivf_trained_parts_sql(
-        n_centroids, ivf_iters, n_probe=0, query_pred="TRUE",
+        n_centroids, ivf_iters, n_probe=0, query_pred=arrival_pred,
         probe_tail=False,
     )
     parts += pq_parts_sql(iters, ks, m)
