@@ -154,6 +154,9 @@ HEADLINE = [
     "cross_modal_topk",                 # CLIP-style shared-space probe
     "ann_ivfpq_residual",               # residual-encoded IVFADC
     "streaming_semantic_screen_fixed",  # fixed-arrival production twin
+    "hard_negative_mining",             # contrastive-negatives top-k
+    "margin_mining_pairs",              # CCMatrix margin pair mining
+    "semdedup_keep",                    # SemDeDup keep/prune decision
 ]
 
 

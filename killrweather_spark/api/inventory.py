@@ -7700,6 +7700,221 @@ REGISTRY["semantic_dup_candidates_ivf"] = QuerySpec(
 )
 
 
+def _semdedup_keep_sql() -> str:
+    """Oracle for the SemDeDup keep/prune decision: the candidates
+    oracle's training replay + pair tail, plus the centroid-similarity
+    CTEs and the greedy prune rule — x is pruned iff some ≥τ neighbor y
+    ranks strictly lower by (centroid_sim, vec_id)."""
+    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
+
+    train = ",\n    ".join(
+        ivf_trained_parts_sql(
+            n_centroids=8, iters=2, n_probe=0, probe_tail=False
+        )
+    )
+    return f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    {train},
+    psized AS (
+      SELECT l.vec_id, l.cell,
+             GREATEST(CAST(CEIL(COUNT(*) OVER (PARTITION BY l.cell)
+                                / {SEMDEDUP_CLUSTER_CAP}.0) AS BIGINT), 1)
+               AS n_sub
+      FROM l2 l JOIN nrm USING (vec_id)
+    ),
+    pbucketed AS (
+      SELECT vec_id, cell,
+             (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+              % n_sub) AS sub
+      FROM psized
+    ),
+    pcomp AS (
+      SELECT c.vec_id, b.cell, b.sub, c.pos, c.q
+      FROM comp c JOIN pbucketed b USING (vec_id)
+    ),
+    pdots AS (
+      SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+             SUM(a.q * b.q) AS dot
+      FROM pcomp a JOIN pcomp b
+        ON a.cell = b.cell AND a.sub = b.sub AND a.pos = b.pos
+       AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT a_id, b_id FROM pdots
+      JOIN nrm na ON na.vec_id = a_id
+      JOIN nrm nb ON nb.vec_id = b_id
+      WHERE dot / (SQRT(na.norm2) * SQRT(nb.norm2)) >= 0.30
+    ),
+    cnrm AS (SELECT cell, SUM(c * c) AS cnorm2 FROM cent2 GROUP BY cell),
+    cdot AS (
+      SELECT c.vec_id, SUM(c.q * ct.c) AS cd
+      FROM comp c
+      JOIN l2 l USING (vec_id)
+      JOIN cent2 ct ON ct.cell = l.cell AND ct.pos = c.pos
+      GROUP BY 1
+    ),
+    csim AS (
+      SELECT l.vec_id, l.cell,
+             cd.cd / (SQRT(n.norm2) * SQRT(cn.cnorm2)) AS centroid_sim
+      FROM l2 l
+      JOIN nrm n USING (vec_id)
+      JOIN cdot cd USING (vec_id)
+      JOIN cnrm cn ON cn.cell = l.cell
+      WHERE cn.cnorm2 > 0
+    ),
+    directed AS (
+      SELECT a_id AS x, b_id AS y FROM pairs
+      UNION ALL
+      SELECT b_id AS x, a_id AS y FROM pairs
+    ),
+    pruned AS (
+      SELECT DISTINCT d.x AS vec_id
+      FROM directed d
+      JOIN csim sx ON sx.vec_id = d.x
+      JOIN csim sy ON sy.vec_id = d.y
+      WHERE sy.centroid_sim < sx.centroid_sim
+         OR (sy.centroid_sim = sx.centroid_sim AND d.y < d.x)
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell, s.centroid_sim,
+           (p.vec_id IS NULL) AS kept
+    FROM csim s LEFT JOIN pruned p USING (vec_id)
+    """
+
+
+@register(
+    "semdedup_keep",
+    None,  # set right below (needs the builder above)
+    survey_ref="",
+)
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup PRUNE decision (Abbas et al. 2023) — completes the
+    candidates rows: within each trained-cell ε-neighborhood keep the
+    member LEAST similar to its centroid (the paper's keep rule: the
+    outlier carries the information, the centroid-huggers are the
+    redundant mass).  Greedy form, exactly replayable relationally: x is
+    pruned iff some ≥τ pair-neighbor y ranks strictly lower by
+    (centroid_sim, vec_id) — per ε-neighborhood the (csim, id)-minimum
+    always survives, so every duplicate group keeps a canonical member.
+
+    Everything corpus-sized is served from the persisted IVF index: the
+    pair scan reads the cell-partitioned ``vectors`` table (same
+    sub-bucketed tail as semantic_dup_candidates_ivf), the centroid sims
+    join ``vectors`` against the broadcast ``centroids`` table (k·dims
+    rows), and the prune rule is two self-equi-joins on the (tiny) pair
+    set.  No new shuffle shape appears at 100 TB: cells bound the pairs,
+    the pair set bounds the prune joins."""
+    import os as _os
+
+    from killrweather_spark.functions.ann_index import ensure_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ensure_ivf_index(emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2)
+    vec = (
+        spark.read.parquet(_os.path.join(idx, "vectors"))
+        .filter(F.col("norm2") > 0)
+        .transform(persist_once)
+    )
+    cent = spark.read.parquet(_os.path.join(idx, "centroids"))
+    # centroid as an ordered array per cell (k·dims rows → k rows): the
+    # zip_with dot below then needs no per-component shuffle at all
+    centv = cent.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv"),
+        F.sum(F.col("c") * F.col("c")).alias("cnorm2"),
+    ).filter(F.col("cnorm2") > 0)
+    cdot = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("cv"), lambda x, y: x.cast("bigint") * y
+        ),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    csim = (
+        vec.join(maybe_broadcast(centv), "cell")
+        .withColumn(
+            "centroid_sim",
+            cdot / (F.sqrt(F.col("norm2")) * F.sqrt(F.col("cnorm2"))),
+        )
+        .select("vec_id", "cell", "centroid_sim")
+        .transform(persist_once)
+    )
+    # the same sized/sub-bucketed pair tail as semantic_dup_candidates_ivf
+    sizes = vec.groupBy("cell").agg(
+        semdedup_n_sub(F.count(F.lit(1))).alias("n_sub")
+    )
+    base = vec.join(maybe_broadcast(sizes), "cell").withColumn(
+        "sub", semdedup_sub_bucket(F.col("vec_id"), F.col("n_sub"))
+    )
+    a = base.select(
+        F.col("cell"), F.col("sub"), F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"), F.col("norm2").alias("na"),
+    )
+    b = base.select(
+        F.col("cell"), F.col("sub"), F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"), F.col("norm2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x.cast("bigint") * y),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    pairs = (
+        a.join(b, ["cell", "sub"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / (F.sqrt("na") * F.sqrt("nb")))
+        .filter(F.col("cosine") >= 0.30)
+        .select("vec_a", "vec_b")
+    )
+    directed = pairs.select(
+        F.col("vec_a").alias("x"), F.col("vec_b").alias("y")
+    ).unionAll(
+        pairs.select(F.col("vec_b").alias("x"), F.col("vec_a").alias("y"))
+    )
+    sx = csim.select(
+        F.col("vec_id").alias("x"), F.col("centroid_sim").alias("sim_x")
+    )
+    sy = csim.select(
+        F.col("vec_id").alias("y"), F.col("centroid_sim").alias("sim_y")
+    )
+    pruned = (
+        directed.join(sx, "x")
+        .join(sy, "y")
+        .filter(
+            (F.col("sim_y") < F.col("sim_x"))
+            | ((F.col("sim_y") == F.col("sim_x")) & (F.col("y") < F.col("x")))
+        )
+        .select(F.col("x").alias("vec_id"))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return (
+        csim.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            "centroid_sim",
+            F.coalesce(~F.col("__pruned"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+REGISTRY["semdedup_keep"] = QuerySpec(
+    fn=REGISTRY["semdedup_keep"].fn,
+    sql=_semdedup_keep_sql(),
+    survey_ref="beyond-ref SemDeDup keep/prune decision "
+    "(inventory.py:q_semdedup_keep) — completes candidates → prune: per "
+    "trained-cell ε-neighborhood the member LEAST similar to its centroid "
+    "survives (Abbas et al. 2023 keep rule), via the greedy "
+    "strictly-lower-(csim, id)-neighbor test, exactly replayed in SQL.  "
+    "Pairs and centroid sims are both served from the persisted IVF "
+    "index (vectors + broadcast centroids); the prune rule is two "
+    "self-joins on the bounded pair set",
+)
+
+
 @register(
     "orders_per_customer_histogram",
     """
@@ -11026,6 +11241,56 @@ def _wire_exact_substring() -> None:
 
 
 _wire_exact_substring()
+
+
+def _wire_mining() -> None:
+    from killrweather_spark.functions.similarity import (
+        hard_negative_topk,
+        hard_negative_topk_sql,
+        margin_mining_pairs,
+        margin_mining_pairs_sql,
+    )
+
+    @register(
+        "hard_negative_mining",
+        hard_negative_topk_sql(
+            k=5, query_pred_sql="vec_id < 20", comp_nrm_sql=_EMB_COMP_NRM_SQL
+        ),
+        survey_ref="beyond-ref contrastive-training data op "
+        "(similarity.py:hard_negative_topk): per query vector the top-5 "
+        "most-similar DIFFERENT-label vectors — the near-miss negatives a "
+        "bi-encoder trains against.  Broadcast bounded query batch, "
+        "map-side corpus scan, windowed top-k; at corpus scale the flat "
+        "scan becomes probes of the persisted IVF index with the same "
+        "label-mismatch filter (this exact form is the oracle baseline)",
+    )
+    def q_hard_negative_mining(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return hard_negative_topk(emb, lambda c: c < 20, k=5)
+
+    @register(
+        "margin_mining_pairs",
+        margin_mining_pairs_sql(comp_nrm_sql=_EMB_COMP_NRM_SQL),
+        survey_ref="beyond-ref bitext/pair mining "
+        "(similarity.py:margin_mining_pairs): CCMatrix/LASER margin "
+        "scoring — cos(x,y) normalized by both sides' k-NN neighborhood "
+        "means, which is what de-hubs mined training pairs.  Sides are "
+        "the two label parities sharing one space; neighborhood means "
+        "stay order-free as int64 micro-unit sums and the margin is one "
+        "double division of exact integers.  Candidates bounded by "
+        "|batch|·k; both directions' flat k-NN scans become shared-IVF "
+        "probes at scale",
+    )
+    def q_margin_mining_pairs(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return margin_mining_pairs(emb)
+
+
+_wire_mining()
 
 
 # --------------------------------------------------------------------------

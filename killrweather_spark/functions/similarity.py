@@ -106,6 +106,321 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    df: DataFrame,
+    query_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query vector, the top-``k`` most-similar vectors whose LABEL differs —
+    the near-misses a bi-encoder must learn to push away (in-batch random
+    negatives are too easy; the hard ones live at the decision boundary).
+
+    Shape: the query side (``query_pred`` on the id — in production the
+    arriving training batch) is tiny and broadcast; the corpus side is one
+    map-side pos-join scan with per-query bounded top-k state
+    (TakeOrdered-style window).  At 100 TB the flat corpus scan is replaced
+    by probes of the persisted IVF index (``ann_index.ivf_probe_topk``)
+    with the label-mismatch filter applied to the probed candidates — the
+    margin/rank semantics are unchanged, which is why this exact form is
+    the oracle-checked baseline (the semantic_eval_screen precedent).
+
+    Output: (query_id, query_label, negative_id, negative_label, cosine),
+    deterministic (cosine DESC, negative_id ASC) top-k per query.
+    """
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+    nrm = cosine_norms(comp, id_col)
+    lab = df.select(F.col(id_col), F.col(label_col).alias("__lab"))
+
+    qcomp = comp.filter(query_pred(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), "pos", F.col("q").alias("qa")
+    )
+    ccomp = comp.select(
+        F.col(id_col).alias("negative_id"), "pos", F.col("q").alias("qb")
+    )
+    dots = (
+        F.broadcast(qcomp)
+        .join(ccomp, "pos")
+        .filter(F.col("query_id") != F.col("negative_id"))
+        .groupBy("query_id", "negative_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    qn = nrm.select(
+        F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2")
+    )
+    cn = nrm.select(
+        F.col(id_col).alias("negative_id"), F.col("norm2").alias("nnorm2")
+    )
+    ql = lab.select(
+        F.col(id_col).alias("query_id"), F.col("__lab").alias("query_label")
+    )
+    cl = lab.select(
+        F.col(id_col).alias("negative_id"),
+        F.col("__lab").alias("negative_label"),
+    )
+    sims = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "negative_id")
+        .join(F.broadcast(ql), "query_id")
+        .join(cl, "negative_id")
+        # hard NEGATIVES: same-label candidates are positives — excluded
+        # before the rank so each kept slot is a usable training negative
+        .filter(F.col("query_label") != F.col("negative_label"))
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "query_label", "negative_id", "negative_label",
+            "cosine",
+        )
+    )
+
+
+def hard_negative_topk_sql(k: int = 5, query_pred_sql: str = "vec_id < 20",
+                           comp_nrm_sql: str | None = None) -> str:
+    """DuckDB oracle replaying :func:`hard_negative_topk` — identical
+    integer dots/norms, identical label-mismatch filter, identical
+    (cosine DESC, id ASC) rank."""
+    head = f"WITH {comp_nrm_sql}," if comp_nrm_sql else "WITH"
+    return f"""
+    {head}
+    lab AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS negative_id,
+             SUM(a.q * b.q) AS dot
+      FROM comp a JOIN comp b ON b.pos = a.pos AND b.vec_id != a.vec_id
+      WHERE {query_pred_sql.replace("vec_id", "a.vec_id")}
+      GROUP BY 1, 2
+    )
+    SELECT d.query_id, CAST(la.label AS INT) AS query_label,
+           d.negative_id, CAST(lb.label AS INT) AS negative_label,
+           d.dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cosine
+    FROM dots d
+    JOIN nrm na ON na.vec_id = d.query_id
+    JOIN nrm nb ON nb.vec_id = d.negative_id
+    JOIN lab la ON la.vec_id = d.query_id
+    JOIN lab lb ON lb.vec_id = d.negative_id
+    WHERE la.label != lb.label
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY d.query_id
+      ORDER BY d.dot / (SQRT(na.norm2) * SQRT(nb.norm2)) DESC, d.negative_id
+    ) <= {k}
+    """
+
+
+MARGIN_QUERY_MAX_ID = 40  # bounded mining batch: even-parity ids below this
+MARGIN_K = 4  # neighborhood size for both margin denominators
+
+
+def margin_mining_pairs(
+    df: DataFrame,
+    k: int = MARGIN_K,
+    query_max_id: int = MARGIN_QUERY_MAX_ID,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk 2019, the CCMatrix /
+    LASER bitext miner): score a candidate pair (x, y) not by raw cosine
+    but by its RATIO to the mean similarity of each side's own k-NN
+    neighborhood — margin(x,y) = cos(x,y) / ((μₖ(x) + μₖ(y)) / 2).  Raw
+    cosine mines hubs (vectors near everything); the margin normalizes
+    each side by how crowded its neighborhood is, which is what makes
+    mined parallel corpora usable as training data.
+
+    Sides are the two label parities (≙ the two languages / modalities
+    sharing one embedding space); the mining batch is the even-parity
+    vectors with id < ``query_max_id`` (in production the arriving shard —
+    the bounded-query-window pattern every *_fixed screen twin uses).
+
+    Cross-engine exactness: per-pair cosine is one IEEE expression over
+    integer dots/norms; each neighborhood mean is kept ORDER-FREE by
+    summing ROUND(cos·10⁶) as int64 micro-units, and the margin is a
+    single double division of two exact integers — no float reduction
+    anywhere.  margin = cmic·(nₓ+n_y) / (Σₓ+Σ_y) algebraically equals the
+    textbook ratio (both numerator and denominator scaled by 10⁶·(nₓ+n_y)).
+
+    Scale: |candidates| ≤ |batch|·k, so the reverse-direction k-NN pass is
+    bounded; both directions' flat scans become probes of the shared IVF
+    index at corpus scale (the x→Y and y→X searches are exactly
+    ``ivf_probe_topk`` calls), keeping the margin form unchanged.
+
+    Output: (query_id, pair_id, cos_micro, margin, best) — every candidate
+    pair with its margin; ``best`` flags the argmax-margin pair per query
+    (the mined alignment).
+    """
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+    nrm = cosine_norms(comp, id_col)
+    par = df.select(
+        F.col(id_col), (F.col(label_col) % 2).cast("int").alias("par")
+    )
+    compn = comp.join(par, id_col)
+
+    def side_dots(qside: DataFrame, cside: DataFrame, qname: str,
+                  cname: str) -> DataFrame:
+        """Broadcast the bounded query side, pos-join the corpus side,
+        attach norms, emit (qname, cname, cos, cmic)."""
+        dots = (
+            F.broadcast(qside.select(F.col(id_col).alias(qname), "pos",
+                                     F.col("q").alias("qa")))
+            .join(cside.select(F.col(id_col).alias(cname), "pos",
+                               F.col("q").alias("qb")), "pos")
+            .groupBy(qname, cname)
+            .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+        )
+        qn = nrm.select(F.col(id_col).alias(qname),
+                        F.col("norm2").alias("qn2"))
+        cn = nrm.select(F.col(id_col).alias(cname),
+                        F.col("norm2").alias("cn2"))
+        cos = F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2")))
+        return (
+            dots.join(F.broadcast(qn), qname)
+            .join(cn, cname)
+            .select(
+                qname, cname, cos.alias("cos"),
+                F.round(cos * 1_000_000).cast("bigint").alias("cmic"),
+            )
+        )
+
+    xq = compn.filter(
+        (F.col("par") == 0) & (F.col(id_col) < query_max_id)
+    )
+    yc = compn.filter(F.col("par") == 1)
+    fwd = side_dots(xq, yc, "query_id", "pair_id")
+    wx = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("pair_id").asc()
+    )
+    cand = (
+        fwd.withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "pair_id", "cos", "cmic")
+        .transform(persist_once)
+    )
+    dx = cand.groupBy("query_id").agg(
+        F.sum("cmic").alias("dxs"), F.count(F.lit(1)).alias("nx")
+    )
+    # reverse direction: each candidate y's own k-NN neighborhood in the
+    # FULL even-parity side (not just the batch) — the denominator must
+    # measure y's true crowding or hubs sneak through
+    ys = cand.select(F.col("pair_id").alias(id_col)).distinct()
+    yq = compn.join(F.broadcast(ys), id_col).filter(F.col("par") == 1)
+    xc = compn.filter(F.col("par") == 0)
+    rev = side_dots(yq, xc, "pair_id", "rev_id")
+    wy = Window.partitionBy("pair_id").orderBy(
+        F.col("cos").desc(), F.col("rev_id").asc()
+    )
+    dy = (
+        rev.withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= k)
+        .groupBy("pair_id")
+        .agg(F.sum("cmic").alias("dys"), F.count(F.lit(1)).alias("ny"))
+    )
+    margin = (
+        F.col("cmic") * (F.col("nx") + F.col("ny"))
+    ).cast("double") / (F.col("dxs") + F.col("dys")).cast("double")
+    wbest = Window.partitionBy("query_id").orderBy(
+        F.col("margin").desc(), F.col("pair_id").asc()
+    )
+    return (
+        cand.join(F.broadcast(dx), "query_id")
+        .join(F.broadcast(dy), "pair_id")
+        .filter(F.col("dxs") + F.col("dys") > 0)
+        .withColumn("margin", margin)
+        .withColumn("best", F.row_number().over(wbest) == 1)
+        .select("query_id", "pair_id", "cmic", "margin", "best")
+        .withColumnRenamed("cmic", "cos_micro")
+    )
+
+
+def margin_mining_pairs_sql(
+    k: int = MARGIN_K,
+    query_max_id: int = MARGIN_QUERY_MAX_ID,
+    comp_nrm_sql: str | None = None,
+) -> str:
+    """DuckDB oracle replaying :func:`margin_mining_pairs`: same parity
+    split, same top-k tiebreaks, same int64 micro-unit sums, same single
+    double division for the margin."""
+    head = f"WITH {comp_nrm_sql}," if comp_nrm_sql else "WITH"
+    return f"""
+    {head}
+    par AS (SELECT vec_id, CAST(label % 2 AS INT) AS par FROM embeddings),
+    xq AS (SELECT c.vec_id, c.pos, c.q FROM comp c JOIN par p USING (vec_id)
+           WHERE p.par = 0 AND c.vec_id < {query_max_id}),
+    yc AS (SELECT c.vec_id, c.pos, c.q FROM comp c JOIN par p USING (vec_id)
+           WHERE p.par = 1),
+    fwd AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS pair_id,
+             SUM(a.q * b.q) AS dot
+      FROM xq a JOIN yc b USING (pos) GROUP BY 1, 2
+    ),
+    fcos AS (
+      SELECT f.query_id, f.pair_id,
+             f.dot / (SQRT(nx.norm2) * SQRT(ny.norm2)) AS cos,
+             CAST(ROUND(f.dot / (SQRT(nx.norm2) * SQRT(ny.norm2)) * 1000000)
+                  AS BIGINT) AS cmic
+      FROM fwd f
+      JOIN nrm nx ON nx.vec_id = f.query_id
+      JOIN nrm ny ON ny.vec_id = f.pair_id
+    ),
+    cand AS (
+      SELECT query_id, pair_id, cmic FROM fcos
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, pair_id) <= {k}
+    ),
+    dx AS (SELECT query_id, SUM(cmic) AS dxs, COUNT(*) AS nx
+           FROM cand GROUP BY 1),
+    ys AS (SELECT DISTINCT pair_id FROM cand),
+    yq AS (SELECT c.vec_id, c.pos, c.q FROM comp c
+           JOIN ys ON ys.pair_id = c.vec_id),
+    xc AS (SELECT c.vec_id, c.pos, c.q FROM comp c JOIN par p USING (vec_id)
+           WHERE p.par = 0),
+    rev AS (
+      SELECT a.vec_id AS pair_id, b.vec_id AS rev_id,
+             SUM(a.q * b.q) AS dot
+      FROM yq a JOIN xc b USING (pos) GROUP BY 1, 2
+    ),
+    rcos AS (
+      SELECT r.pair_id, r.rev_id,
+             r.dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cos,
+             CAST(ROUND(r.dot / (SQRT(na.norm2) * SQRT(nb.norm2)) * 1000000)
+                  AS BIGINT) AS cmic
+      FROM rev r
+      JOIN nrm na ON na.vec_id = r.pair_id
+      JOIN nrm nb ON nb.vec_id = r.rev_id
+    ),
+    dy AS (
+      SELECT pair_id, SUM(cmic) AS dys, COUNT(*) AS ny
+      FROM (SELECT pair_id, rev_id, cmic FROM rcos
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY pair_id
+                                       ORDER BY cos DESC, rev_id) <= {k})
+      GROUP BY 1
+    )
+    SELECT c.query_id, c.pair_id, c.cmic AS cos_micro,
+           CAST(c.cmic * (dx.nx + dy.ny) AS DOUBLE)
+             / CAST(dx.dxs + dy.dys AS DOUBLE) AS margin,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.query_id
+             ORDER BY CAST(c.cmic * (dx.nx + dy.ny) AS DOUBLE)
+                      / CAST(dx.dxs + dy.dys AS DOUBLE) DESC, c.pair_id
+           ) = 1 AS best
+    FROM cand c
+    JOIN dx USING (query_id)
+    JOIN dy USING (pair_id)
+    WHERE dx.dxs + dy.dys > 0
+    """
+
+
 # --------------------------------------------------------------------------
 # LSH (random-hyperplane) bucketing — the approximate/scale path
 # --------------------------------------------------------------------------

@@ -2103,3 +2103,71 @@ def test_exact_substring_pairs_recovers_maximal_runs(spark):
     assert not any(2 in p for p in got)
     # boilerplate anchors exceed the df cap (27 docs share them): no pairs
     assert not any(a >= 3 and b >= 3 for a, b in got)
+
+
+def test_hard_negative_mining_label_and_rank_contract(spark):
+    """Every mined negative has a DIFFERENT label than its query, at most
+    k are kept per query, and per-query cosines arrive ranked (the slot
+    order a contrastive trainer consumes)."""
+    from killrweather_spark.functions.similarity import hard_negative_topk
+
+    emb = load_table(spark, SF001, "embeddings")
+    rows = hard_negative_topk(emb, lambda c: c < 20, k=5).collect()
+    assert rows, "no negatives mined"
+    per_q: dict[int, list[float]] = {}
+    for r in rows:
+        assert r.query_label != r.negative_label
+        per_q.setdefault(r.query_id, []).append(r.cosine)
+    for q, cosines in per_q.items():
+        assert len(cosines) <= 5
+        assert cosines == sorted(cosines, reverse=True), q
+
+
+def test_margin_mining_dehubs_crowded_neighbors(spark):
+    """The CCMatrix margin flips the raw-cosine ranking when the closest
+    neighbor is a hub: xq's raw cosine prefers hub y0 (crowded by three
+    even-side vectors) but the margin prefers isolated y1."""
+    from killrweather_spark.functions.similarity import margin_mining_pairs
+
+    rows = [
+        # even side (label 0): the crowd around y0, then the query
+        (0, [0.99, 0.14], 0),
+        (1, [0.98, 0.20], 0),
+        (2, [0.97, 0.24], 0),
+        (3, [0.74, 0.67], 0),   # xq: cos→y0 ≈ .742, cos→y1 ≈ .672
+        # odd side (label 1): hub then isolate
+        (10, [1.00, 0.00], 1),  # y0: even-side 2-NN mean ≈ .985
+        (11, [0.00, 1.00], 1),  # y1: even-side 2-NN mean ≈ .46
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = margin_mining_pairs(df, k=2, query_max_id=100).collect()
+    by_pair = {(r.query_id, r.pair_id): r for r in got}
+    # raw cosine prefers the hub...
+    assert by_pair[(3, 10)].cos_micro > by_pair[(3, 11)].cos_micro
+    # ...the margin inverts it and flags the isolated pair as best
+    assert by_pair[(3, 11)].margin > by_pair[(3, 10)].margin
+    assert by_pair[(3, 11)].best and not by_pair[(3, 10)].best
+    # exactly one best per query
+    for q in {r.query_id for r in got}:
+        assert sum(1 for r in got if r.query_id == q and r.best) == 1
+
+
+def test_semdedup_keep_preserves_neighborhood_minimum(spark):
+    """SemDeDup prune invariants over the trained index: kept+pruned
+    partitions the corpus, every cell retains its (centroid_sim, id)
+    minimum (the paper's keep rule: the least-centroid-similar member
+    survives), and at least one vector per cell is kept."""
+    from killrweather_spark.api.inventory import REGISTRY
+
+    rows = REGISTRY["semdedup_keep"].fn(spark, SF001).collect()
+    assert rows and all(r.kept in (True, False) for r in rows)
+    assert any(not r.kept for r in rows), "no duplicates pruned at τ=0.30"
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        assert any(m.kept for m in members), f"cell {cell} fully pruned"
+        lo = min(members, key=lambda m: (m.centroid_sim, m.vec_id))
+        assert lo.kept, f"cell {cell} pruned its (csim, id) minimum"
