@@ -7782,28 +7782,15 @@ def _semdedup_keep_sql() -> str:
     """
 
 
-@register(
-    "semdedup_keep",
-    None,  # set right below (needs the builder above)
-    survey_ref="",
-)
-def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SemDeDup PRUNE decision (Abbas et al. 2023) — completes the
-    candidates rows: within each trained-cell ε-neighborhood keep the
-    member LEAST similar to its centroid (the paper's keep rule: the
-    outlier carries the information, the centroid-huggers are the
-    redundant mass).  Greedy form, exactly replayable relationally: x is
-    pruned iff some ≥τ pair-neighbor y ranks strictly lower by
-    (centroid_sim, vec_id) — per ε-neighborhood the (csim, id)-minimum
-    always survives, so every duplicate group keeps a canonical member.
+SEMDEDUP_TAU_FLOOR = 0.20  # lowest τ the shared pair graph materializes
 
-    Everything corpus-sized is served from the persisted IVF index: the
-    pair scan reads the cell-partitioned ``vectors`` table (same
-    sub-bucketed tail as semantic_dup_candidates_ivf), the centroid sims
-    join ``vectors`` against the broadcast ``centroids`` table (k·dims
-    rows), and the prune rule is two self-equi-joins on the (tiny) pair
-    set.  No new shuffle shape appears at 100 TB: cells bound the pairs,
-    the pair set bounds the prune joins."""
+
+def _semdedup_graph(spark: SparkSession, sf_dir: str):
+    """Shared SemDeDup machinery over the persisted IVF index: returns
+    ``(csim, directed)`` where ``csim`` is (vec_id, cell, centroid_sim)
+    and ``directed`` is every ordered same-(cell, sub) pair with cosine ≥
+    ``SEMDEDUP_TAU_FLOOR`` as (x, y, cosine, sim_x, sim_y).  The keep rule
+    and the threshold curve both filter/aggregate this one graph."""
     import os as _os
 
     from killrweather_spark.functions.ann_index import ensure_ivf_index
@@ -7865,13 +7852,15 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["cell", "sub"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", dot / (F.sqrt("na") * F.sqrt("nb")))
-        .filter(F.col("cosine") >= 0.30)
-        .select("vec_a", "vec_b")
+        .filter(F.col("cosine") >= SEMDEDUP_TAU_FLOOR)
+        .select("vec_a", "vec_b", "cosine")
     )
     directed = pairs.select(
-        F.col("vec_a").alias("x"), F.col("vec_b").alias("y")
+        F.col("vec_a").alias("x"), F.col("vec_b").alias("y"), "cosine"
     ).unionAll(
-        pairs.select(F.col("vec_b").alias("x"), F.col("vec_a").alias("y"))
+        pairs.select(
+            F.col("vec_b").alias("x"), F.col("vec_a").alias("y"), "cosine"
+        )
     )
     sx = csim.select(
         F.col("vec_id").alias("x"), F.col("centroid_sim").alias("sim_x")
@@ -7879,13 +7868,45 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = csim.select(
         F.col("vec_id").alias("y"), F.col("centroid_sim").alias("sim_y")
     )
+    directed = directed.join(sx, "x").join(sy, "y")
+    return csim, directed
+
+
+def _semdedup_loser() -> Column:
+    """The greedy loser test: the neighbor ranks strictly lower by
+    (csim, id).  Built lazily — classic-mode ``F.col`` needs an active
+    SparkContext, and this module imports before the session exists."""
+    return (F.col("sim_y") < F.col("sim_x")) | (
+        (F.col("sim_y") == F.col("sim_x")) & (F.col("y") < F.col("x"))
+    )
+
+
+@register(
+    "semdedup_keep",
+    None,  # set right below (needs the builder above)
+    survey_ref="",
+)
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup PRUNE decision (Abbas et al. 2023) — completes the
+    candidates rows: within each trained-cell ε-neighborhood keep the
+    member LEAST similar to its centroid (the paper's keep rule: the
+    outlier carries the information, the centroid-huggers are the
+    redundant mass).  Greedy form, exactly replayable relationally: x is
+    pruned iff some ≥τ pair-neighbor y ranks strictly lower by
+    (centroid_sim, vec_id) — per ε-neighborhood the (csim, id)-minimum
+    always survives, so every duplicate group keeps a canonical member.
+
+    Everything corpus-sized is served from the persisted IVF index: the
+    pair scan reads the cell-partitioned ``vectors`` table (same
+    sub-bucketed tail as semantic_dup_candidates_ivf), the centroid sims
+    join ``vectors`` against the broadcast ``centroids`` table (k·dims
+    rows), and the prune rule is two self-equi-joins on the (tiny) pair
+    set.  No new shuffle shape appears at 100 TB: cells bound the pairs,
+    the pair set bounds the prune joins."""
+    csim, directed = _semdedup_graph(spark, sf_dir)
     pruned = (
-        directed.join(sx, "x")
-        .join(sy, "y")
-        .filter(
-            (F.col("sim_y") < F.col("sim_x"))
-            | ((F.col("sim_y") == F.col("sim_x")) & (F.col("y") < F.col("x")))
-        )
+        directed.filter(F.col("cosine") >= 0.30)
+        .filter(_semdedup_loser())
         .select(F.col("x").alias("vec_id"))
         .distinct()
         .withColumn("__pruned", F.lit(True))
@@ -7912,6 +7933,160 @@ REGISTRY["semdedup_keep"] = QuerySpec(
     "Pairs and centroid sims are both served from the persisted IVF "
     "index (vectors + broadcast centroids); the prune rule is two "
     "self-joins on the bounded pair set",
+)
+
+
+SEMDEDUP_CURVE_TAUS = (200_000, 300_000, 400_000, 500_000, 600_000)
+
+
+def _semdedup_threshold_curve_sql() -> str:
+    """Oracle for the τ-sensitivity curve: the keep oracle's graph at the
+    ``SEMDEDUP_TAU_FLOOR`` floor with cosines kept, per-x max loser-edge
+    cosine, then one row per τ counting how many vectors would prune."""
+    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
+
+    train = ",\n    ".join(
+        ivf_trained_parts_sql(
+            n_centroids=8, iters=2, n_probe=0, probe_tail=False
+        )
+    )
+    taus = ", ".join(f"({t})" for t in SEMDEDUP_CURVE_TAUS)
+    return f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    {train},
+    psized AS (
+      SELECT l.vec_id, l.cell,
+             GREATEST(CAST(CEIL(COUNT(*) OVER (PARTITION BY l.cell)
+                                / {SEMDEDUP_CLUSTER_CAP}.0) AS BIGINT), 1)
+               AS n_sub
+      FROM l2 l JOIN nrm USING (vec_id)
+    ),
+    pbucketed AS (
+      SELECT vec_id, cell,
+             (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+              % n_sub) AS sub
+      FROM psized
+    ),
+    pcomp AS (
+      SELECT c.vec_id, b.cell, b.sub, c.pos, c.q
+      FROM comp c JOIN pbucketed b USING (vec_id)
+    ),
+    pdots AS (
+      SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+             SUM(a.q * b.q) AS dot
+      FROM pcomp a JOIN pcomp b
+        ON a.cell = b.cell AND a.sub = b.sub AND a.pos = b.pos
+       AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    pcos AS (
+      SELECT a_id, b_id,
+             dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cosine
+      FROM pdots
+      JOIN nrm na ON na.vec_id = a_id
+      JOIN nrm nb ON nb.vec_id = b_id
+      WHERE dot / (SQRT(na.norm2) * SQRT(nb.norm2))
+            >= {SEMDEDUP_TAU_FLOOR}
+    ),
+    cnrm AS (SELECT cell, SUM(c * c) AS cnorm2 FROM cent2 GROUP BY cell),
+    cdot AS (
+      SELECT c.vec_id, SUM(c.q * ct.c) AS cd
+      FROM comp c
+      JOIN l2 l USING (vec_id)
+      JOIN cent2 ct ON ct.cell = l.cell AND ct.pos = c.pos
+      GROUP BY 1
+    ),
+    csim AS (
+      SELECT l.vec_id, l.cell,
+             cd.cd / (SQRT(n.norm2) * SQRT(cn.cnorm2)) AS centroid_sim
+      FROM l2 l
+      JOIN nrm n USING (vec_id)
+      JOIN cdot cd USING (vec_id)
+      JOIN cnrm cn ON cn.cell = l.cell
+      WHERE cn.cnorm2 > 0
+    ),
+    directed AS (
+      SELECT a_id AS x, b_id AS y, cosine FROM pcos
+      UNION ALL
+      SELECT b_id AS x, a_id AS y, cosine FROM pcos
+    ),
+    losers AS (
+      SELECT d.x, MAX(d.cosine) AS mc
+      FROM directed d
+      JOIN csim sx ON sx.vec_id = d.x
+      JOIN csim sy ON sy.vec_id = d.y
+      WHERE sy.centroid_sim < sx.centroid_sim
+         OR (sy.centroid_sim = sx.centroid_sim AND d.y < d.x)
+      GROUP BY d.x
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM csim)
+    SELECT CAST(t.tau_micro AS BIGINT) AS tau_micro,
+           COUNT(l.x) AS n_pruned,
+           tot.n_total,
+           (COUNT(l.x) * 1000000) // tot.n_total AS prune_rate_micro
+    FROM (VALUES {taus}) AS t(tau_micro)
+    LEFT JOIN losers l
+      ON l.mc >= CAST(t.tau_micro AS DOUBLE) / 1000000.0
+    CROSS JOIN tot
+    GROUP BY t.tau_micro, tot.n_total
+    """
+
+
+@register(
+    "semdedup_threshold_curve",
+    None,  # set right below (needs the builder above)
+    survey_ref="",
+)
+def q_semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup τ-sensitivity curve — how much of the corpus each
+    threshold would prune (the paper's dedup-fraction-vs-ε sweep, the
+    number a curation run tunes before committing).  One pair-graph
+    materialization at the ``SEMDEDUP_TAU_FLOOR`` floor serves every τ:
+    a vector's fate at τ depends only on its MAX loser-edge cosine, so
+    the sweep is one per-x max + a 5-row broadcast range join — adding a
+    τ costs nothing.  Output: (tau_micro, n_pruned, n_total,
+    prune_rate_micro) per τ."""
+    csim, directed = _semdedup_graph(spark, sf_dir)
+    losers = (
+        directed.filter(_semdedup_loser())
+        .groupBy("x")
+        .agg(F.max("cosine").alias("mc"))
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in SEMDEDUP_CURVE_TAUS], "tau_micro bigint"
+    )
+    tot = csim.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        F.broadcast(taus)
+        .join(
+            losers,
+            F.col("mc")
+            >= F.col("tau_micro").cast("double") / F.lit(1000000.0),
+            "left",
+        )
+        .groupBy("tau_micro")
+        .agg(F.count("x").alias("n_pruned"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tau_micro",
+            "n_pruned",
+            "n_total",
+            F.expr("(n_pruned * 1000000) div n_total").alias(
+                "prune_rate_micro"
+            ),
+        )
+    )
+
+
+REGISTRY["semdedup_threshold_curve"] = QuerySpec(
+    fn=REGISTRY["semdedup_threshold_curve"].fn,
+    sql=_semdedup_threshold_curve_sql(),
+    survey_ref="beyond-ref SemDeDup τ-sensitivity curve "
+    "(inventory.py:q_semdedup_threshold_curve) — prune fraction at each "
+    "threshold from ONE pair-graph materialization (a vector's fate at τ "
+    "is determined by its max loser-edge cosine), the tuning artifact "
+    "the paper sweeps before committing a curation run; the family's "
+    "eval row, like the ANN recall rows",
 )
 
 

@@ -2171,3 +2171,21 @@ def test_semdedup_keep_preserves_neighborhood_minimum(spark):
         assert any(m.kept for m in members), f"cell {cell} fully pruned"
         lo = min(members, key=lambda m: (m.centroid_sim, m.vec_id))
         assert lo.kept, f"cell {cell} pruned its (csim, id) minimum"
+
+
+def test_semdedup_threshold_curve_monotone_and_consistent(spark):
+    """The τ-sweep is non-increasing in τ, and its τ=0.30 point agrees
+    exactly with the keep rule's pruned count (same graph, same rule)."""
+    from killrweather_spark.api.inventory import REGISTRY
+
+    curve = {
+        r.tau_micro: r
+        for r in REGISTRY["semdedup_threshold_curve"].fn(spark, SF001).collect()
+    }
+    taus = sorted(curve)
+    for lo, hi in zip(taus, taus[1:]):
+        assert curve[lo].n_pruned >= curve[hi].n_pruned
+    keep = REGISTRY["semdedup_keep"].fn(spark, SF001).collect()
+    n_pruned_keep = sum(1 for r in keep if not r.kept)
+    assert curve[300_000].n_pruned == n_pruned_keep
+    assert all(r.n_total == len(keep) for r in curve.values())
