@@ -200,6 +200,35 @@ def _cpu_probe() -> float:
     return best
 
 
+def _io_probe() -> float | None:
+    """Engine-free STORAGE-PATH probe: a DuckDB full-scan aggregate over
+    this leg's lineitem parquet — no Spark/JVM, but it does exercise the
+    filesystem, page cache, parquet decode, and memory bandwidth, which
+    the pure-CPU hash loop is blind to.  Added after a round where the
+    fleet median read 1.08× slower while the CPU probe read 0.96×
+    (host CPU fine, storage path slower): with only the CPU probe that
+    disagreement is indistinguishable from a fleet-wide true regression
+    and needs manual A/B adjudication; either probe agreeing with the
+    fleet shift attests it as environment."""
+    import duckdb
+
+    path = os.path.join(SF_DIR, "lineitem.parquet")
+    if not os.path.exists(path):
+        return None
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con = duckdb.connect()
+        con.execute(
+            "SELECT sum(l_extendedprice * l_discount), count(*) "
+            f"FROM read_parquet('{path}')"
+        ).fetchall()
+        con.close()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def _interleaved(names: list[str]) -> list[str]:
     """Alternate the older half of the headline set with the newer half.
 
@@ -227,7 +256,9 @@ def _round_num(p: Path) -> int:
     return int(m.group(1)) if m else -1
 
 
-def _prior_bench(sf: float) -> tuple[str, dict[str, float], float | None] | None:
+def _prior_bench(
+    sf: float,
+) -> tuple[str, dict[str, float], float | None, float | None] | None:
     """Most recent prior timings at the SAME scale factor (cross-SF
     timings are not comparable).  The repo-root ``bench_out.json`` — the
     artifact the PREVIOUS round committed — is preferred: the driver's
@@ -246,7 +277,12 @@ def _prior_bench(sf: float) -> tuple[str, dict[str, float], float | None] | None
         except (json.JSONDecodeError, AttributeError, OSError):
             continue
         if q and parsed.get("sf") == sf:
-            return p.name, q, parsed.get("cpu_probe_sec")
+            return (
+                p.name,
+                q,
+                parsed.get("cpu_probe_sec"),
+                parsed.get("io_probe_sec"),
+            )
     return None
 
 
@@ -314,6 +350,7 @@ def main() -> None:
     from killrweather_spark.session import get_session
 
     probe_start = _cpu_probe()
+    io_probe_start = _io_probe()
 
     spark = get_session(app_name="killrweather_spark_bench")
 
@@ -370,15 +407,21 @@ def main() -> None:
     regressions: dict[str, dict] = {}
     isolated: dict[str, float | None] = {k: None for k in timings}
     probe_end = _cpu_probe()
+    io_probe_end = _io_probe()
     # min of the two legs = the host's least-contended speed this session
     cpu_probe_sec = round(min(probe_start, probe_end), 4)
+    io_probe_sec = (
+        round(min(p for p in (io_probe_start, io_probe_end) if p), 4)
+        if (io_probe_start or io_probe_end)
+        else None
+    )
 
     prior_name = None
     env_drift_ratio = 1.0
     drift_attestation: dict | None = None
     prior = _prior_bench(sf)
     if prior is not None:
-        prior_name, prior_q, prior_probe = prior
+        prior_name, prior_q, prior_probe, prior_io_probe = prior
         # ENVIRONMENT NORMALIZATION: the shared-subset MEDIAN now/prior
         # ratio.  Rounds run on a shared host whose effective speed
         # moves between sessions (r9 measured a uniform 1.28× shift
@@ -395,26 +438,45 @@ def main() -> None:
         )
         if len(shared_ratios) >= 10:
             env_drift_ratio = shared_ratios[len(shared_ratios) // 2]
-        # ATTEST the shift with the engine-free probe: "environment
+        # ATTEST the shift with the engine-free probes: "environment
         # drift" is only believable if an independent workload moved
-        # the same way.  Disagreement is the uniform-true-regression
-        # signature — flag it loudly; never normalize it away.
-        if prior_probe and len(shared_ratios) >= 10:
-            probe_ratio = cpu_probe_sec / prior_probe
-            agree = abs(env_drift_ratio / probe_ratio - 1) <= DRIFT_ATTEST_TOL
+        # the same way.  Two probes cover the two ways a host shifts —
+        # CPU speed (hash loop) and the storage path (DuckDB parquet
+        # scan: page cache, filesystem, decode, memory bandwidth).
+        # EITHER probe agreeing attests the shift as environment;
+        # BOTH disagreeing is the uniform-true-regression signature —
+        # flag it loudly; never normalize it away.
+        probe_ratios: dict[str, float] = {}
+        if prior_probe:
+            probe_ratios["cpu"] = cpu_probe_sec / prior_probe
+        if prior_io_probe and io_probe_sec:
+            probe_ratios["io"] = io_probe_sec / prior_io_probe
+        if probe_ratios and len(shared_ratios) >= 10:
+            agree = any(
+                abs(env_drift_ratio / r - 1) <= DRIFT_ATTEST_TOL
+                for r in probe_ratios.values()
+            )
             drift_attestation = {
-                "probe_ratio": round(probe_ratio, 4),
+                "probe_ratio": round(probe_ratios["cpu"], 4)
+                if "cpu" in probe_ratios
+                else None,
+                "io_probe_ratio": round(probe_ratios["io"], 4)
+                if "io" in probe_ratios
+                else None,
                 "fleet_median_ratio": round(env_drift_ratio, 4),
                 "verdict": "agree" if agree else "DISAGREE",
             }
             if not agree:
+                shown = ", ".join(
+                    f"{k} {r:.3f}x" for k, r in probe_ratios.items()
+                )
                 print(
                     "bench DRIFT ATTESTATION FAILED: fleet-median shift "
-                    f"{env_drift_ratio:.3f}x vs engine-free CPU probe "
-                    f"{probe_ratio:.3f}x (>{DRIFT_ATTEST_TOL:.0%} apart). "
+                    f"{env_drift_ratio:.3f}x vs engine-free probes "
+                    f"({shown}) (>{DRIFT_ATTEST_TOL:.0%} apart from all). "
                     "The workload-wide shift is NOT explained by host "
-                    "speed — treat as a possible fleet-wide TRUE "
-                    "regression and adjudicate by hand.",
+                    "speed or the storage path — treat as a possible "
+                    "fleet-wide TRUE regression and adjudicate by hand.",
                     file=sys.stderr,
                 )
         if not (ENV_DRIFT_BAND[0] <= env_drift_ratio <= ENV_DRIFT_BAND[1]):
@@ -486,6 +548,7 @@ def main() -> None:
         "vs_prior": prior_name,
         "env_drift_ratio": round(env_drift_ratio, 4),
         "cpu_probe_sec": cpu_probe_sec,
+        "io_probe_sec": io_probe_sec,
         "drift_attestation": drift_attestation,
         "isolated": isolated,
         "drift": drift,
