@@ -11511,11 +11511,19 @@ DRIVER_WINDOW = [
     "monthly_temperature",         # §2.11 request API
     "streaming_image_screen",      # §2.9 streaming screens
     # ------------------------------------------------------------------
-    # first-timers: r10 flagships
+    # first-timers: r10 flagships (the continuation ops replace the four
+    # behavioral-analytics first-timers — funnel_conversion,
+    # cohort_retention, rfm_segments, event_transitions, all still
+    # never-driver-verified and value-exact in tests/test_oracle_parity;
+    # the burn-down count stays 45 and those four lead the r11 rotation)
     # ------------------------------------------------------------------
     "exact_substring_pairs",       # suffix-array exact-substring dedup
     "streaming_semantic_screen",   # dense-vector screen over IVFADC
     "cross_modal_topk",            # CLIP-style shared-space probe
+    "hard_negative_mining",        # contrastive-negatives top-k
+    "margin_mining_pairs",         # CCMatrix margin pair mining
+    "semdedup_keep",               # SemDeDup keep/prune decision
+    "semdedup_threshold_curve",    # SemDeDup tau-sensitivity sweep
     # first-timers: ANN / screen recall + eval rows
     "ann_ivf_probe_curve",
     "ann_recall_ivf_trained",
@@ -11561,11 +11569,6 @@ DRIVER_WINDOW = [
     "streaming_enrich_dim_join",
     "streaming_hopping_counts",
     "streaming_dedup_within_watermark",
-    # first-timers: behavioral analytics
-    "funnel_conversion",
-    "cohort_retention",
-    "rfm_segments",
-    "event_transitions",
 ]
 
 
