@@ -155,6 +155,7 @@ HEADLINE = [
     "ann_ivfpq_residual",               # residual-encoded IVFADC
     "streaming_semantic_screen_fixed",  # fixed-arrival production twin
     "hard_negative_mining",             # contrastive-negatives top-k
+    "hard_negative_mining_ivf",         # index-probed production form
     "margin_mining_pairs",              # CCMatrix margin pair mining
     "semdedup_keep",                    # SemDeDup keep/prune decision
 ]

@@ -11464,6 +11464,65 @@ def _wire_mining() -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         return margin_mining_pairs(emb)
 
+    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
+
+    hn_ivf_parts = ",\n    ".join(
+        ivf_trained_parts_sql(
+            n_centroids=8, iters=2, n_probe=2, query_pred="vec_id < 20"
+        )
+    )
+    hn_ivf_sql = f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    {hn_ivf_parts},
+    lab AS (SELECT vec_id, label FROM embeddings)
+    SELECT d.query_id, CAST(lq.label AS INT) AS query_label,
+           d.neighbor_id AS negative_id,
+           CAST(ln.label AS INT) AS negative_label,
+           d.dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+    FROM dots d
+    JOIN nrm qn ON qn.vec_id = d.query_id
+    JOIN nrm cn ON cn.vec_id = d.neighbor_id
+    JOIN lab lq ON lq.vec_id = d.query_id
+    JOIN lab ln ON ln.vec_id = d.neighbor_id
+    WHERE lq.label != ln.label
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY d.query_id
+      ORDER BY d.dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) DESC, d.neighbor_id
+    ) <= 5
+    """
+
+    @register(
+        "hard_negative_mining_ivf",
+        hn_ivf_sql,
+        survey_ref="beyond-ref contrastive-training data op, production "
+        "form (ann_index.py:ivf_probe_topk hard-negative mode): the same "
+        "per-query top-5 different-label negatives as "
+        "hard_negative_mining, but candidates come from n_probe "
+        "partition-pruned cells of the PERSISTED IVF index instead of a "
+        "flat corpus scan — the ann_pq_adc → ann_ivfpq pairing applied "
+        "to mining.  Labels join only the probed candidates (a "
+        "production index stores the label inline in the inverted "
+        "lists); oracle replays training + probe + label filter "
+        "relationally",
+    )
+    def q_hard_negative_mining_ivf(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from killrweather_spark.functions.ann_index import (
+            ensure_ivf_index,
+            ivf_probe_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ensure_ivf_index(
+            emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2
+        )
+        queries = emb.filter(F.col("vec_id") < 20)
+        return ivf_probe_topk(
+            spark, idx, queries, k=5, n_probe=2,
+            labels=emb.select("vec_id", "label"),
+        )
+
 
 _wire_mining()
 

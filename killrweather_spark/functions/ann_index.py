@@ -288,6 +288,8 @@ def ivf_probe_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    labels: DataFrame | None = None,
+    label_col: str = "label",
 ) -> DataFrame:
     """Answer top-k cosine queries from the PREBUILT index: rank the
     trained centroids per query by squared-L2 (ties smallest cell), read
@@ -296,7 +298,15 @@ def ivf_probe_topk(
     candidates, return (query_id, neighbor_id, cosine).
 
     The query DataFrame is the serving input (vectors arrive with the
-    request); everything corpus-sized is read from the index."""
+    request); everything corpus-sized is read from the index.
+
+    HARD-NEGATIVE mode: pass ``labels`` (an (id, label) frame) and the
+    probe becomes a hard-negative miner — same-label candidates are
+    excluded BEFORE the rank (they are positives, not negatives) and the
+    output widens to (query_id, query_label, negative_id,
+    negative_label, cosine).  Labels join only the probed candidates; a
+    production index would store the label inline in the inverted lists
+    and skip the join entirely."""
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     qcomp = (
         quantized_components(queries, id_col, vec_col)
@@ -370,14 +380,39 @@ def ivf_probe_topk(
             F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
         )
     )
+    out_cols = ["query_id", "neighbor_id", "cosine"]
+    if labels is not None:
+        lab = labels.select(
+            F.col(id_col).alias("__lid"), F.col(label_col).alias("__lab")
+        )
+        ql = lab.select(
+            F.col("__lid").alias("query_id"),
+            F.col("__lab").alias("query_label"),
+        )
+        nl = lab.select(
+            F.col("__lid").alias("neighbor_id"),
+            F.col("__lab").alias("negative_label"),
+        )
+        sims = (
+            sims.join(F.broadcast(ql), "query_id")
+            .join(nl, "neighbor_id")
+            .filter(F.col("query_label") != F.col("negative_label"))
+        )
+        out_cols = [
+            "query_id", "query_label", "neighbor_id", "negative_label",
+            "cosine",
+        ]
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    ranked = (
         sims.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine")
+        .select(*out_cols)
     )
+    if labels is not None:
+        ranked = ranked.withColumnRenamed("neighbor_id", "negative_id")
+    return ranked
 
 
 def ivf_probe_depth_curve(

@@ -2189,3 +2189,24 @@ def test_semdedup_threshold_curve_monotone_and_consistent(spark):
     n_pruned_keep = sum(1 for r in keep if not r.kept)
     assert curve[300_000].n_pruned == n_pruned_keep
     assert all(r.n_total == len(keep) for r in curve.values())
+
+
+def test_hard_negative_ivf_contract_and_recall(spark):
+    """The IVF-probed miner honors the same label-mismatch/top-k
+    contract as the flat scan, and probing 2/8 cells still recovers a
+    non-trivial share of the flat miner's negatives (the cells bound
+    WHICH candidates exist, not the rule)."""
+    from killrweather_spark.api.inventory import REGISTRY
+
+    flat = REGISTRY["hard_negative_mining"].fn(spark, SF001).collect()
+    ivf = REGISTRY["hard_negative_mining_ivf"].fn(spark, SF001).collect()
+    assert ivf, "no negatives mined from the index"
+    per_q: dict[int, int] = {}
+    for r in ivf:
+        assert r.query_label != r.negative_label
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n <= 5 for n in per_q.values())
+    flat_pairs = {(r.query_id, r.negative_id) for r in flat}
+    ivf_pairs = {(r.query_id, r.negative_id) for r in ivf}
+    recall = len(flat_pairs & ivf_pairs) / len(flat_pairs)
+    assert recall >= 0.3, f"suspiciously low IVF mining recall: {recall}"
