@@ -7570,23 +7570,14 @@ def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_dup_candidates_ivf_sql() -> str:
-    """Oracle for the trained-cell SemDeDup scan: the shared comp/nrm
-    CTEs + the IVF training replay (``ivf_trained_parts_sql`` with no
-    probe tail — ``l2`` is the trained assignment), then the identical
-    sized/md5-sub-bucketed pair tail as ``semantic_dup_candidates`` with
-    ``label`` replaced by the trained ``cell``."""
-    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
-
-    train = ",\n    ".join(
-        ivf_trained_parts_sql(
-            n_centroids=8, iters=2, n_probe=0, probe_tail=False
-        )
-    )
-    return f"""
-    WITH {_EMB_COMP_NRM_SQL},
-    {train},
-    psized AS (
+def _semdedup_pair_ctes() -> str:
+    """The sized/md5-sub-bucketed trained-cell pair-scan CTE chain
+    (psized → pbucketed → pcomp → pdots) over the ``l2`` assignment.
+    Shared VERBATIM by the three SemDeDup oracles (candidates, keep,
+    threshold curve) so a bucketing change — the cap formula, the md5
+    sub-bucket expression — lands once instead of silently diverging
+    one oracle from the others."""
+    return f"""psized AS (
       SELECT l.vec_id, l.cell,
              GREATEST(CAST(CEIL(COUNT(*) OVER (PARTITION BY l.cell)
                                 / {SEMDEDUP_CLUSTER_CAP}.0) AS BIGINT), 1)
@@ -7610,7 +7601,26 @@ def _semantic_dup_candidates_ivf_sql() -> str:
         ON a.cell = b.cell AND a.sub = b.sub AND a.pos = b.pos
        AND a.vec_id < b.vec_id
       GROUP BY 1, 2, 3
+    )"""
+
+
+def _semantic_dup_candidates_ivf_sql() -> str:
+    """Oracle for the trained-cell SemDeDup scan: the shared comp/nrm
+    CTEs + the IVF training replay (``ivf_trained_parts_sql`` with no
+    probe tail — ``l2`` is the trained assignment), then the identical
+    sized/md5-sub-bucketed pair tail as ``semantic_dup_candidates`` with
+    ``label`` replaced by the trained ``cell``."""
+    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
+
+    train = ",\n    ".join(
+        ivf_trained_parts_sql(
+            n_centroids=8, iters=2, n_probe=0, probe_tail=False
+        )
     )
+    return f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    {train},
+    {_semdedup_pair_ctes()}
     SELECT CAST(cell AS BIGINT) AS cell, a_id AS vec_a, b_id AS vec_b,
            dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cosine
     FROM pdots
@@ -7715,31 +7725,7 @@ def _semdedup_keep_sql() -> str:
     return f"""
     WITH {_EMB_COMP_NRM_SQL},
     {train},
-    psized AS (
-      SELECT l.vec_id, l.cell,
-             GREATEST(CAST(CEIL(COUNT(*) OVER (PARTITION BY l.cell)
-                                / {SEMDEDUP_CLUSTER_CAP}.0) AS BIGINT), 1)
-               AS n_sub
-      FROM l2 l JOIN nrm USING (vec_id)
-    ),
-    pbucketed AS (
-      SELECT vec_id, cell,
-             (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-              % n_sub) AS sub
-      FROM psized
-    ),
-    pcomp AS (
-      SELECT c.vec_id, b.cell, b.sub, c.pos, c.q
-      FROM comp c JOIN pbucketed b USING (vec_id)
-    ),
-    pdots AS (
-      SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
-             SUM(a.q * b.q) AS dot
-      FROM pcomp a JOIN pcomp b
-        ON a.cell = b.cell AND a.sub = b.sub AND a.pos = b.pos
-       AND a.vec_id < b.vec_id
-      GROUP BY 1, 2, 3
-    ),
+    {_semdedup_pair_ctes()},
     pairs AS (
       SELECT a_id, b_id FROM pdots
       JOIN nrm na ON na.vec_id = a_id
@@ -7854,6 +7840,10 @@ def _semdedup_graph(spark: SparkSession, sf_dir: str):
         .withColumn("cosine", dot / (F.sqrt("na") * F.sqrt("nb")))
         .filter(F.col("cosine") >= SEMDEDUP_TAU_FLOOR)
         .select("vec_a", "vec_b", "cosine")
+        # both union branches below read this — persist so the heaviest
+        # stage (the (cell, sub) self-join + per-row zip_with cosines)
+        # runs once per action, not once per direction
+        .transform(persist_once)
     )
     directed = pairs.select(
         F.col("vec_a").alias("x"), F.col("vec_b").alias("y"), "cosine"
@@ -7954,31 +7944,7 @@ def _semdedup_threshold_curve_sql() -> str:
     return f"""
     WITH {_EMB_COMP_NRM_SQL},
     {train},
-    psized AS (
-      SELECT l.vec_id, l.cell,
-             GREATEST(CAST(CEIL(COUNT(*) OVER (PARTITION BY l.cell)
-                                / {SEMDEDUP_CLUSTER_CAP}.0) AS BIGINT), 1)
-               AS n_sub
-      FROM l2 l JOIN nrm USING (vec_id)
-    ),
-    pbucketed AS (
-      SELECT vec_id, cell,
-             (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-              % n_sub) AS sub
-      FROM psized
-    ),
-    pcomp AS (
-      SELECT c.vec_id, b.cell, b.sub, c.pos, c.q
-      FROM comp c JOIN pbucketed b USING (vec_id)
-    ),
-    pdots AS (
-      SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
-             SUM(a.q * b.q) AS dot
-      FROM pcomp a JOIN pcomp b
-        ON a.cell = b.cell AND a.sub = b.sub AND a.pos = b.pos
-       AND a.vec_id < b.vec_id
-      GROUP BY 1, 2, 3
-    ),
+    {_semdedup_pair_ctes()},
     pcos AS (
       SELECT a_id, b_id,
              dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cosine

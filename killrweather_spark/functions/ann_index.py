@@ -385,10 +385,13 @@ def ivf_probe_topk(
         lab = labels.select(
             F.col(id_col).alias("__lid"), F.col(label_col).alias("__lab")
         )
+        # bound the broadcast-hinted query-label frame to the query ids:
+        # callers pass the corpus-wide labels frame, and hinting it
+        # whole would ship every (id, label) row to every executor
         ql = lab.select(
             F.col("__lid").alias("query_id"),
             F.col("__lab").alias("query_label"),
-        )
+        ).join(qcomp.select("query_id").distinct(), "query_id")
         nl = lab.select(
             F.col("__lid").alias("neighbor_id"),
             F.col("__lab").alias("negative_label"),

@@ -86,7 +86,13 @@ def cosine_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
     )
-    qn = nrm.select(F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2"))
+    # qn carries a broadcast hint: bound it to the QUERY ids first —
+    # hinting the corpus-sized norms frame would ship the whole corpus
+    # to every executor at scale even though only the query rows match
+    qids = qcomp.select("query_id").distinct()
+    qn = nrm.select(
+        F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2")
+    ).join(qids, "query_id")
     cn = nrm.select(F.col(id_col).alias("neighbor_id"), F.col("norm2").alias("nnorm2"))
     sims = (
         dots.join(F.broadcast(qn), "query_id")
@@ -148,15 +154,19 @@ def hard_negative_topk(
         .groupBy("query_id", "negative_id")
         .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
     )
+    # the broadcast-hinted query-side frames are bounded to the QUERY
+    # ids first — hinting corpus-sized norms/labels would ship the whole
+    # corpus to every executor at scale
+    qids = qcomp.select("query_id").distinct()
     qn = nrm.select(
         F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2")
-    )
+    ).join(qids, "query_id")
     cn = nrm.select(
         F.col(id_col).alias("negative_id"), F.col("norm2").alias("nnorm2")
     )
     ql = lab.select(
         F.col(id_col).alias("query_id"), F.col("__lab").alias("query_label")
-    )
+    ).join(qids, "query_id")
     cl = lab.select(
         F.col(id_col).alias("negative_id"),
         F.col("__lab").alias("negative_label"),
@@ -248,8 +258,14 @@ def margin_mining_pairs(
     integer dots/norms; each neighborhood mean is kept ORDER-FREE by
     summing ROUND(cos·10⁶) as int64 micro-units, and the margin is a
     single double division of two exact integers — no float reduction
-    anywhere.  margin = cmic·(nₓ+n_y) / (Σₓ+Σ_y) algebraically equals the
-    textbook ratio (both numerator and denominator scaled by 10⁶·(nₓ+n_y)).
+    anywhere.  margin = 2·cmic·nₓ·n_y / (Σₓ·n_y + Σ_y·nₓ) IS the textbook
+    mean-of-means ratio cos / ((Σₓ/nₓ + Σ_y/n_y) / 2) with both sides
+    scaled by 10⁶·nₓ·n_y — exact even when one side has fewer than k
+    neighbors (nₓ ≠ n_y), where a pooled mean would overweight the
+    larger neighborhood.  Pairs whose combined scaled neighborhood mass
+    Σₓ·n_y + Σ_y·nₓ is ≤ 0 (both k-NN lists anti-correlated) are
+    EXCLUDED on both engines: the ratio's sign flips and it stops being
+    a margin; such queries have no mineable alignment by construction.
 
     Scale: |candidates| ≤ |batch|·k, so the reverse-direction k-NN pass is
     bounded; both directions' flat scans become probes of the shared IVF
@@ -326,16 +342,19 @@ def margin_mining_pairs(
         .groupBy("pair_id")
         .agg(F.sum("cmic").alias("dys"), F.count(F.lit(1)).alias("ny"))
     )
+    denom = (
+        F.col("dxs") * F.col("ny") + F.col("dys") * F.col("nx")
+    )
     margin = (
-        F.col("cmic") * (F.col("nx") + F.col("ny"))
-    ).cast("double") / (F.col("dxs") + F.col("dys")).cast("double")
+        F.lit(2) * F.col("cmic") * F.col("nx") * F.col("ny")
+    ).cast("double") / denom.cast("double")
     wbest = Window.partitionBy("query_id").orderBy(
         F.col("margin").desc(), F.col("pair_id").asc()
     )
     return (
         cand.join(F.broadcast(dx), "query_id")
         .join(F.broadcast(dy), "pair_id")
-        .filter(F.col("dxs") + F.col("dys") > 0)
+        .filter(denom > 0)
         .withColumn("margin", margin)
         .withColumn("best", F.row_number().over(wbest) == 1)
         .select("query_id", "pair_id", "cmic", "margin", "best")
@@ -407,17 +426,18 @@ def margin_mining_pairs_sql(
       GROUP BY 1
     )
     SELECT c.query_id, c.pair_id, c.cmic AS cos_micro,
-           CAST(c.cmic * (dx.nx + dy.ny) AS DOUBLE)
-             / CAST(dx.dxs + dy.dys AS DOUBLE) AS margin,
+           CAST(2 * c.cmic * dx.nx * dy.ny AS DOUBLE)
+             / CAST(dx.dxs * dy.ny + dy.dys * dx.nx AS DOUBLE) AS margin,
            ROW_NUMBER() OVER (
              PARTITION BY c.query_id
-             ORDER BY CAST(c.cmic * (dx.nx + dy.ny) AS DOUBLE)
-                      / CAST(dx.dxs + dy.dys AS DOUBLE) DESC, c.pair_id
+             ORDER BY CAST(2 * c.cmic * dx.nx * dy.ny AS DOUBLE)
+                      / CAST(dx.dxs * dy.ny + dy.dys * dx.nx AS DOUBLE)
+                      DESC, c.pair_id
            ) = 1 AS best
     FROM cand c
     JOIN dx USING (query_id)
     JOIN dy USING (pair_id)
-    WHERE dx.dxs + dy.dys > 0
+    WHERE dx.dxs * dy.ny + dy.dys * dx.nx > 0
     """
 
 
