@@ -157,6 +157,7 @@ HEADLINE = [
     "hard_negative_mining",             # contrastive-negatives top-k
     "hard_negative_mining_ivf",         # index-probed production form
     "margin_mining_pairs",              # CCMatrix margin pair mining
+    "margin_mining_pairs_ivf",          # index-probed production form
     "semdedup_keep",                    # SemDeDup keep/prune decision
 ]
 

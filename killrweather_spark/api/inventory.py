@@ -11457,6 +11457,187 @@ def _wire_mining() -> None:
     ) <= 5
     """
 
+    mm_ivf_parts = ",\n    ".join(
+        ivf_trained_parts_sql(
+            n_centroids=8, iters=2, n_probe=0, probe_tail=False
+        )
+    )
+    mm_margin = (
+        "CAST(2 * c.cmic * dx.nx * dy.ny AS DOUBLE)"
+        " / CAST(dx.dxs * dy.ny + dy.dys * dx.nx AS DOUBLE)"
+    )
+    mm_ivf_sql = f"""
+    WITH {_EMB_COMP_NRM_SQL},
+    {mm_ivf_parts},
+    par AS (SELECT vec_id, CAST(label % 2 AS INT) AS par FROM embeddings),
+    qdf AS (
+      SELECT c.vec_id AS query_id, ct.cell,
+             CAST(SUM((c.q - ct.c) * (c.q - ct.c)) AS BIGINT) AS d2
+      FROM comp c JOIN cent2 ct USING (pos) JOIN par p ON p.vec_id = c.vec_id
+      WHERE p.par = 0 AND c.vec_id < 40
+      GROUP BY 1, 2
+    ),
+    probesf AS (SELECT query_id, cell FROM qdf
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY d2, cell) <= 2),
+    candf AS (
+      SELECT pr.query_id, l.vec_id AS pair_id
+      FROM probesf pr JOIN l2 l ON l.cell = pr.cell
+      JOIN par py ON py.vec_id = l.vec_id
+      WHERE py.par = 1
+    ),
+    dotsf AS (
+      SELECT cf.query_id, cf.pair_id, SUM(a.q * b.q) AS dot
+      FROM candf cf
+      JOIN comp a ON a.vec_id = cf.query_id
+      JOIN comp b ON b.vec_id = cf.pair_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    ),
+    fcos AS (
+      SELECT d.query_id, d.pair_id,
+             d.dot / (SQRT(nq.norm2) * SQRT(nn.norm2)) AS cos,
+             CAST(ROUND(d.dot / (SQRT(nq.norm2) * SQRT(nn.norm2)) * 1000000)
+                  AS BIGINT) AS cmic
+      FROM dotsf d
+      JOIN nrm nq ON nq.vec_id = d.query_id
+      JOIN nrm nn ON nn.vec_id = d.pair_id
+    ),
+    cand AS (SELECT query_id, pair_id, cmic FROM fcos
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, pair_id) <= 4),
+    dx AS (SELECT query_id, SUM(cmic) AS dxs, COUNT(*) AS nx
+           FROM cand GROUP BY 1),
+    ys AS (SELECT DISTINCT pair_id FROM cand),
+    qdr AS (
+      SELECT c.vec_id AS pair_id, ct.cell,
+             CAST(SUM((c.q - ct.c) * (c.q - ct.c)) AS BIGINT) AS d2
+      FROM comp c JOIN cent2 ct USING (pos) JOIN ys ON ys.pair_id = c.vec_id
+      GROUP BY 1, 2
+    ),
+    probesr AS (SELECT pair_id, cell FROM qdr
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY pair_id
+                                 ORDER BY d2, cell) <= 2),
+    candr AS (
+      SELECT pr.pair_id, l.vec_id AS rev_id
+      FROM probesr pr JOIN l2 l ON l.cell = pr.cell
+      JOIN par px ON px.vec_id = l.vec_id
+      WHERE px.par = 0
+    ),
+    dotsr AS (
+      SELECT cr.pair_id, cr.rev_id, SUM(a.q * b.q) AS dot
+      FROM candr cr
+      JOIN comp a ON a.vec_id = cr.pair_id
+      JOIN comp b ON b.vec_id = cr.rev_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    ),
+    rcos AS (
+      SELECT d.pair_id, d.rev_id,
+             d.dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cos,
+             CAST(ROUND(d.dot / (SQRT(na.norm2) * SQRT(nb.norm2)) * 1000000)
+                  AS BIGINT) AS cmic
+      FROM dotsr d
+      JOIN nrm na ON na.vec_id = d.pair_id
+      JOIN nrm nb ON nb.vec_id = d.rev_id
+    ),
+    dy AS (
+      SELECT pair_id, SUM(cmic) AS dys, COUNT(*) AS ny
+      FROM (SELECT pair_id, rev_id, cmic FROM rcos
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY pair_id
+                                       ORDER BY cos DESC, rev_id) <= 4)
+      GROUP BY 1
+    )
+    SELECT c.query_id, c.pair_id, c.cmic AS cos_micro,
+           {mm_margin} AS margin,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {mm_margin} DESC, c.pair_id
+           ) = 1 AS best
+    FROM cand c
+    JOIN dx USING (query_id)
+    JOIN dy USING (pair_id)
+    WHERE dx.dxs * dy.ny + dy.dys * dx.nx > 0
+    """
+
+    @register(
+        "margin_mining_pairs_ivf",
+        mm_ivf_sql,
+        survey_ref="beyond-ref bitext/pair mining, production form "
+        "(inventory.py:q_margin_mining_pairs_ivf): the same mean-of-means "
+        "CCMatrix margin as margin_mining_pairs, but BOTH directions' "
+        "k-NN neighborhoods come from n_probe partition-pruned cells of "
+        "the persisted IVF index — ivf_probe_topk's label mode with "
+        "label ≔ parity keeps exactly the opposite side (exclude-same-"
+        "label ≡ keep-other-parity for two parities).  Reverse-direction "
+        "probes are bounded by |batch|·k candidate ys; margins stay "
+        "order-free int64 micro-unit sums with one double division.  "
+        "Oracle replays training + both probe directions + the margin "
+        "tail relationally",
+    )
+    def q_margin_mining_pairs_ivf(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        from killrweather_spark.functions.ann_index import (
+            ensure_ivf_index,
+            ivf_probe_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ensure_ivf_index(
+            emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2
+        )
+        par = emb.select(
+            "vec_id", (F.col("label") % 2).cast("int").alias("par")
+        )
+        xq = (
+            emb.join(par, "vec_id")
+            .filter((F.col("par") == 0) & (F.col("vec_id") < 40))
+            .select("vec_id", "embedding")
+        )
+        fwd = ivf_probe_topk(
+            spark, idx, xq, k=4, n_probe=2, labels=par, label_col="par"
+        )
+        cand = fwd.select(
+            "query_id",
+            F.col("negative_id").alias("pair_id"),
+            F.round(F.col("cosine") * 1_000_000).cast("bigint").alias("cmic"),
+        ).transform(persist_once)
+        dx = cand.groupBy("query_id").agg(
+            F.sum("cmic").alias("dxs"), F.count(F.lit(1)).alias("nx")
+        )
+        ys = cand.select(F.col("pair_id").alias("vec_id")).distinct()
+        yq = emb.join(ys, "vec_id").select("vec_id", "embedding")
+        rev = ivf_probe_topk(
+            spark, idx, yq, k=4, n_probe=2, labels=par, label_col="par"
+        )
+        dy = (
+            rev.select(
+                F.col("query_id").alias("pair_id"),
+                F.round(F.col("cosine") * 1_000_000)
+                .cast("bigint")
+                .alias("rcmic"),
+            )
+            .groupBy("pair_id")
+            .agg(F.sum("rcmic").alias("dys"), F.count(F.lit(1)).alias("ny"))
+        )
+        denom = F.col("dxs") * F.col("ny") + F.col("dys") * F.col("nx")
+        margin = (
+            F.lit(2) * F.col("cmic") * F.col("nx") * F.col("ny")
+        ).cast("double") / denom.cast("double")
+        wbest = Window.partitionBy("query_id").orderBy(
+            F.col("margin").desc(), F.col("pair_id").asc()
+        )
+        return (
+            cand.join(F.broadcast(dx), "query_id")
+            .join(F.broadcast(dy), "pair_id")
+            .filter(denom > 0)
+            .withColumn("margin", margin)
+            .withColumn("best", F.row_number().over(wbest) == 1)
+            .select("query_id", "pair_id", "cmic", "margin", "best")
+            .withColumnRenamed("cmic", "cos_micro")
+        )
+
     @register(
         "hard_negative_mining_ivf",
         hn_ivf_sql,

@@ -2210,3 +2210,21 @@ def test_hard_negative_ivf_contract_and_recall(spark):
     ivf_pairs = {(r.query_id, r.negative_id) for r in ivf}
     recall = len(flat_pairs & ivf_pairs) / len(flat_pairs)
     assert recall >= 0.3, f"suspiciously low IVF mining recall: {recall}"
+
+
+def test_margin_mining_ivf_agrees_with_flat_at_small_geometry(spark):
+    """The index-probed margin miner keeps the flat miner's contract
+    (one best per query) and at the test geometry — where 2/8-cell
+    probes recover most true neighbors — its best-pair choices overlap
+    the flat form's substantially."""
+    from killrweather_spark.api.inventory import REGISTRY
+
+    flat = REGISTRY["margin_mining_pairs"].fn(spark, SF001).collect()
+    ivf = REGISTRY["margin_mining_pairs_ivf"].fn(spark, SF001).collect()
+    assert ivf
+    for q in {r.query_id for r in ivf}:
+        assert sum(1 for r in ivf if r.query_id == q and r.best) == 1
+    flat_best = {(r.query_id, r.pair_id) for r in flat if r.best}
+    ivf_best = {(r.query_id, r.pair_id) for r in ivf if r.best}
+    overlap = len(flat_best & ivf_best) / len(flat_best)
+    assert overlap >= 0.5, f"suspiciously low best-pair overlap: {overlap}"
