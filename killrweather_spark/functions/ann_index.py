@@ -387,11 +387,17 @@ def ivf_probe_topk(
         )
         # bound the broadcast-hinted query-label frame to the query ids:
         # callers pass the corpus-wide labels frame, and hinting it
-        # whole would ship every (id, label) row to every executor
+        # whole would ship every (id, label) row to every executor.  The
+        # bound comes from the serving-input frame itself (ids unique by
+        # the serving contract, same as qd2/probes assume) via a
+        # broadcast semi — map-side over the labels scan, no shuffle
         ql = lab.select(
             F.col("__lid").alias("query_id"),
             F.col("__lab").alias("query_label"),
-        ).join(qcomp.select("query_id").distinct(), "query_id")
+        ).join(
+            F.broadcast(queries.select(F.col(id_col).alias("query_id"))),
+            "query_id",
+        )
         nl = lab.select(
             F.col("__lid").alias("neighbor_id"),
             F.col("__lab").alias("negative_label"),

@@ -88,11 +88,15 @@ def cosine_topk(
     )
     # qn carries a broadcast hint: bound it to the QUERY ids first —
     # hinting the corpus-sized norms frame would ship the whole corpus
-    # to every executor at scale even though only the query rows match
-    qids = qcomp.select("query_id").distinct()
+    # to every executor at scale even though only the query rows match.
+    # The bound is a broadcast semi against the (tiny, unique-id) query
+    # predicate on the source frame: map-side, no extra shuffle.
+    qids = df.filter(query_ids_filter(F.col(id_col))).select(
+        F.col(id_col).alias("query_id")
+    )
     qn = nrm.select(
         F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2")
-    ).join(qids, "query_id")
+    ).join(F.broadcast(qids), "query_id")
     cn = nrm.select(F.col(id_col).alias("neighbor_id"), F.col("norm2").alias("nnorm2"))
     sims = (
         dots.join(F.broadcast(qn), "query_id")
@@ -156,17 +160,21 @@ def hard_negative_topk(
     )
     # the broadcast-hinted query-side frames are bounded to the QUERY
     # ids first — hinting corpus-sized norms/labels would ship the whole
-    # corpus to every executor at scale
-    qids = qcomp.select("query_id").distinct()
+    # corpus to every executor at scale.  The bound is a broadcast semi
+    # against the (tiny, unique-id) query predicate on the source frame:
+    # map-side, no extra shuffle.
+    qids = df.filter(query_pred(F.col(id_col))).select(
+        F.col(id_col).alias("query_id")
+    )
     qn = nrm.select(
         F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2")
-    ).join(qids, "query_id")
+    ).join(F.broadcast(qids), "query_id")
     cn = nrm.select(
         F.col(id_col).alias("negative_id"), F.col("norm2").alias("nnorm2")
     )
     ql = lab.select(
         F.col(id_col).alias("query_id"), F.col("__lab").alias("query_label")
-    ).join(qids, "query_id")
+    ).join(F.broadcast(qids), "query_id")
     cl = lab.select(
         F.col(id_col).alias("negative_id"),
         F.col("__lab").alias("negative_label"),
