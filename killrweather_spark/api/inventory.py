@@ -11380,6 +11380,28 @@ def _wire_exact_substring() -> None:
 
         return exact_substring_pairs(load_table(spark, sf_dir, "documents"))
 
+    from killrweather_spark.functions.dedup import exact_substring_rewrite_sql
+
+    @register(
+        "exact_substring_rewrite",
+        exact_substring_rewrite_sql(),
+        survey_ref="beyond-ref dedup family: the ACTION step of "
+        "suffix-array dedup (dedup.py:exact_substring_rewrite; Lee et "
+        "al. 2022 §4.2) — every maximal shared run found by "
+        "exact_substring_pairs is removed from all but the lowest-id "
+        "occurrence and the survivors reassembled: doc_b spans are "
+        "interval-merged per doc (gaps-and-islands over a running "
+        "max-end) and the covered token positions dropped via an "
+        "array-side HOF filter (no range join, unaffected docs never "
+        "explode).  One row per affected doc with md5 of the rewritten "
+        "token stream — the same pairs→rewrite completion "
+        "passage_dedup_rewrite gives the CCNet line-dedup family",
+    )
+    def q_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from killrweather_spark.functions.dedup import exact_substring_rewrite
+
+        return exact_substring_rewrite(load_table(spark, sf_dir, "documents"))
+
 
 _wire_exact_substring()
 

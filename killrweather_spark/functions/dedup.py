@@ -748,6 +748,83 @@ def tfidf_cosine_pairs_sql(
 # pairing — the same bucketed-candidates contract as GRAM_DF_CAP.
 SUBSTRING_K = 6
 SUBSTRING_DF_CAP = 20
+# WITHIN-doc occurrence bound: the df cap bounds how many DOCS share an
+# anchor, but a k-gram repeated m times in doc A and n times in doc B
+# still emits m*n rows for that one (pair, digest) — occurrence-
+# quadratic on repetitive text ("ha ha ha...", templated boilerplate,
+# code) while sailing under the df cap.  Keeping only the FIRST
+# SUBSTRING_OCC_CAP positions per (doc, digest) bounds the per-pair
+# fan-out at occ_cap² per digest; non-repetitive docs (every k-gram
+# unique within the doc) are byte-identical to the uncapped output.
+SUBSTRING_OCC_CAP = 8
+
+
+def substring_anchor_matches(
+    docs: DataFrame,
+    k: int = SUBSTRING_K,
+    df_cap: int = SUBSTRING_DF_CAP,
+    occ_cap: int = SUBSTRING_OCC_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The bounded anchor-match frame of the suffix-array pipeline —
+    one row per (doc_a, doc_b, pa, pb) where both docs contain the same
+    ``k``-token run at those positions, AFTER both caps: anchors in more
+    than ``df_cap`` docs dropped (boilerplate), positions beyond the
+    first ``occ_cap`` per (doc, digest) dropped (repetitive text).
+    Exposed so tests can pin the candidate volume the caps guarantee;
+    :func:`exact_substring_pairs` turns this into maximal runs."""
+    from killrweather_spark.functions.text import tokens
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
+    )
+    # sequence(1, size-k+1) is descending for short docs (the
+    # sequence(1, 0) trap): filter size >= k first, which also matches
+    # DuckDB's empty generate_series exactly.
+    wocc = Window.partitionBy("doc_id", "dig").orderBy("pos")
+    kg = (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {k} + 1), "
+                    f"i -> md5(concat_ws(' ', slice(ts, i, {k}))))"
+                )
+            ).alias("pos0", "dig"),
+        )
+        .select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), "dig"
+        )
+        # within-doc occurrence cap: first occ_cap positions per
+        # (doc, digest) — see SUBSTRING_OCC_CAP.  One window shuffle on
+        # run-sized partitions; a no-op for docs with no repeated k-gram.
+        .withColumn("__occ", F.row_number().over(wocc))
+        .filter(F.col("__occ") <= occ_cap)
+        .drop("__occ")
+        .transform(persist_once)
+    )
+    keep = (
+        kg.groupBy("dig")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= df_cap))
+        .select("dig")
+    )
+    a = kg.join(keep, "dig")
+    return (
+        a.alias("x")
+        .join(a.alias("y"), "dig")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            F.col("x.pos").alias("pa"),
+            F.col("y.pos").alias("pb"),
+            (F.col("y.pos") - F.col("x.pos")).alias("delta"),
+        )
+    )
 
 
 def exact_substring_pairs(
@@ -755,6 +832,7 @@ def exact_substring_pairs(
     k: int = SUBSTRING_K,
     min_len: int = 10,
     df_cap: int = SUBSTRING_DF_CAP,
+    occ_cap: int = SUBSTRING_OCC_CAP,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -777,55 +855,20 @@ def exact_substring_pairs(
     needed — the window function recovers maximal runs in one shuffle.
 
     Scale shape: the only quadratic step is per-anchor-digest and capped
-    at ``df_cap``² (boilerplate anchors never pair); the islands window
-    partitions by (pair, delta) — run-sized partitions, no skew; digests
-    are fixed-width md5 so anchor rows stay narrow regardless of k.
+    in BOTH directions — ``df_cap``² across docs (boilerplate anchors
+    never pair) and ``occ_cap``² within a pair (a k-gram repeated m·n
+    times across two repetitive docs pairs at most occ_cap² anchors, not
+    m·n); the islands window partitions by (pair, delta) — run-sized
+    partitions, no skew; digests are fixed-width md5 so anchor rows stay
+    narrow regardless of k.
     Returns one row per maximal run: (doc_a, doc_b, start_a, start_b,
     match_tokens), positions 1-based in token space.
     """
-    from killrweather_spark.functions.text import tokens
     from pyspark.sql.window import Window
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
-    )
-    # sequence(1, size-k+1) is descending for short docs (the
-    # sequence(1, 0) trap): filter size >= k first, which also matches
-    # DuckDB's empty generate_series exactly.
-    kg = (
-        toks.filter(F.size("ts") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(ts) - {k} + 1), "
-                    f"i -> md5(concat_ws(' ', slice(ts, i, {k}))))"
-                )
-            ).alias("pos0", "dig"),
-        )
-        .select(
-            "doc_id", (F.col("pos0") + 1).alias("pos"), "dig"
-        )
-        .transform(persist_once)
-    )
-    keep = (
-        kg.groupBy("dig")
-        .agg(F.countDistinct("doc_id").alias("__df"))
-        .filter((F.col("__df") >= 2) & (F.col("__df") <= df_cap))
-        .select("dig")
-    )
-    a = kg.join(keep, "dig")
-    anch = (
-        a.alias("x")
-        .join(a.alias("y"), "dig")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("da"),
-            F.col("y.doc_id").alias("db"),
-            F.col("x.pos").alias("pa"),
-            F.col("y.pos").alias("pb"),
-            (F.col("y.pos") - F.col("x.pos")).alias("delta"),
-        )
+    anch = substring_anchor_matches(
+        docs, k=k, df_cap=df_cap, occ_cap=occ_cap,
+        id_col=id_col, text_col=text_col,
     )
     w = Window.partitionBy("da", "db", "delta").orderBy("pa")
     runs = anch.withColumn("grp", F.col("pa") - F.row_number().over(w))
@@ -851,17 +894,22 @@ def exact_substring_pairs_sql(
     k: int = SUBSTRING_K,
     min_len: int = 10,
     df_cap: int = SUBSTRING_DF_CAP,
+    occ_cap: int = SUBSTRING_OCC_CAP,
 ) -> str:
     """DuckDB oracle for :func:`exact_substring_pairs` — same md5
-    anchors, same df cap, same gaps-and-islands run recovery."""
+    anchors, same df and within-doc occurrence caps, same
+    gaps-and-islands run recovery."""
     return f"""
     WITH toks AS (SELECT doc_id,
                          regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
                   FROM documents),
-    kg AS (SELECT doc_id, i AS pos,
-                  md5(list_aggregate(ts[i:i+{k}-1], 'string_agg', ' ')) AS dig
-           FROM toks, unnest(generate_series(1, len(ts) - {k} + 1)) AS g(i)
-           WHERE len(ts) >= {k}),
+    kg0 AS (SELECT doc_id, i AS pos,
+                   md5(list_aggregate(ts[i:i+{k}-1], 'string_agg', ' ')) AS dig
+            FROM toks, unnest(generate_series(1, len(ts) - {k} + 1)) AS g(i)
+            WHERE len(ts) >= {k}),
+    kg AS (SELECT doc_id, pos, dig FROM kg0
+           QUALIFY ROW_NUMBER() OVER (
+               PARTITION BY doc_id, dig ORDER BY pos) <= {occ_cap}),
     keep AS (SELECT dig FROM kg
              GROUP BY dig
              HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {df_cap}),
@@ -880,4 +928,176 @@ def exact_substring_pairs_sql(
             FROM runs GROUP BY da, db, delta, grp)
     SELECT da AS doc_a, db AS doc_b, start_a, start_b, match_tokens
     FROM agg WHERE match_tokens >= {min_len}
+    """
+
+
+def exact_substring_rewrite(
+    docs: DataFrame,
+    k: int = SUBSTRING_K,
+    min_len: int = 10,
+    df_cap: int = SUBSTRING_DF_CAP,
+    occ_cap: int = SUBSTRING_OCC_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTION step of suffix-array dedup (Lee et al. 2022 §4.2):
+    :func:`exact_substring_pairs` finds the maximal shared runs; this
+    operator REMOVES every duplicated span from all but one occurrence
+    and reassembles the survivors — the same pairs→rewrite completion
+    that ``passage_dedup_rewrite`` gives the CCNet line-dedup family.
+
+    Keep policy (deterministic, order-free): the run's occurrence in the
+    LOWER doc_id survives; the ``doc_b`` side's token range
+    ``[start_b, start_b + match_tokens - 1]`` is marked for removal.
+    Chains compose — if docs A < B < C share a run, B and C each appear
+    as ``doc_b`` of a pair with A, so only A's occurrence survives.
+    Per doc, marked ranges are interval-merged (gaps-and-islands over a
+    running max-end) and the rewrite drops exactly the covered token
+    positions; the rewrite is in normalized token space (the same
+    lowercase ``[a-z0-9]+`` stream the anchors were built from).
+
+    Scale shape: inherits the pairs operator's df/occurrence caps; the
+    interval merge and the reassembly are per-doc windows/HOFs — one
+    shuffle each on doc-sized partitions; span lists join back to the
+    token arrays on doc_id (no range join, no explode of unaffected
+    docs).  Returns one row per AFFECTED doc: (doc_id, tokens_before,
+    tokens_removed, tokens_after, rewritten_md5) with rewritten_md5 the
+    md5 of the space-joined surviving tokens — pinning the exact
+    rewritten text without shipping it.
+    """
+    from killrweather_spark.functions.text import tokens
+    from pyspark.sql.window import Window
+
+    runs = exact_substring_pairs(
+        docs, k=k, min_len=min_len, df_cap=df_cap, occ_cap=occ_cap,
+        id_col=id_col, text_col=text_col,
+    )
+    spans = (
+        runs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("match_tokens") - 1).alias("e"),
+        )
+        .dropDuplicates(["doc_id", "s", "e"])
+    )
+    ws = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        spans.withColumn(
+            "new_island",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn(
+            "grp",
+            F.sum("new_island").over(
+                ws.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    merged = islands.groupBy("doc_id", "grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    sp = merged.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
+    )
+    kept = (
+        toks.join(sp, "doc_id")
+        .select(
+            "doc_id",
+            F.size("ts").cast("bigint").alias("tokens_before"),
+            F.expr(
+                "filter(transform(ts, (t, i) -> struct(t AS t, i + 1 AS p)),"
+                " x -> NOT exists(spans, sp -> x.p BETWEEN sp.s AND sp.e))"
+            ).alias("kept"),
+        )
+    )
+    return kept.select(
+        "doc_id",
+        "tokens_before",
+        (F.col("tokens_before") - F.size("kept")).cast("bigint")
+        .alias("tokens_removed"),
+        F.size("kept").cast("bigint").alias("tokens_after"),
+        F.md5(
+            F.concat_ws(" ", F.expr("transform(kept, x -> x.t)"))
+        ).alias("rewritten_md5"),
+    )
+
+
+def exact_substring_rewrite_sql(
+    k: int = SUBSTRING_K,
+    min_len: int = 10,
+    df_cap: int = SUBSTRING_DF_CAP,
+    occ_cap: int = SUBSTRING_OCC_CAP,
+) -> str:
+    """DuckDB oracle for :func:`exact_substring_rewrite` — same pairs
+    pipeline, same keep-lowest-doc policy, same interval merge, same
+    token-space reassembly (md5 of the space-joined survivors)."""
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                  FROM documents),
+    kg0 AS (SELECT doc_id, i AS pos,
+                   md5(list_aggregate(ts[i:i+{k}-1], 'string_agg', ' ')) AS dig
+            FROM toks, unnest(generate_series(1, len(ts) - {k} + 1)) AS g(i)
+            WHERE len(ts) >= {k}),
+    kg AS (SELECT doc_id, pos, dig FROM kg0
+           QUALIFY ROW_NUMBER() OVER (
+               PARTITION BY doc_id, dig ORDER BY pos) <= {occ_cap}),
+    keep AS (SELECT dig FROM kg
+             GROUP BY dig
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {df_cap}),
+    a AS (SELECT kg.* FROM kg JOIN keep USING (dig)),
+    anch AS (SELECT x.doc_id AS da, y.doc_id AS db,
+                    x.pos AS pa, y.pos AS pb, y.pos - x.pos AS delta
+             FROM a x JOIN a y ON x.dig = y.dig AND x.doc_id < y.doc_id),
+    runs AS (SELECT da, db, delta, pa, pb,
+                    pa - ROW_NUMBER() OVER (
+                        PARTITION BY da, db, delta ORDER BY pa) AS grp
+             FROM anch),
+    agg AS (SELECT da, db,
+                   CAST(MIN(pb) AS BIGINT) AS start_b,
+                   CAST(COUNT(*) + {k} - 1 AS BIGINT) AS match_tokens
+            FROM runs GROUP BY da, db, delta, grp),
+    spans AS (SELECT DISTINCT db AS doc_id, start_b AS s,
+                     start_b + match_tokens - 1 AS e
+              FROM agg WHERE match_tokens >= {min_len}),
+    m1 AS (SELECT doc_id, s, e,
+                  MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+           FROM spans),
+    m2 AS (SELECT doc_id, s, e,
+                  SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                           THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS grp
+           FROM m1),
+    merged AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+               FROM m2 GROUP BY doc_id, grp),
+    tokpos AS (SELECT t.doc_id, t.ts[i] AS tok, i AS pos,
+                      len(t.ts) AS n
+               FROM toks t
+               JOIN (SELECT DISTINCT doc_id FROM merged) aff
+                 USING (doc_id),
+               unnest(generate_series(1, len(t.ts))) AS g(i)),
+    flagged AS (SELECT tp.doc_id, tp.n, tp.pos, tp.tok,
+                       CASE WHEN EXISTS (
+                            SELECT 1 FROM merged m
+                            WHERE m.doc_id = tp.doc_id
+                              AND tp.pos BETWEEN m.s AND m.e)
+                            THEN 0 ELSE 1 END AS keep
+                FROM tokpos tp)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS tokens_before,
+           CAST(SUM(1 - keep) AS BIGINT) AS tokens_removed,
+           CAST(SUM(keep) AS BIGINT) AS tokens_after,
+           md5(COALESCE(string_agg(CASE WHEN keep = 1 THEN tok END, ' '
+                                   ORDER BY pos), '')) AS rewritten_md5
+    FROM flagged
+    GROUP BY doc_id
     """

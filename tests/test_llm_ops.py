@@ -2105,6 +2105,72 @@ def test_exact_substring_pairs_recovers_maximal_runs(spark):
     assert not any(a >= 3 and b >= 3 for a, b in got)
 
 
+def test_exact_substring_occ_cap_bounds_repetitive_docs(spark):
+    """The within-doc occurrence cap: a doc of ONE repeated token shares
+    a single k-gram digest at every position, so two such docs would
+    emit ~(n-k)² anchor matches while sailing under the df cap (only 2
+    docs share the digest).  The cap keeps the first occ_cap positions
+    per (doc, digest): the anchor join is bounded at occ_cap² per
+    digest, the pair is still detected (the kept positions are
+    consecutive → one run of occ_cap + k - 1 tokens), and docs with no
+    repeated k-gram are untouched."""
+    from killrweather_spark.functions.dedup import (
+        SUBSTRING_OCC_CAP,
+        exact_substring_pairs,
+        substring_anchor_matches,
+    )
+
+    n = 200  # 195 identical 6-gram positions per doc uncapped
+    docs = spark.createDataFrame(
+        [(0, "spam " * n), (1, "spam " * n),
+         (2, "regular tokens alpha bravo charlie delta echo foxtrot")],
+        "doc_id bigint, text string",
+    )
+    anch = substring_anchor_matches(docs, k=6).count()
+    assert 0 < anch <= SUBSTRING_OCC_CAP**2, (
+        f"{anch} anchor matches — occurrence cap not bounding the join "
+        f"(uncapped would be ~{(n - 5) ** 2})"
+    )
+    rows = exact_substring_pairs(docs, k=6, min_len=10).collect()
+    # the pair is still detected — only (0, 1), one maximal run per
+    # offset-delta, the longest spanning all kept consecutive anchors
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(0, 1)}
+    assert max(r.match_tokens for r in rows) == SUBSTRING_OCC_CAP + 6 - 1
+    assert len(rows) <= 2 * SUBSTRING_OCC_CAP - 1  # one run per delta
+
+
+def test_exact_substring_rewrite_drops_span_from_higher_doc(spark):
+    """Rewrite semantics (Lee et al. 2022 §4.2): the shared run's
+    occurrence in the LOWEST doc_id survives; every other doc loses
+    exactly the covered token range and reassembles in order; docs
+    without a removed span don't appear in the output; chains (A<B<C)
+    leave only A's occurrence."""
+    import hashlib
+
+    from killrweather_spark.functions.dedup import exact_substring_rewrite
+
+    run = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+           "juliet kilo lima")
+    docs = spark.createDataFrame(
+        [(0, "keep zero " + run + " tail zero"),
+         (1, "one begins " + run + " one ends here now"),
+         (2, run + " two closing words follow here"),
+         (3, "unrelated text with no shared runs at all whatsoever")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in exact_substring_rewrite(
+        docs, k=6, min_len=10).collect()}
+    # doc 0 keeps its occurrence; doc 3 never matched: neither appears
+    assert set(got) == {1, 2}
+    for d, expect in ((1, "one begins one ends here now"),
+                      (2, "two closing words follow here")):
+        r = got[d]
+        assert r.tokens_removed == 12
+        assert r.tokens_after == r.tokens_before - 12
+        assert r.rewritten_md5 == hashlib.md5(
+            expect.encode()).hexdigest(), d
+
+
 def test_hard_negative_mining_label_and_rank_contract(spark):
     """Every mined negative has a DIFFERENT label than its query, at most
     k are kept per query, and per-query cosines arrive ranked (the slot
