@@ -159,6 +159,8 @@ HEADLINE = [
     "margin_mining_pairs",              # CCMatrix margin pair mining
     "margin_mining_pairs_ivf",          # index-probed production form
     "semdedup_keep",                    # SemDeDup keep/prune decision
+    # round-11 operators
+    "exact_substring_rewrite",          # suffix-array dedup rewrite step
 ]
 
 
@@ -211,24 +213,34 @@ def _io_probe() -> float | None:
     (host CPU fine, storage path slower): with only the CPU probe that
     disagreement is indistinguishable from a fleet-wide true regression
     and needs manual A/B adjudication; either probe agreeing with the
-    fleet shift attests it as environment."""
-    import duckdb
+    fleet shift attests it as environment.
 
-    path = os.path.join(SF_DIR, "lineitem.parquet")
-    if not os.path.exists(path):
+    The probe is an OPTIONAL attestation signal: a bench environment
+    without duckdb (or with a broken parquet path) must degrade to
+    CPU-probe-only attestation, never abort the benchmark — this is
+    called before any timing runs."""
+    try:
+        import duckdb
+
+        path = os.path.join(SF_DIR, "lineitem.parquet")
+        if not os.path.exists(path):
+            return None
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con = duckdb.connect()
+            con.execute(
+                "SELECT sum(l_extendedprice * l_discount), count(*) "
+                f"FROM read_parquet('{path}')"
+            ).fetchall()
+            con.close()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"bench io probe unavailable ({e!r}); attestation degrades "
+              "to the CPU probe only", file=sys.stderr)
         return None
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        con = duckdb.connect()
-        con.execute(
-            "SELECT sum(l_extendedprice * l_discount), count(*) "
-            f"FROM read_parquet('{path}')"
-        ).fetchall()
-        con.close()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return best
 
 
 def _interleaved(names: list[str]) -> list[str]:
@@ -260,14 +272,40 @@ def _round_num(p: Path) -> int:
 
 def _prior_bench(
     sf: float,
+    artifact: str | None = None,
 ) -> tuple[str, dict[str, float], float | None, float | None] | None:
     """Most recent prior timings at the SAME scale factor (cross-SF
     timings are not comparable).  The repo-root ``bench_out.json`` — the
     artifact the PREVIOUS round committed — is preferred: the driver's
     BENCH_r{N}.json captures only a 2,000-char stdout tail, so rounds
     whose query map outgrew the tail parse to null there and the
-    fallback would otherwise reach back to a many-rounds-stale file."""
+    fallback would otherwise reach back to a many-rounds-stale file.
+
+    ``artifact`` (the ``--vs-artifact PATH`` mode) pins the comparison
+    to one named prior-round file instead — the cross-ROUND audit runs
+    with the same probe-attestation logic as the within-session one, so
+    adjudicating a round-over-round shift no longer needs git
+    archaeology.  The pinned file must parse and match the SF; silently
+    falling back to a different prior would defeat the audit."""
     root = Path(__file__).resolve().parent
+    if artifact is not None:
+        p = Path(artifact)
+        if not p.is_absolute():
+            p = root / p
+        d = json.loads(p.read_text())
+        parsed = d.get("parsed") or d
+        q = parsed.get("queries")
+        if not q or parsed.get("sf") != sf:
+            raise SystemExit(
+                f"--vs-artifact {artifact}: no query map at sf={sf} "
+                f"(artifact sf={parsed.get('sf')})"
+            )
+        return (
+            p.name,
+            q,
+            parsed.get("cpu_probe_sec"),
+            parsed.get("io_probe_sec"),
+        )
     candidates = [root / "bench_out.json"] + sorted(
         root.glob("BENCH_r*.json"), key=_round_num, reverse=True
     )
@@ -347,9 +385,26 @@ def _isolated_measure(name: str) -> float | None:
     return None
 
 
+def _current_round() -> int | None:
+    """This round's number = 1 + the newest CORRECTNESS_r{N}.json the
+    driver has recorded (the driver writes round N's files AFTER the
+    round's bench runs).  None when no round artifact exists yet."""
+    root = Path(__file__).resolve().parent
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p.name))
+    ]
+    return max(rounds) + 1 if rounds else None
+
+
 def main() -> None:
     from killrweather_spark.api.inventory import REGISTRY
     from killrweather_spark.session import get_session
+
+    vs_artifact: str | None = None
+    if "--vs-artifact" in sys.argv:
+        vs_artifact = sys.argv[sys.argv.index("--vs-artifact") + 1]
 
     probe_start = _cpu_probe()
     io_probe_start = _io_probe()
@@ -421,7 +476,7 @@ def main() -> None:
     prior_name = None
     env_drift_ratio = 1.0
     drift_attestation: dict | None = None
-    prior = _prior_bench(sf)
+    prior = _prior_bench(sf, artifact=vs_artifact)
     if prior is not None:
         prior_name, prior_q, prior_probe, prior_io_probe = prior
         # ENVIRONMENT NORMALIZATION: the shared-subset MEDIAN now/prior
@@ -454,10 +509,29 @@ def main() -> None:
         if prior_io_probe and io_probe_sec:
             probe_ratios["io"] = io_probe_sec / prior_io_probe
         if probe_ratios and len(shared_ratios) >= 10:
-            agree = any(
-                abs(env_drift_ratio / r - 1) <= DRIFT_ATTEST_TOL
-                for r in probe_ratios.values()
-            )
+            agreeing = [
+                k
+                for k, r in probe_ratios.items()
+                if abs(env_drift_ratio / r - 1) <= DRIFT_ATTEST_TOL
+            ]
+            agree = bool(agreeing)
+            # A single-probe attestation where the OTHER probe disagrees
+            # is weaker evidence than full agreement: a genuine uniform
+            # regression that coincidentally lands within tolerance of
+            # one probe's ratio would otherwise be silently normalized.
+            # Name the attesting probe so adjudication can see it.
+            if agree and len(agreeing) < len(probe_ratios):
+                shown = ", ".join(
+                    f"{k} {r:.3f}x" for k, r in probe_ratios.items()
+                )
+                print(
+                    "bench drift note: fleet-median shift "
+                    f"{env_drift_ratio:.3f}x attested by the "
+                    f"{'/'.join(agreeing)} probe ONLY ({shown}) — probes "
+                    "disagree with each other; treat the normalization "
+                    "as single-probe evidence when adjudicating.",
+                    file=sys.stderr,
+                )
             drift_attestation = {
                 "probe_ratio": round(probe_ratios["cpu"], 4)
                 if "cpu" in probe_ratios
@@ -466,6 +540,7 @@ def main() -> None:
                 if "io" in probe_ratios
                 else None,
                 "fleet_median_ratio": round(env_drift_ratio, 4),
+                "attested_by": agreeing,
                 "verdict": "agree" if agree else "DISAGREE",
             }
             if not agree:
@@ -558,16 +633,27 @@ def main() -> None:
     }
     line = json.dumps(payload)
     print(line)
-    # Also land the full result as a repo-root artifact: the driver's
+    # Also land the full result as repo-root artifacts: the driver's
     # BENCH_r{N}.json keeps only a 2,000-char stdout tail (BENCH_r07's
     # per-query numbers survived only via the sf1 leg file), so the
-    # parseable record must not depend on stdout capture.
-    try:
-        (Path(__file__).resolve().parent / "bench_out.json").write_text(
-            line + "\n"
-        )
-    except OSError as e:
-        print(f"bench_out.json write failed: {e}", file=sys.stderr)
+    # parseable record must not depend on stdout capture.  Besides the
+    # rolling bench_out.json, the driver-SF run is pinned per ROUND as
+    # BENCH_r{N}_full.json (sf1 legs as BENCH_r{N}_sf1_full.json) so
+    # cross-round audits read a committed full query map directly —
+    # `python bench.py --vs-artifact BENCH_r{N-1}_full.json` replays the
+    # attested comparison against it.
+    root = Path(__file__).resolve().parent
+    out_names = ["bench_out.json"]
+    rnd = _current_round()
+    if rnd is not None and sf == 0.1:
+        out_names.append(f"BENCH_r{rnd:02d}_full.json")
+    elif rnd is not None and sf == 1.0:
+        out_names.append(f"BENCH_r{rnd:02d}_sf1_full.json")
+    for out_name in out_names:
+        try:
+            (root / out_name).write_text(line + "\n")
+        except OSError as e:
+            print(f"{out_name} write failed: {e}", file=sys.stderr)
     spark.stop()
 
 

@@ -61,6 +61,7 @@ from killrweather_spark.functions.similarity import (
     quantized_components,
 )
 from killrweather_spark.plans.caching import persist_once
+from killrweather_spark.functions.sqlutil import qualify_pred
 
 IVF_MAX_PROBE_CELLS = 1024  # probe-list collect bound: n_queries · n_probe
 
@@ -306,7 +307,15 @@ def ivf_probe_topk(
     output widens to (query_id, query_label, negative_id,
     negative_label, cosine).  Labels join only the probed candidates; a
     production index would store the label inline in the inverted lists
-    and skip the join entirely."""
+    and skip the join entirely.
+
+    Labels contract: ``labels`` must carry AT MOST one row per id —
+    duplicate ids would duplicate sims rows, letting one negative occupy
+    several of the k rank slots (the query side is defensively deduped
+    below; the corpus side joins post-rescore candidates and relies on
+    the contract).  A query id MISSING from labels drops that query from
+    the output — the inner join is deliberate: an unlabeled query has no
+    defined notion of "different-label negative"."""
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     qcomp = (
         quantized_components(queries, id_col, vec_col)
@@ -391,12 +400,18 @@ def ivf_probe_topk(
         # bound comes from the serving-input frame itself (ids unique by
         # the serving contract, same as qd2/probes assume) via a
         # broadcast semi — map-side over the labels scan, no shuffle
-        ql = lab.select(
-            F.col("__lid").alias("query_id"),
-            F.col("__lab").alias("query_label"),
-        ).join(
-            F.broadcast(queries.select(F.col(id_col).alias("query_id"))),
-            "query_id",
+        ql = (
+            lab.select(
+                F.col("__lid").alias("query_id"),
+                F.col("__lab").alias("query_label"),
+            )
+            .join(
+                F.broadcast(queries.select(F.col(id_col).alias("query_id"))),
+                "query_id",
+            )
+            # defensive: the bounded frame is tiny, so enforcing the
+            # one-label-per-id contract here is free (see docstring)
+            .dropDuplicates(["query_id"])
         )
         nl = lab.select(
             F.col("__lid").alias("neighbor_id"),
@@ -596,7 +611,7 @@ def ivf_probe_curve_sql(
         n_centroids, iters, n_probe=0, query_pred=query_pred,
         probe_tail=False,
     )
-    qp_a = query_pred.replace("vec_id", "a.vec_id")
+    qp_a = qualify_pred(query_pred, "a")
     parts += [
         "qranks AS MATERIALIZED (SELECT query_id, cell,\n"
         "      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cell)"

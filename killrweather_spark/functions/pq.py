@@ -51,6 +51,7 @@ from killrweather_spark.functions.similarity import (
     quantized_components,
 )
 from killrweather_spark.plans.caching import persist_once
+from killrweather_spark.functions.sqlutil import qualify_pred
 
 # Default geometry: 4 dims per subspace on the 64-d corpus (the classic
 # production split is 4-8 dims/subspace), 16 codes each → 64 bits per
@@ -598,7 +599,7 @@ def _adc_parts_sql(
     """PQ training parts + the ADC tail through ``pdots`` (exact dot
     products of the shortlisted candidates)."""
     parts = pq_parts_sql(iters, ks, m)
-    qp = query_pred.replace("vec_id", "sc.vec_id")
+    qp = qualify_pred(query_pred, "sc")
     parts += [
         f"plut AS MATERIALIZED (\n"
         "      SELECT sc.vec_id AS query_id, ct.sub, ct.code,\n"
@@ -671,7 +672,7 @@ def ann_ivfpq_sql(
         probe_tail=False,
     )
     parts += pq_parts_sql(iters, ks, m)
-    qp = query_pred.replace("vec_id", "sc.vec_id")
+    qp = qualify_pred(query_pred, "sc")
     parts += [
         f"iprobes AS (SELECT query_id, cell FROM qd\n"
         "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
@@ -735,8 +736,8 @@ def ann_ivfpq_recall_sql(
         probe_tail=False,
     )
     parts += pq_parts_sql(iters, ks, m)
-    qp = query_pred.replace("vec_id", "sc.vec_id")
-    qp_a = query_pred.replace("vec_id", "a.vec_id")
+    qp = qualify_pred(query_pred, "sc")
+    qp_a = qualify_pred(query_pred, "a")
     parts += [
         f"iprobes AS (SELECT query_id, cell FROM qd\n"
         "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
@@ -818,7 +819,7 @@ def ann_pq_recall_sql(
     answer set, one summary row — the ``ann_recall_ivf_trained``
     shape."""
     parts = _adc_parts_sql(query_pred, shortlist, iters, ks, m)
-    qp_a = query_pred.replace("vec_id", "a.vec_id")
+    qp_a = qualify_pred(query_pred, "a")
     parts.append(
         f"""got AS MATERIALIZED (
       SELECT query_id, neighbor_id FROM (
@@ -1445,7 +1446,7 @@ def _ivfpq_residual_core_parts(
         probe_tail=False,
     )
     parts += residual_pq_parts_sql(ivf_iters, iters, ks, m)
-    qp_c = query_pred.replace("vec_id", "c.vec_id")
+    qp_c = qualify_pred(query_pred, "c")
     parts += [
         f"riprobes AS (SELECT query_id, cell FROM qd\n"
         "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
@@ -1536,7 +1537,7 @@ def ann_ivfpq_residual_recall_sql(
         query_pred, n_probe, shortlist, n_centroids, ivf_iters, iters,
         ks, m,
     )
-    qp_a = query_pred.replace("vec_id", "a.vec_id")
+    qp_a = qualify_pred(query_pred, "a")
     parts += [
         f"""rgot AS MATERIALIZED (
       SELECT query_id, neighbor_id FROM (

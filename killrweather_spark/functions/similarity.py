@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from killrweather_spark.plans.caching import persist_once
+from killrweather_spark.functions.sqlutil import qualify_pred
 
 QUANT = 1_000_000  # fixed-point scale for float32 embeddings
 
@@ -218,7 +219,7 @@ def hard_negative_topk_sql(k: int = 5, query_pred_sql: str = "vec_id < 20",
       SELECT a.vec_id AS query_id, b.vec_id AS negative_id,
              SUM(a.q * b.q) AS dot
       FROM comp a JOIN comp b ON b.pos = a.pos AND b.vec_id != a.vec_id
-      WHERE {query_pred_sql.replace("vec_id", "a.vec_id")}
+      WHERE {qualify_pred(query_pred_sql, "a")}
       GROUP BY 1, 2
     )
     SELECT d.query_id, CAST(la.label AS INT) AS query_label,
