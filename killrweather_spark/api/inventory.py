@@ -11715,22 +11715,17 @@ _wire_mining()
 # bench, tests — sees one consistent order.
 DRIVER_WINDOW = [
     # ------------------------------------------------------------------
-    # r10 rotation: burn-down, round two — 45 of the 50 slots go to
-    # never-driver-verified rows (union of r1-r9 windows was 162 of
-    # 232; this rotation takes the union to 207 of 235, leaving a
-    # 28-row backlog for r11).  Keeps: four multi-round §2 anchors plus
-    # the streaming-screen family anchor.
-    # OUT in r10 (all stay value-exact in tests/test_oracle_parity.py):
-    # the r9 promotions on their second green round (unigram_lm_vocab,
-    # image_ring_verified, lang_filtered_corpus,
-    # cheapest_supplier_per_part, pagerank_copurchase, date_format_parts
-    # and the 9 r9 flagships: unigram_lm_pruned, pq_codebooks,
-    # ann_pq_adc, ann_pq_recall, hybrid_rrf_search,
-    # streaming_tws_daily_counts, streaming_tws_distinct_types,
-    # ann_ivfpq, tfidf_cosine_pairs) and the r9 first-timer blocks
-    # (14 TPC-H shapes, 5 join shapes, 3 streaming, 3 window/analytics,
-    # salted_daily_precip, ann_int8_rescored, streaming_tws_totals,
-    # streaming_lang_screen, semantic_dup_candidates_ivf).
+    # r11 rotation: burn-down, final round — ALL 38 never-driver-
+    # verified rows (union of r1-r10 windows = 207 of 245) get slots,
+    # taking the union to 245/245: every registered operator will have
+    # earned at least one independent driver CORRECTNESS row.  The
+    # other 12 slots: the five multi-round §2 family anchors and the
+    # seven r10 flagships on their second green round.
+    # OUT in r11 (all stay value-exact in tests/test_oracle_parity.py):
+    # the r10 first-timer blocks (ANN/screen recall + eval rows,
+    # eval-screen production variants, window/date extensions,
+    # profiling/QA, curation/training-data assembly, CDC, streaming
+    # extensions).
     # ------------------------------------------------------------------
     # §2 family anchors (multi-round green, one per family)
     "daily_stats",                 # §2.4 aggregations
@@ -11738,13 +11733,7 @@ DRIVER_WINDOW = [
     "star_join_revenue",           # §2.3 joins
     "monthly_temperature",         # §2.11 request API
     "streaming_image_screen",      # §2.9 streaming screens
-    # ------------------------------------------------------------------
-    # first-timers: r10 flagships (the continuation ops replace the four
-    # behavioral-analytics first-timers — funnel_conversion,
-    # cohort_retention, rfm_segments, event_transitions, all still
-    # never-driver-verified and value-exact in tests/test_oracle_parity;
-    # the burn-down count stays 45 and those four lead the r11 rotation)
-    # ------------------------------------------------------------------
+    # r10 flagships, second green round
     "exact_substring_pairs",       # suffix-array exact-substring dedup
     "streaming_semantic_screen",   # dense-vector screen over IVFADC
     "cross_modal_topk",            # CLIP-style shared-space probe
@@ -11752,51 +11741,55 @@ DRIVER_WINDOW = [
     "margin_mining_pairs",         # CCMatrix margin pair mining
     "semdedup_keep",               # SemDeDup keep/prune decision
     "semdedup_threshold_curve",    # SemDeDup tau-sensitivity sweep
-    # first-timers: ANN / screen recall + eval rows
-    "ann_ivf_probe_curve",
-    "ann_recall_ivf_trained",
-    "ann_ivfpq_recall",
-    "semantic_screen_recall",
-    "semantic_screen_recall_banded",
-    "semantic_screen_recall_ivf",
-    "lsh_recall_eval",
-    "minhash_similarity_estimate",
-    # first-timers: eval-screen production variants
-    "semantic_eval_screen_vectorized",
-    "semantic_eval_screen_fixed",
-    "semantic_eval_screen_banded",
-    "semantic_eval_screen_ivf_fixed",
-    # first-timers: window/date extensions
-    "interpolate_linear",
-    "time_weighted_avg",
-    "hopping_window_counts",
-    "top_paths_3",
-    "trend_slope_per_user",
-    "dow_seasonality",
-    # first-timers: profiling / data QA
-    "dataset_card",
-    "mad_outlier_days",
-    "lang_confusion_matrix",
-    "embedding_outliers",
-    "length_histogram",
-    "corr_stats",
-    # first-timers: curation / training-data assembly
-    "stratified_sample",
-    "train_test_split",
-    "corpus_mix",
-    "quantile_filter_docs",
-    "training_order_shard",
-    "chunk_documents",
-    # first-timers: CDC / data quality
-    "fk_integrity_audit",
-    "scd2_intervals",
-    "snapshot_diff_events",
-    # first-timers: streaming extensions
-    "streaming_running_max",
-    "streaming_stream_stream_join",
-    "streaming_enrich_dim_join",
-    "streaming_hopping_counts",
-    "streaming_dedup_within_watermark",
+    # ------------------------------------------------------------------
+    # first-timers: the r11 flagship (the dedup ACTION step)
+    # ------------------------------------------------------------------
+    "exact_substring_rewrite",     # suffix-array dedup rewrite step
+    # first-timers: r10 production/index forms
+    "ann_ivfpq_residual",          # residual-encoded IVFADC
+    "ann_ivfpq_residual_recall",   # its measured recall row
+    "hard_negative_mining_ivf",    # index-probed negative miner
+    "margin_mining_pairs_ivf",     # index-probed margin miner
+    "streaming_semantic_screen_fixed",  # fixed-arrival production twin
+    # first-timers: ANN / embedding utilities
+    "ivf_ann_cosine",
+    "docs_embedding_norms",
+    "quantize_embeddings_int8",
+    "kmeans_assign_step",
+    # first-timers: behavioral analytics
+    "funnel_conversion",
+    "cohort_retention",
+    "rolling_dau_wau",
+    "event_transitions",
+    "rfm_segments",
+    "basket_lift",
+    # first-timers: text analysis / search
+    "inverted_index",
+    "boolean_and_search",
+    "collocation_lift",
+    "token_commonness",
+    "tokenizer_fertility",
+    "top_terms_per_source",
+    "repetition_metrics",
+    "boilerplate_prefixes",
+    # first-timers: dedup / decontamination reporting
+    "chunk_dup_share",
+    "dup_cluster_size_histogram",
+    "cross_source_dup_matrix",
+    "eval_contamination_report",
+    # first-timers: curation / mixtures
+    "redact_pii_docs",
+    "perceptron_domain_curve",
+    "source_mixture_weights",
+    "greedy_source_coverage",
+    # first-timers: multimodal
+    "image_ahash",
+    "image_dup_groups",
+    # first-timers: profiling / analytics shapes
+    "percentile_stats",
+    "above_avg_docs",
+    "outlier_events",
+    "unpivot_nation_metrics",
 ]
 
 
