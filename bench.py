@@ -161,6 +161,8 @@ HEADLINE = [
     "semdedup_keep",                    # SemDeDup keep/prune decision
     # round-11 operators
     "exact_substring_rewrite",          # suffix-array dedup rewrite step
+    "intra_doc_repeat_spans",           # within-doc repeated-run spans
+    "streaming_substring_screen",       # online substring dedup at ingest
 ]
 
 

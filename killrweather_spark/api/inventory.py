@@ -11402,8 +11402,77 @@ def _wire_exact_substring() -> None:
 
         return exact_substring_rewrite(load_table(spark, sf_dir, "documents"))
 
+    from killrweather_spark.functions.dedup import intra_doc_repeat_spans_sql
+
+    @register(
+        "intra_doc_repeat_spans",
+        intra_doc_repeat_spans_sql(),
+        survey_ref="beyond-ref dedup family: maximal repeated token runs "
+        "WITHIN a document (dedup.py:intra_doc_repeat_spans; Lee et al. "
+        "2022 treat self-repetition like cross-doc duplication) — the "
+        "doc_a == doc_b diagonal the cross-doc operator excludes, "
+        "recovered with the same anchor + gaps-and-islands machinery: "
+        "within-doc occurrence pairs at fixed offset delta, occ_cap² "
+        "bounded per digest, zero cross-doc fan-out by construction.  "
+        "repetition_metrics scores the symptom as a ratio; this returns "
+        "the SPANS a rewrite step would drop",
+    )
+    def q_intra_doc_repeat_spans(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from killrweather_spark.functions.dedup import intra_doc_repeat_spans
+
+        return intra_doc_repeat_spans(load_table(spark, sf_dir, "documents"))
+
 
 _wire_exact_substring()
+
+
+def _wire_streaming_substring_screen() -> None:
+    from killrweather_spark.functions.dedup import (
+        streaming_substring_screen_sql,
+    )
+
+    @register(
+        "streaming_substring_screen",
+        streaming_substring_screen_sql(),
+        survey_ref="§2.9 ext: online exact-substring dedup at ingest "
+        "(dedup.py:streaming_substring_screen) — arriving documents "
+        "probe the persisted k-gram digest index of yesterday's corpus "
+        "(the even-doc_id half) with a stream-static LEFT join: the "
+        "SLIDING-window counterpart of streaming_passage_screen, whose "
+        "disjoint passages miss duplication arriving offset by a few "
+        "tokens.  Per doc: known-gram count plus the LONGEST "
+        "consecutive known run (m consecutive known grams span "
+        "m + k - 1 tokens), computed as a stateless post-aggregation "
+        "array fold because Structured Streaming forbids window "
+        "functions — ONE stateful rollup total.  Integer arithmetic "
+        "end-to-end: the drained stream is bit-identical to the batch "
+        "replay, so the batch SQL is the oracle",
+    )
+    def q_streaming_substring_screen(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from killrweather_spark.functions.dedup import (
+            streaming_substring_screen,
+        )
+        from killrweather_spark.streaming.pipeline import run_stream_to_batch
+
+        docs = load_table(spark, sf_dir, "documents")
+        ref = docs.filter(F.col("doc_id") % 2 == 0)
+        screened = streaming_substring_screen(
+            ref, _documents_stream(spark, sf_dir)
+        )
+        name = f"stream_substring_screen_{uuid.uuid4().hex[:8]}"
+        return run_stream_to_batch(
+            screened, tempfile.mkdtemp(), name, "complete"
+        )
+
+
+_wire_streaming_substring_screen()
 
 
 def _wire_mining() -> None:
@@ -11733,18 +11802,22 @@ DRIVER_WINDOW = [
     "star_join_revenue",           # §2.3 joins
     "monthly_temperature",         # §2.11 request API
     "streaming_image_screen",      # §2.9 streaming screens
-    # r10 flagships, second green round
+    # r10 flagships, second green round (cross_modal_topk and
+    # semdedup_threshold_curve — both r10-driver-verified — yield their
+    # second-round slots to the two r11 operators below so the
+    # never-driver-verified set stays fully inside the window)
     "exact_substring_pairs",       # suffix-array exact-substring dedup
     "streaming_semantic_screen",   # dense-vector screen over IVFADC
-    "cross_modal_topk",            # CLIP-style shared-space probe
     "hard_negative_mining",        # contrastive-negatives top-k
     "margin_mining_pairs",         # CCMatrix margin pair mining
     "semdedup_keep",               # SemDeDup keep/prune decision
-    "semdedup_threshold_curve",    # SemDeDup tau-sensitivity sweep
     # ------------------------------------------------------------------
-    # first-timers: the r11 flagship (the dedup ACTION step)
+    # first-timers: the r11 flagships (the dedup ACTION step + the two
+    # new substring-family operators)
     # ------------------------------------------------------------------
     "exact_substring_rewrite",     # suffix-array dedup rewrite step
+    "intra_doc_repeat_spans",      # within-doc repeated-run spans
+    "streaming_substring_screen",  # online substring dedup at ingest
     # first-timers: r10 production/index forms
     "ann_ivfpq_residual",          # residual-encoded IVFADC
     "ann_ivfpq_residual_recall",   # its measured recall row

@@ -1101,3 +1101,267 @@ def exact_substring_rewrite_sql(
     FROM flagged
     GROUP BY doc_id
     """
+
+
+def intra_doc_repeat_spans(
+    docs: DataFrame,
+    k: int = 2,
+    min_len: int = 3,
+    occ_cap: int = SUBSTRING_OCC_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal repeated token runs WITHIN a document — the intra-doc
+    counterpart of :func:`exact_substring_pairs` (Lee et al. 2022 treat
+    a document repeating its own text the same as two documents sharing
+    it; ``repetition_metrics`` scores the symptom as a ratio, this
+    returns the SPANS).  A k-gram occurring at positions p1 < p2 inside
+    one doc is a repeat anchor; anchors at the same offset delta
+    ``p2 - p1`` with consecutive ``p1`` form one repeated run
+    (gaps-and-islands, the exact machinery of the cross-doc operator
+    applied to the ``doc_a == doc_b`` diagonal that operator excludes).
+    Defaults are tighter than the cross-doc op (k=2, min_len=3) because
+    intra-doc repetition is short-period — repeated phrases, chorus
+    lines, boilerplate headers — not wholesale mirroring.
+
+    Scale shape: the self-join is per (doc, digest) and double-bounded —
+    ``occ_cap``² occurrence pairs per digest (the repetitive-doc
+    guard) and zero cross-doc fan-out by construction (doc_id is a
+    join key); the islands window partitions by (doc, delta).
+    Returns (doc_id, start_1, start_2, match_tokens), positions
+    1-based, one row per maximal repeated run of >= min_len tokens.
+    """
+    from killrweather_spark.functions.text import tokens
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
+    )
+    wocc = Window.partitionBy("doc_id", "dig").orderBy("pos")
+    kg = (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {k} + 1), "
+                    f"i -> md5(concat_ws(' ', slice(ts, i, {k}))))"
+                )
+            ).alias("pos0", "dig"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "dig")
+        .withColumn("__occ", F.row_number().over(wocc))
+        .filter(F.col("__occ") <= occ_cap)
+        .drop("__occ")
+        .transform(persist_once)
+    )
+    anch = (
+        kg.alias("x")
+        .join(kg.alias("y"), ["doc_id", "dig"])
+        .filter(F.col("x.pos") < F.col("y.pos"))
+        .select(
+            "doc_id",
+            F.col("x.pos").alias("p1"),
+            F.col("y.pos").alias("p2"),
+            (F.col("y.pos") - F.col("x.pos")).alias("delta"),
+        )
+    )
+    w = Window.partitionBy("doc_id", "delta").orderBy("p1")
+    runs = anch.withColumn("grp", F.col("p1") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "delta", "grp")
+        .agg(
+            F.min("p1").cast("bigint").alias("start_1"),
+            F.min("p2").cast("bigint").alias("start_2"),
+            (F.count(F.lit(1)) + k - 1).cast("bigint").alias("match_tokens"),
+        )
+        .filter(F.col("match_tokens") >= min_len)
+        .select("doc_id", "start_1", "start_2", "match_tokens")
+    )
+
+
+def intra_doc_repeat_spans_sql(
+    k: int = 2,
+    min_len: int = 3,
+    occ_cap: int = SUBSTRING_OCC_CAP,
+) -> str:
+    """DuckDB oracle for :func:`intra_doc_repeat_spans` — same anchors,
+    same occurrence cap, same within-doc islands."""
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                  FROM documents),
+    kg0 AS (SELECT doc_id, i AS pos,
+                   md5(list_aggregate(ts[i:i+{k}-1], 'string_agg', ' ')) AS dig
+            FROM toks, unnest(generate_series(1, len(ts) - {k} + 1)) AS g(i)
+            WHERE len(ts) >= {k}),
+    kg AS (SELECT doc_id, pos, dig FROM kg0
+           QUALIFY ROW_NUMBER() OVER (
+               PARTITION BY doc_id, dig ORDER BY pos) <= {occ_cap}),
+    anch AS (SELECT x.doc_id, x.pos AS p1, y.pos AS p2,
+                    y.pos - x.pos AS delta
+             FROM kg x JOIN kg y
+               ON x.doc_id = y.doc_id AND x.dig = y.dig
+              AND x.pos < y.pos),
+    runs AS (SELECT doc_id, delta, p1, p2,
+                    p1 - ROW_NUMBER() OVER (
+                        PARTITION BY doc_id, delta ORDER BY p1) AS grp
+             FROM anch),
+    agg AS (SELECT doc_id,
+                   CAST(MIN(p1) AS BIGINT) AS start_1,
+                   CAST(MIN(p2) AS BIGINT) AS start_2,
+                   CAST(COUNT(*) + {k} - 1 AS BIGINT) AS match_tokens
+            FROM runs GROUP BY doc_id, delta, grp)
+    SELECT doc_id, start_1, start_2, match_tokens
+    FROM agg WHERE match_tokens >= {min_len}
+    """
+
+
+def substring_ref_digests(
+    ref_docs: DataFrame,
+    k: int = SUBSTRING_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The persisted reference side of the streaming substring screen:
+    the DISTINCT k-gram digests of the reference corpus.  Membership
+    only — no positions, no doc ids — so no caps are needed (there is
+    no self-join to bound) and the index is one narrow md5 column,
+    built once in batch and probed by every arriving micro-batch."""
+    from killrweather_spark.functions.text import tokens
+
+    toks = ref_docs.select(tokens(F.col(text_col)).alias("ts"))
+    return (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {k} + 1), "
+                    f"i -> md5(concat_ws(' ', slice(ts, i, {k}))))"
+                )
+            ).alias("ref_dig")
+        )
+        .distinct()
+    )
+
+
+def streaming_substring_screen(
+    ref_docs: DataFrame,
+    stream_docs: DataFrame,
+    k: int = SUBSTRING_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Online exact-substring dedup at INGEST: each arriving document
+    is scored against the persisted k-gram digest index of yesterday's
+    corpus (:func:`substring_ref_digests`) — the sliding-window
+    counterpart of ``streaming_passage_screen``, which probes DISJOINT
+    passages and therefore misses duplication that arrives offset by a
+    few tokens; sliding k-grams are alignment-invariant.
+
+    Per arriving doc: how many of its k-grams the reference already
+    contains, and the LONGEST consecutive run of known k-gram
+    positions (a run of m consecutive known grams spans m + k - 1
+    tokens — the Lee-et-al duplicated-span length the batch pairs
+    operator would report against some reference doc, upper-bounded
+    since consecutive grams may match different reference docs).
+
+    Streaming constraints respected: the probe is a stream-static LEFT
+    join on the digest; the per-doc rollup is ONE stateful aggregation
+    (counts + collect_list of known positions); the longest-run scan is
+    a stateless post-aggregation array fold (array_sort + aggregate
+    HOF) — no window functions, which Structured Streaming forbids.
+    Integer arithmetic end-to-end, so the drained stream is
+    bit-identical to the batch replay and the batch SQL is the oracle.
+
+    Returns (doc_id, n_grams, n_known, longest_known_run,
+    known_ratio_micro); docs shorter than k tokens produce no grams and
+    no row (same on both engines)."""
+    from killrweather_spark.functions.text import tokens
+
+    ref = substring_ref_digests(ref_docs, k, id_col, text_col).transform(
+        persist_once
+    )
+    base = stream_docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
+    ).filter(F.size("ts") >= k)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {k} + 1), "
+                f"i -> md5(concat_ws(' ', slice(ts, i, {k}))))"
+            )
+        ).alias("pos0", "dig"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "dig")
+    probed = grams.join(ref, grams["dig"] == ref["ref_dig"], "left")
+    rolled = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("ref_dig").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_known"),
+        F.collect_list(
+            F.when(F.col("ref_dig").isNotNull(), F.col("pos"))
+        ).alias("__kpos"),
+    )
+    # longest consecutive run of known positions: stateless array fold
+    # over the sorted per-doc known-position list (bounded by doc
+    # length, like the text itself)
+    longest = F.expr(
+        "aggregate(array_sort(__kpos), "
+        "named_struct('best', 0L, 'cur', 0L, 'prev', -2L), "
+        "(a, p) -> named_struct("
+        "'best', greatest(a.best, IF(p = a.prev + 1, a.cur + 1, 1L)), "
+        "'cur', IF(p = a.prev + 1, a.cur + 1, 1L), "
+        "'prev', CAST(p AS LONG)), "
+        "a -> a.best)"
+    )
+    return rolled.select(
+        "doc_id",
+        "n_grams",
+        "n_known",
+        F.when(longest > 0, longest + k - 1)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("longest_known_run"),
+        F.expr("CAST((1000000 * n_known) div n_grams AS BIGINT)").alias(
+            "known_ratio_micro"
+        ),
+    )
+
+
+def streaming_substring_screen_sql(k: int = SUBSTRING_K) -> str:
+    """DuckDB oracle for :func:`streaming_substring_screen`: reference
+    index = the even-doc_id half (the registered query's 'yesterday's
+    corpus' split), arrivals = the full corpus — even docs score 10⁶
+    exactly, near-dup odd docs show long known runs."""
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                  FROM documents),
+    kg AS (SELECT doc_id, i AS pos,
+                  md5(list_aggregate(ts[i:i+{k}-1], 'string_agg', ' ')) AS dig
+           FROM toks, unnest(generate_series(1, len(ts) - {k} + 1)) AS g(i)
+           WHERE len(ts) >= {k}),
+    ref AS (SELECT DISTINCT dig FROM kg WHERE doc_id % 2 = 0),
+    j AS (SELECT g.doc_id, g.pos,
+                 CASE WHEN r.dig IS NOT NULL THEN 1 ELSE 0 END AS known
+          FROM kg g LEFT JOIN ref r ON g.dig = r.dig),
+    isl AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM j WHERE known = 1),
+    longest AS (SELECT doc_id, MAX(c) + {k} - 1 AS run
+                FROM (SELECT doc_id, grp, COUNT(*) AS c
+                      FROM isl GROUP BY 1, 2)
+                GROUP BY 1)
+    SELECT j.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(known) AS BIGINT) AS n_known,
+           CAST(COALESCE(ANY_VALUE(l.run), 0) AS BIGINT)
+             AS longest_known_run,
+           CAST((1000000 * SUM(known)) // COUNT(*) AS BIGINT)
+             AS known_ratio_micro
+    FROM j LEFT JOIN longest l ON j.doc_id = l.doc_id
+    GROUP BY j.doc_id
+    """

@@ -1207,12 +1207,18 @@ def ann_ivfpq_residual(
     approximate — only the candidate RANKING differs from the
     raw-vector variant.  Residuals are smaller than vectors, so the
     codebooks' 16 codes cover a tighter range — the production
-    rationale; measured honestly by :func:`ann_ivfpq_residual_recall`
-    (at the registry's small-sf geometry the two variants land within
-    one caught pair of each other — 11 vs 12 of 15 — because the
-    recall loss there is dominated by CELL pruning, which both share,
-    not code quantization; the residual advantage grows with corpus
-    and dim, where codes — not probes — become the bottleneck)."""
+    rationale; measured honestly by :func:`ann_ivfpq_residual_recall`.
+    At the registry's small-sf geometry the two variants land within
+    one caught pair of each other (11 vs 12 of 15) because recall loss
+    there is dominated by CELL pruning, which both share.  The round-11
+    geometry study (scripts/residual_recall_study.py; table in
+    SCALE.md) removes that confound by sweeping n_probe to n_centroids
+    — zero cell loss — at sf0.1/sf1 with 50 queries x k=10: residual
+    wins 11 of 12 cells, by +1.4 to +4.8 recall points at sf0.1 and
+    +0.4 to +2.2 at sf1, the gap widening with a tighter shortlist —
+    i.e. residual encoding measurably improves the ADC candidate
+    RANKING at equal bytes, and stays the recommended production
+    default (raw codes remain the oracle baseline)."""
     import os
 
     from killrweather_spark.functions.ann_index import IVF_MAX_PROBE_CELLS

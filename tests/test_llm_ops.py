@@ -2171,6 +2171,72 @@ def test_exact_substring_rewrite_drops_span_from_higher_doc(spark):
             expect.encode()).hexdigest(), d
 
 
+def test_intra_doc_repeat_spans_finds_repeated_phrases(spark):
+    """Within-doc repeats: a phrase repeated inside one document is one
+    maximal span pair; documents without repeated k-grams emit nothing;
+    the occurrence cap bounds the 'ha ha ha' degenerate case."""
+    from killrweather_spark.functions.dedup import (
+        SUBSTRING_OCC_CAP,
+        intra_doc_repeat_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "intro words the quick brown fox middle filler words "
+             "the quick brown fox outro close"),
+         (1, "entirely distinct tokens with no repetition present here"),
+         (2, "ha " * 50)],
+        "doc_id bigint, text string",
+    )
+    rows = intra_doc_repeat_spans(docs, k=2, min_len=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: 'words the quick brown fox' (5 tokens — 'words' precedes
+    # both occurrences) repeated at 2 and 9, reported as ONE maximal run
+    assert any(
+        (r.start_1, r.start_2, r.match_tokens) == (2, 9, 5)
+        for r in by_doc[0]
+    )
+    assert 1 not in by_doc
+    # doc 2: occurrence cap keeps the span count bounded, but the
+    # repeat IS detected — longest span = the (occ_cap - 1)-anchor run
+    # at delta 1 over the kept positions, spanning occ_cap tokens (k=2)
+    assert 2 in by_doc
+    assert max(r.match_tokens for r in by_doc[2]) == SUBSTRING_OCC_CAP
+    assert len(by_doc[2]) <= SUBSTRING_OCC_CAP - 1  # one run per delta
+
+
+def test_streaming_substring_screen_alignment_invariant(spark):
+    """The screen's raison d'être: duplication arriving OFFSET by a few
+    tokens still scores — sliding k-grams are alignment-invariant where
+    the disjoint-passage screen is not.  Longest known run counts
+    consecutive known gram positions (m grams = m + k - 1 tokens);
+    unrelated arrivals score zero."""
+    from killrweather_spark.functions.dedup import streaming_substring_screen
+
+    run = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+           "juliet kilo lima")  # 12 tokens
+    ref = spark.createDataFrame(
+        [(100, "stuff before " + run + " stuff after")],
+        "doc_id bigint, text string",
+    )
+    arrivals = spark.createDataFrame(
+        [(0, "three shifted lead tokens " + run + " and a new tail"),
+         (1, "totally unrelated arrival tokens go here now friend")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in
+           streaming_substring_screen(ref, arrivals, k=6).collect()}
+    r0 = got[0]
+    # 12-token shared run = 7 known 6-gram positions = run of 12 tokens
+    assert r0.longest_known_run == 12
+    assert r0.n_known == 7
+    assert r0.known_ratio_micro == 1000000 * 7 // r0.n_grams
+    r1 = got[1]
+    assert r1.n_known == 0 and r1.longest_known_run == 0
+    assert r1.known_ratio_micro == 0
+
+
 def test_hard_negative_mining_label_and_rank_contract(spark):
     """Every mined negative has a DIFFERENT label than its query, at most
     k are kept per query, and per-query cosines arrive ranked (the slot
