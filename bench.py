@@ -163,6 +163,7 @@ HEADLINE = [
     "exact_substring_rewrite",          # suffix-array dedup rewrite step
     "intra_doc_repeat_spans",           # within-doc repeated-run spans
     "streaming_substring_screen",       # online substring dedup at ingest
+    "ivf_ann_upsert_probe",             # grow-without-retrain index upsert
 ]
 
 

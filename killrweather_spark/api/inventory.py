@@ -3218,6 +3218,77 @@ def _wire_ann_ivf_trained() -> None:
 _wire_ann_ivf_trained()
 
 
+@register(
+    "ivf_ann_upsert_probe",
+    None,  # replaced below: builder needs _EMB_COMP_NRM_SQL
+    survey_ref="",
+)
+def q_ivf_ann_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe an index GROWN WITHOUT RETRAINING: the base index is
+    trained on the even-id half of the corpus, the odd half arrives
+    later and is upserted — assigned to its nearest frozen cells,
+    encoded against the frozen codebooks, appended to the
+    cell-partitioned tables (ann_index.py:upsert_ivf_index).  The probe
+    (same query window as ann_ivf_trained, a mix of both parities —
+    even ids existed at build time, odd ids arrived by upsert) must
+    surface candidates from BOTH populations out of the probed cells."""
+    from killrweather_spark.functions.ann_index import (
+        ensure_ivf_index,
+        ensure_upserted_index,
+        ivf_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_dir = _ivf_index_dir(sf_dir)
+    base_idx = ensure_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        base_dir + "_evenbase",
+        n_centroids=8,
+        iters=2,
+    )
+    up_idx = ensure_upserted_index(
+        base_idx,
+        emb.filter(F.col("vec_id") % 2 == 1),
+        base_dir + "_upserted",
+    )
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    return ivf_probe_topk(spark, up_idx, queries, k=3, n_probe=2)
+
+
+def _wire_ivf_ann_upsert_probe() -> None:
+    from killrweather_spark.functions.ann_index import ivf_trained_sql
+
+    REGISTRY["ivf_ann_upsert_probe"] = QuerySpec(
+        fn=REGISTRY["ivf_ann_upsert_probe"].fn,
+        sql=ivf_trained_sql(
+            _EMB_COMP_NRM_SQL,
+            n_centroids=8,
+            iters=2,
+            n_probe=2,
+            k=3,
+            query_pred="vec_id >= 100 AND vec_id < 110",
+            train_pred="vec_id % 2 = 0",
+        ),
+        survey_ref="beyond-ref ANN serving: index UPSERT — grow a "
+        "build-once index without retraining "
+        "(ann_index.py:upsert_ivf_index), the ingestion path a "
+        "production deployment actually runs when the corpus grows: "
+        "centroids and PQ/residual codebooks FROZEN (a retrain would "
+        "invalidate every stored code — a full re-encode of 100 TB of "
+        "codes for a 1% delta), the new batch E-step-assigned to its "
+        "nearest trained cells, encoded against the existing books, "
+        "APPENDED into the cell partitions so probe-side partition "
+        "pruning is untouched; copy-on-write output keyed by corpus "
+        "fingerprint keeps the query idempotent.  The oracle replays "
+        "train-on-base + assign-everyone + probe relationally "
+        "(ivf_trained_sql train_pred), so the grown on-disk index is "
+        "verified value-exact end-to-end",
+    )
+
+
+_wire_ivf_ann_upsert_probe()
+
+
 def _ann_recall_trained_sql() -> str:
     """Recall oracle: the trained-IVF replay's top-3 pairs LEFT-joined
     against the exact brute-force top-3 pairs, one summary row."""
@@ -11802,22 +11873,23 @@ DRIVER_WINDOW = [
     "star_join_revenue",           # §2.3 joins
     "monthly_temperature",         # §2.11 request API
     "streaming_image_screen",      # §2.9 streaming screens
-    # r10 flagships, second green round (cross_modal_topk and
-    # semdedup_threshold_curve — both r10-driver-verified — yield their
-    # second-round slots to the two r11 operators below so the
-    # never-driver-verified set stays fully inside the window)
+    # r10 flagships, second green round (cross_modal_topk,
+    # semdedup_threshold_curve and margin_mining_pairs — all three
+    # r10-driver-verified — yield their second-round slots to the r11
+    # operators below so the never-driver-verified set stays fully
+    # inside the window)
     "exact_substring_pairs",       # suffix-array exact-substring dedup
     "streaming_semantic_screen",   # dense-vector screen over IVFADC
     "hard_negative_mining",        # contrastive-negatives top-k
-    "margin_mining_pairs",         # CCMatrix margin pair mining
     "semdedup_keep",               # SemDeDup keep/prune decision
     # ------------------------------------------------------------------
-    # first-timers: the r11 flagships (the dedup ACTION step + the two
-    # new substring-family operators)
+    # first-timers: the r11 flagships (the dedup ACTION step, the two
+    # substring-family operators, the ANN index upsert)
     # ------------------------------------------------------------------
     "exact_substring_rewrite",     # suffix-array dedup rewrite step
     "intra_doc_repeat_spans",      # within-doc repeated-run spans
     "streaming_substring_screen",  # online substring dedup at ingest
+    "ivf_ann_upsert_probe",        # grow-without-retrain index upsert
     # first-timers: r10 production/index forms
     "ann_ivfpq_residual",          # residual-encoded IVFADC
     "ann_ivfpq_residual_recall",   # its measured recall row

@@ -281,6 +281,148 @@ def ensure_ivf_index(
     return index_dir
 
 
+def upsert_ivf_index(
+    base_index_dir: str,
+    new_df: DataFrame,
+    out_index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Grow a trained index WITHOUT retraining — the production
+    ingestion path a build-once/probe-many deployment actually runs
+    when the corpus grows: centroids and PQ/residual codebooks are
+    FROZEN (retraining would invalidate every stored code and force a
+    full re-encode of 100 TB of codes for a 1% corpus delta); the new
+    batch is assigned to its nearest trained cells (the same exact
+    int64 E-step as the build), encoded against the existing codebooks,
+    and appended to the cell-partitioned tables.
+
+    Copy-on-write for replayability: the upserted index lands at
+    ``out_index_dir`` (base tables copied, new rows appended into the
+    same cell partitions) and the base index is never touched — at
+    production scale the copy is a metadata operation (hard links /
+    snapshot) or the append lands in place; the toy-scale copytree
+    keeps the registry query idempotent under re-runs
+    (:func:`ensure_upserted_index` gates on ``_upsert_meta.json``).
+    Appends are cell-partitioned parquet writes: each new file joins
+    its cell's directory, so probe-side partition pruning is unchanged
+    and nothing existing is rewritten.
+
+    Drift caveat, stated: frozen centroids mean new vectors land in
+    the nearest EXISTING cell even if the corpus distribution moved;
+    the deployment-side answer is monitoring cell-size skew and
+    scheduling a retrain+re-encode when it degrades (the curve
+    ``ivf_probe_depth_curve`` measures), not silently retraining here.
+    """
+    import shutil
+    import uuid
+
+    spark = new_df.sparkSession
+    tmp = f"{out_index_dir}.tmp.{uuid.uuid4().hex[:12]}"
+    shutil.copytree(base_index_dir, tmp)
+    cents = spark.read.parquet(os.path.join(base_index_dir, "centroids"))
+    comp = (
+        quantized_components(new_df, id_col, vec_col)
+        .withColumnRenamed(id_col, "vec_id")
+        .transform(persist_once)
+    )
+    labels = _assign(comp, cents).transform(persist_once)
+    nrm = cosine_norms(comp, "vec_id")
+    comp.join(labels, "vec_id").select(
+        "cell", "vec_id", "pos", "q"
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(tmp, "inverted")
+    )
+    nrm.join(labels, "vec_id").select(
+        "cell", "vec_id", "norm2"
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(tmp, "norms")
+    )
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("int"),
+    )
+    (
+        new_df.select(F.col(id_col).alias("vec_id"), qv.alias("qv"))
+        .withColumn(
+            "norm2",
+            F.aggregate(
+                F.col("qv"),
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x.cast("bigint") * x,
+            ),
+        )
+        .join(labels, "vec_id")
+        .select("cell", "vec_id", "qv", "norm2")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(tmp, "vectors"))
+    )
+    # PQ codes for the new batch under the FROZEN codebooks: the plain
+    # E-step (exact int64 argmin, ties smallest code) — no M-step runs
+    from killrweather_spark.functions.pq import (
+        _pq_estep,
+        _sub_components,
+    )
+
+    pqcents = spark.read.parquet(os.path.join(base_index_dir, "pqcents"))
+    scomp = persist_once(_sub_components(new_df, id_col, vec_col))
+    _pq_estep(scomp, pqcents).join(labels, "vec_id").select(
+        "cell", "vec_id", "sub", "code"
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(tmp, "pqcodes")
+    )
+    # residual codes: r = v − m_cell against the frozen residual books
+    pqrcents = spark.read.parquet(os.path.join(base_index_dir, "pqrcents"))
+    rcomp = (
+        scomp.join(labels, "vec_id")
+        .join(F.broadcast(cents), ["cell", "pos"])
+        .select("vec_id", "sub", "pos", (F.col("q") - F.col("c")).alias("q"))
+    )
+    _pq_estep(rcomp, pqrcents).join(labels, "vec_id").select(
+        "cell", "vec_id", "sub", "code"
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(tmp, "pqrcodes")
+    )
+    with open(os.path.join(tmp, "_upsert_meta.json"), "w") as f:
+        json.dump({"base": os.path.basename(base_index_dir)}, f)
+    try:
+        os.rename(tmp, out_index_dir)
+    except OSError:
+        if os.path.isdir(out_index_dir):
+            shutil.rmtree(tmp)
+        else:
+            raise
+    return out_index_dir
+
+
+def ensure_upserted_index(
+    base_index_dir: str,
+    new_df: DataFrame,
+    out_index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Build-once gate for :func:`upsert_ivf_index`: the upserted index
+    is derived deterministically from (base index, new batch), so —
+    like :func:`ensure_ivf_index` — presence of a complete output at a
+    content-keyed path means byte-equivalent tables and the upsert is
+    skipped.  Callers key ``out_index_dir`` by the same corpus
+    fingerprint discipline as the base (`_ivf_index_dir` + a batch
+    suffix); ``_upsert_meta.json`` marks a COMPLETED upsert — a
+    half-written directory never carries it because the staging dir is
+    renamed into place atomically."""
+    if not os.path.isfile(os.path.join(out_index_dir, "_upsert_meta.json")):
+        if os.path.isdir(out_index_dir):
+            import shutil
+
+            shutil.rmtree(out_index_dir)
+        upsert_ivf_index(
+            base_index_dir, new_df, out_index_dir, id_col, vec_col
+        )
+    return out_index_dir
+
+
 def ivf_probe_topk(
     spark: SparkSession,
     index_dir: str,
@@ -539,6 +681,7 @@ def ivf_trained_parts_sql(
     n_probe: int = 2,
     query_pred: str = "vec_id < 5",
     probe_tail: bool = True,
+    train_pred: str | None = None,
 ) -> list[str]:
     """CTE parts replaying build + probe relationally (no disk) over the
     registry's shared comp/nrm CTEs: the ``iters`` Lloyd rounds
@@ -546,10 +689,20 @@ def ivf_trained_parts_sql(
     cell), the per-query d2 cell ranking (``qd``), and — when
     ``probe_tail`` — shared-probed-cell candidates and their dot products
     (``dots``); callers append their own tail (top-k, the recall
-    aggregation, or the probe-depth curve over ``qd`` + ``l{iters}``)."""
+    aggregation, or the probe-depth curve over ``qd`` + ``l{iters}``).
+
+    ``train_pred`` restricts the TRAINING population (the upsert
+    replay: centroids trained on the base corpus only); membership —
+    the cell assignment the probe candidates come from — still covers
+    every vector, via a final all-vector E-step against the trained
+    centroids (``lall``), which is exactly what
+    :func:`upsert_ivf_index` does with its frozen centroids.  With
+    ``train_pred=None`` the parts are unchanged (training == corpus,
+    the final training E-step doubles as membership)."""
+    tp = f" WHERE {train_pred}" if train_pred else ""
     parts = [
         f"l0 AS (SELECT vec_id, CAST(vec_id % {n_centroids} AS BIGINT)"
-        " AS cell FROM embeddings)",
+        f" AS cell FROM embeddings{tp})",
     ]
     for t in range(1, iters + 1):
         parts.append(
@@ -560,14 +713,33 @@ def ivf_trained_parts_sql(
             f"            FROM comp c JOIN l{t - 1} l USING (vec_id)\n"
             "            GROUP BY 1, 2))"
         )
+        tpc = (
+            f" WHERE {qualify_pred(train_pred, 'c')}" if train_pred else ""
+        )
         parts.append(
             f"d{t} AS (SELECT c.vec_id, ct.cell,\n"
             "             CAST(SUM((c.q - ct.c) * (c.q - ct.c)) AS BIGINT)"
             " AS d2\n"
-            f"      FROM comp c JOIN cent{t} ct USING (pos) GROUP BY 1, 2)"
+            f"      FROM comp c JOIN cent{t} ct USING (pos){tpc}"
+            " GROUP BY 1, 2)"
         )
         parts.append(
             f"l{t} AS MATERIALIZED (SELECT vec_id, cell FROM d{t}\n"
+            "      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
+            " ORDER BY d2, cell) = 1)"
+        )
+    member = f"l{iters}"
+    if train_pred:
+        member = "lall"
+        parts.append(
+            "dall AS (SELECT c.vec_id, ct.cell,\n"
+            "             CAST(SUM((c.q - ct.c) * (c.q - ct.c)) AS BIGINT)"
+            " AS d2\n"
+            f"      FROM comp c JOIN cent{iters} ct USING (pos)"
+            " GROUP BY 1, 2)"
+        )
+        parts.append(
+            "lall AS MATERIALIZED (SELECT vec_id, cell FROM dall\n"
             "      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
             " ORDER BY d2, cell) = 1)"
         )
@@ -575,7 +747,7 @@ def ivf_trained_parts_sql(
         f"qd AS MATERIALIZED (SELECT c.vec_id AS query_id, ct.cell,\n"
         "             CAST(SUM((c.q - ct.c) * (c.q - ct.c)) AS BIGINT) AS d2\n"
         f"      FROM comp c JOIN cent{iters} ct USING (pos)\n"
-        f"      WHERE {query_pred.replace('vec_id', 'c.vec_id')}"
+        f"      WHERE {qualify_pred(query_pred, 'c')}"
         " GROUP BY 1, 2)"
     )
     if probe_tail:
@@ -584,7 +756,7 @@ def ivf_trained_parts_sql(
             "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
             f" ORDER BY d2, cell) <= {n_probe})",
             f"cand AS (SELECT p.query_id, l.vec_id AS neighbor_id\n"
-            f"      FROM probes p JOIN l{iters} l ON l.cell = p.cell\n"
+            f"      FROM probes p JOIN {member} l ON l.cell = p.cell\n"
             "      WHERE l.vec_id != p.query_id)",
             "dots AS (SELECT c.query_id, c.neighbor_id, SUM(a.q * b.q) AS dot\n"
             "      FROM cand c\n"
@@ -659,12 +831,17 @@ def ivf_trained_sql(
     n_probe: int = 2,
     k: int = 3,
     query_pred: str = "vec_id < 5",
+    train_pred: str | None = None,
 ) -> str:
     """Full DuckDB oracle for the trained-IVF probe query:
     :func:`ivf_trained_parts_sql` plus the exact-cosine top-k tail.
     ``comp_nrm_sql`` is the registry's shared comp/nrm CTE text (passed
-    in to keep this module import-independent of the registry)."""
-    parts = ivf_trained_parts_sql(n_centroids, iters, n_probe, query_pred)
+    in to keep this module import-independent of the registry).
+    ``train_pred`` selects the upsert replay (train on the base
+    population, assign everyone — see the parts builder)."""
+    parts = ivf_trained_parts_sql(
+        n_centroids, iters, n_probe, query_pred, train_pred=train_pred
+    )
     return (
         f"WITH {comp_nrm_sql},\n    "
         + ",\n    ".join(parts)

@@ -2360,3 +2360,77 @@ def test_margin_mining_ivf_agrees_with_flat_at_small_geometry(spark):
     ivf_best = {(r.query_id, r.pair_id) for r in ivf if r.best}
     overlap = len(flat_best & ivf_best) / len(flat_best)
     assert overlap >= 0.5, f"suspiciously low best-pair overlap: {overlap}"
+
+
+def test_ivf_upsert_grows_index_without_retraining(spark, tmp_path):
+    """Upsert contract: the grown index's tables are strict supersets
+    of the base (base rows untouched); the new batch's cells are the
+    frozen-centroid E-step; its PQ and residual codes equal a direct
+    E-step against the FROZEN codebooks (no M-step ran); the gate is
+    idempotent (re-ensuring appends nothing); and a probe of the grown
+    index surfaces neighbors from BOTH populations."""
+    from killrweather_spark.functions.ann_index import (
+        _assign,
+        build_ivf_index,
+        ensure_upserted_index,
+        ivf_probe_topk,
+    )
+    from killrweather_spark.functions.pq import _pq_estep, _sub_components
+    from killrweather_spark.functions.similarity import quantized_components
+
+    emb = load_table(spark, SF001, "embeddings")
+    base_df = emb.filter(F.col("vec_id") % 2 == 0)
+    new_df = emb.filter(F.col("vec_id") % 2 == 1)
+    base = str(tmp_path / "base_idx")
+    up = str(tmp_path / "up_idx")
+    build_ivf_index(base_df, base, n_centroids=4, iters=2)
+    ensure_upserted_index(base, new_df, up)
+
+    def rows(d, t):
+        return spark.read.parquet(f"{d}/{t}")
+
+    new_ids = {r.vec_id for r in new_df.select("vec_id").collect()}
+    for t in ("inverted", "norms", "vectors", "pqcodes", "pqrcodes"):
+        b, u = rows(base, t), rows(up, t)
+        assert u.count() > b.count(), t
+        # base rows byte-identical inside the grown index
+        assert u.exceptAll(b).filter(
+            ~F.col("vec_id").isin(new_ids)).count() == 0, t
+        assert b.exceptAll(u).count() == 0, t
+    # centroids/codebooks FROZEN — identical tables
+    for t in ("centroids", "pqcents", "pqrcents"):
+        assert rows(up, t).exceptAll(rows(base, t)).count() == 0, t
+        assert rows(base, t).exceptAll(rows(up, t)).count() == 0, t
+    # new rows' cells are the frozen E-step assignment
+    cents = rows(base, "centroids")
+    comp = quantized_components(new_df, "vec_id", "embedding")
+    expect_cells = {
+        (r.vec_id, r.cell) for r in _assign(comp, cents).collect()
+    }
+    got_cells = {
+        (r.vec_id, r.cell)
+        for r in rows(up, "norms").filter(
+            F.col("vec_id").isin(new_ids)).collect()
+    }
+    assert got_cells == expect_cells
+    # new rows' PQ codes == direct E-step against the frozen books
+    scomp = _sub_components(new_df, "vec_id", "embedding")
+    expect_codes = {
+        (r.vec_id, r.sub, r.code)
+        for r in _pq_estep(scomp, rows(base, "pqcents")).collect()
+    }
+    got_codes = {
+        (r.vec_id, r.sub, r.code)
+        for r in rows(up, "pqcodes").filter(
+            F.col("vec_id").isin(new_ids)).collect()
+    }
+    assert got_codes == expect_codes
+    # idempotent gate: re-ensuring appends nothing
+    n_before = rows(up, "inverted").count()
+    ensure_upserted_index(base, new_df, up)
+    assert rows(up, "inverted").count() == n_before
+    # probe of the grown index reaches both populations
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = ivf_probe_topk(spark, up, queries, k=4, n_probe=2).collect()
+    parities = {r.neighbor_id % 2 for r in got}
+    assert parities == {0, 1}
