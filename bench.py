@@ -207,6 +207,41 @@ def _cpu_probe() -> float:
     return best
 
 
+def _parallel_probe() -> float:
+    """Engine-free CORE-AVAILABILITY probe: N concurrent threads each
+    hashing 64 MiB (hashlib releases the GIL on large buffers, so the
+    threads genuinely occupy N cores), N = the bench's own parallelism.
+    Added after a round where the fleet slowed 1.22× while BOTH
+    single-threaded probes read FASTER: a sibling tenant occupying most
+    cores leaves per-core speed and the storage path untouched but
+    starves a 32-slot Spark stage — a drift dimension only a probe that
+    NEEDS many cores at once can see.  Its round-over-round ratio is
+    the third attestation signal next to per-core speed (_cpu_probe)
+    and the storage path (_io_probe)."""
+    import hashlib
+    import threading
+
+    n = min(32, os.cpu_count() or 8)
+    buf = b"\x5a" * (1 << 20)
+
+    def work() -> None:
+        d = b""
+        for _ in range(64):
+            d = hashlib.sha256(d + buf).digest()
+
+    best = None
+    for _ in range(3):
+        threads = [threading.Thread(target=work) for _ in range(n)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def _io_probe() -> float | None:
     """Engine-free STORAGE-PATH probe: a DuckDB full-scan aggregate over
     this leg's lineitem parquet — no Spark/JVM, but it does exercise the
@@ -276,7 +311,9 @@ def _round_num(p: Path) -> int:
 def _prior_bench(
     sf: float,
     artifact: str | None = None,
-) -> tuple[str, dict[str, float], float | None, float | None] | None:
+) -> tuple[
+    str, dict[str, float], float | None, float | None, float | None
+] | None:
     """Most recent prior timings at the SAME scale factor (cross-SF
     timings are not comparable).  The repo-root ``bench_out.json`` — the
     artifact the PREVIOUS round committed — is preferred: the driver's
@@ -308,6 +345,7 @@ def _prior_bench(
             q,
             parsed.get("cpu_probe_sec"),
             parsed.get("io_probe_sec"),
+            parsed.get("par_probe_sec"),
         )
     candidates = [root / "bench_out.json"] + sorted(
         root.glob("BENCH_r*.json"), key=_round_num, reverse=True
@@ -325,6 +363,7 @@ def _prior_bench(
                 q,
                 parsed.get("cpu_probe_sec"),
                 parsed.get("io_probe_sec"),
+                parsed.get("par_probe_sec"),
             )
     return None
 
@@ -411,6 +450,7 @@ def main() -> None:
 
     probe_start = _cpu_probe()
     io_probe_start = _io_probe()
+    par_probe_start = _parallel_probe()
 
     spark = get_session(app_name="killrweather_spark_bench")
 
@@ -468,6 +508,7 @@ def main() -> None:
     isolated: dict[str, float | None] = {k: None for k in timings}
     probe_end = _cpu_probe()
     io_probe_end = _io_probe()
+    par_probe_end = _parallel_probe()
     # min of the two legs = the host's least-contended speed this session
     cpu_probe_sec = round(min(probe_start, probe_end), 4)
     io_probe_sec = (
@@ -475,13 +516,17 @@ def main() -> None:
         if (io_probe_start or io_probe_end)
         else None
     )
+    par_probe_sec = round(min(par_probe_start, par_probe_end), 4)
 
     prior_name = None
     env_drift_ratio = 1.0
     drift_attestation: dict | None = None
     prior = _prior_bench(sf, artifact=vs_artifact)
     if prior is not None:
-        prior_name, prior_q, prior_probe, prior_io_probe = prior
+        (
+            prior_name, prior_q, prior_probe, prior_io_probe,
+            prior_par_probe,
+        ) = prior
         # ENVIRONMENT NORMALIZATION: the shared-subset MEDIAN now/prior
         # ratio.  Rounds run on a shared host whose effective speed
         # moves between sessions (r9 measured a uniform 1.28× shift
@@ -511,6 +556,8 @@ def main() -> None:
             probe_ratios["cpu"] = cpu_probe_sec / prior_probe
         if prior_io_probe and io_probe_sec:
             probe_ratios["io"] = io_probe_sec / prior_io_probe
+        if prior_par_probe and par_probe_sec:
+            probe_ratios["par"] = par_probe_sec / prior_par_probe
         if probe_ratios and len(shared_ratios) >= 10:
             agreeing = [
                 k
@@ -541,6 +588,9 @@ def main() -> None:
                 else None,
                 "io_probe_ratio": round(probe_ratios["io"], 4)
                 if "io" in probe_ratios
+                else None,
+                "par_probe_ratio": round(probe_ratios["par"], 4)
+                if "par" in probe_ratios
                 else None,
                 "fleet_median_ratio": round(env_drift_ratio, 4),
                 "attested_by": agreeing,
@@ -629,6 +679,7 @@ def main() -> None:
         "env_drift_ratio": round(env_drift_ratio, 4),
         "cpu_probe_sec": cpu_probe_sec,
         "io_probe_sec": io_probe_sec,
+        "par_probe_sec": par_probe_sec,
         "drift_attestation": drift_attestation,
         "isolated": isolated,
         "drift": drift,
