@@ -301,11 +301,18 @@ def _interleaved(names: list[str]) -> list[str]:
     return out
 
 
-def _round_num(p: Path) -> int:
-    """Round number parsed from BENCH_r{N}.json — numeric, so r100 sorts
-    after r99 instead of lexicographically between r10 and r11."""
-    m = re.search(r"BENCH_r(\d+)\.json$", p.name)
-    return int(m.group(1)) if m else -1
+def _round_num(p: Path) -> tuple[int, int]:
+    """Sort key parsed from BENCH_r{N}[_sf1][_full].json — numeric round
+    first (so r100 sorts after r99 instead of lexicographically between
+    r10 and r11), then a full-payload bit: a round's ``_full`` artifact
+    (the complete committed payload) outranks the driver's same-round
+    stdout-tail capture, which truncates at 2,000 chars and can parse to
+    a stale subset.  Names outside the pattern key to (-1, 0), behind
+    every real round artifact."""
+    m = re.search(r"BENCH_r(\d+)((?:_sf1)?(?:_full)?)\.json$", p.name)
+    if not m:
+        return (-1, 0)
+    return (int(m.group(1)), 1 if m.group(2).endswith("_full") else 0)
 
 
 def _prior_bench(
@@ -332,8 +339,18 @@ def _prior_bench(
         p = Path(artifact)
         if not p.is_absolute():
             p = root / p
-        d = json.loads(p.read_text())
+        try:
+            d = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError) as e:
+            raise SystemExit(
+                f"--vs-artifact {artifact}: unreadable or invalid JSON "
+                f"({e})"
+            ) from e
         parsed = d.get("parsed") or d
+        if not isinstance(parsed, dict):
+            raise SystemExit(
+                f"--vs-artifact {artifact}: payload is not an object"
+            )
         q = parsed.get("queries")
         if not q or parsed.get("sf") != sf:
             raise SystemExit(
@@ -446,7 +463,10 @@ def main() -> None:
 
     vs_artifact: str | None = None
     if "--vs-artifact" in sys.argv:
-        vs_artifact = sys.argv[sys.argv.index("--vs-artifact") + 1]
+        idx = sys.argv.index("--vs-artifact")
+        if idx + 1 >= len(sys.argv):
+            raise SystemExit("--vs-artifact requires a PATH argument")
+        vs_artifact = sys.argv[idx + 1]
 
     probe_start = _cpu_probe()
     io_probe_start = _io_probe()

@@ -320,6 +320,35 @@ def upsert_ivf_index(
     spark = new_df.sparkSession
     tmp = f"{out_index_dir}.tmp.{uuid.uuid4().hex[:12]}"
     shutil.copytree(base_index_dir, tmp)
+    try:
+        _upsert_into(spark, base_index_dir, tmp, new_df, id_col, vec_col)
+    except BaseException:
+        # The staging dir holds a full copy of the base index; a Spark
+        # failure mid-append must not orphan it (retries would stack one
+        # full-index copy per attempt).
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, out_index_dir)
+    except OSError:
+        if os.path.isdir(out_index_dir):
+            shutil.rmtree(tmp)
+        else:
+            raise
+    return out_index_dir
+
+
+def _upsert_into(
+    spark: SparkSession,
+    base_index_dir: str,
+    tmp: str,
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Append ``new_df``'s assignments/codes into the staged copy at
+    ``tmp`` (all-or-nothing: the caller renames ``tmp`` into place on
+    success and removes it on any failure)."""
     cents = spark.read.parquet(os.path.join(base_index_dir, "centroids"))
     comp = (
         quantized_components(new_df, id_col, vec_col)
@@ -384,16 +413,24 @@ def upsert_ivf_index(
     ).write.mode("append").partitionBy("cell").parquet(
         os.path.join(tmp, "pqrcodes")
     )
-    with open(os.path.join(tmp, "_upsert_meta.json"), "w") as f:
-        json.dump({"base": os.path.basename(base_index_dir)}, f)
+    # Record WHICH geometry this upsert was encoded under (the copied
+    # base _meta.json), so the gate can detect a PQ/centroid-geometry
+    # bump that rebuilt the base but left a stale upserted index at the
+    # same fingerprint-keyed path.
+    base_params = None
     try:
-        os.rename(tmp, out_index_dir)
-    except OSError:
-        if os.path.isdir(out_index_dir):
-            shutil.rmtree(tmp)
-        else:
-            raise
-    return out_index_dir
+        with open(os.path.join(base_index_dir, "_meta.json")) as f:
+            base_params = json.load(f)
+    except (OSError, ValueError):
+        pass
+    with open(os.path.join(tmp, "_upsert_meta.json"), "w") as f:
+        json.dump(
+            {
+                "base": os.path.basename(base_index_dir),
+                "base_params": base_params,
+            },
+            f,
+        )
 
 
 def ensure_upserted_index(
@@ -402,6 +439,8 @@ def ensure_upserted_index(
     out_index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 2,
 ) -> str:
     """Build-once gate for :func:`upsert_ivf_index`: the upserted index
     is derived deterministically from (base index, new batch), so —
@@ -411,8 +450,27 @@ def ensure_upserted_index(
     fingerprint discipline as the base (`_ivf_index_dir` + a batch
     suffix); ``_upsert_meta.json`` marks a COMPLETED upsert — a
     half-written directory never carries it because the staging dir is
-    renamed into place atomically."""
-    if not os.path.isfile(os.path.join(out_index_dir, "_upsert_meta.json")):
+    renamed into place atomically.
+
+    Staleness mirrors :func:`ensure_ivf_index`: presence alone is not
+    enough — the copied ``_meta.json`` AND the recorded base params in
+    ``_upsert_meta.json`` must both match the CURRENT geometry
+    (``n_centroids``/``iters`` + module PQ constants).  Without this, a
+    PQ-geometry bump rebuilds the base index but keeps serving a stale
+    upserted index (codes under the old codebooks) at the same
+    fingerprint-keyed path."""
+    want = _index_params(n_centroids, iters)
+    fresh = False
+    try:
+        with open(os.path.join(out_index_dir, "_upsert_meta.json")) as f:
+            umeta = json.load(f)
+        with open(os.path.join(out_index_dir, "_meta.json")) as f:
+            fresh = json.load(f) == want and (
+                umeta.get("base_params") == want
+            )
+    except (OSError, ValueError):
+        fresh = False  # absent, half-written, or pre-params layout
+    if not fresh:
         if os.path.isdir(out_index_dir):
             import shutil
 
