@@ -6028,11 +6028,17 @@ def q_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing-style RFM scoring: per-customer recency (days before the
     dataset horizon), order count, and lifetime cents, each cut into
-    quintiles by a global ntile whose ordering carries custkey as total
-    tiebreak (ntile's ceil/floor group sizing is identical across engines
-    once the order is total).  The three window sorts run on the tiny
-    per-customer aggregate, not the fact table; segment = R·100+F·10+M."""
-    from pyspark.sql import Window
+    quintiles whose ordering carries custkey as total tiebreak (ntile's
+    ceil/floor group sizing is identical across engines once the order is
+    total).  Each quintile is an EXACT distributed ntile
+    (operators/windows.py:global_ntile — range-repartition + per-partition
+    row_number + broadcast offset join), NOT a bare ``ntile OVER (ORDER
+    BY)``: the unpartitioned form compiles to a single-task WindowExec
+    that funnels every customer through one executor — the per-customer
+    frame is orders-of-magnitude smaller than the fact table but still
+    scales with the customer count (1.5 B customers at 100 TB), so the
+    global sort must stay distributed.  segment = R·100+F·10+M."""
+    from killrweather_spark.operators.windows import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -6046,25 +6052,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    scored = (
-        rfm.withColumn(
-            "r_q",
-            F.ntile(5)
-            .over(Window.orderBy("recency_days", "custkey"))
-            .cast("int"),
-        )
-        .withColumn(
-            "f_q",
-            F.ntile(5)
-            .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
-            .cast("int"),
-        )
-        .withColumn(
-            "m_q",
-            F.ntile(5)
-            .over(Window.orderBy(F.col("monetary_cents").desc(), "custkey"))
-            .cast("int"),
-        )
+    scored = global_ntile(
+        rfm, [F.col("recency_days"), F.col("custkey")], 5, "r_q"
+    )
+    scored = global_ntile(
+        scored, [F.col("frequency").desc(), F.col("custkey")], 5, "f_q"
+    )
+    scored = global_ntile(
+        scored,
+        [F.col("monetary_cents").desc(), F.col("custkey")],
+        5,
+        "m_q",
     )
     return scored.select(
         "custkey",

@@ -87,3 +87,100 @@ def trailing_range_agg(
         .rangeBetween(-trailing_micros, 0)
     )
     return df.select("*", *aggs_builder(w))
+
+
+def global_row_number(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    out_col: str = "__rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact global ``row_number`` over a TOTAL order — WITHOUT the
+    single-partition ``WindowExec`` a bare ``Window.orderBy`` compiles to
+    (which funnels the whole input through one task and dies at scale).
+
+    Two-pass range-rank, the standard distributed formulation:
+
+    1. ``repartitionByRange`` on the order — partition *i*'s rows all sort
+       strictly before partition *i+1*'s (the order must be total, i.e.
+       carry a unique tiebreak column, which also makes the result
+       deterministic).
+    2. Per-partition local ``row_number`` partitioned by
+       ``spark_partition_id()`` — bounded by partition size, never global.
+    3. A bounded driver-side probe (one count per range partition —
+       ``num_partitions`` rows, the same discipline as the IVF probe's
+       centroid collect) yields cumulative offsets, broadcast-joined back:
+       ``global = offset[pid] + local``.
+
+    The stamped frame is persisted so the offsets probe and the final scan
+    observe ONE range-boundary sample (range boundaries are sampled; ranks
+    are exact for any boundaries, but only if both passes see the same
+    assignment).  Returns ``(ranked_df, total_rows)`` — the total falls out
+    of the probe for free and closed-form bucket maths (ntile) needs it.
+    """
+    spark = df.sparkSession
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    from killrweather_spark.plans.caching import persist_once
+
+    stamped = persist_once(
+        df.repartitionByRange(n, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in stamped.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((int(pid), acc))
+        acc += int(sizes[pid])
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], schema="__pid int, __off bigint"
+    )
+    local = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(*cols)
+    )
+    ranked = (
+        stamped.withColumn("__local", local)
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col, (F.col("__off") + F.col("__local")).cast("bigint")
+        )
+        .drop("__pid", "__local", "__off")
+    )
+    return ranked, acc
+
+
+def global_ntile(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    n_buckets: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY <total order>)`` without an
+    unpartitioned window: :func:`global_row_number` supplies the exact
+    global rank and total N, then the bucket is ANSI ntile's closed form —
+    the first ``N mod n`` buckets take ``ceil(N/n)`` rows, the rest
+    ``floor(N/n)`` — applied as a literal-folded expression (matches
+    DuckDB/Spark ntile bit-for-bit because the order is total)."""
+    ranked, total = global_row_number(
+        df, order, "__rank", num_partitions
+    )
+    q, rem = divmod(total, n_buckets)
+    if q == 0:
+        bucket = F.col("__rank").cast("int")
+    else:
+        thr = rem * (q + 1)
+        bucket = F.expr(
+            f"CAST(CASE WHEN __rank <= {thr} "
+            f"THEN (__rank - 1) div {q + 1} + 1 "
+            f"ELSE {rem} + (__rank - {thr} - 1) div {q} + 1 END AS INT)"
+        )
+    return ranked.withColumn(out_col, bucket).drop("__rank")

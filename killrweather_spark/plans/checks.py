@@ -94,3 +94,58 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     operators with ``[codegen id : N]``)."""
     plan = formatted_plan(df)
     return len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups in a formatted-plan Arguments line
+    (nested brackets — array literals, lambda params — don't count)."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+        if depth >= 1:
+            buf.append(ch)
+    return groups
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Window physical nodes with an EMPTY partition spec — the shape that
+    compiles to ``Exchange SinglePartition`` + one task holding the whole
+    input, the canonical scale-killer.
+
+    A Window node's detail line prints ``[exprs]`` plus the non-empty
+    specs: partitioned+ordered → ``[exprs], [part], [order]``;
+    partitioned only → ``[exprs], [part]``; unpartitioned+ordered →
+    ``[exprs], [order]``; fully global → ``[exprs]``.  Partition and
+    order groups are told apart by sort direction markers (`` ASC``/
+    `` DESC``), which only order specs carry.  Counts ``Window`` and
+    ``WindowInPandas`` nodes (``WindowGroupLimit`` always accompanies a
+    counted ``Window``)."""
+    lines = formatted_plan(df).splitlines()
+    cnt = 0
+    for i, ln in enumerate(lines):
+        if not re.match(r"\(\d+\) (Window|WindowInPandas)$", ln.strip()):
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            stripped = lines[j].strip()
+            if stripped.startswith("Arguments:"):
+                groups = _top_level_bracket_groups(stripped)
+                if len(groups) <= 1:
+                    cnt += 1  # no partition, no order
+                elif len(groups) == 2 and (
+                    " ASC" in groups[1] or " DESC" in groups[1]
+                ):
+                    cnt += 1  # order spec only — no partition
+                break
+    return cnt

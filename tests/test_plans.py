@@ -590,3 +590,83 @@ def test_ivfpq_probe_prunes_partitions_on_codes_and_rescore(spark):
     assert len(pruned) >= 3, plan[:4000]
     # the only embeddings read is the query side (vec_id pushdown)
     assert checks.has_pushed_filters(df, "LessThan(vec_id,5"), plan[:2000]
+
+
+# Queries whose (sole) unpartitioned Window runs over an input that is
+# BOUNDED BY CONSTRUCTION — a global sort of ≤depth/≤k/≤|stages| rows is a
+# driver-sized operation, not a scale hazard.  Every entry names its bounded
+# site; anything NOT listed here must keep its windows partitioned (or use
+# operators/windows.py:global_row_number / global_ntile, the exact
+# distributed formulations).
+_BOUNDED_GLOBAL_WINDOW_WHITELIST = {
+    # search.py:154 ranks the ≤depth-row BM25 TakeOrdered list;
+    # search.py:186 ranks the ≤depth-row semantic list (limit(depth) is
+    # applied BEFORE the row_number).
+    "hybrid_rrf_search": 2,
+    # curation.py:896 cumulates over the |PIPELINE_STAGES| = 7-row stage
+    # histogram (built from spark.range(1, 8)).
+    "curation_pipeline_report": 1,
+    # similarity.py:1384 ranks the ≤ k + oversample·rounds selected-center
+    # union (the per-round candidate windows at similarity.py:1317 execute
+    # eagerly inside fn() against ≤oversample-row localCheckpoint frames
+    # and never appear in the returned plan).
+    "kcenter_pp_coreset": 1,
+}
+
+
+def test_entire_registry_has_no_unpartitioned_window(spark):
+    """No Window over an unbounded input anywhere in the REGISTRY — the
+    class guard for the r11 rfm_segments finding (a bare
+    ``ntile OVER (ORDER BY …)`` compiles to Exchange SinglePartition + a
+    single task holding every row: correct at sf0.01, dead at 100 TB).
+    Whitelisted queries may keep EXACTLY their declared count of bounded
+    global windows — a new unpartitioned window in a whitelisted query
+    still fails."""
+    bad = []
+    for name, spec in REGISTRY.items():
+        try:
+            cnt = checks.unpartitioned_window_count(spec.fn(spark, SF01))
+        except Exception as e:  # noqa: BLE001 — surface as a failure below
+            bad.append((name, f"plan build failed: {e}"))
+            continue
+        allowed = _BOUNDED_GLOBAL_WINDOW_WHITELIST.get(name, 0)
+        if cnt > allowed:
+            bad.append((name, f"{cnt} unpartitioned Window nodes "
+                              f"(whitelisted: {allowed})"))
+    assert not bad, bad
+
+
+def test_rfm_segments_quintiles_are_distributed(spark):
+    """The r11 finding itself, pinned: rfm_segments' three quintiles use
+    the range-rank formulation — zero unpartitioned windows, and the local
+    row_numbers are partitioned by the range-partition id."""
+    df = REGISTRY["rfm_segments"].fn(spark, SF01)
+    assert checks.unpartitioned_window_count(df) == 0, (
+        checks.formatted_plan(df)
+    )
+    # the plan must actually carry the three range exchanges + pid windows
+    plan = checks.formatted_plan(df)
+    assert plan.count("rangepartitioning") >= 3, plan
+
+
+def test_global_ntile_matches_sql_ntile(spark):
+    """global_ntile == ntile(n) OVER (ORDER BY …) bit-for-bit on a frame
+    whose size is NOT a multiple of n (exercises the ceil/floor split),
+    including a desc order and an N < n edge."""
+    from killrweather_spark.operators.windows import global_ntile
+
+    df = spark.range(103).select(
+        F.col("id"), (F.col("id") * 37 % 103).alias("v")
+    )
+    got = global_ntile(df, [F.col("v").desc(), F.col("id")], 5, "b")
+    df.createOrReplaceTempView("gnt_probe")
+    want = spark.sql(
+        "SELECT id, v, CAST(ntile(5) OVER (ORDER BY v DESC, id) AS INT)"
+        " AS b FROM gnt_probe"
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+    tiny = spark.range(3).select(F.col("id"))
+    got_t = global_ntile(tiny, [F.col("id")], 5, "b")
+    assert sorted((r["id"], r["b"]) for r in got_t.collect()) == [
+        (0, 1), (1, 2), (2, 3)
+    ]
