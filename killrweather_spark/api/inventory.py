@@ -1551,13 +1551,23 @@ def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # successor, semantic_screen_recall) — ONE source for the ×10⁶ fixed-point
 # quantization and the zero-norm exclusion, so the exactness contract can
 # never drift between them (the _minhash_sig_sql convention).
-_EMB_COMP_NRM_SQL = """comp AS (
+def _emb_comp_nrm_sql(corpus_pred: str | None = None) -> str:
+    """The comp/nrm CTE pair, optionally restricted to a corpus slice
+    (``corpus_pred`` on the embeddings row) — the restricted form replays
+    an index whose ENTIRE world is the slice (e.g. the base index of an
+    upsert: trained on, membered by, and truth-evaluated over the base
+    population only)."""
+    w = f"\n      WHERE {corpus_pred}" if corpus_pred else ""
+    return f"""comp AS (
       SELECT e.vec_id, i.i AS pos,
              CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
       FROM embeddings e,
-           unnest(generate_series(1, len(e.embedding))) AS i(i)
+           unnest(generate_series(1, len(e.embedding))) AS i(i){w}
     ), nrm AS (SELECT vec_id, SUM(q * q) AS norm2 FROM comp GROUP BY vec_id
                HAVING SUM(q * q) > 0)"""
+
+
+_EMB_COMP_NRM_SQL = _emb_comp_nrm_sql()
 
 
 def _lsh_buckets_sql(n_planes: int) -> str:
@@ -3287,6 +3297,253 @@ def _wire_ivf_ann_upsert_probe() -> None:
 
 
 _wire_ivf_ann_upsert_probe()
+
+
+#: Tombstone set for the delete-probe: every 7th id, except the probe's
+#: query window (so all 10 queries stay live).  Deterministic and
+#: SQL-expressible, which is what makes the on-disk delete replayable by
+#: the oracle; the dedup-driven producer (semdedup_keep's drop set) is
+#: exercised by tests/test_llm_ops.py against the same machinery.
+_IVF_DELETE_PRED = (
+    "vec_id % 7 = 3 AND NOT (vec_id >= 100 AND vec_id < 110)"
+)
+
+
+@register(
+    "ivf_ann_delete_probe",
+    None,  # replaced below: builder needs _EMB_COMP_NRM_SQL
+    survey_ref="",
+)
+def q_ivf_ann_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe an index with ids DELETED without retraining — the third
+    leg of the lifecycle (build / upsert / delete,
+    ann_index.py:delete_from_ivf_index): tombstoned ids' rows are
+    physically removed from the five cell-partitioned tables, ONLY the
+    touched cells are rewritten (compacted to one file each; untouched
+    cells stay byte-identical to the base — pinned by test), centroids
+    and codebooks stay frozen.  Deleted ids must never surface as
+    neighbors, and survivors' ranks re-close (the next-best candidates
+    move up) — which is exactly what the oracle's member_pred replay
+    asserts, value-exact."""
+    from killrweather_spark.functions.ann_index import (
+        ensure_deleted_index,
+        ensure_ivf_index,
+        ivf_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_idx = ensure_ivf_index(
+        emb, _ivf_index_dir(sf_dir), n_centroids=8, iters=2
+    )
+    drop = emb.filter(F.expr(_IVF_DELETE_PRED)).select("vec_id")
+    del_idx = ensure_deleted_index(
+        base_idx, drop, _ivf_index_dir(sf_dir) + "_deleted"
+    )
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    return ivf_probe_topk(spark, del_idx, queries, k=3, n_probe=2)
+
+
+def _wire_ivf_ann_delete_probe() -> None:
+    from killrweather_spark.functions.ann_index import ivf_trained_sql
+
+    REGISTRY["ivf_ann_delete_probe"] = QuerySpec(
+        fn=REGISTRY["ivf_ann_delete_probe"].fn,
+        sql=ivf_trained_sql(
+            _EMB_COMP_NRM_SQL,
+            n_centroids=8,
+            iters=2,
+            n_probe=2,
+            k=3,
+            query_pred="vec_id >= 100 AND vec_id < 110",
+            member_pred=f"NOT ({_IVF_DELETE_PRED})",
+        ),
+        survey_ref="beyond-ref ANN serving: index DELETE + compaction — "
+        "the missing third of the index lifecycle "
+        "(ann_index.py:delete_from_ivf_index): tombstoned vector ids "
+        "(dedup's drop set is the natural producer) are physically "
+        "removed from the cell-partitioned tables, rewriting ONLY the "
+        "touched cell partitions (each compacted to one file; untouched "
+        "cells byte-identical — the start_cdc_apply_pruned discipline "
+        "applied to the index artifact), centroids/codebooks frozen so "
+        "stored codes stay valid and probe pruning is unchanged.  The "
+        "oracle replays train-on-everyone + tombstone-filtered "
+        "membership relationally (ivf_trained_sql member_pred), so the "
+        "deleted on-disk index is verified value-exact: deleted ids "
+        "never surface and survivors' ranks re-close",
+    )
+
+
+_wire_ivf_ann_delete_probe()
+
+
+@register(
+    "ivf_upsert_skew_report",
+    None,  # wired below: the tail reuses the trained-replay CTE parts
+    survey_ref="",
+)
+def q_ivf_upsert_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert drift monitor (ann_index.py:ivf_upsert_skew_report):
+    per-cell membership before/after growing the even-trained index with
+    the odd half — read from the on-disk ``norms`` artifacts of the SAME
+    base/upserted indexes the upsert probe serves, one row per cell.
+    Frozen centroids mean a moved corpus concentrates arrivals in few
+    cells; growth_micro / share drift spiking is the retrain trigger."""
+    from killrweather_spark.functions.ann_index import (
+        ensure_ivf_index,
+        ensure_upserted_index,
+        ivf_upsert_skew_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_dir = _ivf_index_dir(sf_dir)
+    base_idx = ensure_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        base_dir + "_evenbase",
+        n_centroids=8,
+        iters=2,
+    )
+    up_idx = ensure_upserted_index(
+        base_idx, emb.filter(F.col("vec_id") % 2 == 1),
+        base_dir + "_upserted",
+    )
+    return ivf_upsert_skew_report(spark, base_idx, up_idx)
+
+
+def _wire_ivf_upsert_skew_report() -> None:
+    from killrweather_spark.functions.ann_index import ivf_trained_parts_sql
+
+    parts = ivf_trained_parts_sql(
+        n_centroids=8, iters=2, n_probe=0, query_pred="vec_id < 0",
+        probe_tail=False, train_pred="vec_id % 2 = 0",
+    )
+    sql = (
+        f"WITH {_EMB_COMP_NRM_SQL},\n    "
+        + ",\n    ".join(parts)
+        + """,
+    sizes AS (
+      SELECT l.cell,
+             CAST(COUNT(*) FILTER (WHERE l.vec_id % 2 = 0) AS BIGINT)
+               AS n_base,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM lall l JOIN nrm USING (vec_id)
+      GROUP BY l.cell)
+    SELECT CAST(cell AS BIGINT) AS cell, n_base,
+           CAST(n_total - n_base AS BIGINT) AS n_new, n_total,
+           CAST((1000000 * (n_total - n_base)) // GREATEST(n_base, 1)
+                AS BIGINT) AS growth_micro,
+           CAST((1000000 * n_base) // GREATEST(SUM(n_base) OVER (), 1)
+                AS BIGINT) AS share_before_micro,
+           CAST((1000000 * n_total) // GREATEST(SUM(n_total) OVER (), 1)
+                AS BIGINT) AS share_after_micro
+    FROM sizes
+    """
+    )
+    REGISTRY["ivf_upsert_skew_report"] = QuerySpec(
+        fn=REGISTRY["ivf_upsert_skew_report"].fn,
+        sql=sql,
+        survey_ref="beyond-ref ANN serving: upsert drift REPORT — the "
+        "retrain trigger the upsert contract promises "
+        "(ann_index.py:ivf_upsert_skew_report): per-cell size "
+        "before/after the frozen-centroid upsert, growth and share "
+        "shift in exact integer micro-units, read from the on-disk "
+        "norms artifacts (two pruned column scans + an 8-row join — "
+        "the report costs metadata).  Oracle replays train-on-base + "
+        "assign-everyone and counts lall by parity, so the report of "
+        "the REAL index directories is verified value-exact",
+    )
+
+
+_wire_ivf_upsert_skew_report()
+
+
+@register(
+    "ivf_upsert_recall_delta",
+    None,  # wired below: two curve replays joined on depth
+    survey_ref="",
+)
+def q_ivf_upsert_recall_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the upsert drift monitor: the probe-depth
+    recall CURVE of the base index (its own even-only world) joined
+    against the curve of the grown index (full corpus, frozen
+    centroids), one row per depth with the delta — quantifies how much
+    recall the frozen geometry gives up on the grown corpus at each
+    probe depth."""
+    from killrweather_spark.functions.ann_index import (
+        ensure_ivf_index,
+        ensure_upserted_index,
+        ivf_probe_depth_curve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_dir = _ivf_index_dir(sf_dir)
+    base_idx = ensure_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        base_dir + "_evenbase",
+        n_centroids=8,
+        iters=2,
+    )
+    up_idx = ensure_upserted_index(
+        base_idx, emb.filter(F.col("vec_id") % 2 == 1),
+        base_dir + "_upserted",
+    )
+
+    def qf(c):
+        return (c >= 100) & (c < 110)
+
+    base_curve = ivf_probe_depth_curve(
+        spark, base_idx, emb.filter(F.col("vec_id") % 2 == 0), qf
+    ).select(
+        "n_probe", F.col("recall_micro").alias("recall_base_micro")
+    )
+    up_curve = ivf_probe_depth_curve(spark, up_idx, emb, qf).select(
+        "n_probe", F.col("recall_micro").alias("recall_upserted_micro")
+    )
+    return base_curve.join(up_curve, "n_probe").select(
+        "n_probe",
+        "recall_base_micro",
+        "recall_upserted_micro",
+        (F.col("recall_upserted_micro") - F.col("recall_base_micro"))
+        .cast("bigint")
+        .alias("delta_micro"),
+    )
+
+
+def _wire_ivf_upsert_recall_delta() -> None:
+    from killrweather_spark.functions.ann_index import ivf_probe_curve_sql
+
+    base_sql = ivf_probe_curve_sql(
+        _emb_comp_nrm_sql("e.vec_id % 2 = 0"),
+        n_centroids=8, iters=2, k=3, max_probe=4,
+        query_pred="vec_id >= 100 AND vec_id < 110",
+    )
+    up_sql = ivf_probe_curve_sql(
+        _EMB_COMP_NRM_SQL,
+        n_centroids=8, iters=2, k=3, max_probe=4,
+        query_pred="vec_id >= 100 AND vec_id < 110",
+        train_pred="vec_id % 2 = 0",
+    )
+    sql = f"""
+    SELECT b.n_probe,
+           CAST(b.recall_micro AS BIGINT) AS recall_base_micro,
+           CAST(u.recall_micro AS BIGINT) AS recall_upserted_micro,
+           CAST(u.recall_micro - b.recall_micro AS BIGINT) AS delta_micro
+    FROM ({base_sql}) b JOIN ({up_sql}) u USING (n_probe)
+    """
+    REGISTRY["ivf_upsert_recall_delta"] = QuerySpec(
+        fn=REGISTRY["ivf_upsert_recall_delta"].fn,
+        sql=sql,
+        survey_ref="beyond-ref ANN serving: upsert recall DELTA — the "
+        "probe-depth recall curve of the base index (its own corpus) "
+        "vs the frozen-centroid grown index (full corpus), one row per "
+        "depth 1..4 with the exact micro delta "
+        "(ann_index.py:ivf_probe_depth_curve ×2).  Oracle replays both "
+        "curves relationally (restricted-comp base world; "
+        "train-on-base/member-all grown world) and joins on depth — "
+        "the drift monitor's recall leg, value-exact",
+    )
+
+
+_wire_ivf_upsert_recall_delta()
 
 
 def _ann_recall_trained_sql() -> str:

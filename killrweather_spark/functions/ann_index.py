@@ -481,6 +481,211 @@ def ensure_upserted_index(
     return out_index_dir
 
 
+#: The index tables partitioned by trained cell — the tables delete and
+#: upsert touch; the frozen training artifacts (centroids, pqcents,
+#: pqrcents) are never rewritten by lifecycle operations.
+CELL_TABLES = ("inverted", "norms", "vectors", "pqcodes", "pqrcodes")
+
+
+def delete_from_ivf_index(
+    base_index_dir: str,
+    delete_ids: DataFrame,
+    out_index_dir: str,
+    id_col: str = "vec_id",
+) -> str:
+    """Remove vector ids from a trained index WITHOUT retraining — the
+    third leg of the index lifecycle (build / upsert / delete).  The
+    natural producer of the tombstone set is deduplication
+    (``semdedup_keep``'s drop set): the curation pipeline decides a
+    vector is redundant, and the serving index must stop surfacing it.
+
+    Compaction discipline (the ``start_cdc_apply_pruned`` rule applied
+    to the index artifact): ONLY the cell partitions that actually
+    contain a tombstoned id are rewritten — survivors of a touched cell
+    are compacted into a single file per cell (an upserted cell holds
+    base + appended files; the rewrite folds them) — and every untouched
+    cell's files are byte-identical to the base copy (pinned by test).
+    Centroids and PQ codebooks are frozen: deletion never changes the
+    trained geometry, only membership, so stored codes stay valid and
+    probe-side partition pruning is unchanged.
+
+    Copy-on-write + atomic like :func:`upsert_ivf_index`: the output
+    lands in a staging dir renamed into place; a failure mid-rewrite
+    removes the staging copy.  The touched-cell list is a bounded
+    driver-side collect (≤ n_centroids rows — same discipline as the
+    probe-list collect).
+
+    At 100 TB the copy is a snapshot/hardlink metadata operation and the
+    rewrite cost is proportional to the TOUCHED cells only — a delete of
+    0.1% of ids scattered across all cells rewrites everything (that is
+    inherent to tombstone-free physical deletion; a production variant
+    would batch tombstones per cell and compact on a threshold), but the
+    dedup-driven case deletes clustered near-duplicates, which land in
+    few cells by construction."""
+    import shutil
+    import uuid
+
+    spark = delete_ids.sparkSession
+    dels = persist_once(
+        delete_ids.select(F.col(id_col).alias("vec_id")).distinct()
+    )
+    # membership table with one row per vector — the cheapest way to map
+    # tombstones to their cells
+    vecs = spark.read.parquet(os.path.join(base_index_dir, "vectors"))
+    cells = sorted(
+        r["cell"]
+        for r in vecs.join(dels, "vec_id")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    tmp = f"{out_index_dir}.tmp.{uuid.uuid4().hex[:12]}"
+    shutil.copytree(base_index_dir, tmp)
+    try:
+        for tbl in CELL_TABLES:
+            src = spark.read.parquet(
+                os.path.join(base_index_dir, tbl)
+            ).filter(F.col("cell").isin([int(c) for c in cells]))
+            kept = src.join(dels, "vec_id", "left_anti")
+            for c in cells:
+                d = os.path.join(tmp, tbl, f"cell={c}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+            if cells:
+                kept.repartition(len(cells), "cell").write.mode(
+                    "append"
+                ).partitionBy("cell").parquet(os.path.join(tmp, tbl))
+        base_params = None
+        try:
+            with open(os.path.join(base_index_dir, "_meta.json")) as f:
+                base_params = json.load(f)
+        except (OSError, ValueError):
+            pass
+        with open(os.path.join(tmp, "_delete_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "base": os.path.basename(base_index_dir),
+                    "base_params": base_params,
+                    "cells_rewritten": [int(c) for c in cells],
+                },
+                f,
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, out_index_dir)
+    except OSError:
+        if os.path.isdir(out_index_dir):
+            shutil.rmtree(tmp)
+        else:
+            raise
+    return out_index_dir
+
+
+def ensure_deleted_index(
+    base_index_dir: str,
+    delete_ids: DataFrame,
+    out_index_dir: str,
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> str:
+    """Build-once gate for :func:`delete_from_ivf_index`, mirroring
+    :func:`ensure_upserted_index`: the deleted index is a deterministic
+    function of (base index, tombstone set), so a COMPLETED output at a
+    content-keyed path is reused — and presence alone is not enough: the
+    copied ``_meta.json`` AND the recorded base params must match the
+    current geometry, so a PQ/centroid bump rebuilds instead of serving
+    stale codes."""
+    want = _index_params(n_centroids, iters)
+    fresh = False
+    try:
+        with open(os.path.join(out_index_dir, "_delete_meta.json")) as f:
+            dmeta = json.load(f)
+        with open(os.path.join(out_index_dir, "_meta.json")) as f:
+            fresh = json.load(f) == want and (
+                dmeta.get("base_params") == want
+            )
+    except (OSError, ValueError):
+        fresh = False
+    if not fresh:
+        if os.path.isdir(out_index_dir):
+            import shutil
+
+            shutil.rmtree(out_index_dir)
+        delete_from_ivf_index(
+            base_index_dir, delete_ids, out_index_dir, id_col
+        )
+    return out_index_dir
+
+
+def ivf_upsert_skew_report(
+    spark: SparkSession,
+    base_index_dir: str,
+    upserted_index_dir: str,
+) -> DataFrame:
+    """The retrain trigger the upsert docstring promises: per-cell
+    membership BEFORE and AFTER an upsert, read from the on-disk index
+    artifacts themselves (the ``norms`` tables — one row per live
+    vector), one row per cell.
+
+    Frozen centroids mean upserted vectors land in the nearest EXISTING
+    cell even when the corpus distribution moved; the operational signal
+    is this report drifting — one cell absorbing most arrivals
+    (``growth_micro`` spiking, ``share_after_micro`` diverging from
+    ``share_before_micro``) says the trained partition no longer fits
+    the corpus and a retrain+re-encode should be scheduled.  Paired with
+    :func:`ivf_probe_depth_curve` (recall before vs after), this is the
+    monitoring loop a production deployment runs after every ingestion
+    batch.
+
+    All columns integer-exact (micro-unit divisions are single integer
+    ``div`` ops), so the DuckDB oracle replays the report value-exactly.
+    Scale: two partition-pruned column scans + an 8-row join — the
+    report costs metadata, not data."""
+    b = (
+        spark.read.parquet(os.path.join(base_index_dir, "norms"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+    )
+    u = (
+        spark.read.parquet(os.path.join(upserted_index_dir, "norms"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    )
+    j = (
+        u.join(b, "cell", "full_outer")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("n_total"), F.lit(0)).alias("n_total"),
+        )
+        .withColumn("n_new", F.col("n_total") - F.col("n_base"))
+    )
+    tot = j.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_total").alias("__tt")
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_base",
+            "n_new",
+            "n_total",
+            F.expr("(1000000 * n_new) div greatest(n_base, 1)")
+            .cast("bigint")
+            .alias("growth_micro"),
+            F.expr("(1000000 * n_base) div greatest(__tb, 1)")
+            .cast("bigint")
+            .alias("share_before_micro"),
+            F.expr("(1000000 * n_total) div greatest(__tt, 1)")
+            .cast("bigint")
+            .alias("share_after_micro"),
+        )
+    )
+
+
 def ivf_probe_topk(
     spark: SparkSession,
     index_dir: str,
@@ -740,6 +945,7 @@ def ivf_trained_parts_sql(
     query_pred: str = "vec_id < 5",
     probe_tail: bool = True,
     train_pred: str | None = None,
+    member_pred: str | None = None,
 ) -> list[str]:
     """CTE parts replaying build + probe relationally (no disk) over the
     registry's shared comp/nrm CTEs: the ``iters`` Lloyd rounds
@@ -756,7 +962,13 @@ def ivf_trained_parts_sql(
     centroids (``lall``), which is exactly what
     :func:`upsert_ivf_index` does with its frozen centroids.  With
     ``train_pred=None`` the parts are unchanged (training == corpus,
-    the final training E-step doubles as membership)."""
+    the final training E-step doubles as membership).
+
+    ``member_pred`` filters the candidate MEMBERSHIP only (the delete
+    replay: centroids stay trained on the full population, tombstoned
+    ids simply stop being candidates) — exactly what
+    :func:`delete_from_ivf_index` does by rewriting the touched cell
+    partitions."""
     tp = f" WHERE {train_pred}" if train_pred else ""
     parts = [
         f"l0 AS (SELECT vec_id, CAST(vec_id % {n_centroids} AS BIGINT)"
@@ -809,13 +1021,18 @@ def ivf_trained_parts_sql(
         " GROUP BY 1, 2)"
     )
     if probe_tail:
+        mp = (
+            f" AND ({qualify_pred(member_pred, 'l')})"
+            if member_pred
+            else ""
+        )
         parts += [
             f"probes AS (SELECT query_id, cell FROM qd\n"
             "      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
             f" ORDER BY d2, cell) <= {n_probe})",
             f"cand AS (SELECT p.query_id, l.vec_id AS neighbor_id\n"
             f"      FROM probes p JOIN {member} l ON l.cell = p.cell\n"
-            "      WHERE l.vec_id != p.query_id)",
+            f"      WHERE l.vec_id != p.query_id{mp})",
             "dots AS (SELECT c.query_id, c.neighbor_id, SUM(a.q * b.q) AS dot\n"
             "      FROM cand c\n"
             "      JOIN comp a ON a.vec_id = c.query_id\n"
@@ -832,15 +1049,19 @@ def ivf_probe_curve_sql(
     k: int = 3,
     max_probe: int = 4,
     query_pred: str = "vec_id >= 100 AND vec_id < 110",
+    train_pred: str | None = None,
 ) -> str:
     """DuckDB oracle for :func:`ivf_probe_depth_curve` — the trained
     build replayed relationally, full query cell ranks, exact top-k truth
     pairs, each pair's minimal catching depth (rank of its neighbor's
-    cell), cumulated over depths 1..max_probe."""
+    cell), cumulated over depths 1..max_probe.  ``train_pred`` replays
+    the curve of an UPSERTED index: centroids trained on the base
+    population, membership (the catching cells) covering everyone."""
     parts = ivf_trained_parts_sql(
         n_centroids, iters, n_probe=0, query_pred=query_pred,
-        probe_tail=False,
+        probe_tail=False, train_pred=train_pred,
     )
+    member = "lall" if train_pred else f"l{iters}"
     qp_a = qualify_pred(query_pred, "a")
     parts += [
         "qranks AS MATERIALIZED (SELECT query_id, cell,\n"
@@ -862,7 +1083,7 @@ def ivf_probe_curve_sql(
                                  ORDER BY cosine DESC, neighbor_id) <= {k})""",
         "ntrue AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ex3)",
         f"depth AS (SELECT r.rk AS min_probe\n"
-        f"      FROM ex3 e JOIN l{iters} l ON l.vec_id = e.neighbor_id\n"
+        f"      FROM ex3 e JOIN {member} l ON l.vec_id = e.neighbor_id\n"
         "      JOIN qranks r ON r.query_id = e.query_id"
         " AND r.cell = l.cell)",
     ]
@@ -890,15 +1111,19 @@ def ivf_trained_sql(
     k: int = 3,
     query_pred: str = "vec_id < 5",
     train_pred: str | None = None,
+    member_pred: str | None = None,
 ) -> str:
     """Full DuckDB oracle for the trained-IVF probe query:
     :func:`ivf_trained_parts_sql` plus the exact-cosine top-k tail.
     ``comp_nrm_sql`` is the registry's shared comp/nrm CTE text (passed
     in to keep this module import-independent of the registry).
     ``train_pred`` selects the upsert replay (train on the base
-    population, assign everyone — see the parts builder)."""
+    population, assign everyone); ``member_pred`` the delete replay
+    (full training, tombstoned candidates excluded) — see the parts
+    builder."""
     parts = ivf_trained_parts_sql(
-        n_centroids, iters, n_probe, query_pred, train_pred=train_pred
+        n_centroids, iters, n_probe, query_pred,
+        train_pred=train_pred, member_pred=member_pred,
     )
     return (
         f"WITH {comp_nrm_sql},\n    "

@@ -2384,7 +2384,7 @@ def test_ivf_upsert_grows_index_without_retraining(spark, tmp_path):
     base = str(tmp_path / "base_idx")
     up = str(tmp_path / "up_idx")
     build_ivf_index(base_df, base, n_centroids=4, iters=2)
-    ensure_upserted_index(base, new_df, up)
+    ensure_upserted_index(base, new_df, up, n_centroids=4, iters=2)
 
     def rows(d, t):
         return spark.read.parquet(f"{d}/{t}")
@@ -2427,10 +2427,203 @@ def test_ivf_upsert_grows_index_without_retraining(spark, tmp_path):
     assert got_codes == expect_codes
     # idempotent gate: re-ensuring appends nothing
     n_before = rows(up, "inverted").count()
-    ensure_upserted_index(base, new_df, up)
+    ensure_upserted_index(base, new_df, up, n_centroids=4, iters=2)
     assert rows(up, "inverted").count() == n_before
     # probe of the grown index reaches both populations
     queries = emb.filter(F.col("vec_id") < 4)
     got = ivf_probe_topk(spark, up, queries, k=4, n_probe=2).collect()
     parities = {r.neighbor_id % 2 for r in got}
     assert parities == {0, 1}
+
+
+def _file_bytes_by_cell(index_dir: str, tbl: str) -> dict[str, bytes]:
+    """Map cell=<c>/<file> → file bytes for one index table."""
+    import os
+
+    out = {}
+    root = os.path.join(index_dir, tbl)
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, root)] = f.read()
+    return out
+
+
+def test_ivf_delete_rewrites_only_touched_cells(spark, tmp_path):
+    """Delete contract: tombstoned ids vanish from all five
+    cell-partitioned tables; UNTOUCHED cell partitions are byte-identical
+    to the base copy (same file names, same bytes); each touched cell is
+    compacted to a single file; centroids/codebooks frozen; the gate is
+    idempotent; and a probe never surfaces a deleted id while every query
+    still fills its k slots (survivors' ranks re-close)."""
+    import os
+
+    from killrweather_spark.functions.ann_index import (
+        CELL_TABLES,
+        build_ivf_index,
+        ensure_deleted_index,
+        ivf_probe_topk,
+    )
+
+    emb = load_table(spark, SF001, "embeddings")
+    base = str(tmp_path / "base_idx")
+    out = str(tmp_path / "del_idx")
+    build_ivf_index(emb, base, n_centroids=4, iters=2)
+    # tombstone five ids out of ONE cell so the other cells must survive
+    # byte-identically
+    vecs = spark.read.parquet(f"{base}/vectors")
+    cell_sizes = {r["cell"]: r["n"] for r in vecs.groupBy("cell")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    target = max(cell_sizes, key=lambda c: cell_sizes[c])
+    del_ids = [
+        r["vec_id"]
+        for r in vecs.filter(F.col("cell") == target)
+        .orderBy("vec_id").limit(5).collect()
+    ]
+    del_df = spark.createDataFrame(
+        [(int(i),) for i in del_ids], "vec_id bigint"
+    )
+    before = {t: _file_bytes_by_cell(base, t) for t in CELL_TABLES}
+    ensure_deleted_index(base, del_df, out, n_centroids=4, iters=2)
+    for t in CELL_TABLES:
+        got = spark.read.parquet(f"{out}/{t}")
+        assert got.filter(F.col("vec_id").isin(del_ids)).count() == 0, t
+        b = spark.read.parquet(f"{base}/{t}")
+        assert got.count() == b.count() - b.filter(
+            F.col("vec_id").isin(del_ids)).count(), t
+        # untouched cells: byte-identical files; touched cell: one file
+        after = _file_bytes_by_cell(out, t)
+        touched_prefix = f"cell={target}"
+        for rel, data in before[t].items():
+            if rel.startswith(touched_prefix):
+                continue
+            assert after.get(rel) == data, f"{t}/{rel} changed"
+        touched_files = [
+            rel for rel in after
+            if rel.startswith(touched_prefix) and rel.endswith(".parquet")
+        ]
+        assert len(touched_files) == 1, (t, touched_files)
+    for t in ("centroids", "pqcents", "pqrcents"):
+        b = spark.read.parquet(f"{base}/{t}")
+        g = spark.read.parquet(f"{out}/{t}")
+        assert g.exceptAll(b).count() == 0 and b.exceptAll(g).count() == 0, t
+    # idempotent gate: the completed output is reused, not rewritten
+    marker = os.path.join(out, "_delete_meta.json")
+    mtime = os.stat(marker).st_mtime_ns
+    ensure_deleted_index(base, del_df, out, n_centroids=4, iters=2)
+    assert os.stat(marker).st_mtime_ns == mtime
+    # probe: deleted ids never surface; every query's k slots re-fill
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = ivf_probe_topk(spark, out, queries, k=3, n_probe=2).collect()
+    assert not {r.neighbor_id for r in got} & set(del_ids)
+    per_q = {}
+    for r in got:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {3}
+
+
+def test_ivf_delete_from_semdedup_drop_set(spark, tmp_path):
+    """The natural producer: semdedup_keep's drop set (kept = false) fed
+    straight into the index delete — dropped near-duplicates stop being
+    probe candidates, survivors keep serving."""
+    from killrweather_spark.api.inventory import REGISTRY
+    from killrweather_spark.functions.ann_index import (
+        build_ivf_index,
+        ensure_deleted_index,
+        ivf_probe_topk,
+    )
+
+    emb = load_table(spark, SF001, "embeddings")
+    keep = REGISTRY["semdedup_keep"].fn(spark, SF001)
+    drop = keep.filter(~F.col("kept")).select("vec_id")
+    n_drop = drop.count()
+    assert n_drop > 0, "fixture must produce a non-empty drop set"
+    base = str(tmp_path / "base_idx")
+    out = str(tmp_path / "dedup_del_idx")
+    build_ivf_index(emb, base, n_centroids=4, iters=2)
+    ensure_deleted_index(base, drop, out, n_centroids=4, iters=2)
+    inv = spark.read.parquet(f"{out}/inverted")
+    assert inv.join(drop, "vec_id").count() == 0
+    assert inv.select("vec_id").distinct().count() == 500 - n_drop
+    # kept ids probe fine and never surface a dropped near-duplicate
+    drop_ids = {r["vec_id"] for r in drop.collect()}
+    qids = [r["vec_id"] for r in keep.filter(F.col("kept"))
+            .orderBy("vec_id").limit(3).collect()]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got = ivf_probe_topk(spark, out, queries, k=3, n_probe=2).collect()
+    assert got and not {r.neighbor_id for r in got} & drop_ids
+
+
+def test_ivf_delete_gate_rebuilds_on_geometry_bump(spark, tmp_path, monkeypatch):
+    """A PQ-geometry bump must invalidate a previously-completed deleted
+    index at the same path — the ensure gate compares recorded params,
+    not mere presence (r11 ADVICE class, applied to the delete leg)."""
+    import json
+    import os
+
+    from killrweather_spark.functions import ann_index as ai
+
+    emb = load_table(spark, SF001, "embeddings")
+    base = str(tmp_path / "base_idx")
+    out = str(tmp_path / "del_idx")
+    ai.build_ivf_index(emb, base, n_centroids=4, iters=2)
+    del_df = emb.filter(F.col("vec_id") % 11 == 0).select("vec_id")
+    ai.ensure_deleted_index(base, del_df, out, n_centroids=4, iters=2)
+    # simulate a stale artifact from an older geometry
+    meta = os.path.join(out, "_delete_meta.json")
+    with open(meta) as f:
+        d = json.load(f)
+    d["base_params"] = {"stale": True}
+    with open(meta, "w") as f:
+        json.dump(d, f)
+    mtime = os.stat(meta).st_mtime_ns
+    ai.ensure_deleted_index(base, del_df, out, n_centroids=4, iters=2)
+    with open(os.path.join(out, "_delete_meta.json")) as f:
+        rebuilt = json.load(f)
+    assert rebuilt["base_params"] != {"stale": True}
+    assert os.stat(os.path.join(out, "_delete_meta.json")).st_mtime_ns != mtime
+
+
+def test_ivf_upsert_skew_report_moves_on_skewed_batch(spark, tmp_path):
+    """A deliberately skewed upsert batch — every new vector chosen so
+    its frozen-centroid E-step lands in ONE target cell — must move the
+    report: the target cell takes all arrivals (growth_micro > 0,
+    share_after > share_before) while every other cell records n_new = 0
+    and a non-increasing share.  A balanced report under this batch
+    would mean the monitor cannot see the drift it exists to catch."""
+    from killrweather_spark.functions.ann_index import (
+        _assign,
+        build_ivf_index,
+        ensure_upserted_index,
+        ivf_upsert_skew_report,
+    )
+    from killrweather_spark.functions.similarity import quantized_components
+
+    emb = load_table(spark, SF001, "embeddings")
+    base_df = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    base = str(tmp_path / "base_idx")
+    build_ivf_index(base_df, base, n_centroids=4, iters=2)
+    cents = spark.read.parquet(f"{base}/centroids")
+    comp = quantized_components(rest, "vec_id", "embedding")
+    assign = _assign(comp, cents)
+    counts = {r["cell"]: r["n"] for r in assign.groupBy("cell")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    target = max(counts, key=lambda c: counts[c])
+    skew_ids = [r["vec_id"] for r in
+                assign.filter(F.col("cell") == target).collect()]
+    skewed = rest.filter(F.col("vec_id").isin(skew_ids))
+    up = str(tmp_path / "skew_idx")
+    ensure_upserted_index(base, skewed, up, n_centroids=4, iters=2)
+    rep = {r["cell"]: r for r in
+           ivf_upsert_skew_report(spark, base, up).collect()}
+    assert rep[target]["n_new"] == len(skew_ids)
+    assert rep[target]["growth_micro"] > 0
+    assert (rep[target]["share_after_micro"]
+            > rep[target]["share_before_micro"])
+    for cell, r in rep.items():
+        if cell == target:
+            continue
+        assert r["n_new"] == 0, (cell, r)
+        assert r["share_after_micro"] <= r["share_before_micro"], (cell, r)
