@@ -3546,6 +3546,105 @@ def _wire_ivf_upsert_recall_delta() -> None:
 _wire_ivf_upsert_recall_delta()
 
 
+@register(
+    "streaming_index_upsert_probe",
+    None,  # wired below: shares the batch upsert probe's replay
+    survey_ref="",
+)
+def q_streaming_index_upsert_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ONLINE form of the index upsert: the odd half arrives as a
+    bounded MULTI-microbatch stream (3 staged files, maxFilesPerTrigger
+    1) and a foreachBatch sink appends each micro-batch into the live
+    index's cell partitions (ann_index.py:apply_index_upsert_batch —
+    per-batch marker gate, scrub-then-apply replay, exactly-once); the
+    probe then reads the drained index and must surface candidates from
+    BOTH populations.  Oracle: identical replay to ivf_ann_upsert_probe
+    — the drained stream index is row-identical to the batch upsert by
+    construction (pinned by test), so one relational replay verifies
+    both ingestion paths."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from killrweather_spark.functions.ann_index import (
+        _index_params,
+        ensure_ivf_index,
+        ivf_probe_topk,
+        start_index_upsert_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_dir = _ivf_index_dir(sf_dir)
+    base_idx = ensure_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        base_dir + "_evenbase",
+        n_centroids=8,
+        iters=2,
+    )
+    out_idx = base_dir + "_streamup"
+    want = _index_params(8, 2)
+    complete = False
+    try:
+        with open(os.path.join(out_idx, "_stream_complete.json")) as f:
+            complete = json.load(f).get("base_params") == want
+    except (OSError, ValueError):
+        complete = False
+    if not complete:
+        if os.path.isdir(out_idx):
+            shutil.rmtree(out_idx)
+        stage = tempfile.mkdtemp(prefix="stream_upsert_emb_")
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        odd.repartition(3).write.mode("overwrite").parquet(stage)
+        stream = (
+            spark.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = start_index_upsert_stream(
+            stream, base_idx, out_idx, tempfile.mkdtemp()
+        )
+        q.awaitTermination()
+        with open(os.path.join(out_idx, "_stream_complete.json"), "w") as f:
+            json.dump({"base_params": want}, f)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    return ivf_probe_topk(spark, out_idx, queries, k=3, n_probe=2)
+
+
+def _wire_streaming_index_upsert_probe() -> None:
+    from killrweather_spark.functions.ann_index import ivf_trained_sql
+
+    REGISTRY["streaming_index_upsert_probe"] = QuerySpec(
+        fn=REGISTRY["streaming_index_upsert_probe"].fn,
+        sql=ivf_trained_sql(
+            _EMB_COMP_NRM_SQL,
+            n_centroids=8,
+            iters=2,
+            n_probe=2,
+            k=3,
+            query_pred="vec_id >= 100 AND vec_id < 110",
+            train_pred="vec_id % 2 = 0",
+        ),
+        survey_ref="§2.9/T7 × ANN lifecycle: STREAMING index upsert — "
+        "the reference's keyed-upsert stream-sink semantics "
+        "(KafkaStreamingActor.scala:45) applied to the index artifact "
+        "(ann_index.py:apply_index_upsert_batch): each micro-batch is "
+        "frozen-E-step assigned, frozen-codebook encoded, and appended "
+        "into the live cell partitions at batch commit (arrivals become "
+        "probe-visible); per-batch marker + scrub-then-apply replay "
+        "give exactly-once across restarts (the T7 discipline).  The "
+        "oracle replays train-on-base + assign-everyone relationally — "
+        "one replay verifies stream and batch ingestion agree, because "
+        "the drained stream index is row-identical to the batch upsert "
+        "(pinned by pytest)",
+    )
+
+
+_wire_streaming_index_upsert_probe()
+
+
 def _ann_recall_trained_sql() -> str:
     """Recall oracle: the trained-IVF replay's top-3 pairs LEFT-joined
     against the exact brute-force top-3 pairs, one summary row."""

@@ -620,6 +620,155 @@ def ensure_deleted_index(
     return out_index_dir
 
 
+def bootstrap_stream_index(base_index_dir: str, out_index_dir: str) -> str:
+    """Copy-on-write bootstrap of a LIVE index a stream upserts into:
+    the base tables are copied once (atomic staging + rename, same as
+    every lifecycle op) and ``_stream_meta.json`` marks a completed
+    bootstrap — a half-copied dir never carries it and is rebuilt."""
+    import shutil
+    import uuid
+
+    if os.path.isfile(os.path.join(out_index_dir, "_stream_meta.json")):
+        return out_index_dir
+    if os.path.isdir(out_index_dir):
+        shutil.rmtree(out_index_dir)
+    tmp = f"{out_index_dir}.tmp.{uuid.uuid4().hex[:12]}"
+    shutil.copytree(base_index_dir, tmp)
+    base_params = None
+    try:
+        with open(os.path.join(base_index_dir, "_meta.json")) as f:
+            base_params = json.load(f)
+    except (OSError, ValueError):
+        pass
+    with open(os.path.join(tmp, "_stream_meta.json"), "w") as f:
+        json.dump(
+            {
+                "base": os.path.basename(base_index_dir),
+                "base_params": base_params,
+            },
+            f,
+        )
+    try:
+        os.rename(tmp, out_index_dir)
+    except OSError:
+        if os.path.isdir(out_index_dir):
+            shutil.rmtree(tmp)
+        else:
+            raise
+    return out_index_dir
+
+
+def apply_index_upsert_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_index_dir: str,
+    out_index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """``foreachBatch`` body of the ONLINE index upsert — the streaming
+    form of :func:`upsert_ivf_index`, i.e. the reference's keyed-upsert
+    stream-sink semantics (KafkaStreamingActor.scala:45, each arrival
+    upserted into the keyed store) applied to the index artifact: every
+    micro-batch is E-step-assigned against the FROZEN centroids, encoded
+    against the frozen codebooks, and appended into the live index's
+    cell partitions — arrivals become probe-visible at batch commit.
+
+    Exactly-once across restarts, the engine's replay discipline
+    (streaming/pipeline.py T7): a batch is committed by its marker file
+    (``_stream_batches/b<id>.json``, written LAST via atomic replace);
+    a replayed batch with a marker is skipped outright, and a replay of
+    a CRASHED batch (files moved, no marker) first scrubs every live
+    file carrying this batch's name prefix, then re-applies — appends
+    are therefore idempotent per batch id, never doubled.
+
+    The batch's rows are staged by :func:`_upsert_into` into a hidden
+    delta dir and MOVED into the cell partitions file-by-file (rename,
+    not rewrite): per-batch cost is proportional to the batch, existing
+    files are never touched, and probe-side partition pruning is
+    unchanged.  Cache note: the per-batch staging persists two
+    batch-sized intermediates; bounded drains are fine, a long-lived
+    production stream would unpersist per batch or cap the cache."""
+    import glob
+    import shutil
+    import uuid
+
+    spark = batch_df.sparkSession
+    bootstrap_stream_index(base_index_dir, out_index_dir)
+    marker_dir = os.path.join(out_index_dir, "_stream_batches")
+    os.makedirs(marker_dir, exist_ok=True)
+    marker = os.path.join(marker_dir, f"b{batch_id}.json")
+    if os.path.isfile(marker):
+        return  # restart replay of a committed batch
+    prefix = f"b{batch_id}-"
+    delta = os.path.join(
+        out_index_dir, f".delta.b{batch_id}.{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        if not batch_df.isEmpty():
+            _upsert_into(
+                spark, base_index_dir, delta, batch_df, id_col, vec_col
+            )
+            for tbl in CELL_TABLES:
+                live_tbl = os.path.join(out_index_dir, tbl)
+                # scrub a crashed previous attempt of THIS batch
+                for p in glob.glob(
+                    os.path.join(live_tbl, "cell=*", f"{prefix}*")
+                ):
+                    os.remove(p)
+                dtbl = os.path.join(delta, tbl)
+                if not os.path.isdir(dtbl):
+                    continue
+                for cell_dir in sorted(os.listdir(dtbl)):
+                    if not cell_dir.startswith("cell="):
+                        continue
+                    dst = os.path.join(live_tbl, cell_dir)
+                    os.makedirs(dst, exist_ok=True)
+                    for fn in sorted(os.listdir(os.path.join(dtbl, cell_dir))):
+                        if not fn.endswith(".parquet"):
+                            continue
+                        os.rename(
+                            os.path.join(dtbl, cell_dir, fn),
+                            os.path.join(dst, f"{prefix}{fn}"),
+                        )
+        tmp_marker = f"{marker}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp_marker, "w") as f:
+            json.dump({"batch_id": int(batch_id)}, f)
+        os.replace(tmp_marker, marker)
+    finally:
+        shutil.rmtree(delta, ignore_errors=True)
+
+
+def start_index_upsert_stream(
+    stream_df: DataFrame,
+    base_index_dir: str,
+    out_index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Run the online index upsert as a Structured Streaming sink:
+    ``foreachBatch(apply_index_upsert_batch)`` with a checkpoint, so
+    Kafka offsets / file-source progress + the per-batch markers give
+    end-to-end exactly-once.  ``available_now`` drains the currently
+    available input and stops (the bounded test/bench regime); pass
+    False for a continuously running ingestion."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_index_upsert_batch(
+            batch_df, batch_id, base_index_dir, out_index_dir,
+            id_col, vec_col,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ivf_upsert_skew_report(
     spark: SparkSession,
     base_index_dir: str,

@@ -2627,3 +2627,85 @@ def test_ivf_upsert_skew_report_moves_on_skewed_batch(spark, tmp_path):
             continue
         assert r["n_new"] == 0, (cell, r)
         assert r["share_after_micro"] <= r["share_before_micro"], (cell, r)
+
+
+def test_streaming_index_upsert_equals_batch_upsert(spark, tmp_path):
+    """Cross-microbatch equivalence: draining the odd half through the
+    foreachBatch index sink in 3 micro-batches produces an index
+    row-identical (per table, both directions of exceptAll) to the
+    one-shot batch upsert; frozen artifacts stay byte-identical to the
+    base.  Also pins exactly-once: re-applying a committed batch is a
+    no-op (marker gate), and replaying a CRASHED batch (marker deleted,
+    files left) scrubs before re-applying — never duplicates."""
+    import glob
+    import os
+
+    from killrweather_spark.functions.ann_index import (
+        CELL_TABLES,
+        apply_index_upsert_batch,
+        build_ivf_index,
+        ensure_upserted_index,
+        start_index_upsert_stream,
+    )
+
+    emb = load_table(spark, SF001, "embeddings")
+    base_df = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    base = str(tmp_path / "base_idx")
+    build_ivf_index(base_df, base, n_centroids=4, iters=2)
+    batch_out = str(tmp_path / "batch_idx")
+    ensure_upserted_index(base, odd, batch_out, n_centroids=4, iters=2)
+    stage = str(tmp_path / "arrivals")
+    odd.repartition(3).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    stream_out = str(tmp_path / "stream_idx")
+    q = start_index_upsert_stream(
+        stream, base, stream_out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    markers = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(stream_out, "_stream_batches", "*"))
+    )
+    assert len(markers) == 3, markers  # genuinely multi-microbatch
+    for t in CELL_TABLES:
+        s = spark.read.parquet(f"{stream_out}/{t}")
+        b = spark.read.parquet(f"{batch_out}/{t}")
+        assert s.exceptAll(b).count() == 0, t
+        assert b.exceptAll(s).count() == 0, t
+    for t in ("centroids", "pqcents", "pqrcents"):
+        sb = _file_bytes_by_cell(base, t)
+        ss = _file_bytes_by_cell(stream_out, t)
+        assert {k: v for k, v in ss.items() if k.endswith(".parquet")} == {
+            k: v for k, v in sb.items() if k.endswith(".parquet")
+        }, t
+    # exactly-once, leg 1: a committed batch replay is a no-op
+    n_before = spark.read.parquet(f"{stream_out}/inverted").count()
+    # recover batch 0's actual membership from its prefixed files (file→
+    # batch assignment order is an engine detail the test must not guess)
+    b0_files = glob.glob(
+        os.path.join(stream_out, "inverted", "cell=*", "b0-*.parquet")
+    )
+    b0_ids = [
+        int(r["vec_id"])
+        for r in spark.read.parquet(*b0_files).select("vec_id")
+        .distinct().collect()
+    ]
+    assert b0_ids
+    replay_df = odd.filter(F.col("vec_id").isin(b0_ids))
+    apply_index_upsert_batch(replay_df, 0, base, stream_out)
+    assert spark.read.parquet(f"{stream_out}/inverted").count() == n_before
+    # exactly-once, leg 2: a crashed batch (files in, marker missing)
+    # scrubs its own prefix before re-applying — counts don't change
+    os.remove(os.path.join(stream_out, "_stream_batches", "b0.json"))
+    apply_index_upsert_batch(replay_df, 0, base, stream_out)
+    assert spark.read.parquet(f"{stream_out}/inverted").count() == n_before
+    for t in CELL_TABLES:
+        s = spark.read.parquet(f"{stream_out}/{t}")
+        b = spark.read.parquet(f"{batch_out}/{t}")
+        assert s.exceptAll(b).count() == 0, t
+        assert b.exceptAll(s).count() == 0, t
