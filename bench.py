@@ -164,6 +164,12 @@ HEADLINE = [
     "intra_doc_repeat_spans",           # within-doc repeated-run spans
     "streaming_substring_screen",       # online substring dedup at ingest
     "ivf_ann_upsert_probe",             # grow-without-retrain index upsert
+    # round-12 operators
+    "ivf_ann_delete_probe",             # tombstone delete + cell compaction
+    "streaming_index_upsert_probe",     # foreachBatch online index upsert
+    "ivf_upsert_skew_report",           # per-cell drift (retrain trigger)
+    "ivf_upsert_recall_delta",          # recall curve base vs grown index
+    "gif_pixel_stats",                  # real GIF LZW pixel decode
 ]
 
 

@@ -1884,6 +1884,61 @@ def q_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_audio_stats(synth_wav(docs))
 
 
+@register(
+    "gif_pixel_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             1 + CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 16 AS w,
+             1 + CAST(concat('0x', substr(md5(text), 5, 4)) AS INTEGER) % 16 AS h,
+             CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) AS seed,
+             1 + CAST(concat('0x', substr(md5(text), 11, 1)) AS INTEGER) % 2
+               AS n_frames
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, f.f AS frame, w, h,
+             SUM((7 * x.x + 11 * y.y + 5 * f.f + seed) % 256) AS sr,
+             SUM((2 * ((7 * x.x + 11 * y.y + 5 * f.f + seed) % 256)) % 256)
+               AS sg,
+             SUM(255 - ((7 * x.x + 11 * y.y + 5 * f.f + seed) % 256)) AS sb
+      FROM dims,
+           unnest(generate_series(0, n_frames - 1)) AS f(f),
+           unnest(generate_series(0, w - 1)) AS x(x),
+           unnest(generate_series(0, h - 1)) AS y(y)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, CAST(frame AS INT) AS frame,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST((1000000 * sr) // (w * h) AS BIGINT) AS mean_r_micro,
+           CAST((1000000 * sg) // (w * h) AS BIGINT) AS mean_g_micro,
+           CAST((1000000 * sb) // (w * h) AS BIGINT) AS mean_b_micro
+    FROM px
+    """,
+    survey_ref="beyond-ref: REAL GIF LZW pixel decode over the Arrow "
+    "batch path (multimodal.py:decode_gif_pixels — pure-stdlib screen "
+    "descriptor + global-palette parse, per-frame sub-block walk, "
+    "hand-written variable-width 9→12-bit LZW inflate with CLEAR/EOI "
+    "and table-reset handling, palette lookup).  The payloads are "
+    "COMPLETE valid GIF89a files (synth_gif_pixels: md5-derived dims/"
+    "seed, 1..2 full-canvas frames of genuinely LZW-compressed index "
+    "data), so the decoder reconstructs every pixel from real "
+    "variable-width codes while the oracle predicts per-frame channel "
+    "means arithmetically — the third real decoder alongside "
+    "png_pixel_stats/wav_audio_stats, completing media_decode_dims' "
+    "screen-descriptor parse into a full decode; frame fan-out happens "
+    "inside the Arrow batch (the wav channel pattern)",
+)
+def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from killrweather_spark.functions.multimodal import (
+        gif_pixel_stats,
+        synth_gif_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gif_pixel_stats(synth_gif_pixels(docs))
+
+
 # --------------------------------------------------------------------------
 # T1-T7: streaming semantics (drained deterministically with availableNow)
 # --------------------------------------------------------------------------
@@ -12209,17 +12264,20 @@ _wire_mining()
 # bench, tests — sees one consistent order.
 DRIVER_WINDOW = [
     # ------------------------------------------------------------------
-    # r11 rotation: burn-down, final round — ALL 38 never-driver-
-    # verified rows (union of r1-r10 windows = 207 of 245) get slots,
-    # taking the union to 245/245: every registered operator will have
-    # earned at least one independent driver CORRECTNESS row.  The
-    # other 12 slots: the five multi-round §2 family anchors and the
-    # seven r10 flagships on their second green round.
-    # OUT in r11 (all stay value-exact in tests/test_oracle_parity.py):
-    # the r10 first-timer blocks (ANN/screen recall + eval rows,
-    # eval-screen production variants, window/date extensions,
-    # profiling/QA, curation/training-data assembly, CDC, streaming
-    # extensions).
+    # r12 rotation: SECOND-verification burn-down, round one — the r11
+    # window completed the first-green union (248/248); from here the
+    # gate's slots buy second independent green rows.  45 rotating
+    # slots = the 5 r12 first-timers (the index-lifecycle flagships +
+    # the GIF decoder) + 40 of the 154 once-green rows, prioritized by
+    # implementation complexity: the IVF/PQ/ANN index family first
+    # (most moving parts), then substring/dedup, then the eval-screen
+    # family, then the remaining complex analytics — including
+    # rfm_segments, whose quintiles were REWRITTEN this round
+    # (global_ntile) and need a fresh driver green on the new plan.
+    # After a green r12: >=2-green count 94 -> 134.
+    # OUT in r12 (all stay value-exact in tests/test_oracle_parity.py):
+    # the r11 first-timer blocks that earned their first green
+    # (text-analysis/search, behavioral, curation, profiling rows).
     # ------------------------------------------------------------------
     # §2 family anchors (multi-round green, one per family)
     "daily_stats",                 # §2.4 aggregations
@@ -12227,68 +12285,62 @@ DRIVER_WINDOW = [
     "star_join_revenue",           # §2.3 joins
     "monthly_temperature",         # §2.11 request API
     "streaming_image_screen",      # §2.9 streaming screens
-    # r10 flagships, second green round (cross_modal_topk,
-    # semdedup_threshold_curve and margin_mining_pairs — all three
-    # r10-driver-verified — yield their second-round slots to the r11
-    # operators below so the never-driver-verified set stays fully
-    # inside the window)
-    "exact_substring_pairs",       # suffix-array exact-substring dedup
-    "streaming_semantic_screen",   # dense-vector screen over IVFADC
-    "hard_negative_mining",        # contrastive-negatives top-k
-    "semdedup_keep",               # SemDeDup keep/prune decision
     # ------------------------------------------------------------------
-    # first-timers: the r11 flagships (the dedup ACTION step, the two
-    # substring-family operators, the ANN index upsert)
+    # first-timers: the r12 flagships — the index lifecycle closed
+    # (delete + streaming upsert + drift monitors) and the third real
+    # media decoder
     # ------------------------------------------------------------------
-    "exact_substring_rewrite",     # suffix-array dedup rewrite step
-    "intra_doc_repeat_spans",      # within-doc repeated-run spans
-    "streaming_substring_screen",  # online substring dedup at ingest
-    "ivf_ann_upsert_probe",        # grow-without-retrain index upsert
-    # first-timers: r10 production/index forms
-    "ann_ivfpq_residual",          # residual-encoded IVFADC
-    "ann_ivfpq_residual_recall",   # its measured recall row
-    "hard_negative_mining_ivf",    # index-probed negative miner
-    "margin_mining_pairs_ivf",     # index-probed margin miner
-    "streaming_semantic_screen_fixed",  # fixed-arrival production twin
-    # first-timers: ANN / embedding utilities
+    "ivf_ann_delete_probe",        # tombstone delete + cell compaction
+    "streaming_index_upsert_probe",  # foreachBatch online index upsert
+    "ivf_upsert_skew_report",      # per-cell drift (retrain trigger)
+    "ivf_upsert_recall_delta",     # recall curve base vs grown index
+    "gif_pixel_stats",             # real GIF LZW pixel decode
+    # ------------------------------------------------------------------
+    # second-green burn-down: IVF/PQ/ANN index family
+    # ------------------------------------------------------------------
+    "ann_ivf_probe_curve",
+    "ann_ivfpq",
+    "ann_ivfpq_recall",
+    "ann_ivfpq_residual",
+    "ann_ivfpq_residual_recall",
+    "ann_pq_adc",
+    "ann_pq_recall",
+    "ann_int8_rescored",
+    "ann_recall_ivf_trained",
     "ivf_ann_cosine",
-    "docs_embedding_norms",
+    "ivf_ann_upsert_probe",
+    "hard_negative_mining_ivf",
+    "margin_mining_pairs_ivf",
+    "semantic_dup_candidates_ivf",
+    "pq_codebooks",
     "quantize_embeddings_int8",
     "kmeans_assign_step",
-    # first-timers: behavioral analytics
-    "funnel_conversion",
-    "cohort_retention",
-    "rolling_dau_wau",
-    "event_transitions",
-    "rfm_segments",
-    "basket_lift",
-    # first-timers: text analysis / search
-    "inverted_index",
-    "boolean_and_search",
-    "collocation_lift",
-    "token_commonness",
-    "tokenizer_fertility",
-    "top_terms_per_source",
-    "repetition_metrics",
-    "boilerplate_prefixes",
-    # first-timers: dedup / decontamination reporting
+    # second-green burn-down: substring / dedup family
+    "exact_substring_rewrite",
+    "intra_doc_repeat_spans",
+    "streaming_substring_screen",
+    "shingle_containment_pairs",
+    "cross_source_dup_matrix",
     "chunk_dup_share",
     "dup_cluster_size_histogram",
-    "cross_source_dup_matrix",
-    "eval_contamination_report",
-    # first-timers: curation / mixtures
-    "redact_pii_docs",
-    "perceptron_domain_curve",
-    "source_mixture_weights",
-    "greedy_source_coverage",
-    # first-timers: multimodal
-    "image_ahash",
+    "minhash_similarity_estimate",
+    "semdedup_threshold_curve",
+    "lsh_recall_eval",
+    "image_hamming_pairs",
     "image_dup_groups",
-    # first-timers: profiling / analytics shapes
-    "percentile_stats",
-    "above_avg_docs",
-    "outlier_events",
-    "unpivot_nation_metrics",
+    # second-green burn-down: eval-screen family
+    "semantic_eval_screen",
+    "semantic_eval_screen_banded",
+    "semantic_eval_screen_vectorized",
+    "semantic_screen_recall_ivf",
+    "semantic_eval_screen_ivf_fixed",
+    "streaming_semantic_screen_fixed",
+    # second-green burn-down: remaining complex analytics
+    "hybrid_rrf_search",
+    "margin_mining_pairs",
+    "rfm_segments",
+    "eval_contamination_report",
+    "cross_modal_topk",
 ]
 
 

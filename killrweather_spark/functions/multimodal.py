@@ -551,6 +551,342 @@ def wav_audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "content").mapInPandas(batches, schema)
 
 
+def _make_gif_codec():
+    """Build the GIF (87a/89a) codec pair as locally-defined functions so
+    cloudpickle serializes them BY VALUE into mapInPandas closures (the
+    worker-import rationale of :func:`_make_media_decoder`).
+
+    Pure stdlib byte layout: logical screen descriptor, global color
+    table, image descriptors, and a hand-written GIF-variant LZW
+    (variable 9→12-bit codes packed LSB-first, CLEAR/EOI codes, table
+    reset at 4096) — completing the screen-descriptor header parse
+    (:func:`decode_media`) into a full pixel decode the way PNG and WAV
+    were completed.  Supports 8-bit global-palette, non-interlaced
+    frames (the profile :func:`synth_gif_pixels` produces; extension
+    blocks are skipped per spec) and raises ``ValueError`` on any other
+    profile or structural corruption, so a bad payload is a
+    classifiable error, not garbage.
+    """
+
+    def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        out = bytearray()
+        cur = 0
+        nbits = 0
+        code_size = min_code_size + 1
+
+        def emit(code: int) -> None:
+            nonlocal cur, nbits
+            cur |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                out.append(cur & 0xFF)
+                cur >>= 8
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        emit(clear)
+        w = b""
+        for ch in data:
+            wk = w + bytes([ch])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w])
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+                # width-sync: the decoder defines entries one code BEHIND
+                # the encoder, so the encoder widens one define later than
+                # the decoder's len == 2^cs rule — when the slot just
+                # assigned is 2^cs itself
+                if next_code == (1 << code_size) + 1 and code_size < 12:
+                    code_size += 1
+            else:
+                emit(clear)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+            w = bytes([ch])
+        if w:
+            emit(table[w])
+        emit(eoi)
+        if nbits:
+            out.append(cur & 0xFF)
+        return bytes(out)
+
+    def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        code_size = min_code_size + 1
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        table = list(base)
+        pos = 0
+        out = bytearray()
+        prev: bytes | None = None
+        nbits_total = len(data) * 8
+        while True:
+            if pos + code_size > nbits_total:
+                raise ValueError("corrupt GIF: truncated LZW stream")
+            code = 0
+            for i in range(code_size):
+                code |= ((data[(pos + i) >> 3] >> ((pos + i) & 7)) & 1) << i
+            pos += code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt GIF: LZW code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]  # the KwKwK case
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF: LZW code out of range")
+            out += entry
+            if len(out) > expected:
+                raise ValueError("corrupt GIF: LZW output overruns frame")
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = entry
+        if len(out) != expected:
+            raise ValueError("corrupt GIF: wrong decoded pixel count")
+        return bytes(out)
+
+    def encode_gif(width: int, height: int, frames: list[bytes],
+                   palette: bytes) -> bytes:
+        """``frames`` are full-canvas 8-bit palette-index buffers
+        (width·height each); ``palette`` is the 256-entry (768-byte)
+        global color table."""
+        if len(palette) != 768:
+            raise ValueError("palette must be 256 RGB entries")
+        out = bytearray(
+            b"GIF89a"
+            + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+            + bytes([0xF7, 0, 0])  # GCT present, 8-bit, bg 0, square px
+            + palette
+        )
+        for idx in frames:
+            if len(idx) != width * height:
+                raise ValueError("frame buffer does not match dimensions")
+            out += (
+                b"\x2C" + (0).to_bytes(2, "little") * 2
+                + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+                + b"\x00"  # no local table, not interlaced
+            )
+            out.append(8)  # LZW minimum code size for 256-color data
+            lzw = _lzw_encode(idx, 8)
+            for off in range(0, len(lzw), 255):
+                chunk = lzw[off:off + 255]
+                out.append(len(chunk))
+                out += chunk
+            out.append(0)  # block terminator
+        out.append(0x3B)  # trailer
+        return bytes(out)
+
+    def decode_gif_pixels(
+        content: bytes,
+    ) -> tuple[int, int, list[bytes]]:
+        """Full pixel decode: screen-descriptor + GCT parse, extension
+        skip, per-frame sub-block walk + LZW inflate + palette lookup.
+        Returns (width, height, per-frame raw RGB byte buffers)."""
+        if content[:3] != b"GIF" or content[3:6] not in (b"87a", b"89a"):
+            raise ValueError("not a GIF")
+        if len(content) < 13:
+            raise ValueError("corrupt GIF: truncated screen descriptor")
+        width = int.from_bytes(content[6:8], "little")
+        height = int.from_bytes(content[8:10], "little")
+        packed = content[10]
+        pos = 13
+        palette = b""
+        if packed & 0x80:
+            n = 3 * (2 << (packed & 0x07))
+            palette = content[pos:pos + n]
+            if len(palette) < n:
+                raise ValueError("corrupt GIF: truncated color table")
+            pos += n
+        frames: list[bytes] = []
+        while True:
+            if pos >= len(content):
+                raise ValueError("corrupt GIF: missing trailer")
+            block = content[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks, skipped
+                pos += 1
+                while True:
+                    if pos >= len(content):
+                        raise ValueError("corrupt GIF: truncated extension")
+                    sz = content[pos]
+                    pos += 1 + sz
+                    if sz == 0:
+                        break
+                continue
+            if block != 0x2C:
+                raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+            if pos + 9 > len(content):
+                raise ValueError("corrupt GIF: truncated image descriptor")
+            fw = int.from_bytes(content[pos + 4:pos + 6], "little")
+            fh = int.from_bytes(content[pos + 6:pos + 8], "little")
+            fpacked = content[pos + 8]
+            pos += 9
+            pal = palette
+            if fpacked & 0x80:  # local color table overrides
+                n = 3 * (2 << (fpacked & 0x07))
+                pal = content[pos:pos + n]
+                if len(pal) < n:
+                    raise ValueError("corrupt GIF: truncated local table")
+                pos += n
+            if fpacked & 0x40:
+                raise ValueError("unsupported GIF profile (interlaced)")
+            if (fw, fh) != (width, height):
+                raise ValueError(
+                    "unsupported GIF profile (sub-canvas frame)"
+                )
+            if not pal:
+                raise ValueError("corrupt GIF: no color table for frame")
+            if pos >= len(content):
+                raise ValueError("corrupt GIF: missing LZW code size")
+            min_code = content[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError("corrupt GIF: bad LZW minimum code size")
+            lzw = bytearray()
+            while True:
+                if pos >= len(content):
+                    raise ValueError("corrupt GIF: truncated image data")
+                sz = content[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                lzw += content[pos:pos + sz]
+                if len(content) - pos < sz:
+                    raise ValueError("corrupt GIF: truncated sub-block")
+                pos += sz
+            idx = _lzw_decode(bytes(lzw), min_code, fw * fh)
+            n_colors = len(pal) // 3
+            rgb = bytearray()
+            for i in idx:
+                if i >= n_colors:
+                    raise ValueError("corrupt GIF: palette index out of range")
+                rgb += pal[3 * i:3 * i + 3]
+            frames.append(bytes(rgb))
+        if not frames:
+            raise ValueError("corrupt GIF: no image data")
+        return width, height, frames
+
+    return encode_gif, decode_gif_pixels
+
+
+encode_gif, decode_gif_pixels = _make_gif_codec()
+
+
+def synth_gif_pixels(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic FULL-GIF synthesis: each doc gets a complete, valid
+    GIF89a (screen descriptor + 256-entry global palette + 1..2
+    full-canvas frames of genuinely LZW-compressed index data) whose
+    geometry and pixels derive from md5(text) — ``w = 1 + hex[0:4] %
+    16``, ``h = 1 + hex[4:8] % 16``, ``seed = hex[8:10]``,
+    ``n_frames = 1 + hex[10:11] % 2``; frame f's index at (x, y) is
+    ``(7x + 11y + 5f + seed) % 256`` and palette entry i is
+    ``(i, 2i % 256, 255 − i)`` — so the decoder reconstructs every
+    pixel from real variable-width LZW codes while the DuckDB oracle
+    predicts every decoded statistic arithmetically (the
+    synth_png_pixels pattern, GIF edition)."""
+    import hashlib
+
+    schema = f"{id_col} bigint, content binary"
+    enc = encode_gif
+    palette = bytes(
+        v for i in range(256) for v in (i, (2 * i) % 256, 255 - i)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                h = hashlib.md5(str(text).encode("utf-8")).hexdigest()
+                w = 1 + int(h[0:4], 16) % PX_DIM_MOD
+                ht = 1 + int(h[4:8], 16) % PX_DIM_MOD
+                seed = int(h[8:10], 16)
+                n_frames = 1 + int(h[10:11], 16) % 2
+                frames = [
+                    bytes(
+                        (7 * x + 11 * y + 5 * f + seed) % 256
+                        for y in range(ht) for x in range(w)
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(enc(w, ht, frames, palette))
+            yield pd.DataFrame({id_col: pdf[id_col], "content": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def gif_pixel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Feature extraction over ACTUALLY-DECODED GIF pixels: decode each
+    payload (:func:`decode_gif_pixels` — real LZW inflate + palette
+    lookup, not a stub) and reduce to per-FRAME integer channel means,
+    ``mean_c_micro = (10⁶ · Σ channel c) div (w·h)`` — exact integer
+    arithmetic so the oracle's arithmetic replay matches bit-for-bit.
+
+    Output: one row per (id, frame): (id, frame, width, height,
+    mean_r_micro, mean_g_micro, mean_b_micro).  Frame fan-out happens
+    inside the Arrow batch (the wav_audio_stats channel pattern);
+    memory is bounded by the batch size."""
+    schema = (
+        f"{id_col} bigint, frame int, width int, height int, "
+        "mean_r_micro bigint, mean_g_micro bigint, mean_b_micro bigint"
+    )
+    dec = decode_gif_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("id", "f", "w", "h", "r", "g", "b")}
+            for i, content in zip(pdf[id_col], pdf["content"]):
+                w, h, frames = dec(bytes(content))
+                n = w * h
+                for f, px in enumerate(frames):
+                    sums = [0, 0, 0]
+                    for off in range(0, len(px), 3):
+                        sums[0] += px[off]
+                        sums[1] += px[off + 1]
+                        sums[2] += px[off + 2]
+                    rows["id"].append(i)
+                    rows["f"].append(f)
+                    rows["w"].append(w)
+                    rows["h"].append(h)
+                    rows["r"].append(1_000_000 * sums[0] // n)
+                    rows["g"].append(1_000_000 * sums[1] // n)
+                    rows["b"].append(1_000_000 * sums[2] // n)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows["id"], dtype="int64"),
+                    "frame": pd.Series(rows["f"], dtype="int32"),
+                    "width": pd.Series(rows["w"], dtype="int32"),
+                    "height": pd.Series(rows["h"], dtype="int32"),
+                    "mean_r_micro": pd.Series(rows["r"], dtype="int64"),
+                    "mean_g_micro": pd.Series(rows["g"], dtype="int64"),
+                    "mean_b_micro": pd.Series(rows["b"], dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(batches, schema)
+
+
 def media_dimensions(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched decode over binary payloads: (id, format, width,
     height) via :func:`decode_media` — the real header parse, not a stub.

@@ -2709,3 +2709,87 @@ def test_streaming_index_upsert_equals_batch_upsert(spark, tmp_path):
         b = spark.read.parquet(f"{batch_out}/{t}")
         assert s.exceptAll(b).count() == 0, t
         assert b.exceptAll(s).count() == 0, t
+
+
+def test_gif_codec_roundtrips_lzw():
+    """encode_gif / decode_gif_pixels is a real codec pair: every pixel
+    survives the LZW compress → variable-width inflate → palette lookup
+    round trip, including multi-frame payloads and a stream long enough
+    to walk the 9→12-bit code growth; structural corruption (bad
+    signature, truncation, trashed sub-block chain) raises ValueError.
+    GIF carries no CRC, so — unlike PNG — a mid-stream bit flip without
+    structural damage is undetectable by design; the structure checks
+    are the classifiable-error contract here."""
+    import pytest as _pytest
+
+    from killrweather_spark.functions.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    palette = bytes(
+        v for i in range(256) for v in (i, (2 * i) % 256, 255 - i)
+    )
+    w, h = 13, 9
+    frames = [
+        bytes((7 * x + 11 * y + 5 * f + 23) % 256
+              for y in range(h) for x in range(w))
+        for f in range(2)
+    ]
+    dw, dh, dfr = decode_gif_pixels(encode_gif(w, h, frames, palette))
+    assert (dw, dh) == (w, h) and len(dfr) == 2
+    for got, idx in zip(dfr, frames):
+        assert got == b"".join(palette[3 * i:3 * i + 3] for i in idx)
+    # long repetitive stream: the LZW table crosses 512/1024 entries, so
+    # the decoder's width growth is exercised against real encoder output
+    big = bytes((i * 37 + (i >> 5)) % 256 for i in range(256 * 256))
+    blob = encode_gif(256, 256, [big], palette)
+    assert decode_gif_pixels(blob)[2][0] == b"".join(
+        palette[3 * i:3 * i + 3] for i in big
+    )
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(b"not a gif at all")
+    small = encode_gif(w, h, frames, palette)
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(small[: len(small) // 2])
+    # trash the LZW minimum-code-size byte so the image data is invalid
+    desc_at = 13 + 768  # header + screen descriptor + 256-entry GCT
+    assert small[desc_at] == 0x2C  # image descriptor starts here
+    bad = bytearray(small)
+    bad[desc_at + 10] = 0xFB  # LZW min code size out of the 2..8 range
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(bytes(bad))
+
+
+def test_gif_pixel_stats_matches_handcomputed_means(spark):
+    """gif_pixel_stats reduces ACTUALLY-DECODED pixels: for one doc the
+    per-frame micro-means must equal the direct arithmetic over the
+    synthesized index formula mapped through the palette."""
+    import hashlib
+
+    from killrweather_spark.functions.multimodal import (
+        gif_pixel_stats,
+        synth_gif_pixels,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello gif")], "doc_id bigint, text string"
+    )
+    rows = gif_pixel_stats(synth_gif_pixels(docs)).collect()
+    hx = hashlib.md5(b"hello gif").hexdigest()
+    w = 1 + int(hx[0:4], 16) % 16
+    h = 1 + int(hx[4:8], 16) % 16
+    seed = int(hx[8:10], 16)
+    n_frames = 1 + int(hx[10:11], 16) % 2
+    assert len(rows) == n_frames
+    for row in rows:
+        assert (row.width, row.height) == (w, h)
+        idx = [(7 * x + 11 * y + 5 * row.frame + seed) % 256
+               for y in range(h) for x in range(w)]
+        chan = {
+            "mean_r_micro": sum(i for i in idx),
+            "mean_g_micro": sum((2 * i) % 256 for i in idx),
+            "mean_b_micro": sum(255 - i for i in idx),
+        }
+        for col, s in chan.items():
+            assert row[col] == 1_000_000 * s // (w * h), (row.frame, col)
