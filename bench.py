@@ -170,6 +170,7 @@ HEADLINE = [
     "ivf_upsert_skew_report",           # per-cell drift (retrain trigger)
     "ivf_upsert_recall_delta",          # recall curve base vs grown index
     "gif_pixel_stats",                  # real GIF LZW pixel decode
+    "ivf_lifecycle_probe",              # build->stream-upsert->compact->delete
 ]
 
 

@@ -3601,24 +3601,15 @@ def _wire_ivf_upsert_recall_delta() -> None:
 _wire_ivf_upsert_recall_delta()
 
 
-@register(
-    "streaming_index_upsert_probe",
-    None,  # wired below: shares the batch upsert probe's replay
-    survey_ref="",
-)
-def q_streaming_index_upsert_probe(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The ONLINE form of the index upsert: the odd half arrives as a
-    bounded MULTI-microbatch stream (3 staged files, maxFilesPerTrigger
-    1) and a foreachBatch sink appends each micro-batch into the live
-    index's cell partitions (ann_index.py:apply_index_upsert_batch —
-    per-batch marker gate, scrub-then-apply replay, exactly-once); the
-    probe then reads the drained index and must surface candidates from
-    BOTH populations.  Oracle: identical replay to ivf_ann_upsert_probe
-    — the drained stream index is row-identical to the batch upsert by
-    construction (pinned by test), so one relational replay verifies
-    both ingestion paths."""
+def _ensure_streamed_index(
+    spark: SparkSession, sf_dir: str, base_idx: str
+) -> str:
+    """Drain the odd half into ``base_idx``'s live copy as a bounded
+    MULTI-microbatch stream (3 staged files, maxFilesPerTrigger 1)
+    through the foreachBatch index sink — once per corpus fingerprint:
+    ``_stream_complete.json`` (with the current geometry params) gates
+    re-drains, so every caller (the stream-probe row, the composed
+    lifecycle row) shares one drained artifact."""
     import json
     import os
     import shutil
@@ -3626,20 +3617,11 @@ def q_streaming_index_upsert_probe(
 
     from killrweather_spark.functions.ann_index import (
         _index_params,
-        ensure_ivf_index,
-        ivf_probe_topk,
         start_index_upsert_stream,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base_dir = _ivf_index_dir(sf_dir)
-    base_idx = ensure_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0),
-        base_dir + "_evenbase",
-        n_centroids=8,
-        iters=2,
-    )
-    out_idx = base_dir + "_streamup"
+    out_idx = _ivf_index_dir(sf_dir) + "_streamup"
     want = _index_params(8, 2)
     complete = False
     try:
@@ -3664,6 +3646,40 @@ def q_streaming_index_upsert_probe(
         q.awaitTermination()
         with open(os.path.join(out_idx, "_stream_complete.json"), "w") as f:
             json.dump({"base_params": want}, f)
+    return out_idx
+
+
+@register(
+    "streaming_index_upsert_probe",
+    None,  # wired below: shares the batch upsert probe's replay
+    survey_ref="",
+)
+def q_streaming_index_upsert_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ONLINE form of the index upsert: the odd half arrives as a
+    bounded MULTI-microbatch stream (3 staged files, maxFilesPerTrigger
+    1) and a foreachBatch sink appends each micro-batch into the live
+    index's cell partitions (ann_index.py:apply_index_upsert_batch —
+    per-batch marker gate, scrub-then-apply replay, exactly-once); the
+    probe then reads the drained index and must surface candidates from
+    BOTH populations.  Oracle: identical replay to ivf_ann_upsert_probe
+    — the drained stream index is row-identical to the batch upsert by
+    construction (pinned by test), so one relational replay verifies
+    both ingestion paths."""
+    from killrweather_spark.functions.ann_index import (
+        ensure_ivf_index,
+        ivf_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_idx = ensure_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        _ivf_index_dir(sf_dir) + "_evenbase",
+        n_centroids=8,
+        iters=2,
+    )
+    out_idx = _ensure_streamed_index(spark, sf_dir, base_idx)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
     return ivf_probe_topk(spark, out_idx, queries, k=3, n_probe=2)
 
@@ -3698,6 +3714,85 @@ def _wire_streaming_index_upsert_probe() -> None:
 
 
 _wire_streaming_index_upsert_probe()
+
+
+@register(
+    "ivf_lifecycle_probe",
+    None,  # wired below: composes train_pred + member_pred in one replay
+    survey_ref="",
+)
+def q_ivf_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL index lifecycle composed end-to-end, one probe at the
+    end: build the base on the even half -> STREAM-upsert the odd half
+    in micro-batches (apply_index_upsert_batch) -> COMPACT the
+    batch-accumulated cell files back to one per cell
+    (compact_ivf_index, content-preserving) -> DELETE the tombstone set
+    (delete_from_ivf_index, dedup's drop-set shape) -> probe.  Every
+    stage is copy-on-write off the previous stage's artifact, so this
+    row exercises the real operational chain a production deployment
+    runs across a week of ingestion, maintenance, and curation.  The
+    oracle composes train_pred (centroids trained on the base half,
+    membership assigned to everyone) with member_pred (tombstones
+    filtered out of the candidates) in ONE relational replay — compact
+    is content-neutral by contract (pinned separately), so the same
+    replay verifies all four stages value-exactly."""
+    from killrweather_spark.functions.ann_index import (
+        ensure_deleted_index,
+        ensure_ivf_index,
+        ensure_compacted_index,
+        ivf_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_dir = _ivf_index_dir(sf_dir)
+    base_idx = ensure_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        base_dir + "_evenbase",
+        n_centroids=8,
+        iters=2,
+    )
+    streamed = _ensure_streamed_index(spark, sf_dir, base_idx)
+    compacted = ensure_compacted_index(
+        spark, streamed, base_dir + "_compacted"
+    )
+    drop = emb.filter(F.expr(_IVF_DELETE_PRED)).select("vec_id")
+    deleted = ensure_deleted_index(
+        compacted, drop, base_dir + "_lifecycle"
+    )
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    return ivf_probe_topk(spark, deleted, queries, k=3, n_probe=2)
+
+
+def _wire_ivf_lifecycle_probe() -> None:
+    from killrweather_spark.functions.ann_index import ivf_trained_sql
+
+    REGISTRY["ivf_lifecycle_probe"] = QuerySpec(
+        fn=REGISTRY["ivf_lifecycle_probe"].fn,
+        sql=ivf_trained_sql(
+            _EMB_COMP_NRM_SQL,
+            n_centroids=8,
+            iters=2,
+            n_probe=2,
+            k=3,
+            query_pred="vec_id >= 100 AND vec_id < 110",
+            train_pred="vec_id % 2 = 0",
+            member_pred=f"NOT ({_IVF_DELETE_PRED})",
+        ),
+        survey_ref="beyond-ref ANN serving: the LIFECYCLE COMPOSED — "
+        "build (even half) -> streaming upsert (odd half, micro-batch "
+        "foreachBatch appends) -> compaction (multi-file cells folded "
+        "to one file each, content-preserving) -> delete (tombstones "
+        "physically removed, touched cells only) -> probe, every stage "
+        "copy-on-write off the previous artifact "
+        "(ann_index.py: apply_index_upsert_batch / compact_ivf_index / "
+        "delete_from_ivf_index).  One relational replay composing "
+        "train_pred x member_pred verifies the four-stage on-disk "
+        "chain value-exactly end-to-end",
+    )
+
+
+_wire_ivf_lifecycle_probe()
+
 
 
 def _ann_recall_trained_sql() -> str:

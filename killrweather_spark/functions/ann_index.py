@@ -769,6 +769,109 @@ def start_index_upsert_stream(
     return writer.start()
 
 
+def compact_ivf_index(
+    spark: SparkSession,
+    base_index_dir: str,
+    out_index_dir: str,
+) -> str:
+    """Fold multi-file cell partitions back to one file per cell — the
+    maintenance pass a stream-upserted index needs: every committed
+    micro-batch appends one file per touched cell
+    (:func:`apply_index_upsert_batch`), so a long-running ingestion
+    accumulates batch-count files per cell and probe-side scan cost
+    grows with file COUNT even though row count is unchanged (task
+    per file, footer per file — the classic small-file tax).
+
+    Copy-on-write like every lifecycle op: cells already at one file are
+    copied byte-identically (pinned by test); only multi-file cells are
+    rewritten, each to a single file, row-content preserved exactly
+    (same rows, no recompute — the index is never re-derived here).
+    Frozen artifacts (centroids, codebooks) and the lifecycle metadata
+    are copied untouched.  Atomic staging + rename + failure cleanup.
+
+    At 100 TB this is the index's OPTIMIZE/compaction job: cost
+    proportional to the multi-file cells' data, schedulable per cell,
+    and probe-invisible (same partition layout, same rows)."""
+    import shutil
+    import uuid
+
+    # cells needing a rewrite, per table: >1 data file in the cell dir
+    to_fold: dict[str, list[int]] = {}
+    for tbl in CELL_TABLES:
+        troot = os.path.join(base_index_dir, tbl)
+        cells = []
+        for d in sorted(os.listdir(troot)):
+            if not d.startswith("cell="):
+                continue
+            files = [
+                f
+                for f in os.listdir(os.path.join(troot, d))
+                if f.endswith(".parquet")
+            ]
+            if len(files) > 1:
+                cells.append(int(d.split("=", 1)[1]))
+        if cells:
+            to_fold[tbl] = cells
+    tmp = f"{out_index_dir}.tmp.{uuid.uuid4().hex[:12]}"
+    shutil.copytree(base_index_dir, tmp)
+    try:
+        for tbl, cells in to_fold.items():
+            src = spark.read.parquet(
+                os.path.join(base_index_dir, tbl)
+            ).filter(F.col("cell").isin(cells))
+            for c in cells:
+                shutil.rmtree(os.path.join(tmp, tbl, f"cell={c}"))
+            src.repartition(len(cells), "cell").write.mode(
+                "append"
+            ).partitionBy("cell").parquet(os.path.join(tmp, tbl))
+        with open(os.path.join(tmp, "_compact_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "base": os.path.basename(base_index_dir),
+                    "folded": {t: c for t, c in sorted(to_fold.items())},
+                },
+                f,
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, out_index_dir)
+    except OSError:
+        if os.path.isdir(out_index_dir):
+            shutil.rmtree(tmp)
+        else:
+            raise
+    return out_index_dir
+
+
+def ensure_compacted_index(
+    spark: SparkSession,
+    base_index_dir: str,
+    out_index_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> str:
+    """Build-once gate for :func:`compact_ivf_index` with the same
+    geometry-staleness discipline as the other lifecycle gates."""
+    want = _index_params(n_centroids, iters)
+    fresh = False
+    try:
+        with open(os.path.join(out_index_dir, "_compact_meta.json")) as f:
+            json.load(f)
+        with open(os.path.join(out_index_dir, "_meta.json")) as f:
+            fresh = json.load(f) == want
+    except (OSError, ValueError):
+        fresh = False
+    if not fresh:
+        if os.path.isdir(out_index_dir):
+            import shutil
+
+            shutil.rmtree(out_index_dir)
+        compact_ivf_index(spark, base_index_dir, out_index_dir)
+    return out_index_dir
+
+
 def ivf_upsert_skew_report(
     spark: SparkSession,
     base_index_dir: str,

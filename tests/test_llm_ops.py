@@ -2793,3 +2793,82 @@ def test_gif_pixel_stats_matches_handcomputed_means(spark):
         }
         for col, s in chan.items():
             assert row[col] == 1_000_000 * s // (w * h), (row.frame, col)
+
+
+def test_compact_index_folds_multifile_cells_content_preserved(spark, tmp_path):
+    """Compaction contract: after a 3-microbatch stream upsert every
+    touched cell holds base + per-batch files; compact_ivf_index folds
+    every multi-file cell to ONE file with row content preserved
+    exactly, copies single-file cells byte-identically, leaves frozen
+    artifacts untouched, and the probe answer is unchanged."""
+    import glob
+    import os
+
+    from killrweather_spark.functions.ann_index import (
+        CELL_TABLES,
+        build_ivf_index,
+        compact_ivf_index,
+        ensure_compacted_index,
+        ivf_probe_topk,
+        start_index_upsert_stream,
+    )
+
+    emb = load_table(spark, SF001, "embeddings")
+    base = str(tmp_path / "base_idx")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), base, n_centroids=4, iters=2
+    )
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    stage = str(tmp_path / "arrivals")
+    odd.repartition(3).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    live = str(tmp_path / "live_idx")
+    start_index_upsert_stream(
+        stream, base, live, str(tmp_path / "ckpt")
+    ).awaitTermination()
+
+    def files_per_cell(d, t):
+        out = {}
+        for cd in glob.glob(os.path.join(d, t, "cell=*")):
+            out[os.path.basename(cd)] = sorted(
+                f for f in os.listdir(cd) if f.endswith(".parquet")
+            )
+        return out
+
+    before = files_per_cell(live, "inverted")
+    assert any(len(v) > 1 for v in before.values()), before  # batch files
+    probe_before = sorted(
+        map(tuple, ivf_probe_topk(
+            spark, live,
+            emb.filter(F.col("vec_id") < 4), k=3, n_probe=2).collect())
+    )
+    out = str(tmp_path / "compact_idx")
+    compact_ivf_index(spark, live, out)
+    for t in CELL_TABLES:
+        after = files_per_cell(out, t)
+        pre = files_per_cell(live, t)
+        for cell, fl in after.items():
+            assert len(fl) == 1, (t, cell, fl)
+            if len(pre[cell]) == 1:  # untouched cell: byte-identical copy
+                a = os.path.join(out, t, cell, fl[0])
+                b = os.path.join(live, t, cell, pre[cell][0])
+                assert open(a, "rb").read() == open(b, "rb").read(), (t, cell)
+        s = spark.read.parquet(f"{out}/{t}")
+        b = spark.read.parquet(f"{live}/{t}")
+        assert s.exceptAll(b).count() == 0, t
+        assert b.exceptAll(s).count() == 0, t
+    probe_after = sorted(
+        map(tuple, ivf_probe_topk(
+            spark, out,
+            emb.filter(F.col("vec_id") < 4), k=3, n_probe=2).collect())
+    )
+    assert probe_after == probe_before
+    # ensure gate: completed output reused
+    marker = os.path.join(out, "_compact_meta.json")
+    mtime = os.stat(marker).st_mtime_ns
+    ensure_compacted_index(spark, live, out, n_centroids=4, iters=2)
+    assert os.stat(marker).st_mtime_ns == mtime
