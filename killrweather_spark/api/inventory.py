@@ -1835,7 +1835,9 @@ def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_png_pixels,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-bound Arrow decode: fan out the single-file bench-SF scan
+    # so every task slot decodes (no-op on wide production scans)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return png_pixel_stats(synth_png_pixels(docs))
 
 
@@ -1880,7 +1882,9 @@ def q_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_audio_stats,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-bound Arrow decode: fan out the single-file bench-SF scan
+    # so every task slot decodes (no-op on wide production scans)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return wav_audio_stats(synth_wav(docs))
 
 
@@ -1935,7 +1939,9 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_gif_pixels,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-bound Arrow decode: fan out the single-file bench-SF scan
+    # so every task slot decodes (no-op on wide production scans)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return gif_pixel_stats(synth_gif_pixels(docs))
 
 
@@ -11074,7 +11080,9 @@ def _wire_vad() -> None:
         )
 
         return wav_energy_segments(
-            synth_wav(load_table(spark, sf_dir, "documents"))
+            # CPU-bound Arrow decode: fan out the single-file bench-SF
+            # scan (no-op on wide production scans)
+            synth_wav(fan_out(load_table(spark, sf_dir, "documents")))
         )
 
 

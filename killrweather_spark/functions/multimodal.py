@@ -353,11 +353,8 @@ def png_pixel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for i, content in zip(pdf[id_col], pdf["content"]):
                 w, h, px = dec(bytes(content))
                 n = w * h
-                sums = [0, 0, 0]
-                for off in range(0, len(px), 3):
-                    sums[0] += px[off]
-                    sums[1] += px[off + 1]
-                    sums[2] += px[off + 2]
+                # stride slices sum at C speed (shared with gif stats)
+                sums = [sum(px[0::3]), sum(px[1::3]), sum(px[2::3])]
                 rows["id"].append(i)
                 rows["w"].append(w)
                 rows["h"].append(h)
@@ -623,17 +620,24 @@ def _make_gif_codec():
         code_size = min_code_size + 1
         base = [bytes([i]) for i in range(clear)] + [b"", b""]
         table = list(base)
-        pos = 0
         out = bytearray()
         prev: bytes | None = None
-        nbits_total = len(data) * 8
+        # rolling bit buffer (LSB-first): refill a byte at a time, mask
+        # off code_size bits — O(1) per code instead of O(bits)
+        bitbuf = 0
+        bitcnt = 0
+        ptr = 0
+        n = len(data)
         while True:
-            if pos + code_size > nbits_total:
-                raise ValueError("corrupt GIF: truncated LZW stream")
-            code = 0
-            for i in range(code_size):
-                code |= ((data[(pos + i) >> 3] >> ((pos + i) & 7)) & 1) << i
-            pos += code_size
+            while bitcnt < code_size:
+                if ptr >= n:
+                    raise ValueError("corrupt GIF: truncated LZW stream")
+                bitbuf |= data[ptr] << bitcnt
+                ptr += 1
+                bitcnt += 8
+            code = bitbuf & ((1 << code_size) - 1)
+            bitbuf >>= code_size
+            bitcnt -= code_size
             if code == clear:
                 table = list(base)
                 code_size = min_code_size + 1
@@ -777,12 +781,13 @@ def _make_gif_codec():
                 pos += sz
             idx = _lzw_decode(bytes(lzw), min_code, fw * fh)
             n_colors = len(pal) // 3
-            rgb = bytearray()
-            for i in idx:
-                if i >= n_colors:
-                    raise ValueError("corrupt GIF: palette index out of range")
-                rgb += pal[3 * i:3 * i + 3]
-            frames.append(bytes(rgb))
+            entries = [pal[3 * i:3 * i + 3] for i in range(n_colors)]
+            try:
+                frames.append(b"".join(entries[i] for i in idx))
+            except IndexError:
+                raise ValueError(
+                    "corrupt GIF: palette index out of range"
+                ) from None
         if not frames:
             raise ValueError("corrupt GIF: no image data")
         return width, height, frames
@@ -860,11 +865,9 @@ def gif_pixel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h, frames = dec(bytes(content))
                 n = w * h
                 for f, px in enumerate(frames):
-                    sums = [0, 0, 0]
-                    for off in range(0, len(px), 3):
-                        sums[0] += px[off]
-                        sums[1] += px[off + 1]
-                        sums[2] += px[off + 2]
+                    # stride slices sum at C speed — the Python-level
+                    # per-pixel loop dominated the decode cost
+                    sums = [sum(px[0::3]), sum(px[1::3]), sum(px[2::3])]
                     rows["id"].append(i)
                     rows["f"].append(f)
                     rows["w"].append(w)
