@@ -670,3 +670,16 @@ def test_global_ntile_matches_sql_ntile(spark):
     assert sorted((r["id"], r["b"]) for r in got_t.collect()) == [
         (0, 1), (1, 2), (2, 3)
     ]
+
+
+def test_global_ntile_edge_frames(spark):
+    """Edge pins for the distributed ntile: an EMPTY frame yields an
+    empty result (the offsets probe must not die on zero partitions),
+    and a single-row frame lands in bucket 1."""
+    from killrweather_spark.operators.windows import global_ntile
+
+    empty = spark.range(0).select(F.col("id"))
+    assert global_ntile(empty, [F.col("id")], 5, "b").count() == 0
+    one = spark.range(1).select(F.col("id"))
+    assert [(r["id"], r["b"]) for r in
+            global_ntile(one, [F.col("id")], 5, "b").collect()] == [(0, 1)]
