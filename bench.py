@@ -171,6 +171,8 @@ HEADLINE = [
     "ivf_upsert_recall_delta",          # recall curve base vs grown index
     "gif_pixel_stats",                  # real GIF LZW pixel decode
     "ivf_lifecycle_probe",              # build->stream-upsert->compact->delete
+    "url_dedup_groups",                 # URL normalization + exact dedup
+    "domain_quality_report",            # per-registered-domain curation
 ]
 
 

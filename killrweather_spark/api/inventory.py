@@ -1945,6 +1945,164 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_pixel_stats(synth_gif_pixels(docs))
 
 
+@register(
+    "url_dedup_groups",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 10 AS site,
+             CAST(concat('0x', substr(md5(text), 5, 1)) AS BIGINT) % 3 AS tldi,
+             CAST(concat('0x', substr(md5(text), 6, 1)) AS BIGINT) % 2 AS wwwi,
+             CAST(concat('0x', substr(md5(text), 7, 2)) AS BIGINT) % 16 AS pid
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, n_chars, pid,
+             concat(CASE WHEN wwwi = 0 THEN 'www.' ELSE '' END,
+                    'example', site, '.',
+                    CASE tldi WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                              ELSE 'net' END) AS host
+      FROM h
+    ),
+    raw AS (
+      SELECT doc_id, n_chars,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN concat('https://', upper(host), ':443', '/p/', pid,
+                             '?id=', pid, '&utm_source=feed')
+          WHEN 1 THEN concat('https://', host, '/p/', pid, '?id=', pid,
+                             '#frag')
+          WHEN 2 THEN concat('https://', host, '//p/', pid)
+          ELSE concat('https://', host, '/p/', pid, '?id=', pid)
+        END AS url
+      FROM parts
+    ),
+    defrag AS (
+      SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS u0
+      FROM raw
+    ),
+    norm AS (
+      SELECT doc_id, n_chars,
+        replace(
+          regexp_replace(
+            replace(
+              concat(lower(regexp_extract(u0, '^(https?://[^/]+)', 1)),
+                     substr(u0, length(regexp_extract(u0,
+                            '^(https?://[^/]+)', 1)) + 1)),
+              ':443/', '/'),
+            '[?&]utm_[a-z]+=[a-z0-9]*$', ''),
+          '//p/', '/p/') AS url_norm
+      FROM defrag
+    )
+    SELECT url_norm,
+           regexp_extract(url_norm, '^https://(?:www\\.)?([^/:?#]+)', 1)
+             AS registered_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM norm
+    GROUP BY url_norm
+    HAVING COUNT(*) >= 2
+    """,
+    survey_ref="beyond-ref curation: URL-level exact dedup after "
+    "NORMALIZATION (functions/urls.py) — the crawl-side stage before "
+    "text dedup: per-doc deterministic raw URLs (md5-derived canonical "
+    "identity + doc_id-keyed variant noise: uppercase host, explicit "
+    ":443, fragment, duplicated path slash, terminal utm_* tracking "
+    "param) canonicalize via anchored-regex/plain-replace JVM "
+    "expressions inside whole-stage codegen — no UDF, no shuffle before "
+    "the ONE map-side-combinable hash aggregate on the normalized key; "
+    "min-doc_id keeper per group.  The oracle replays synthesis + every "
+    "normalization step relationally (anchored patterns keep DuckDB "
+    "first-match and Spark replace-all semantics identical)",
+)
+def q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct raw URL forms (tracking params, default port, case,
+    fragments, slash noise) that canonicalize identically form one
+    group; the min-doc_id member is the keeper.  61 groups at sf0.001
+    by the synthesis keyspace design."""
+    from killrweather_spark.functions.urls import url_dedup_groups
+
+    return url_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "domain_quality_report",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 10 AS site,
+             CAST(concat('0x', substr(md5(text), 5, 1)) AS BIGINT) % 3 AS tldi,
+             CAST(concat('0x', substr(md5(text), 6, 1)) AS BIGINT) % 2 AS wwwi,
+             CAST(concat('0x', substr(md5(text), 7, 2)) AS BIGINT) % 16 AS pid
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, n_chars, pid,
+             concat(CASE WHEN wwwi = 0 THEN 'www.' ELSE '' END,
+                    'example', site, '.',
+                    CASE tldi WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                              ELSE 'net' END) AS host
+      FROM h
+    ),
+    raw AS (
+      SELECT doc_id, n_chars,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN concat('https://', upper(host), ':443', '/p/', pid,
+                             '?id=', pid, '&utm_source=feed')
+          WHEN 1 THEN concat('https://', host, '/p/', pid, '?id=', pid,
+                             '#frag')
+          WHEN 2 THEN concat('https://', host, '//p/', pid)
+          ELSE concat('https://', host, '/p/', pid, '?id=', pid)
+        END AS url
+      FROM parts
+    ),
+    defrag AS (
+      SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS u0
+      FROM raw
+    ),
+    norm AS (
+      SELECT doc_id, n_chars,
+        replace(
+          regexp_replace(
+            replace(
+              concat(lower(regexp_extract(u0, '^(https?://[^/]+)', 1)),
+                     substr(u0, length(regexp_extract(u0,
+                            '^(https?://[^/]+)', 1)) + 1)),
+              ':443/', '/'),
+            '[?&]utm_[a-z]+=[a-z0-9]*$', ''),
+          '//p/', '/p/') AS url_norm
+      FROM defrag
+    )
+    SELECT registered_domain, n_docs, n_urls,
+           CAST((1000000 * chars) // n_docs AS BIGINT) AS mean_chars_micro,
+           CAST((1000000 * (n_docs - n_urls)) // n_docs AS BIGINT)
+             AS dup_share_micro
+    FROM (
+      SELECT regexp_extract(url_norm, '^https://(?:www\\.)?([^/:?#]+)', 1)
+               AS registered_domain,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_urls,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM norm GROUP BY 1)
+    """,
+    survey_ref="beyond-ref curation: per-REGISTERED-DOMAIN quality "
+    "report (functions/urls.py:domain_quality_report) — the unit domain "
+    "blocklists and per-domain caps operate on: document count, "
+    "distinct canonical URLs, mean document length, and URL-duplication "
+    "share, all integer micro-units.  Simplified public-suffix rule "
+    "(strip www.) documented — a production pipeline swaps in the PSL "
+    "table as a broadcast join, same plan shape; hot-domain skew stays "
+    "cheap because count/sum partials combine map-side",
+)
+def q_domain_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation signals over normalized URLs: n_docs,
+    n_urls, mean chars, dup share per registered domain — 30 domains
+    (10 sites x 3 TLDs) on the synthetic keyspace."""
+    from killrweather_spark.functions.urls import domain_quality_report
+
+    return domain_quality_report(load_table(spark, sf_dir, "documents"))
+
+
+
 # --------------------------------------------------------------------------
 # T1-T7: streaming semantics (drained deterministically with availableNow)
 # --------------------------------------------------------------------------

@@ -2872,3 +2872,30 @@ def test_compact_index_folds_multifile_cells_content_preserved(spark, tmp_path):
     mtime = os.stat(marker).st_mtime_ns
     ensure_compacted_index(spark, live, out, n_centroids=4, iters=2)
     assert os.stat(marker).st_mtime_ns == mtime
+
+
+def test_url_normalization_collapses_all_variants(spark):
+    """All four raw-URL noise variants of ONE canonical identity (same
+    text, doc_id 0..3) normalize to the query-carrying canonical form —
+    except the slash-noise variant, whose raw form carries no query by
+    construction and must normalize to the query-less twin."""
+    from pyspark.sql import functions as F
+
+    from killrweather_spark.functions.urls import normalize_url, synth_urls
+
+    docs = spark.createDataFrame(
+        [(i, "same text for all") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in synth_urls(docs)
+        .select("doc_id", normalize_url(F.col("url")).alias("n"))
+        .collect()
+    }
+    assert got[0] == got[1] == got[3]
+    assert got[0].startswith("https://") and "?id=" in got[0]
+    assert ":443" not in got[0] and "utm_" not in got[0]
+    assert "#" not in got[1]
+    assert got[2] == got[0].split("?")[0]
+    assert "//p/" not in got[2] and got[2].endswith(got[0].split("?")[0][-5:])

@@ -683,3 +683,18 @@ def test_global_ntile_edge_frames(spark):
     one = spark.range(1).select(F.col("id"))
     assert [(r["id"], r["b"]) for r in
             global_ntile(one, [F.col("id")], 5, "b").collect()] == [(0, 1)]
+
+
+def test_url_curation_stays_in_codegen_single_shuffle(spark):
+    """URL synthesis + normalization are pure JVM expressions: the dedup
+    query plans zero Python nodes and exactly one exchange (the hash agg
+    on the normalized key); the domain report adds only the second keyed
+    agg."""
+    dedup = REGISTRY["url_dedup_groups"].fn(spark, SF01)
+    plan = checks.formatted_plan(dedup)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert checks.shuffle_count(dedup) == 1, plan
+    assert checks.has_partial_aggregation(dedup), plan
+    report = REGISTRY["domain_quality_report"].fn(spark, SF01)
+    plan2 = checks.formatted_plan(report)
+    assert "BatchEvalPython" not in plan2 and "MapInPandas" not in plan2
