@@ -320,6 +320,17 @@ def _round_num(p: Path) -> tuple[int, int]:
     every real round artifact."""
     m = re.search(r"BENCH_r(\d+)((?:_sf1)?(?:_full)?)\.json$", p.name)
     if not m:
+        # Loud, not silent (r12 ADVICE): a naming variant outside the
+        # pattern (BENCH_r13_sf01_full.json, say) would otherwise sort
+        # behind every real round and be skipped as a baseline without
+        # anyone noticing.
+        print(
+            f"bench WARNING: artifact {p.name!r} does not match the "
+            "BENCH_r{N}[_sf1][_full].json pattern — it will never be "
+            "selected as a comparison baseline; rename it to the "
+            "canonical form if it is a real round artifact.",
+            file=sys.stderr,
+        )
         return (-1, 0)
     return (int(m.group(1)), 1 if m.group(2).endswith("_full") else 0)
 
@@ -521,6 +532,40 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # NON-HEADLINE rotation (r12 judge: the headline covers ~half the
+    # registry; the rest executed in the oracle sweep but was never
+    # TIMED, a silent perf-visibility cap).  Each round times a rotating
+    # 10-query slice of the non-headline registry, keyed off the driver
+    # round number, so every registry row gets a recorded timing every
+    # ~|non-headline|/10 rounds.  Kept OUT of the headline total and the
+    # drift gate: the headline stays a stable longitudinal metric, and a
+    # rotating row rarely has a same-SF prior to gate against.
+    others: dict[str, float] = {}
+    non_headline = sorted(set(REGISTRY) - set(HEADLINE))
+    if non_headline:
+        root = Path(__file__).resolve().parent
+        rounds = [
+            int(mm.group(1))
+            for f in root.glob("CORRECTNESS_r*.json")
+            if (mm := re.search(r"CORRECTNESS_r(\d+)\.json$", f.name))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
+        start = (rnd * 10) % len(non_headline)
+        slice_names = [
+            non_headline[(start + i) % len(non_headline)]
+            for i in range(min(10, len(non_headline)))
+        ]
+        for name in slice_names:
+            spec = REGISTRY[name]
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, SF_DIR)
+                df.count() if len(df.columns) > 6 else len(df.collect())
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            others[name] = round(best, 3)
+
     # Drift adjudication, mechanical (no more manual re-measure notes in
     # the round record): every shared-subset query whose in-bench number
     # trips the gate vs the most recent recorded round at the same SF is
@@ -703,6 +748,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "others": others,
+        "others_note": (
+            f"rotating 10-of-{len(non_headline)} non-headline slice "
+            f"(round-keyed start {start if non_headline else 0}); not in "
+            "value/drift gate"
+        ),
         "sf": sf,
         "vs_prior": prior_name,
         "env_drift_ratio": round(env_drift_ratio, 4),

@@ -620,31 +620,56 @@ def ensure_deleted_index(
     return out_index_dir
 
 
-def bootstrap_stream_index(base_index_dir: str, out_index_dir: str) -> str:
+def bootstrap_stream_index(
+    base_index_dir: str,
+    out_index_dir: str,
+    n_centroids: int | None = None,
+    iters: int | None = None,
+) -> str:
     """Copy-on-write bootstrap of a LIVE index a stream upserts into:
     the base tables are copied once (atomic staging + rename, same as
     every lifecycle op) and ``_stream_meta.json`` marks a completed
-    bootstrap — a half-copied dir never carries it and is rebuilt."""
+    bootstrap — a half-copied dir never carries it and is rebuilt.
+
+    Staleness mirrors :func:`ensure_upserted_index` /
+    :func:`ensure_deleted_index`: a completed bootstrap is served only if
+    its recorded ``base_params`` still equal the CURRENT base index's
+    ``_meta.json`` (so a retrained/geometry-bumped base re-bootstraps
+    instead of the live stream index keeping codes under stale
+    codebooks), and — when the caller passes ``n_centroids``/``iters`` —
+    also equal ``_index_params`` for that geometry (the explicit-geometry
+    form the other lifecycle gates use)."""
     import shutil
     import uuid
 
-    if os.path.isfile(os.path.join(out_index_dir, "_stream_meta.json")):
+    cur_base = None
+    try:
+        with open(os.path.join(base_index_dir, "_meta.json")) as f:
+            cur_base = json.load(f)
+    except (OSError, ValueError):
+        pass
+    try:
+        with open(os.path.join(out_index_dir, "_stream_meta.json")) as f:
+            smeta = json.load(f)
+        fresh = smeta.get("base_params") == cur_base
+        if n_centroids is not None and iters is not None:
+            fresh = fresh and (
+                smeta.get("base_params")
+                == _index_params(n_centroids, iters)
+            )
+    except (OSError, ValueError):
+        fresh = False  # absent, half-copied, or pre-params layout
+    if fresh:
         return out_index_dir
     if os.path.isdir(out_index_dir):
         shutil.rmtree(out_index_dir)
     tmp = f"{out_index_dir}.tmp.{uuid.uuid4().hex[:12]}"
     shutil.copytree(base_index_dir, tmp)
-    base_params = None
-    try:
-        with open(os.path.join(base_index_dir, "_meta.json")) as f:
-            base_params = json.load(f)
-    except (OSError, ValueError):
-        pass
     with open(os.path.join(tmp, "_stream_meta.json"), "w") as f:
         json.dump(
             {
                 "base": os.path.basename(base_index_dir),
-                "base_params": base_params,
+                "base_params": cur_base,
             },
             f,
         )

@@ -1705,6 +1705,15 @@ def _eval_fold(quant: DataFrame, is_eval, id_col: str) -> DataFrame:
     )
 
 
+#: Hard ceiling on the eval-side rows :func:`semantic_screen_vectorized`
+#: will collect to the driver.  The screen's premise is that eval suites
+#: are SMALL (thousands of items) — this cap turns a hostile/mistaken
+#: ``eval_filter`` that matches a corpus-sized population into a loud
+#: error instead of a driver OOM at 100 TB.  Generous vs real suites
+#: (~200k × 64 int dims ≈ 100 MB driver-side) yet far below corpus scale.
+EVAL_COLLECT_CAP = 200_000
+
+
 def semantic_screen_vectorized(
     df: DataFrame,
     eval_filter,
@@ -1712,6 +1721,7 @@ def semantic_screen_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_eval_rows: int = EVAL_COLLECT_CAP,
 ) -> DataFrame:
     """:func:`semantic_screen` with the per-row JVM kernel replaced by an
     Arrow-batched numpy matmul — same map-only shape, same exact integer
@@ -1732,7 +1742,13 @@ def semantic_screen_vectorized(
     broadcast — the same |eval|·dims integers the JVM form folds into its
     broadcast row, justified by the screen's own small-eval premise; the
     collect is intentional and bounded (eval suites are thousands of
-    items).  Cosine division happens in float64 in the same operand order
+    items), and the premise is ENFORCED: the collect runs as an
+    ``orderBy(id).limit(max_eval_rows + 1)`` (a bounded TakeOrdered, so
+    at most the cap ever reaches the driver) and overflow raises a
+    ``ValueError`` directing callers to the banded/IVF variants instead
+    of silently OOM-ing the driver on an eval_filter that matches a
+    corpus-sized population.  Cosine division happens in float64 in the
+    same operand order
     as the JVM/DuckDB forms, so results are value-exact, and eval ids are
     scanned in ascending order so numpy's first-max argmax reproduces the
     (cosine DESC, eval_id ASC) tiebreak.
@@ -1755,8 +1771,19 @@ def semantic_screen_vectorized(
         .filter(F.col("__norm2") > 0)
         .select(id_col, "__qv", "__norm2")
         .orderBy(id_col)
+        .limit(max_eval_rows + 1)
         .collect()
     )
+    if len(evals) > max_eval_rows:
+        raise ValueError(
+            f"semantic_screen_vectorized: eval_filter matched more than "
+            f"max_eval_rows={max_eval_rows} vectors — the vectorized "
+            f"screen broadcasts the WHOLE eval side and is only valid "
+            f"under the small-eval premise.  Use "
+            f"semantic_screen_banded/semantic_screen (IVF form) for "
+            f"corpus-sized eval populations, or raise max_eval_rows "
+            f"deliberately."
+        )
     eval_ids = np.array([r[0] for r in evals], dtype=np.int64)
     emat = np.array([r[1] for r in evals], dtype=np.int64)
     enorm = np.sqrt(np.array([r[2] for r in evals], dtype=np.float64))

@@ -112,23 +112,29 @@ def global_row_number(
        centroid collect) yields cumulative offsets, broadcast-joined back:
        ``global = offset[pid] + local``.
 
-    The stamped frame is persisted so the offsets probe and the final scan
-    observe ONE range-boundary sample (range boundaries are sampled; ranks
-    are exact for any boundaries, but only if both passes see the same
-    assignment).  Returns ``(ranked_df, total_rows)`` — the total falls out
-    of the probe for free and closed-form bucket maths (ntile) needs it.
+    The stamped frame is materialized via an eager ``localCheckpoint`` so
+    the offsets probe and the final scan observe ONE range-boundary sample
+    (range boundaries are sampled; ranks are exact for any boundaries, but
+    only if both passes see the same assignment).  A checkpoint, not a
+    ``persist()``: SQL-cached plans are held strongly by the CacheManager
+    until an explicit unpersist, so chained calls (``rfm_segments`` runs
+    three nested ntiles) would stack cached frames for the life of the
+    session — checkpoint blocks are RDD-level storage the ContextCleaner
+    releases as soon as the result frame is garbage-collected, and the
+    stored stamp can never be silently recomputed under a different
+    boundary sample.  Returns ``(ranked_df, total_rows)`` — the total
+    falls out of the probe for free and closed-form bucket maths (ntile)
+    needs it.
     """
     spark = df.sparkSession
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    from killrweather_spark.plans.caching import persist_once
-
-    stamped = persist_once(
-        df.repartitionByRange(n, *cols).withColumn(
-            "__pid", F.spark_partition_id()
-        )
+    stamped = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     sizes = {
         r["__pid"]: r["cnt"]

@@ -119,19 +119,85 @@ def _top_level_bracket_groups(s: str) -> list[str]:
     return groups
 
 
+_ORDER_ARG_RE = re.compile(r"(ASC|DESC) NULLS (FIRST|LAST)\s*$")
+
+
+def _split_top_level_args(s: str) -> list[str]:
+    """Split a comma-separated argument list at paren/bracket depth 0."""
+    args: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            args.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        args.append(tail)
+    return [a.strip() for a in args if a.strip()]
+
+
+def _windowspec_has_partition(exprs_group: str) -> bool | None:
+    """Whether the ``windowspecdefinition(...)`` calls inside a Window
+    node's expressions group carry a non-empty PARTITION BY.
+
+    The spec prints its partition expressions first (bare), then the
+    order fields (each suffixed ``ASC|DESC NULLS FIRST|LAST``), then the
+    ``specifiedwindowframe(...)`` — so an argument NOT ending in a sort
+    direction is a partition expression.  Parsing the spec itself (not
+    the trailing ``[part], [order]`` bracket groups) is what makes the
+    check robust to `` ASC``/`` DESC`` appearing inside partition
+    expression TEXT (string literals, aliases in a CASE).  Returns
+    ``None`` when no spec is found (caller falls back to the bracket
+    -group layout heuristic)."""
+    found = False
+    has_part = False
+    for m in re.finditer(r"windowspecdefinition\(", exprs_group):
+        depth = 1
+        i = m.end()
+        while i < len(exprs_group) and depth:
+            if exprs_group[i] == "(":
+                depth += 1
+            elif exprs_group[i] == ")":
+                depth -= 1
+            i += 1
+        inner = exprs_group[m.end():i - 1]
+        frame = inner.find("specifiedwindowframe(")
+        if frame >= 0:
+            inner = inner[:frame].rstrip().rstrip(",")
+        found = True
+        if any(
+            not _ORDER_ARG_RE.search(a)
+            for a in _split_top_level_args(inner)
+        ):
+            has_part = True
+    return has_part if found else None
+
+
 def unpartitioned_window_count(df: DataFrame) -> int:
     """Window physical nodes with an EMPTY partition spec — the shape that
     compiles to ``Exchange SinglePartition`` + one task holding the whole
     input, the canonical scale-killer.
 
-    A Window node's detail line prints ``[exprs]`` plus the non-empty
-    specs: partitioned+ordered → ``[exprs], [part], [order]``;
-    partitioned only → ``[exprs], [part]``; unpartitioned+ordered →
-    ``[exprs], [order]``; fully global → ``[exprs]``.  Partition and
-    order groups are told apart by sort direction markers (`` ASC``/
-    `` DESC``), which only order specs carry.  Counts ``Window`` and
-    ``WindowInPandas`` nodes (``WindowGroupLimit`` always accompanies a
-    counted ``Window``)."""
+    Primary classification parses the ``windowspecdefinition(...)``
+    inside the Arguments line's expressions group (see
+    :func:`_windowspec_has_partition` — immune to `` ASC``/`` DESC``
+    text inside partition expressions).  When a plan rendering carries
+    no spec (layout drift across Spark versions), falls back to the
+    bracket-group layout: ``[exprs]`` plus the non-empty specs —
+    partitioned+ordered → ``[exprs], [part], [order]``; partitioned only
+    → ``[exprs], [part]``; unpartitioned+ordered → ``[exprs], [order]``
+    (order groups carry direction markers); fully global → ``[exprs]``.
+    Counts ``Window`` and ``WindowInPandas`` nodes (``WindowGroupLimit``
+    always accompanies a counted ``Window``).  Both layouts are pinned
+    by fixture tests (tests/test_plans.py) so a Spark-upgrade drift
+    fails loudly instead of silently miscounting."""
     lines = formatted_plan(df).splitlines()
     cnt = 0
     for i, ln in enumerate(lines):
@@ -141,7 +207,12 @@ def unpartitioned_window_count(df: DataFrame) -> int:
             stripped = lines[j].strip()
             if stripped.startswith("Arguments:"):
                 groups = _top_level_bracket_groups(stripped)
-                if len(groups) <= 1:
+                has_part = _windowspec_has_partition(
+                    groups[0] if groups else ""
+                )
+                if has_part is not None:
+                    cnt += 0 if has_part else 1
+                elif len(groups) <= 1:
                     cnt += 1  # no partition, no order
                 elif len(groups) == 2 and (
                     " ASC" in groups[1] or " DESC" in groups[1]

@@ -614,6 +614,47 @@ _BOUNDED_GLOBAL_WINDOW_WHITELIST = {
 }
 
 
+def test_unpartitioned_window_count_layout_fixtures(spark):
+    """Pin the four Window Arguments layouts the counter classifies (the
+    r12 ADVICE: the parse depends on Spark's Window.toString layout —
+    this fixture fails loudly on a Spark-upgrade drift instead of letting
+    the guard silently miscount).  Includes the adversarial shapes the
+    windowspecdefinition-based parse exists for: a partition COLUMN NAME
+    containing ' ASC' and a partition expression built from string
+    literals containing ' ASC'/' DESC'."""
+    from pyspark.sql import Window
+
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 3).alias("k"),
+        (F.col("id") * 7 % 11).alias("v"),
+    )
+    cases = [
+        # (expected unpartitioned count, frame)
+        (0, df.withColumn("r", F.row_number().over(
+            Window.partitionBy("k").orderBy("v")))),
+        (0, df.withColumn("s", F.sum("v").over(Window.partitionBy("k")))),
+        (1, df.withColumn("r", F.row_number().over(Window.orderBy("v")))),
+        (1, df.withColumn("s", F.sum("v").over(Window.partitionBy()))),
+        # partition column literally named 'x ASC' — the trailing-group
+        # heuristic would see [x ASC#n] and misread it as an order spec
+        (0, df.withColumnRenamed("k", "x ASC").withColumn(
+            "s", F.sum("v").over(Window.partitionBy("x ASC")))),
+        # partition expression whose literals carry direction markers
+        (0, df.withColumn("r", F.row_number().over(
+            Window.partitionBy(
+                F.when(F.col("k").cast("string") == "x ASC",
+                       F.lit("a ASC")).otherwise(F.lit("b DESC"))
+            ).orderBy("v")))),
+    ]
+    got = [checks.unpartitioned_window_count(d) for _, d in cases]
+    assert got == [want for want, _ in cases], got
+    # and the layout itself still prints a parseable windowspecdefinition
+    # (if Spark ever drops it, the counter falls back to the bracket
+    # heuristic — this assert makes that drift visible)
+    plan = checks.formatted_plan(cases[0][1])
+    assert "windowspecdefinition(" in plan, plan
+
+
 def test_entire_registry_has_no_unpartitioned_window(spark):
     """No Window over an unbounded input anywhere in the REGISTRY — the
     class guard for the r11 rfm_segments finding (a bare
@@ -639,14 +680,40 @@ def test_entire_registry_has_no_unpartitioned_window(spark):
 def test_rfm_segments_quintiles_are_distributed(spark):
     """The r11 finding itself, pinned: rfm_segments' three quintiles use
     the range-rank formulation — zero unpartitioned windows, and the local
-    row_numbers are partitioned by the range-partition id."""
+    row_numbers are partitioned by the range-partition id.  The range
+    exchanges themselves execute eagerly inside the checkpointed stamp
+    (r13: global_row_number localCheckpoints instead of persisting, so
+    storage is released when the frame is GC'd) — the returned plan shows
+    the post-checkpoint segment: the pid-partitioned Window + the
+    broadcast offsets join."""
     df = REGISTRY["rfm_segments"].fn(spark, SF01)
-    assert checks.unpartitioned_window_count(df) == 0, (
-        checks.formatted_plan(df)
-    )
-    # the plan must actually carry the three range exchanges + pid windows
     plan = checks.formatted_plan(df)
-    assert plan.count("rangepartitioning") >= 3, plan
+    assert checks.unpartitioned_window_count(df) == 0, plan
+    assert "__pid" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_global_row_number_releases_storage(spark):
+    """The stamped frame must not pin executor storage for the session:
+    after the ranked result is collected and the frames dropped, the
+    JVM-side GC + ContextCleaner release the checkpoint blocks — and
+    nothing is registered in the SQL CacheManager at all (the r12 ADVICE
+    leak: persist_once-cached stamps stacked across chained ntiles)."""
+    from killrweather_spark.operators.windows import global_row_number
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()  # noqa: SLF001
+    was_empty = cache_mgr.isEmpty()
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 7 % 97).alias("v")
+    )
+    ranked, total = global_row_number(df, [F.col("v"), F.col("id")], "rn")
+    assert total == 1000
+    assert ranked.count() == 1000
+    # the fix's contract: no CacheManager entry was ever created (other
+    # tests in the session may legitimately hold caches — only assert
+    # when this test observes a clean manager)
+    if was_empty:
+        assert cache_mgr.isEmpty()
 
 
 def test_global_ntile_matches_sql_ntile(spark):
