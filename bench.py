@@ -173,6 +173,9 @@ HEADLINE = [
     "ivf_lifecycle_probe",              # build->stream-upsert->compact->delete
     "url_dedup_groups",                 # URL normalization + exact dedup
     "domain_quality_report",            # per-registered-domain curation
+    "domain_cap_enforce",               # salted per-domain cap enforcement
+    "domain_blocklist_audit",           # blocklist decision record
+    "domain_token_budget",              # per-domain token budget + rank
 ]
 
 

@@ -1945,43 +1945,94 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_pixel_stats(synth_gif_pixels(docs))
 
 
-@register(
-    "url_dedup_groups",
-    """
+def _url_reg_cte(table: str = "documents",
+                 with_tokens: bool = False) -> str:
+    """Shared oracle CTE chain for the URL curation family: synthesis
+    (md5-derived canonical identity + doc_id-keyed variant noise) →
+    normalization (every step of functions/urls.py:normalize_url replayed
+    relationally; anchored patterns keep DuckDB first-match and Spark
+    replace-all semantics identical) → host extraction → PSL
+    longest-suffix resolution (the broadcast-dimension join replayed as
+    left joins against a VALUES excerpt of the same PUBLIC_SUFFIXES
+    tuple, generated from it so the two can never drift).  Ends with a
+    ``reg`` relation: (doc_id, n_chars, url_norm, host,
+    registered_domain) — plus ``ws_toks`` (the registry's whitespace
+    token-count convention) when ``with_tokens``."""
+    from killrweather_spark.functions.urls import (
+        PSL_MAX_LABELS,
+        PUBLIC_SUFFIXES,
+        URL_SUBS,
+        URL_TLDS,
+    )
+
+    tld_case = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(URL_TLDS[:-1])
+    ) + f" ELSE '{URL_TLDS[-1]}'"
+    sub_case = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(URL_SUBS[:-1])
+    ) + f" ELSE '{URL_SUBS[-1]}'"
+    psl_values = ", ".join(
+        f"('{s}', {s.count('.') + 1})" for s in PUBLIC_SUFFIXES
+    )
+    toks_def = (
+        ",\n             len(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS ws_toks" if with_tokens else ""
+    )
+    toks = ", ws_toks" if with_tokens else ""
+
+    def last_labels(k: int) -> str:
+        # last k labels of host, anchored — equals Spark's
+        # substring_index(host, '.', -k) for every host with >= k labels
+        return (
+            f"regexp_extract(host, '([^.]+(?:\\.[^.]+){{{k - 1}}})$', 1)"
+        )
+
+    joins = "\n".join(
+        f"      LEFT JOIN psl p{k} ON p{k}.n_labels = {k} "
+        f"AND p{k}.suffix = {last_labels(k)}"
+        for k in range(PSL_MAX_LABELS, 0, -1)
+    )
+    reg_cases = ",\n".join(
+        f"        CASE WHEN p{k}.suffix IS NOT NULL "
+        f"THEN {last_labels(k + 1)} END"
+        for k in range(PSL_MAX_LABELS, 0, -1)
+    )
+    return f"""
     WITH h AS (
       SELECT doc_id, n_chars,
              CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 10 AS site,
-             CAST(concat('0x', substr(md5(text), 5, 1)) AS BIGINT) % 3 AS tldi,
-             CAST(concat('0x', substr(md5(text), 6, 1)) AS BIGINT) % 2 AS wwwi,
-             CAST(concat('0x', substr(md5(text), 7, 2)) AS BIGINT) % 16 AS pid
-      FROM documents
+             CAST(concat('0x', substr(md5(text), 5, 1)) AS BIGINT)
+               % {len(URL_TLDS)} AS tldi,
+             CAST(concat('0x', substr(md5(text), 6, 1)) AS BIGINT)
+               % {len(URL_SUBS)} AS subi,
+             CAST(concat('0x', substr(md5(text), 7, 2)) AS BIGINT) % 16 AS pid{toks_def}
+      FROM {table}
     ),
     parts AS (
-      SELECT doc_id, n_chars, pid,
-             concat(CASE WHEN wwwi = 0 THEN 'www.' ELSE '' END,
+      SELECT doc_id, n_chars{toks}, pid,
+             concat(CASE subi {sub_case} END,
                     'example', site, '.',
-                    CASE tldi WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-                              ELSE 'net' END) AS host
+                    CASE tldi {tld_case} END) AS host
       FROM h
     ),
     raw AS (
-      SELECT doc_id, n_chars,
+      SELECT doc_id, n_chars{toks},
         CASE CAST(doc_id % 4 AS INT)
           WHEN 0 THEN concat('https://', upper(host), ':443', '/p/', pid,
                              '?id=', pid, '&utm_source=feed')
           WHEN 1 THEN concat('https://', host, '/p/', pid, '?id=', pid,
                              '#frag')
-          WHEN 2 THEN concat('https://', host, '//p/', pid)
+          WHEN 2 THEN concat('https://', host, '//p/', pid, '?id=', pid)
           ELSE concat('https://', host, '/p/', pid, '?id=', pid)
         END AS url
       FROM parts
     ),
     defrag AS (
-      SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS u0
+      SELECT doc_id, n_chars{toks}, regexp_replace(url, '#.*$', '') AS u0
       FROM raw
     ),
     norm AS (
-      SELECT doc_id, n_chars,
+      SELECT doc_id, n_chars{toks},
         replace(
           regexp_replace(
             replace(
@@ -1992,14 +2043,38 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             '[?&]utm_[a-z]+=[a-z0-9]*$', ''),
           '//p/', '/p/') AS url_norm
       FROM defrag
-    )
-    SELECT url_norm,
-           regexp_extract(url_norm, '^https://(?:www\\.)?([^/:?#]+)', 1)
-             AS registered_domain,
+    ),
+    psl AS (
+      SELECT * FROM (VALUES {psl_values}) t(suffix, n_labels)
+    ),
+    hostd AS (
+      SELECT doc_id, n_chars{toks}, url_norm,
+             regexp_extract(url_norm, '^https?://([^/:?#]+)', 1) AS host
+      FROM norm
+    ),
+    reg AS (
+      SELECT hostd.doc_id, hostd.n_chars{toks}, hostd.url_norm, hostd.host,
+        COALESCE(
+{reg_cases},
+        host) AS registered_domain
+      FROM hostd
+{joins}
+    )"""
+
+
+#: Per-domain document cap the registry row enforces (shared by query,
+#: oracle, and tests).
+DOMAIN_CAP_N = 8
+
+
+@register(
+    "url_dedup_groups",
+    _url_reg_cte() + """
+    SELECT r.url_norm, MIN(r.registered_domain) AS registered_domain,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
-    FROM norm
-    GROUP BY url_norm
+    FROM reg r
+    GROUP BY r.url_norm
     HAVING COUNT(*) >= 2
     """,
     survey_ref="beyond-ref curation: URL-level exact dedup after "
@@ -2007,18 +2082,20 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text dedup: per-doc deterministic raw URLs (md5-derived canonical "
     "identity + doc_id-keyed variant noise: uppercase host, explicit "
     ":443, fragment, duplicated path slash, terminal utm_* tracking "
-    "param) canonicalize via anchored-regex/plain-replace JVM "
-    "expressions inside whole-stage codegen — no UDF, no shuffle before "
-    "the ONE map-side-combinable hash aggregate on the normalized key; "
-    "min-doc_id keeper per group.  The oracle replays synthesis + every "
-    "normalization step relationally (anchored patterns keep DuckDB "
-    "first-match and Spark replace-all semantics identical)",
+    "param; ALL variants carry the query, so all four collapse) "
+    "canonicalize via anchored-regex/plain-replace JVM expressions "
+    "inside whole-stage codegen — no UDF, no shuffle before the ONE "
+    "map-side-combinable hash aggregate on the normalized key; "
+    "min-doc_id keeper per group; registered domains resolved on the "
+    "GROUPED frame via the PSL broadcast-dimension joins.  The oracle "
+    "replays synthesis + every normalization step + the PSL "
+    "longest-suffix match relationally (VALUES dimension generated "
+    "from the same PUBLIC_SUFFIXES tuple)",
 )
 def q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct raw URL forms (tracking params, default port, case,
     fragments, slash noise) that canonicalize identically form one
-    group; the min-doc_id member is the keeper.  61 groups at sf0.001
-    by the synthesis keyspace design."""
+    group; the min-doc_id member is the keeper."""
     from killrweather_spark.functions.urls import url_dedup_groups
 
     return url_dedup_groups(load_table(spark, sf_dir, "documents"))
@@ -2026,80 +2103,152 @@ def q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "domain_quality_report",
-    """
-    WITH h AS (
-      SELECT doc_id, n_chars,
-             CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 10 AS site,
-             CAST(concat('0x', substr(md5(text), 5, 1)) AS BIGINT) % 3 AS tldi,
-             CAST(concat('0x', substr(md5(text), 6, 1)) AS BIGINT) % 2 AS wwwi,
-             CAST(concat('0x', substr(md5(text), 7, 2)) AS BIGINT) % 16 AS pid
-      FROM documents
-    ),
-    parts AS (
-      SELECT doc_id, n_chars, pid,
-             concat(CASE WHEN wwwi = 0 THEN 'www.' ELSE '' END,
-                    'example', site, '.',
-                    CASE tldi WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-                              ELSE 'net' END) AS host
-      FROM h
-    ),
-    raw AS (
-      SELECT doc_id, n_chars,
-        CASE CAST(doc_id % 4 AS INT)
-          WHEN 0 THEN concat('https://', upper(host), ':443', '/p/', pid,
-                             '?id=', pid, '&utm_source=feed')
-          WHEN 1 THEN concat('https://', host, '/p/', pid, '?id=', pid,
-                             '#frag')
-          WHEN 2 THEN concat('https://', host, '//p/', pid)
-          ELSE concat('https://', host, '/p/', pid, '?id=', pid)
-        END AS url
-      FROM parts
-    ),
-    defrag AS (
-      SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS u0
-      FROM raw
-    ),
-    norm AS (
-      SELECT doc_id, n_chars,
-        replace(
-          regexp_replace(
-            replace(
-              concat(lower(regexp_extract(u0, '^(https?://[^/]+)', 1)),
-                     substr(u0, length(regexp_extract(u0,
-                            '^(https?://[^/]+)', 1)) + 1)),
-              ':443/', '/'),
-            '[?&]utm_[a-z]+=[a-z0-9]*$', ''),
-          '//p/', '/p/') AS url_norm
-      FROM defrag
-    )
+    _url_reg_cte() + """
     SELECT registered_domain, n_docs, n_urls,
            CAST((1000000 * chars) // n_docs AS BIGINT) AS mean_chars_micro,
            CAST((1000000 * (n_docs - n_urls)) // n_docs AS BIGINT)
              AS dup_share_micro
     FROM (
-      SELECT regexp_extract(url_norm, '^https://(?:www\\.)?([^/:?#]+)', 1)
-               AS registered_domain,
+      SELECT registered_domain,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_urls,
              CAST(SUM(n_chars) AS BIGINT) AS chars
-      FROM norm GROUP BY 1)
+      FROM reg GROUP BY 1)
     """,
     survey_ref="beyond-ref curation: per-REGISTERED-DOMAIN quality "
     "report (functions/urls.py:domain_quality_report) — the unit domain "
     "blocklists and per-domain caps operate on: document count, "
     "distinct canonical URLs, mean document length, and URL-duplication "
-    "share, all integer micro-units.  Simplified public-suffix rule "
-    "(strip www.) documented — a production pipeline swaps in the PSL "
-    "table as a broadcast join, same plan shape; hot-domain skew stays "
-    "cheap because count/sum partials combine map-side",
+    "share, all integer micro-units.  Registered domains come from a "
+    "REAL public-suffix-list excerpt shipped as a broadcast dimension "
+    "(one tiny left BroadcastHashJoin per suffix depth — the "
+    "sky_condition_lookup pattern, create-timeseries.cql:55-58 analog), "
+    "longest-suffix match, so co.uk/com.au/gov.uk-style hosts group "
+    "correctly where a strip-www rule would merge ten sites into one; "
+    "hot-domain skew stays cheap because count/sum partials combine "
+    "map-side",
 )
 def q_domain_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level curation signals over normalized URLs: n_docs,
-    n_urls, mean chars, dup share per registered domain — 30 domains
-    (10 sites x 3 TLDs) on the synthetic keyspace."""
+    n_urls, mean chars, dup share per registered domain — 60 domains
+    (10 sites x 6 TLDs incl. multi-label public suffixes) on the
+    synthetic keyspace."""
     from killrweather_spark.functions.urls import domain_quality_report
 
     return domain_quality_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "domain_cap_enforce",
+    _url_reg_cte() + f"""
+    SELECT registered_domain, CAST(rn AS INT) AS keep_rank,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT registered_domain, doc_id, n_chars,
+             row_number() OVER (PARTITION BY registered_domain
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM reg)
+    WHERE rn <= {DOMAIN_CAP_N}
+    """,
+    survey_ref="beyond-ref curation: per-domain cap ENFORCEMENT "
+    "(functions/urls.py:domain_cap_enforce) — the action the domain "
+    "report's signals feed (RefinedWeb-style domain capping): keep at "
+    "most N documents per registered domain, deterministic keeper order "
+    "(n_chars DESC, doc_id ASC — a total order).  Exact two-phase "
+    "SALTED top-N: per-(domain, doc_id%16) row_number <= N prunes each "
+    "salt bucket, then per-domain row_number over the <= 16·N survivors "
+    "— a viral domain never lands a corpus-sized window partition on "
+    "one task, and the result equals the oracle's direct single-window "
+    "QUALIFY replay because every global top-N member is in its salt "
+    "bucket's top-N.  Output is bounded (|domains|·N rows) at every "
+    "scale",
+)
+def q_domain_cap_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep <= 8 longest documents per registered domain with keeper
+    ranks — bounded output (60 synthesis domains x 8) at every SF."""
+    from killrweather_spark.functions.urls import domain_cap_enforce
+
+    return domain_cap_enforce(
+        load_table(spark, sf_dir, "documents"), cap=DOMAIN_CAP_N
+    )
+
+
+def _blocklist_values() -> str:
+    from killrweather_spark.functions.urls import DOMAIN_BLOCKLIST
+
+    return ", ".join(f"('{d}', '{r}')" for d, r in DOMAIN_BLOCKLIST)
+
+
+@register(
+    "domain_blocklist_audit",
+    _url_reg_cte() + f"""
+    , per_dom AS (
+      SELECT registered_domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM reg GROUP BY 1
+    ),
+    block AS (
+      SELECT * FROM (VALUES {_blocklist_values()})
+        t(registered_domain, block_reason)
+    )
+    SELECT p.registered_domain, p.n_docs,
+           CASE WHEN b.block_reason IS NOT NULL THEN 'block'
+                ELSE 'keep' END AS action,
+           b.block_reason
+    FROM per_dom p LEFT JOIN block b USING (registered_domain)
+    """,
+    survey_ref="beyond-ref curation: per-domain BLOCKLIST audit "
+    "(functions/urls.py:domain_blocklist_audit) — the decision record a "
+    "curation run emits before dropping documents: one map-side-"
+    "combinable domain aggregate, then a broadcast left join of the "
+    "static blocklist dimension (registered_domain -> reason) on the "
+    "metadata-sized domain frame; entries cover single- and multi-label "
+    "public suffixes so the audit exercises the PSL grouping "
+    "end-to-end.  Oracle replays the blocklist as a VALUES dimension "
+    "generated from the same tuple",
+)
+def q_domain_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every registered domain with its doc count, block/keep action,
+    and blocklist reason (null for kept domains) — 60 rows."""
+    from killrweather_spark.functions.urls import domain_blocklist_audit
+
+    return domain_blocklist_audit(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "domain_token_budget",
+    _url_reg_cte(with_tokens=True) + """
+    , per_dom AS (
+      SELECT registered_domain,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ws_toks) AS BIGINT) AS tokens
+      FROM reg GROUP BY 1
+    )
+    SELECT registered_domain, n_docs, tokens,
+           CAST((1000000 * tokens) //
+                (SELECT SUM(tokens) FROM per_dom) AS BIGINT)
+             AS share_micro,
+           CAST(row_number() OVER (ORDER BY tokens DESC,
+                                   registered_domain) AS BIGINT)
+             AS token_rank
+    FROM per_dom
+    """,
+    survey_ref="beyond-ref curation: per-domain training-token budget "
+    "(functions/urls.py:domain_token_budget) — the statistic a corpus-"
+    "mix planner prices domains with: whitespace-token totals (the "
+    "registry's token_count convention), corpus share in integer "
+    "micro-units (1-row broadcast crossJoin total), and budget rank "
+    "via operators/windows.py:global_row_number — the exact "
+    "distributed range-rank, so even the rank stage carries no "
+    "unpartitioned window (the oracle's plain OVER () replays it on "
+    "the 60-row domain frame)",
+)
+def q_domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token totals, corpus share, and budget rank — the
+    corpus-mix planning input; 60 rows at every SF."""
+    from killrweather_spark.functions.urls import domain_token_budget
+
+    return domain_token_budget(load_table(spark, sf_dir, "documents"))
 
 
 
@@ -12525,20 +12674,23 @@ _wire_mining()
 # bench, tests — sees one consistent order.
 DRIVER_WINDOW = [
     # ------------------------------------------------------------------
-    # r12 rotation: SECOND-verification burn-down, round one — the r11
-    # window completed the first-green union (248/248); from here the
-    # gate's slots buy second independent green rows.  45 rotating
-    # slots = the 5 r12 first-timers (the index-lifecycle flagships +
-    # the GIF decoder) + 40 of the 154 once-green rows, prioritized by
-    # implementation complexity: the IVF/PQ/ANN index family first
-    # (most moving parts), then substring/dedup, then the eval-screen
-    # family, then the remaining complex analytics — including
-    # rfm_segments, whose quintiles were REWRITTEN this round
-    # (global_ntile) and need a fresh driver green on the new plan.
-    # After a green r12: >=2-green count 94 -> 134.
-    # OUT in r12 (all stay value-exact in tests/test_oracle_parity.py):
-    # the r11 first-timer blocks that earned their first green
-    # (text-analysis/search, behavioral, curation, profiling rows).
+    # r13 rotation: (a) the 3 rows that have NEVER held a driver slot
+    # (landed after the r12 run — judge-verified value-exact in r12, but
+    # the cumulative driver union needs them green to reach 256/256),
+    # (b) the new r13 operator (domain_cap_enforce) plus the two rows
+    # whose IMPLEMENTATION changed this round and therefore need a fresh
+    # driver green on the new code (rfm_segments: global_row_number now
+    # localCheckpoints; semantic_eval_screen_vectorized: bounded
+    # eval-collect with the max_eval_rows guard), and (c) 39 slots of
+    # second-green burn-down ordered by AGE of the single green (oldest
+    # first: the r2 originals, then the r8 text/media block, then r9
+    # analytics) — the rows whose one green is furthest behind today's
+    # code.  NOTE: url_dedup_groups/domain_quality_report were REBUILT
+    # this round (PSL broadcast dimension, variant-2 query kept), so
+    # their first driver green lands on the new behavior.
+    # OUT in r13 (all stay value-exact in tests/test_oracle_parity.py):
+    # the r12 first-timer/IVF/substring/eval-screen blocks that earned
+    # their second green in r12.
     # ------------------------------------------------------------------
     # §2 family anchors (multi-round green, one per family)
     "daily_stats",                 # §2.4 aggregations
@@ -12546,62 +12698,58 @@ DRIVER_WINDOW = [
     "star_join_revenue",           # §2.3 joins
     "monthly_temperature",         # §2.11 request API
     "streaming_image_screen",      # §2.9 streaming screens
-    # ------------------------------------------------------------------
-    # first-timers: the r12 flagships — the index lifecycle closed
-    # (delete + streaming upsert + drift monitors) and the third real
-    # media decoder
-    # ------------------------------------------------------------------
-    "ivf_ann_delete_probe",        # tombstone delete + cell compaction
-    "streaming_index_upsert_probe",  # foreachBatch online index upsert
-    "ivf_upsert_skew_report",      # per-cell drift (retrain trigger)
-    "ivf_upsert_recall_delta",     # recall curve base vs grown index
-    "gif_pixel_stats",             # real GIF LZW pixel decode
-    # ------------------------------------------------------------------
-    # second-green burn-down: IVF/PQ/ANN index family
-    # ------------------------------------------------------------------
-    "ann_ivf_probe_curve",
-    "ann_ivfpq",
-    "ann_ivfpq_recall",
-    "ann_ivfpq_residual",
-    "ann_ivfpq_residual_recall",
-    "ann_pq_adc",
-    "ann_pq_recall",
-    "ann_int8_rescored",
-    "ann_recall_ivf_trained",
-    "ivf_ann_cosine",
-    "ivf_ann_upsert_probe",
-    "hard_negative_mining_ivf",
-    "margin_mining_pairs_ivf",
-    "semantic_dup_candidates_ivf",
-    "pq_codebooks",
-    "quantize_embeddings_int8",
-    "kmeans_assign_step",
-    # second-green burn-down: substring / dedup family
-    "exact_substring_rewrite",
-    "intra_doc_repeat_spans",
-    "streaming_substring_screen",
-    "shingle_containment_pairs",
-    "cross_source_dup_matrix",
-    "chunk_dup_share",
-    "dup_cluster_size_histogram",
-    "minhash_similarity_estimate",
-    "semdedup_threshold_curve",
-    "lsh_recall_eval",
-    "image_hamming_pairs",
-    "image_dup_groups",
-    # second-green burn-down: eval-screen family
-    "semantic_eval_screen",
-    "semantic_eval_screen_banded",
-    "semantic_eval_screen_vectorized",
-    "semantic_screen_recall_ivf",
-    "semantic_eval_screen_ivf_fixed",
-    "streaming_semantic_screen_fixed",
-    # second-green burn-down: remaining complex analytics
-    "hybrid_rrf_search",
-    "margin_mining_pairs",
+    # never-driver-verified (restores the cumulative union to 257/257)
+    "ivf_lifecycle_probe",         # composed delete+upsert lifecycle
+    "url_dedup_groups",            # URL-level dedup (r13: PSL rebuild)
+    "domain_quality_report",       # per-domain signals (r13: PSL rebuild)
+    # new in r13
+    "domain_cap_enforce",          # per-domain cap enforcement (salted)
+    # implementation changed in r13 — fresh green on the new code
     "rfm_segments",
-    "eval_contamination_report",
-    "cross_modal_topk",
+    "semantic_eval_screen_vectorized",
+    # second-green burn-down, oldest single green first
+    "profile_table",
+    "trailing_range_window",
+    "csv_malformed_audit",
+    "json_typed_parse",
+    "session_windows",
+    "set_ops_union_intersect",
+    "canonical_docs",
+    "set_ops_all",
+    "gap_fill_forward",
+    "copurchase_triangles",
+    "ewma_daily_value",
+    "heavy_hitters_cms",
+    "hist_quantile_events",
+    "activity_islands",
+    "unshipped_revenue_topk",
+    "returned_revenue_by_customer",
+    "disjunctive_predicate_revenue",
+    "shipmode_priority_counts",
+    "bpe_merge_table_batched",
+    "kn_bigram_quality",
+    "pii_scrub_report",
+    "html_text_extract",
+    "streaming_bigram_lm_score",
+    "wav_energy_segments",
+    "heaps_law_curve",
+    "image_grid_verify",
+    "lang_trigram_profiles",
+    "lang_gate_funnel",
+    "unigram_subword_stats",
+    "streaming_passage_screen",
+    "cube_agg",
+    "streaming_dedup_keys",
+    "salted_daily_precip",
+    "range_join_ship_window",
+    "semi_join_returned_orders",
+    "anti_join_customers_no_orders",
+    "streaming_hourly_counts",
+    # new in r13 (late additions — given slots NOW so no row ships
+    # driver-unverified; window_navigation/full_outer_year_over_year
+    # rotate back in r14, still oracle-pytest-exact meanwhile)
+    "domain_blocklist_audit",
+    "domain_token_budget",
 ]
 
 

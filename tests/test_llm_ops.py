@@ -2949,9 +2949,10 @@ def test_compact_index_folds_multifile_cells_content_preserved(spark, tmp_path):
 
 def test_url_normalization_collapses_all_variants(spark):
     """All four raw-URL noise variants of ONE canonical identity (same
-    text, doc_id 0..3) normalize to the query-carrying canonical form —
-    except the slash-noise variant, whose raw form carries no query by
-    construction and must normalize to the query-less twin."""
+    text, doc_id 0..3) normalize to the SAME query-carrying canonical
+    form (r13: the slash-noise variant keeps its query, so the full
+    normalization surface — case, port, fragment, tracking param, slash
+    noise — collapses into one group)."""
     from pyspark.sql import functions as F
 
     from killrweather_spark.functions.urls import normalize_url, synth_urls
@@ -2966,9 +2967,85 @@ def test_url_normalization_collapses_all_variants(spark):
         .select("doc_id", normalize_url(F.col("url")).alias("n"))
         .collect()
     }
-    assert got[0] == got[1] == got[3]
+    assert got[0] == got[1] == got[2] == got[3]
     assert got[0].startswith("https://") and "?id=" in got[0]
     assert ":443" not in got[0] and "utm_" not in got[0]
-    assert "#" not in got[1]
-    assert got[2] == got[0].split("?")[0]
-    assert "//p/" not in got[2] and got[2].endswith(got[0].split("?")[0][-5:])
+    assert "#" not in got[0] and "//p/" not in got[0]
+
+
+def test_domain_enforcement_rows_are_bounded_and_consistent(spark):
+    """The URL curation loop's enforcement rows behave as documented:
+    the cap enforcer returns ≤ cap rows per domain with contiguous ranks
+    ordered (n_chars DESC, doc_id ASC); the blocklist audit blocks
+    exactly the dimension's domains; the token budget's shares are
+    bounded by the micro unit and its ranks are a permutation."""
+    from killrweather_spark.functions.urls import (
+        DOMAIN_BLOCKLIST,
+        domain_blocklist_audit,
+        domain_cap_enforce,
+        domain_token_budget,
+    )
+
+    docs = load_table(spark, SF001, "documents")
+    cap = domain_cap_enforce(docs, cap=5).collect()
+    per = {}
+    for r in cap:
+        per.setdefault(r["registered_domain"], []).append(r)
+    for dom, rows in per.items():
+        rows.sort(key=lambda r: r["keep_rank"])
+        assert len(rows) <= 5
+        assert [r["keep_rank"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        ), dom
+        key = [(-r["n_chars"], r["doc_id"]) for r in rows]
+        assert key == sorted(key), dom
+
+    audit = domain_blocklist_audit(docs).collect()
+    blocked = {r["registered_domain"] for r in audit
+               if r["action"] == "block"}
+    present = {r["registered_domain"] for r in audit}
+    assert blocked == {d for d, _ in DOMAIN_BLOCKLIST} & present
+    assert all(r["block_reason"] is None for r in audit
+               if r["action"] == "keep")
+
+    budget = domain_token_budget(docs).collect()
+    assert sum(r["share_micro"] for r in budget) <= 1_000_000
+    ranks = sorted(r["token_rank"] for r in budget)
+    assert ranks == list(range(1, len(budget) + 1))
+    by_rank = sorted(budget, key=lambda r: r["token_rank"])
+    toks = [r["tokens"] for r in by_rank]
+    assert toks == sorted(toks, reverse=True)
+
+
+def test_psl_registered_domain_longest_suffix(spark):
+    """The PSL broadcast join resolves registrable domains by LONGEST
+    suffix match at every depth: co.uk-style hosts keep their site label
+    (news./www. subdomains collapse), a 3-label suffix (act.edu.au)
+    resolves at depth 3, an unknown TLD falls back to the host itself,
+    and the plan is pure broadcast joins (no shuffle added)."""
+    from pyspark.sql import functions as F
+
+    from killrweather_spark.functions.urls import attach_registered_domain
+    from killrweather_spark.plans import checks
+
+    hosts = [
+        ("news.example3.co.uk", "example3.co.uk"),
+        ("www.example3.co.uk", "example3.co.uk"),
+        ("example3.co.uk", "example3.co.uk"),
+        ("www.example5.com", "example5.com"),
+        ("example5.com", "example5.com"),
+        ("a.b.example1.gov.uk", "example1.gov.uk"),
+        ("school.act.edu.au", "school.act.edu.au"),
+        ("x.school.act.edu.au", "school.act.edu.au"),
+        ("example9.com.au", "example9.com.au"),
+        ("something.unknowntld", "something.unknowntld"),
+    ]
+    df = spark.createDataFrame(
+        [(h,) for h, _ in hosts], "host string"
+    )
+    out = attach_registered_domain(df, "host")
+    got = {r["host"]: r["registered_domain"] for r in out.collect()}
+    assert got == dict(hosts), got
+    plan = checks.formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning" not in plan, plan
