@@ -176,6 +176,12 @@ HEADLINE = [
     "domain_cap_enforce",               # salted per-domain cap enforcement
     "domain_blocklist_audit",           # blocklist decision record
     "domain_token_budget",              # per-domain token budget + rank
+    # r13: mergeable-state algebra + Matryoshka truncated retrieval
+    "incremental_daily_stats",          # history-state ⊕ delta == full scan
+    "state_merge_minhash",              # sharded signature min-merge
+    "hll_register_merge",               # per-month HLL register union
+    "matryoshka_recall_curve",          # width-truncation recall sweep
+    "matryoshka_two_stage",             # narrow shortlist + exact rescore
 ]
 
 

@@ -12658,6 +12658,223 @@ _wire_mining()
 # --------------------------------------------------------------------------
 # Driver-gate window ordering
 # --------------------------------------------------------------------------
+# r13: mergeable partial-state algebra (incremental maintenance) and
+# Matryoshka width-truncated retrieval.  Every oracle here is the DIRECT
+# computation — the engine answers via partial+merge (or
+# shortlist+rescore) and the hash match certifies the algebraic identity
+# the 100 TB incremental path relies on, not just the numbers.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "incremental_daily_stats",
+    f"""
+    SELECT user_id, year, month, day, high, low, mean,
+           GREATEST(0.0, (__sxx / 10000.0) / __n - mean * mean) AS variance,
+           SQRT(GREATEST(0.0, (__sxx / 10000.0) / __n - mean * mean)) AS stdev
+    FROM (
+      SELECT user_id, year, month, day, high, low,
+             (__sx / 100.0) / __n AS mean, __n, __sxx
+      FROM (
+        SELECT user_id, year, month, day,
+               MAX(value) AS high, MIN(value) AS low, COUNT(*) AS __n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS __sx,
+               SUM(CAST(ROUND(value * value * 100 * 100) AS BIGINT)) AS __sxx
+        FROM ({_EV_CAL_SQL})
+        GROUP BY user_id, year, month, day
+      )
+    )
+    """,
+    survey_ref="A1 extension: INCREMENTALLY-MAINTAINED daily tier "
+    "(operators/mergeable.py:incremental_stats) — the reference recomputes "
+    "tiers on demand (TemperatureActor.scala:55-60, affordable at ≤24 "
+    "rows/key); at 100 TB the tier must be a mergeable state (n, Σx̂, Σx̂², "
+    "max, min) folded per batch.  The split predicate (hour < 12) cuts "
+    "through every day group so the merge is load-bearing for every key; "
+    "the oracle recomputes directly — the hash match proves the "
+    "partial+merge algebra equals the full scan bit-for-bit",
+)
+def q_incremental_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily A1 tier computed as history-state ⊕ delta-state (split
+    mid-day), finalized — identical to daily_stats over the whole table."""
+    from killrweather_spark.operators.mergeable import incremental_stats
+
+    ev = _events_calendar(spark, sf_dir)
+    return incremental_stats(
+        ev,
+        ["user_id", "year", "month", "day"],
+        "value",
+        lambda d: F.col("hour") < 12,
+    )
+
+
+@register(
+    "state_merge_minhash",
+    f"""
+    WITH {_minhash_sig_sql()}
+    SELECT doc_id, {", ".join(f"h{i}" for i in range(16))} FROM sig
+    """,
+    survey_ref="MinHash-family extension: SHARDED signature build merged "
+    "field-wise (operators/mergeable.py:minhash_merge_signatures; Broder "
+    "1997: min over a union = min of per-subset minima) — the property "
+    "that lets a 100 TB corpus build per-shard dedup signatures "
+    "independently and union them without reshuffling shingles.  Shingles "
+    "are split by an md5-nibble parity (cuts through every doc), each "
+    "shard aggregates its own 16 minima, the merge is field-wise MIN of "
+    "signature-sized rows; the oracle computes the one-shot signature "
+    "(_minhash_sig_sql) directly",
+)
+def q_state_merge_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-hash MinHash signature built as a two-shard merge —
+    bit-identical to the one-shot ``minhash_signatures``."""
+    from killrweather_spark.functions.dedup import char_shingles
+    from killrweather_spark.operators.mergeable import minhash_merge_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "text", "doc_id", gram=6).withColumn(
+        "__shard",
+        F.expr("(instr('0123456789abcdef', substr(md5(shingle), 16, 1)) - 1) % 2"),
+    )
+    return minhash_merge_signatures(sh, "doc_id", "__shard", n_hashes=16)
+
+
+def _hll_merge_oracle() -> str:
+    from killrweather_spark.operators.aggregates import hll_distinct_oracle_sql
+
+    return hll_distinct_oracle_sql(
+        "events", "event_type", "user_id", "approx_users"
+    )
+
+
+@register(
+    "hll_register_merge",
+    _hll_merge_oracle(),
+    survey_ref="HLL-family extension: per-month register partials "
+    "MAX-merged into the group sketch, then finalized "
+    "(operators/mergeable.py:hll_register_merge over "
+    "aggregates.py:hll_registers/hll_estimate) — the DataSketches-union "
+    "shape: each ingest batch keeps a ≤256-row register state per group "
+    "and history is never re-read.  max(max per shard) = max, so the "
+    "direct approx_distinct_hll oracle certifies the merge exactly",
+)
+def q_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via monthly HLL register states
+    merged across months — value-identical to the one-shot sketch."""
+    from killrweather_spark.operators.mergeable import hll_register_merge
+
+    ev = load_table(spark, sf_dir, "events").withColumn("__m", F.month("ts"))
+    return hll_register_merge(
+        ev, ["event_type"], "user_id", "__m", out_col="approx_users"
+    )
+
+
+def _mat_topk_cte(d: int, k: int, qmax: int) -> str:
+    """Width-``d`` truncated brute-force top-``k`` CTE chain (queries
+    ``vec_id < qmax``), replaying ``matryoshka._truncated_topk`` exactly:
+    integer dots over ``pos <= d``, per-width zero-norm exclusion, one
+    IEEE division, (cosine DESC, neighbor_id) ranking."""
+    return f"""compd{d} AS (SELECT vec_id, pos, q FROM comp WHERE pos <= {d}),
+    nrmd{d} AS (SELECT vec_id, SUM(q * q) AS norm2 FROM compd{d}
+                GROUP BY vec_id HAVING SUM(q * q) > 0),
+    dotsd{d} AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             SUM(a.q * b.q) AS dot
+      FROM compd{d} a
+      JOIN compd{d} b ON a.pos = b.pos AND a.vec_id < {qmax}
+                     AND a.vec_id != b.vec_id
+      GROUP BY 1, 2
+    ),
+    tkd{d} AS (
+      SELECT query_id, neighbor_id,
+             dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+      FROM dotsd{d}
+      JOIN nrmd{d} qn ON qn.vec_id = query_id
+      JOIN nrmd{d} cn ON cn.vec_id = neighbor_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) <= {k}
+    )"""
+
+
+def _mat_curve_leg(d: int, k: int, full: int) -> str:
+    return f"""
+    SELECT CAST({d} AS INTEGER) AS trunc_dim,
+           (SELECT COUNT(DISTINCT query_id) FROM tkd{d}) AS n_queries,
+           (1000000 * (SELECT COUNT(*) FROM tkd{d} t
+                       JOIN tkd{full} g ON t.query_id = g.query_id
+                                       AND t.neighbor_id = g.neighbor_id))
+           // ({k} * (SELECT COUNT(DISTINCT query_id) FROM tkd{d}))
+             AS mean_recall_micro"""
+
+
+@register(
+    "matryoshka_recall_curve",
+    f"""
+    WITH {_emb_comp_nrm_sql()},
+    {",".join(_mat_topk_cte(d, 10, 32) for d in (8, 16, 32, 64))}
+    {" UNION ALL ".join(_mat_curve_leg(d, 10, 64) for d in (8, 16, 32, 64))}
+    """,
+    survey_ref="beyond-ref similarity: Matryoshka width-truncation recall "
+    "curve (functions/matryoshka.py:matryoshka_recall_curve; Kusupati et "
+    "al. 2022) — recall@10 of d-dim-prefix retrieval vs full-width truth "
+    "for d in (8,16,32,64), the evidence needed before committing a "
+    "100 TB first pass to a d/D-bytes scan.  The ann_ivf_probe_curve "
+    "pattern with width as the cost axis; integer hit counts + integer "
+    "micro-division keep the curve order-free exact; the d=64 leg is the "
+    "built-in self-check (recall ≡ 1)",
+)
+def q_matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean recall@10 per truncation width, queries vec_id < 32 — 4 rows."""
+    from killrweather_spark.functions.matryoshka import matryoshka_recall_curve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_recall_curve(emb, lambda c: c < 32, k=10)
+
+
+@register(
+    "matryoshka_two_stage",
+    f"""
+    WITH {_emb_comp_nrm_sql()},
+    {_mat_topk_cte(16, 25, 10)},
+    redots AS (
+      SELECT c.query_id, c.neighbor_id, SUM(a.q * b.q) AS dot
+      FROM tkd16 c
+      JOIN comp a ON a.vec_id = c.query_id
+      JOIN comp b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT r.query_id, r.neighbor_id,
+             r.dot / (SQRT(qn.norm2) * SQRT(cn.norm2)) AS cosine
+      FROM redots r
+      JOIN nrm qn ON qn.vec_id = r.query_id
+      JOIN nrm cn ON cn.vec_id = r.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    survey_ref="beyond-ref similarity: Matryoshka two-stage retrieval "
+    "(functions/matryoshka.py:matryoshka_two_stage) — shortlist 25 at "
+    "width 16, EXACT full-width rescore of the shortlist only, top-5: the "
+    "production shape the recall curve justifies (ann_int8_rescored's "
+    "two-stage pattern with width as the compression axis).  Full-width "
+    "components are joined for |shortlist|·|queries| pairs, not |corpus| — "
+    "at 100 TB the wide vectors can live colder than the prefix index",
+)
+def q_matryoshka_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 full-width-rescored neighbors from a width-16 shortlist of
+    25, queries vec_id < 10."""
+    from killrweather_spark.functions.matryoshka import matryoshka_two_stage
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_two_stage(emb, lambda c: c < 10, shortlist=25, k=5,
+                                stage_dim=16)
+
+
+# --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
 # iteration order (verified round 2: CORRECTNESS_r{N} keys == REGISTRY
 # order[:50]).  Registration order above follows SURVEY §2 narratively, so
@@ -12740,16 +12957,20 @@ DRIVER_WINDOW = [
     "streaming_passage_screen",
     "cube_agg",
     "streaming_dedup_keys",
-    "salted_daily_precip",
-    "range_join_ship_window",
-    "semi_join_returned_orders",
-    "anti_join_customers_no_orders",
-    "streaming_hourly_counts",
     # new in r13 (late additions — given slots NOW so no row ships
-    # driver-unverified; window_navigation/full_outer_year_over_year
-    # rotate back in r14, still oracle-pytest-exact meanwhile)
+    # driver-unverified; the five burn-down rows they displaced
+    # (salted_daily_precip, range_join_ship_window,
+    # semi_join_returned_orders, anti_join_customers_no_orders,
+    # streaming_hourly_counts) rotate back in r14 alongside
+    # window_navigation/full_outer_year_over_year — all stay
+    # oracle-pytest-exact meanwhile)
     "domain_blocklist_audit",
     "domain_token_budget",
+    "incremental_daily_stats",
+    "state_merge_minhash",
+    "hll_register_merge",
+    "matryoshka_recall_curve",
+    "matryoshka_two_stage",
 ]
 
 

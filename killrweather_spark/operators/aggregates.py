@@ -236,6 +236,20 @@ def hll_distinct(
     combine).  Swap in ``approx_count_distinct`` in production if sketch
     mergeability across jobs matters more than replayability.
     """
+    return hll_estimate(
+        hll_registers(df, group_cols, value_col), group_cols, out_col
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """The sketch state of :func:`hll_distinct`: one ``(group…, bucket,
+    reg)`` row per non-empty register.  This IS a mergeable partial — the
+    union of two register frames reduced with ``MAX(reg)`` per (group,
+    bucket) is exactly the sketch of the union of their inputs (max is
+    associative/commutative), which is what ``operators/mergeable`` builds
+    the incremental cardinality path on."""
     d1 = f"(instr('{_HEX}', substr(__hx, 1, 1)) - 1)"
     d2 = f"(instr('{_HEX}', substr(__hx, 2, 1)) - 1)"
     lz = "length(regexp_extract(__tail, '^(0*)', 1))"
@@ -263,7 +277,18 @@ def hll_distinct(
             ).alias("rho"),
         )
     )
-    regs = prepared.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("reg"))
+    return prepared.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("reg")
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: Sequence[str], out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Finalize a register frame (from :func:`hll_registers`, possibly
+    after any number of MAX-merges) into the cardinality estimate —
+    unchanged arithmetic, so merged and direct sketches finalize
+    identically."""
     sums = regs.groupBy(*group_cols).agg(
         (
             F.sum(F.expr("shiftleft(1L, 49 - reg)"))
