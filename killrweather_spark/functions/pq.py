@@ -101,7 +101,13 @@ def _pq_mstep(scomp: DataFrame, labels: DataFrame) -> DataFrame:
 
 def _pq_estep(scomp: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, sub, code): exact int64 squared-L2 argmin per subspace
-    over the broadcast codebooks, ties to the smallest code."""
+    over the broadcast codebooks, ties to the smallest code.
+
+    The argmin is a ``min(struct(d2, code))`` aggregate, not a
+    row_number window: struct ordering IS (d2 asc, code asc), and the
+    partial MIN combines map-side — the window form sorted the full
+    |corpus|·M·ks distance frame through one shuffle per Lloyd round
+    (the _predictions/batched-BPE argmax-at-scale rule)."""
     d2 = (
         scomp.join(F.broadcast(cents), ["sub", "pos"])
         .groupBy("vec_id", "sub", "code")
@@ -110,13 +116,14 @@ def _pq_estep(scomp: DataFrame, cents: DataFrame) -> DataFrame:
             .alias("d2")
         )
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
-    )
     return (
-        d2.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "sub", "code")
+        d2.groupBy("vec_id", "sub")
+        .agg(
+            F.min(
+                F.struct(F.col("d2").alias("d2"), F.col("code").alias("code"))
+            ).alias("__m")
+        )
+        .select("vec_id", "sub", F.col("__m.code").alias("code"))
     )
 
 
