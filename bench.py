@@ -182,6 +182,7 @@ HEADLINE = [
     "hll_register_merge",               # per-month HLL register union
     "matryoshka_recall_curve",          # width-truncation recall sweep
     "matryoshka_two_stage",             # narrow shortlist + exact rescore
+    "vocab_power_law_fit",              # Zipf slope + token-mass Gini
 ]
 
 

@@ -12874,6 +12874,78 @@ def q_matryoshka_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 stage_dim=16)
 
 
+def _vocab_power_law_oracle() -> str:
+    from killrweather_spark.functions.unigram import _ilog2fp_sql
+
+    return f"""
+    WITH wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS word FROM documents)
+      GROUP BY word
+    ), ranked AS (
+      SELECT cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+               AS rank
+      FROM wc
+    ), xy AS (
+      SELECT rank, cnt,
+             {_ilog2fp_sql('rank')} AS x,
+             {_ilog2fp_sql('cnt')} AS y
+      FROM ranked
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+             SUM(((SELECT COUNT(*) FROM wc) + 1 - rank) * cnt) AS src,
+             SUM(cnt) AS tot
+      FROM xy
+    )
+    SELECT n AS n_terms, tot AS total_tokens,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0.0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0.0
+                THEN (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / 65536.0
+           END AS intercept_log2,
+           2.0 * CAST(src AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM s
+    """
+
+
+@register(
+    "vocab_power_law_fit",
+    _vocab_power_law_oracle(),
+    survey_ref="profiling-family extension: vocabulary power-law "
+    "datasheet (functions/text.py:vocab_power_law) — Zipf OLS slope of "
+    "log2-frequency on log2-rank plus the Gini concentration of token "
+    "mass, the two numbers a corpus card reports about its token "
+    "distribution.  Ranks via operators/windows.py:global_row_number "
+    "(no single-task WindowExec over a vocabulary that can be 10^7 "
+    "terms), logs via the engine-portable fixed-point integer log2 "
+    "fold (unigram._ilog2fp — no libm), every reduction an int64 sum; "
+    "slope/intercept/gini are single non-reduced IEEE expressions over "
+    "those exact sums",
+)
+def q_vocab_power_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet: vocabulary size, token total, Zipf
+    slope/intercept, token-mass Gini."""
+    from killrweather_spark.functions.text import vocab_power_law
+
+    return vocab_power_law(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
 # iteration order (verified round 2: CORRECTNESS_r{N} keys == REGISTRY
@@ -12956,13 +13028,12 @@ DRIVER_WINDOW = [
     "unigram_subword_stats",
     "streaming_passage_screen",
     "cube_agg",
-    "streaming_dedup_keys",
     # new in r13 (late additions — given slots NOW so no row ships
-    # driver-unverified; the five burn-down rows they displaced
+    # driver-unverified; the six burn-down rows they displaced
     # (salted_daily_precip, range_join_ship_window,
     # semi_join_returned_orders, anti_join_customers_no_orders,
-    # streaming_hourly_counts) rotate back in r14 alongside
-    # window_navigation/full_outer_year_over_year — all stay
+    # streaming_hourly_counts, streaming_dedup_keys) rotate back in r14
+    # alongside window_navigation/full_outer_year_over_year — all stay
     # oracle-pytest-exact meanwhile)
     "domain_blocklist_audit",
     "domain_token_budget",
@@ -12971,6 +13042,7 @@ DRIVER_WINDOW = [
     "hll_register_merge",
     "matryoshka_recall_curve",
     "matryoshka_two_stage",
+    "vocab_power_law_fit",
 ]
 
 

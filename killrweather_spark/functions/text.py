@@ -236,3 +236,87 @@ def collocations_sql(min_pair_count: int = 5) -> str:
     JOIN uni u2 ON u2.w = big.w2, tot_u, tot_b
     WHERE big.b >= {min_pair_count}
     """
+
+
+def vocab_power_law(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Zipf-fit + concentration datasheet for the corpus vocabulary: one
+    row ``(n_terms, total_tokens, slope, intercept_log2, gini)``.
+
+    The two numbers a corpus card reports about its token distribution:
+    the Zipf exponent (OLS slope of log2-frequency on log2-rank — natural
+    text sits near −1; templated/synthetic text drifts shallower) and the
+    Gini coefficient of token mass (how much of the corpus a few head
+    words carry — the skew dial for frequency-based vocab pruning).
+
+    Exactness: ranks come from ``global_row_number`` (the exact
+    distributed range-rank — no single-task WindowExec on a vocabulary
+    that can be 10⁷ terms), logs from the engine-portable fixed-point
+    ``floor(2¹⁶·log₂ x)`` integer fold (``unigram._ilog2fp_expr`` — no
+    libm, so both engines produce identical integers), and every
+    reduction is an int64 sum.  Slope/intercept/gini are then single
+    non-reduced double expressions over those exact sums (deterministic
+    IEEE).  The ascending rank Gini needs is ``n+1−rank_desc`` — within a
+    tied frequency block any permutation gives the same Σrank·cnt, so the
+    reversed tiebreak is immaterial and both engines agree bit-for-bit.
+
+    Scale: one corpus pass to a vocabulary-sized (word, cnt) rollup, one
+    range-rank over the vocabulary, one global aggregate.  The Gini
+    cross-moment Σ(rank·cnt) stays in int64 up to n·total ≈ 9·10¹⁸ —
+    past that (10⁷-term vocab × 10¹² tokens) move that ONE sum to
+    decimal(38); everything else is log-scaled and safe.
+    """
+    from killrweather_spark.functions.unigram import _ilog2fp_expr
+    from killrweather_spark.operators.windows import global_row_number
+
+    wc = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ranked, total = global_row_number(
+        wc, [F.col("cnt").desc(), F.col("word").asc()], out_col="rank"
+    )
+    xy = ranked.select(
+        "rank",
+        "cnt",
+        F.expr(_ilog2fp_expr("rank")).alias("x"),
+        F.expr(_ilog2fp_expr("cnt")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum((F.lit(total + 1) - F.col("rank")) * F.col("cnt")).alias("src"),
+        F.sum("cnt").alias("tot"),
+    )
+    nd = F.col("n").cast("double")
+    denom = nd * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    slope = F.when(
+        denom != 0.0,
+        (nd * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy").cast("double")) / denom,
+    )
+    intercept = F.when(
+        denom != 0.0,
+        (F.col("sy").cast("double") * F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sxy").cast("double"))
+        / denom / F.lit(65536.0),
+    )
+    gini = (
+        F.lit(2.0) * F.col("src").cast("double")
+        / (nd * F.col("tot").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.col("tot").alias("total_tokens"),
+        slope.alias("slope"),
+        intercept.alias("intercept_log2"),
+        gini.alias("gini"),
+    )

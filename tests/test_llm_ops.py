@@ -3049,3 +3049,28 @@ def test_psl_registered_domain_longest_suffix(spark):
     plan = checks.formatted_plan(out)
     assert "BroadcastHashJoin" in plan, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_vocab_power_law_uniform_corpus_pins(spark):
+    """Uniform token frequencies have CLOSED-FORM answers: every y is the
+    same constant so the OLS slope is exactly 0, and equal mass per term
+    makes the Gini exactly 0 (2·c·n(n+1)/2 / (n·nc) == (n+1)/n).  A
+    geometric 2^-rank corpus must fit a clearly negative slope."""
+    from killrweather_spark.functions.text import vocab_power_law
+
+    uniform = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(7)],
+        "doc_id int, text string",
+    )
+    r = vocab_power_law(uniform).collect()[0]
+    assert r.n_terms == 5 and r.total_tokens == 35
+    assert r.slope == 0.0 and r.gini == 0.0
+
+    # word k appears 2^(5-k) times -> log2(cnt) falls ~linearly in rank
+    words = [(f"w{k}", 2 ** (5 - k)) for k in range(5)]
+    text = " ".join(w for w, c in words for _ in range(c))
+    geo = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    g = vocab_power_law(geo).collect()[0]
+    assert g.n_terms == 5
+    assert g.slope < -0.5, g.slope
+    assert 0.0 < g.gini < 1.0, g.gini
