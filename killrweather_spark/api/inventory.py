@@ -12898,7 +12898,10 @@ def _vocab_power_law_oracle() -> str:
              SUM(x) AS sx, SUM(y) AS sy,
              SUM(x * y) AS sxy, SUM(x * x) AS sxx,
              SUM(((SELECT COUNT(*) FROM wc) + 1 - rank) * cnt) AS src,
-             SUM(cnt) AS tot
+             -- DuckDB SUM(BIGINT) widens to HUGEINT, which pandas
+             -- materializes as float64; this column SURFACES (the double
+             -- sums above only feed IEEE expressions), so pin it back
+             CAST(SUM(cnt) AS BIGINT) AS tot
       FROM xy
     )
     SELECT n AS n_terms, tot AS total_tokens,
