@@ -99,32 +99,59 @@ def _pq_mstep(scomp: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def _pq_estep(scomp: DataFrame, cents: DataFrame) -> DataFrame:
+def _pq_estep(
+    scomp: DataFrame, cents: DataFrame, ks: int = PQ_KS
+) -> DataFrame:
     """(vec_id, sub, code): exact int64 squared-L2 argmin per subspace
     over the broadcast codebooks, ties to the smallest code.
 
-    The argmin is a ``min(struct(d2, code))`` aggregate, not a
-    row_number window: struct ordering IS (d2 asc, code asc), and the
-    partial MIN combines map-side — the window form sorted the full
-    |corpus|·M·ks distance frame through one shuffle per Lloyd round
-    (the _predictions/batched-BPE argmax-at-scale rule)."""
-    d2 = (
-        scomp.join(F.broadcast(cents), ["sub", "pos"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(
-            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
-            .alias("d2")
+    PIVOTED single-aggregation form (r13 optimization): the codebook is
+    first pivoted to one ks-wide centroid array per (sub, pos) —
+    vocabulary-sized driver-free work — so the component join stays 1:1
+    instead of exploding every (vec_id, pos, q) row ×ks codes, and ONE
+    ``groupBy(vec_id, sub)`` with ks partial-aggregable SUMs replaces
+    the former two-level aggregate (guide §2.3 "shuffle fewer bytes" /
+    §2.4 "remove shuffles outright": one Exchange of |corpus|·M rows
+    instead of an Exchange of the |corpus|·M·ks distance frame plus a
+    second one).  The argmin stays ``array_min`` over (d2, code)
+    structs — ordering (d2 asc, code asc), identical to the previous
+    ``min(struct(d2, code))`` rule; codes absent from a subspace's
+    codebook (all their members moved away in the previous round) yield
+    NULL sums and are filtered before the argmin, exactly as they were
+    absent from the joined distance frame before."""
+    ks_codes = ks
+    cents_p = cents.groupBy("sub", "pos").agg(
+        F.array(
+            *[
+                F.max(F.when(F.col("code") == k, F.col("c")))
+                for k in range(ks_codes)
+            ]
+        ).alias("cs")
+    )
+    j = scomp.join(F.broadcast(cents_p), ["sub", "pos"])
+    sums = j.groupBy("vec_id", "sub").agg(
+        *[
+            F.sum(
+                (F.col("q") - F.col("cs")[k]) * (F.col("q") - F.col("cs")[k])
+            ).alias(f"__d{k}")
+            for k in range(ks_codes)
+        ]
+    )
+    best = F.array_min(
+        F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"__d{k}").alias("d2"),
+                        F.lit(k).cast("bigint").alias("code"),
+                    )
+                    for k in range(ks_codes)
+                ]
+            ),
+            lambda s: s["d2"].isNotNull(),
         )
     )
-    return (
-        d2.groupBy("vec_id", "sub")
-        .agg(
-            F.min(
-                F.struct(F.col("d2").alias("d2"), F.col("code").alias("code"))
-            ).alias("__m")
-        )
-        .select("vec_id", "sub", F.col("__m.code").alias("code"))
-    )
+    return sums.select("vec_id", "sub", best["code"].alias("code"))
 
 
 def _train(
@@ -153,7 +180,7 @@ def _train(
     cents = None
     for _ in range(iters):
         cents = _pq_mstep(scomp, labels)
-        labels = _pq_estep(scomp, cents)
+        labels = _pq_estep(scomp, cents, ks)
     return scomp, cents, labels
 
 
@@ -198,7 +225,7 @@ def _train_residual(
     cb = None
     for _ in range(iters):
         cb = _pq_mstep(rcomp, labels)
-        labels = _pq_estep(rcomp, cb)
+        labels = _pq_estep(rcomp, cb, ks)
     return cb, labels
 
 

@@ -2019,6 +2019,46 @@ def test_pq_codebooks_shape_and_adc_recall(spark, monkeypatch):
     assert rec.recall_micro == 1_000_000, rec
 
 
+def test_pq_estep_pivoted_matches_two_level_reference(spark):
+    """The r13-optimized single-aggregation E-step (pivoted ks-wide
+    codebook arrays, one groupBy) must reproduce the former two-level
+    ``min(struct(d2, code))`` formulation exactly — including the
+    dead-code case where a code has no centroid in some subspace (its
+    pivot slot is NULL and must be ignored by the argmin, as it was
+    simply absent from the joined distance frame before)."""
+    from killrweather_spark.functions.pq import _pq_estep
+
+    # components: 2 vectors x 2 subspaces x 2 positions
+    scomp = spark.createDataFrame(
+        [
+            (0, 0, 1, 10), (0, 0, 2, 10), (0, 1, 3, -4), (0, 1, 4, -4),
+            (1, 0, 1, 7), (1, 0, 2, 7), (1, 1, 3, 5), (1, 1, 4, 5),
+        ],
+        "vec_id bigint, sub bigint, pos int, q bigint",
+    )
+    # codebooks: sub 0 has codes {0, 1}; sub 1 has ONLY code 1 (code 0
+    # died); code 1 of sub 0 ties code 0 on vec 1 (d2 equal) -> the
+    # (d2 asc, code asc) rule must pick code 0
+    cents = spark.createDataFrame(
+        [
+            (0, 0, 1, 7), (0, 0, 2, 7),
+            (0, 1, 1, 7), (0, 1, 2, 7),
+            (1, 1, 3, 0), (1, 1, 4, 0),
+        ],
+        "sub bigint, code bigint, pos int, c bigint",
+    )
+    got = {
+        (r.vec_id, r.sub): r.code
+        for r in _pq_estep(scomp, cents, ks=4).collect()
+    }
+    # two-level reference, computed by hand:
+    #   vec 0 sub 0: code0 d2=(10-7)^2*2=18, code1 d2=18 -> tie -> 0
+    #   vec 0 sub 1: only code 1 -> 1
+    #   vec 1 sub 0: code0 d2=0, code1 d2=0 -> tie -> 0
+    #   vec 1 sub 1: only code 1 -> 1
+    assert got == {(0, 0): 0, (0, 1): 1, (1, 0): 0, (1, 1): 1}
+
+
 def test_hybrid_rrf_fusion_math_and_sources(spark):
     """RRF fusion: a doc present in both lists scores the exact integer
     sum of its two reciprocal ranks; single-list docs carry a NULL rank
