@@ -217,7 +217,11 @@ def lang_gate_funnel(
         .otherwise(F.lit("kept"))
         .alias("stage")
     )
-    total = m.agg(F.count(F.lit(1)).alias("__n_total"))
+    # |m| == |docs|: pred is grouped by doc_id (unique join key), so the
+    # left join preserves the doc count exactly; counting docs directly
+    # avoids replaying the train+score+join lineage for one scalar
+    # (guide §1.2: don't compute things you throw away).
+    total = docs.agg(F.count(F.lit(1)).alias("__n_total"))
     return (
         staged.groupBy("stage")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
