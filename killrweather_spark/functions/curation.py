@@ -889,8 +889,16 @@ def curation_pipeline_report(docs: DataFrame) -> DataFrame:
         .select(F.col("id").cast("bigint").alias("stage"))
         .withColumn("stage_name", F.element_at(names, F.col("stage").cast("int")))
     )
-    j = stages.join(hist, "stage", "left").select(
-        "stage", "stage_name", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    # 7 rows, but its lineage is the ENTIRE funnel — and it is
+    # referenced twice below (report rows + the `total` scalar).  base/
+    # r1/r2 are cached, yet the attribution joins, the stage histogram
+    # and the UNCACHED decontaminate gram probe would still replay per
+    # reference; persisting the stage-histogram frame runs the funnel
+    # exactly once (guide §1.2: don't compute things you throw away).
+    j = persist_once(
+        stages.join(hist, "stage", "left").select(
+            "stage", "stage_name", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
     )
     wcum = (
         Window.orderBy("stage")

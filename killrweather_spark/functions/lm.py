@@ -54,7 +54,7 @@ two factors to DECIMAL(38,0) (same swap note as BM25).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from killrweather_spark.functions.text import TOKEN_RE, tokens
@@ -463,23 +463,31 @@ def perceptron_domain_classifier(
         F.col("id").cast("bigint").alias("bucket"),
         F.lit(0).cast("bigint").alias("w"),
     )
+    wdoc = Window.partitionBy("doc_id")
     out = []
     for epoch in range(1, epochs + 2):
-        margins = (
+        # ONE feats pass per epoch (was two: a margin groupBy for the
+        # curve row plus a mis-join-feats pass for the update): the
+        # margin is a partitionBy(doc_id) window sum — feats is already
+        # partitioned by doc_id, so no exchange — and the filtered frame
+        # KEEPS the bucket rows, so the update aggregates it directly
+        # instead of joining the doc-level set back onto feats.  Integer
+        # sums are order-free, so window-vs-groupBy is value-identical.
+        misrows = (
             feats.join(F.broadcast(w), "bucket")
-            .groupBy("doc_id", "y")
-            .agg(F.sum(F.col("cnt") * F.col("w")).alias("m"))
-        )
-        mis = margins.filter(F.col("y") * F.col("m") <= 0).select(
-            "doc_id", F.col("y").alias("my")
+            .withColumn("m", F.sum(F.col("cnt") * F.col("w")).over(wdoc))
+            .filter(F.col("y") * F.col("m") <= 0)
+            .select("doc_id", "y", "bucket", "cnt")
         )
         if epoch <= epochs:
-            # the misclassified set feeds BOTH the curve row and the
-            # update join — materialize it once (kcenter lineage rule)
-            mis = mis.localCheckpoint(eager=True)
+            # feeds BOTH the curve row and the update — materialize once
+            # (kcenter lineage rule)
+            misrows = misrows.localCheckpoint(eager=True)
         out.append(
-            mis.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_misclassified")
+            misrows.agg(
+                F.count_distinct("doc_id")
+                .cast("bigint")
+                .alias("n_misclassified")
             )
             .crossJoin(F.broadcast(ntr))
             .select(
@@ -494,10 +502,8 @@ def perceptron_domain_classifier(
             )
         )
         if epoch <= epochs:
-            upd = (
-                mis.join(feats, "doc_id")
-                .groupBy("bucket")
-                .agg(F.sum(F.col("my") * F.col("cnt")).alias("u"))
+            upd = misrows.groupBy("bucket").agg(
+                F.sum(F.col("y") * F.col("cnt")).alias("u")
             )
             w = (
                 w.join(upd, "bucket", "left")

@@ -181,7 +181,18 @@ def _train(
     for _ in range(iters):
         cents = _pq_mstep(scomp, labels)
         labels = _pq_estep(scomp, cents, ks)
-    return scomp, cents, labels
+    # Persist the training ENDPOINTS, not the iterations: every caller
+    # references cents (ks·dim rows) and labels (|corpus|·M narrow ints)
+    # several times — broadcast LUT build, code scan, recall join — and
+    # each reference otherwise replays the whole Lloyd chain above the
+    # scomp cache (the before-plans show 35–41 embedding scans / 78–101
+    # Exchanges per ADC query).  Caching the two final frames runs
+    # training once per process and turns every reference into an
+    # InMemoryRelation read (guide §1.2 "don't compute things you throw
+    # away", §2.4 "remove shuffles outright").  The per-ITERATION
+    # localization A/B'd slower (it duplicates E-step work the
+    # exchange-reuse otherwise shares) — endpoints only.
+    return scomp, persist_once(cents), persist_once(labels)
 
 
 def _train_residual(
@@ -226,7 +237,8 @@ def _train_residual(
     for _ in range(iters):
         cb = _pq_mstep(rcomp, labels)
         labels = _pq_estep(rcomp, cb, ks)
-    return cb, labels
+    # endpoint persistence — same rationale as _train
+    return persist_once(cb), persist_once(labels)
 
 
 def pq_codebooks(
