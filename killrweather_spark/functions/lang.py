@@ -103,16 +103,27 @@ def lang_profile_scores(
     fold to ``score_micro = Σ count·weight``.  Langs sharing no gram
     with a doc produce no row (score 0 by absence — identical on both
     engines)."""
+    # Profile-gram SEMI filter before the (doc, gram) aggregation (guide
+    # §3.2): only n_langs·k distinct grams can ever score, so dropping
+    # every other occurrence map-side (broadcast semi on the tiny gram
+    # list) shrinks both the partial-aggregation hash map and the
+    # hashpartitioning(doc_id, gram) Exchange to profile grams only.
+    # Inner-join semantics are unchanged — non-profile grams contributed
+    # no score row before either.
+    from killrweather_spark.plans.caching import persist_once
+
+    # The profile table is vocabulary-sized (n_langs·k rows) but its
+    # lineage is a full corpus pass — and it is referenced twice below
+    # (semi gram list + weight join).  Persist so training runs once.
+    pg = persist_once(profiles.select("lang", "gram", "weight_micro"))
     dg = (
         _doc_grams(docs.select(id_col, text_col), [id_col], text_col)
+        .join(F.broadcast(pg.select("gram").distinct()), "gram", "leftsemi")
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
     )
     return (
-        dg.join(
-            F.broadcast(profiles.select("lang", "gram", "weight_micro")),
-            "gram",
-        )
+        dg.join(F.broadcast(pg), "gram")
         .groupBy(id_col, "lang")
         .agg(
             F.sum(F.col("__cnt") * F.col("weight_micro"))
@@ -129,9 +140,55 @@ def _predictions(docs: DataFrame, k: int, id_col: str,
     lang-asc tiebreak AND gets map-side partial aggregation (a window
     argmax shuffles every (doc, lang) row; the partial min ships one row
     per doc per map task) — the argmax-at-scale move the batched-BPE
-    selection already uses on both engines."""
-    profiles = lang_trigram_profiles(docs, k, text_col)
-    scored = lang_profile_scores(docs, profiles, id_col, text_col)
+    selection already uses on both engines.
+
+    Train and score share ONE corpus gram pass (the oracle's
+    MATERIALIZED ``lg``): per-``(doc, lang, gram)`` counts are computed
+    once and persisted; the training rollup sums them to ``(lang,
+    gram)`` occurrence counts (Σ per-doc counts ≡ the direct occurrence
+    count) and the scorer reads the same frame back per doc — instead
+    of exploding and hash-aggregating the corpus twice, once per
+    lineage.  The persisted frame is the per-doc distinct-gram table
+    (≤ text length rows per doc, far smaller than the occurrence
+    explode), the same size class as the tokenized-doc projections
+    other curation operators persist."""
+    from killrweather_spark.plans.caching import persist_once
+
+    dgc = persist_once(
+        _doc_grams(
+            docs.select(id_col, "lang", text_col), [id_col, "lang"],
+            text_col,
+        )
+        .groupBy(id_col, "lang", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    )
+    c = dgc.groupBy("lang", "gram").agg(
+        F.sum("__cnt").cast("bigint").alias("gram_count")
+    )
+    tot = c.groupBy("lang").agg(F.sum("gram_count").alias("__total"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("gram_count").desc(), F.col("gram").asc()
+    )
+    profiles = (
+        c.join(tot, "lang")
+        .withColumn(
+            "weight_micro",
+            F.expr("(1000000 * gram_count) div __total").cast("bigint"),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("lang", "gram", "weight_micro")
+    )
+    scored = (
+        dgc.select(id_col, "gram", "__cnt")
+        .join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(F.col("__cnt") * F.col("weight_micro"))
+            .cast("bigint")
+            .alias("score_micro")
+        )
+    )
     return (
         scored.groupBy(id_col)
         .agg(
