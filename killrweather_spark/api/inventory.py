@@ -12571,11 +12571,11 @@ def _wire_mining() -> None:
         par = emb.select(
             "vec_id", (F.col("label") % 2).cast("int").alias("par")
         )
-        xq = (
-            emb.join(par, "vec_id")
-            .filter((F.col("par") == 0) & (F.col("vec_id") < 40))
-            .select("vec_id", "embedding")
-        )
+        # par is row-local (label % 2), so the query side is a direct
+        # pushdown filter on the embeddings scan — not a self-join
+        xq = emb.filter(
+            (F.col("label") % 2 == 0) & (F.col("vec_id") < 40)
+        ).select("vec_id", "embedding")
         fwd = ivf_probe_topk(
             spark, idx, xq, k=4, n_probe=2, labels=par, label_col="par"
         )

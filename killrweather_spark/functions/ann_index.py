@@ -999,11 +999,33 @@ def ivf_probe_topk(
     the output — the inner join is deliberate: an unlabeled query has no
     defined notion of "different-label negative"."""
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    qcomp = (
-        quantized_components(queries, id_col, vec_col)
-        .withColumnRenamed(id_col, "query_id")
+    # One query-side pass: the ×10⁶-quantized ARRAY form (plus its norm)
+    # is the serving payload; the component form the centroid ranking
+    # needs is a posexplode of the same persisted frame.  Values are
+    # identical to quantized_components (same round → bigint).
+    qarr = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * 1_000_000).cast(
+                    "bigint"
+                ),
+            ).alias("qq"),
+        )
+        .withColumn(
+            "qnorm2",
+            F.aggregate(
+                F.col("qq"),
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x * x,
+            ),
+        )
         .transform(persist_once)
     )
+    qcomp = qarr.select(
+        "query_id", F.posexplode("qq").alias("pos", "q")
+    ).select("query_id", (F.col("pos") + 1).alias("pos"), "q")
     qd2 = (
         qcomp.join(F.broadcast(cents), "pos")
         .groupBy("query_id", "cell")
@@ -1034,41 +1056,53 @@ def ivf_probe_topk(
     cells = sorted({r.cell for r in probe_rows})
     pairs = {(r.query_id, r.cell) for r in probe_rows}
 
-    inv = spark.read.parquet(os.path.join(index_dir, "inverted")).filter(
-        F.col("cell").isin(cells)
-    )
-    nrm = spark.read.parquet(os.path.join(index_dir, "norms")).filter(
-        F.col("cell").isin(cells)
-    )
     probes_df = F.broadcast(
         spark.createDataFrame(
             [(int(q), int(c)) for q, c in sorted(pairs)],
             "query_id bigint, cell bigint",
         )
     )
-    qflat = qcomp.select("query_id", "pos", F.col("q").alias("qa"))
-    dots = (
-        inv.join(probes_df, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(qflat), ["query_id", "pos"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("q") * F.col("qa")).alias("dot"))
-    )
-    qn = (
-        qcomp.groupBy("query_id")
-        .agg(F.sum(F.col("q") * F.col("q")).alias("qnorm2"))
-        .filter(F.col("qnorm2") > 0)
+    # Exact rescore from the index's ARRAY-form member table (one row
+    # per vector, norm2 inline, same ×10⁶ quantization as `inverted`):
+    # the dot product is a per-row zip_with/aggregate fold instead of a
+    # per-component join + corpus-candidate (query, neighbor) groupBy —
+    # no Exchange between the pruned scan and the top-k window.  The
+    # coalesce-to-0 mirrors the component path's inner join on pos
+    # (positions absent on either side contributed no product); the
+    # norm2 > 0 filters mirror the cosine_norms exclusion the `norms`
+    # table bakes in and the qn fold applied.
+    vecs = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("cell").isin(cells))
+        .filter(F.col("norm2") > 0)
     )
     sims = (
-        dots.join(
-            nrm.select(F.col("vec_id").alias("neighbor_id"),
-                       F.col("norm2").alias("nnorm2")),
-            "neighbor_id",
+        vecs.join(probes_df, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qarr.filter(F.col("qnorm2") > 0)), "query_id")
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("qq"),
+                    lambda a, b: F.coalesce(
+                        a.cast("bigint"), F.lit(0).cast("bigint")
+                    )
+                    * F.coalesce(b, F.lit(0).cast("bigint")),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x,
+            ),
         )
-        .join(F.broadcast(qn), "query_id")
         .withColumn(
             "cosine",
-            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
+            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("norm2"))),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
         )
     )
     out_cols = ["query_id", "neighbor_id", "cosine"]

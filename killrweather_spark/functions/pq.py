@@ -379,6 +379,85 @@ def ann_pq_recall(
     )
 
 
+def _shortlist_rescore_arrays(
+    spark,
+    index_dir: str,
+    cell_list,
+    short: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-rescore an ADC shortlist from the index's ARRAY-form
+    ``vectors`` table (one row per vector, norm2 inline, same ×10⁶
+    quantization as ``inverted``): the dot is a per-row
+    zip_with/aggregate fold instead of a per-component join + a
+    (query, neighbor) groupBy Exchange — value-identical to the
+    component path (coalesce-to-0 ≡ the inner join on pos; the
+    norm2 > 0 filters ≡ the cosine_norms exclusion baked into ``norms``
+    and the query-side fold's ``qnorm2 > 0``)."""
+    import os
+
+    qarr = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * 1_000_000).cast(
+                    "bigint"
+                ),
+            ).alias("qq"),
+        )
+        .withColumn(
+            "qnorm2",
+            F.aggregate(
+                F.col("qq"),
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x * x,
+            ),
+        )
+        .filter(F.col("qnorm2") > 0)
+    )
+    vecs = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("cell").isin(cell_list))
+        .filter(F.col("norm2") > 0)
+        .select("vec_id", "qv", "norm2")
+    )
+    sims = (
+        vecs.join(F.broadcast(short), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(qarr), "query_id")
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("qq"),
+                    lambda a, b: F.coalesce(
+                        a.cast("bigint"), F.lit(0).cast("bigint")
+                    )
+                    * F.coalesce(b, F.lit(0).cast("bigint")),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x,
+            ),
+        )
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("norm2"))),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def ann_ivfpq(
     spark,
     index_dir: str,
@@ -482,53 +561,9 @@ def ann_ivfpq(
         .filter(F.col("rk") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    # exact rescore: probed cells' inverted lists + norms only
-    inv = spark.read.parquet(os.path.join(index_dir, "inverted")).filter(
-        F.col("cell").isin(cell_list)
-    )
-    dots = (
-        inv.select("vec_id", "pos", "q")
-        .join(
-            F.broadcast(short), F.col("vec_id") == F.col("neighbor_id")
-        )
-        .join(
-            qcomp.withColumnRenamed("q", "qa"), ["query_id", "pos"]
-        )
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("q") * F.col("qa")).alias("dot"))
-    )
-    nrm = (
-        spark.read.parquet(os.path.join(index_dir, "norms"))
-        .filter(F.col("cell").isin(cell_list))
-        .select("vec_id", "norm2")
-    )
-    qn = (
-        qcomp.groupBy("query_id")
-        .agg(F.sum(F.col("q") * F.col("q")).alias("qnorm2"))
-        .filter(F.col("qnorm2") > 0)
-    )
-    sims = (
-        dots.join(
-            nrm.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("norm2").alias("nnorm2"),
-            ),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qn), "query_id")
-        .withColumn(
-            "cosine",
-            F.col("dot")
-            / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine")
+    # exact rescore: probed cells' array-form member table only
+    return _shortlist_rescore_arrays(
+        spark, index_dir, cell_list, short, queries, id_col, vec_col, k
     )
 
 
@@ -1348,47 +1383,8 @@ def ann_ivfpq_residual(
         .filter(F.col("rk") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    inv = spark.read.parquet(os.path.join(index_dir, "inverted")).filter(
-        F.col("cell").isin(cell_list)
-    )
-    dots = (
-        inv.select("vec_id", "pos", "q")
-        .join(F.broadcast(short), F.col("vec_id") == F.col("neighbor_id"))
-        .join(qcomp.withColumnRenamed("q", "qa"), ["query_id", "pos"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("q") * F.col("qa")).alias("dot"))
-    )
-    nrm = (
-        spark.read.parquet(os.path.join(index_dir, "norms"))
-        .filter(F.col("cell").isin(cell_list))
-        .select("vec_id", "norm2")
-    )
-    qn = (
-        qcomp.groupBy("query_id")
-        .agg(F.sum(F.col("q") * F.col("q")).alias("qnorm2"))
-        .filter(F.col("qnorm2") > 0)
-    )
-    sims = (
-        dots.join(
-            nrm.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("norm2").alias("nnorm2"),
-            ),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qn), "query_id")
-        .withColumn(
-            "cosine",
-            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
-        )
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine")
+    return _shortlist_rescore_arrays(
+        spark, index_dir, cell_list, short, queries, id_col, vec_col, k
     )
 
 

@@ -578,7 +578,7 @@ def test_ivf_trained_probe_prunes_partitions_and_stays_index_sized(spark):
 def test_ivfpq_probe_prunes_partitions_on_codes_and_rescore(spark):
     """The IVFADC probe must read ONLY the probed cells of EVERY
     index table it touches: the compressed pqcodes scan (ADC), the
-    inverted-list scan (exact rescore), and the norms scan all carry
+    array-form vectors scan (exact rescore, norm2 inline) both carry
     literal cell PartitionFilters — nothing corpus-sized is scanned or
     shuffled at probe time."""
     import re
@@ -586,8 +586,9 @@ def test_ivfpq_probe_prunes_partitions_on_codes_and_rescore(spark):
     df = REGISTRY["ann_ivfpq"].fn(spark, SF01)
     plan = checks.formatted_plan(df)
     pruned = re.findall(r"PartitionFilters: \[cell#\d+ IN \([^)]*\)", plan)
-    # pqcodes + inverted + norms = three cell-pruned index scans
-    assert len(pruned) >= 3, plan[:4000]
+    # pqcodes + vectors = two cell-pruned index scans (the rescore reads
+    # the one-row-per-vector table; norms ride inline)
+    assert len(pruned) >= 2, plan[:4000]
     # the only embeddings read is the query side (vec_id pushdown)
     assert checks.has_pushed_filters(df, "LessThan(vec_id,5"), plan[:2000]
 
