@@ -1529,6 +1529,9 @@ def image_grid_verify(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
     from killrweather_spark.plans.caching import persist_once
 
+    # payload frame referenced by the aHash pass AND both rescore sides
+    # — persist so the opaque synthesis/decode lineage runs once
+    df = df.transform(persist_once)
     ah = image_ahash(df, id_col).transform(persist_once)
     canon = ah.groupBy("ahash").agg(F.min(id_col).alias("doc_a"))
     ca_dims = ah.select(
@@ -1636,7 +1639,14 @@ def image_ring_verified(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the double decode is row-local Arrow work.
     """
     from killrweather_spark.functions.curation import connected_components
+    from killrweather_spark.plans.caching import persist_once
 
+    # The payload frame is referenced three times (the ring's aHash pass
+    # plus BOTH sides of the grid rescore) and its lineage is an opaque
+    # Python synthesis/decode mapInPandas the planner can neither prune
+    # nor reuse — persist so the payload pass runs once (guide §4.1:
+    # bound what crosses the Python boundary).
+    df = df.transform(persist_once)
     ring = image_hamming_pairs(df, id_col)
     comp = connected_components(ring.select("doc_a", "doc_b"))
     star = comp.filter(F.col("node") != F.col("component")).select(

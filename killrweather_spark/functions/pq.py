@@ -286,6 +286,13 @@ def ann_pq_adc(
         .groupBy("query_id", "sub", "code")
         .agg(F.sum(F.col("q") * F.col("c")).cast("bigint").alias("pdot"))
     )
+    # ADC scan: broadcast the per-query LUT onto the compressed code
+    # table and sum the M hits per (query, candidate) — the partial
+    # (map-side) aggregation of the groupBy keeps the Exchange at
+    # |queries|·|corpus| combined rows.  (An r13 per-row map-fold
+    # variant — pivot codes to arrays, fold a 1-row LUT broadcast — was
+    # A/B'd 15% SLOWER two legs running at sf0.1: the per-row
+    # element_at lambda loses to the codegen'd hash join + partial agg.)
     approx = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -300,31 +307,44 @@ def ann_pq_adc(
         .filter(F.col("rk") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    comp = scomp.select("vec_id", "pos", "q")
-    qflat = comp.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-        "q", "qa"
+    # exact rescore over the raw frame's int64 arrays — the same
+    # zip_with/aggregate fold as _shortlist_rescore_arrays, built from
+    # df directly (no persisted index here)
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
     )
-    dots = (
-        comp.join(
-            F.broadcast(short), F.col("vec_id") == F.col("neighbor_id")
-        )
-        .join(qflat, ["query_id", "pos"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("q") * F.col("qa")).alias("dot"))
+    norm2 = F.aggregate(
+        F.col("qv"), F.lit(0).cast("bigint"), lambda s, x: s + x * x
     )
-    nrm = cosine_norms(comp, "vec_id")
-    qn = nrm.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-        "norm2", "qnorm2"
+    carr = (
+        df.select(F.col(id_col).alias("neighbor_id"), quant.alias("qv"))
+        .withColumn("nnorm2", norm2)
+        .filter(F.col("nnorm2") > 0)
+    )
+    qarr = (
+        df.filter(query_pred(F.col(id_col)))
+        .select(F.col(id_col).alias("query_id"), quant.alias("qv"))
+        .withColumn("qnorm2", norm2)
+        .filter(F.col("qnorm2") > 0)
+        .select("query_id", F.col("qv").alias("qq"), "qnorm2")
     )
     sims = (
-        dots.join(
-            nrm.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("norm2").alias("nnorm2"),
+        carr.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qarr), "query_id")
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("qq"),
+                    lambda a, b: F.coalesce(a, F.lit(0).cast("bigint"))
+                    * F.coalesce(b, F.lit(0).cast("bigint")),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x,
             ),
-            "neighbor_id",
         )
-        .join(F.broadcast(qn), "query_id")
         .withColumn(
             "cosine",
             F.col("dot")

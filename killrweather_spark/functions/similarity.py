@@ -68,43 +68,64 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine) with deterministic
     (cosine DESC, neighbor_id ASC) ranking.
     """
-    # comp is referenced by the query side, the corpus side, and the norms:
-    # persist the quantized index so the explode runs once (at scale this is
-    # the precomputed component index you'd store next to the vectors).
-    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
-    nrm = cosine_norms(comp, id_col)
-
-    qcomp = comp.filter(query_ids_filter(F.col(id_col))).select(
-        F.col(id_col).alias("query_id"), "pos", F.col("q").alias("qa")
+    # ARRAY-dot form (r13): quantize each side to an int64 array and fold
+    # the query set to ONE row carrying every (query_id, qq, qnorm2)
+    # struct — the map-only exact-screen pattern (a 1-row broadcast
+    # crossJoin, never a pair cartesian).  Each corpus row explodes to
+    # |queries| scored rows with a per-row zip_with/aggregate dot —
+    # dims× fewer rows than the former per-component pos-join + the
+    # (query, neighbor) groupBy Exchange it fed, with identical values:
+    # same ×10⁶ integers, order-free int64 sum, coalesce-to-0 ≡ the
+    # inner join on pos, and the norm2 > 0 filters ≡ cosine_norms.
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * QUANT).cast("bigint"),
     )
-    ccomp = comp.select(F.col(id_col).alias("neighbor_id"), "pos", F.col("q").alias("qb"))
-
-    # query side is k·dims rows — broadcast it; the corpus side streams.
-    dots = (
-        F.broadcast(qcomp)
-        .join(ccomp, "pos")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    norm2 = F.aggregate(
+        F.col("qv"), F.lit(0).cast("bigint"), lambda s, x: s + x * x
     )
-    # qn carries a broadcast hint: bound it to the QUERY ids first —
-    # hinting the corpus-sized norms frame would ship the whole corpus
-    # to every executor at scale even though only the query rows match.
-    # The bound is a broadcast semi against the (tiny, unique-id) query
-    # predicate on the source frame: map-side, no extra shuffle.
-    qids = df.filter(query_ids_filter(F.col(id_col))).select(
-        F.col(id_col).alias("query_id")
+    carr = (
+        df.select(F.col(id_col).alias("neighbor_id"), quant.alias("qv"))
+        .withColumn("nnorm2", norm2)
+        .filter(F.col("nnorm2") > 0)
     )
-    qn = nrm.select(
-        F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2")
-    ).join(F.broadcast(qids), "query_id")
-    cn = nrm.select(F.col(id_col).alias("neighbor_id"), F.col("norm2").alias("nnorm2"))
+    qrow = (
+        df.filter(query_ids_filter(F.col(id_col)))
+        .select(F.col(id_col).alias("query_id"), quant.alias("qv"))
+        .withColumn("qnorm2", norm2)
+        .filter(F.col("qnorm2") > 0)
+        .agg(
+            F.collect_list(
+                F.struct("query_id", F.col("qv").alias("qq"), "qnorm2")
+            ).alias("qs")
+        )
+    )
     sims = (
-        dots.join(F.broadcast(qn), "query_id")
-        .join(cn, "neighbor_id")
+        carr.crossJoin(F.broadcast(qrow))
+        .select(
+            "neighbor_id", "qv", "nnorm2", F.explode("qs").alias("qe")
+        )
+        .filter(F.col("qe.query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine",
-            F.col("dot") / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
+            "dot",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("qe.qq"),
+                    lambda a, b: F.coalesce(a, F.lit(0).cast("bigint"))
+                    * F.coalesce(b, F.lit(0).cast("bigint")),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x,
+            ),
+        )
+        .select(
+            F.col("qe.query_id").alias("query_id"),
+            "neighbor_id",
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("qe.qnorm2")) * F.sqrt(F.col("nnorm2")))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
