@@ -120,8 +120,19 @@ def matryoshka_recall_curve(
     ).transform(persist_once)
     curves = []
     for d in dims:
-        approx = _truncated_topk(comp, query_pred, d, k, id_col).select(
-            "query_id", "neighbor_id"
+        # the widest width IS the ground truth — the self-check row reads
+        # the persisted truth frame instead of replaying the brute-force
+        # pass (same function, same args: identical by construction).
+        # (An r13 array-dot rewrite of _truncated_topk — one-row query
+        # broadcast + zip_with/aggregate fold — was A/B'd 15-20% SLOWER
+        # at sf0.1: the higher-order-function fold does not reach
+        # whole-stage codegen, while the pos-join + partial agg does.)
+        approx = (
+            truth
+            if d == full_dim
+            else _truncated_topk(comp, query_pred, d, k, id_col).select(
+                "query_id", "neighbor_id"
+            )
         )
         hits = (
             approx.join(truth, ["query_id", "neighbor_id"])
