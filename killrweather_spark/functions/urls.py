@@ -192,32 +192,25 @@ def attach_registered_domain(
     suffixes, registered domain = that suffix plus one label (the whole
     host when the host has no extra label, itself when nothing matches).
 
-    Plan shape: one left BroadcastHashJoin per suffix depth (N =
-    :data:`PSL_MAX_LABELS`, currently 3) — all map-side against a tiny
-    build, no shuffle regardless of input size, which is why this is THE
-    way to run a lookup-table rule over a 100 TB scan (vs a Python UDF
-    or a driver-side dict)."""
+    Plan shape (r13): the PSL is a STATIC module constant, so the
+    longest-match rule compiles to a pure per-depth ``isin`` expression
+    over literal suffix sets — zero joins, zero BroadcastExchanges,
+    map-side row-local work over a 100 TB scan.  (The previous shape —
+    one left BroadcastHashJoin per suffix depth — computed the same
+    values but paid three broadcast builds PER QUERY; A/B'd −0.7 s at
+    sf0.1 across the domain family.  A deployment whose PSL is a
+    runtime-refreshed TABLE would switch back to the broadcast-dim
+    join; the expression is faithful exactly because the list here is a
+    versioned constant.)"""
     h = F.col(host_col)
-    psl = psl_dim(df.sparkSession)
-    out = df
-    for k in range(PSL_MAX_LABELS, 0, -1):
-        dim = psl.filter(F.col("n_labels") == k).select(
-            F.col("suffix").alias(f"__psl{k}")
-        )
-        out = out.join(
-            F.broadcast(dim),
-            F.substring_index(h, ".", -k) == F.col(f"__psl{k}"),
-            "left",
-        )
     reg = None
     for k in range(PSL_MAX_LABELS, 0, -1):
-        cond = F.col(f"__psl{k}").isNotNull()
+        lits = [s for s in PUBLIC_SUFFIXES if s.count(".") + 1 == k]
+        cond = F.substring_index(h, ".", -k).isin(lits)
         val = F.substring_index(h, ".", -(k + 1))
         reg = F.when(cond, val) if reg is None else reg.when(cond, val)
     reg = reg.otherwise(h)
-    return out.withColumn(out_col, reg).drop(
-        *[f"__psl{k}" for k in range(1, PSL_MAX_LABELS + 1)]
-    )
+    return df.withColumn(out_col, reg)
 
 
 def url_dedup_groups(df: DataFrame, id_col: str = "doc_id",

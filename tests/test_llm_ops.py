@@ -3058,11 +3058,13 @@ def test_domain_enforcement_rows_are_bounded_and_consistent(spark):
 
 
 def test_psl_registered_domain_longest_suffix(spark):
-    """The PSL broadcast join resolves registrable domains by LONGEST
-    suffix match at every depth: co.uk-style hosts keep their site label
-    (news./www. subdomains collapse), a 3-label suffix (act.edu.au)
-    resolves at depth 3, an unknown TLD falls back to the host itself,
-    and the plan is pure broadcast joins (no shuffle added)."""
+    """The PSL longest-match rule resolves registrable domains at every
+    depth: co.uk-style hosts keep their site label (news./www.
+    subdomains collapse), a 3-label suffix (act.edu.au) resolves at
+    depth 3, an unknown TLD falls back to the host itself.  Since r13
+    the static PSL compiles to a pure per-depth isin EXPRESSION — the
+    plan must contain NO join and NO shuffle at all (row-local work
+    over any scan size)."""
     from pyspark.sql import functions as F
 
     from killrweather_spark.functions.urls import attach_registered_domain
@@ -3087,7 +3089,7 @@ def test_psl_registered_domain_longest_suffix(spark):
     got = {r["host"]: r["registered_domain"] for r in out.collect()}
     assert got == dict(hosts), got
     plan = checks.formatted_plan(out)
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
     assert "hashpartitioning" not in plan, plan
 
 
