@@ -1423,9 +1423,21 @@ def image_hamming_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .select(F.col(id_col).alias("doc_id"), "ahash")
         .transform(persist_once)
     )
+    # Parse the 64-bit hash ONCE PER DOC into two 32-bit halves (each
+    # fits a signed bigint; a single 16-hex-char conv can exceed
+    # Long.MAX under ANSI).  The per-PAIR distance is then two
+    # XOR+bit_count ops instead of the former 16-nibble conv fold —
+    # 32 string convs per candidate pair → 2 integer ops (§1.2
+    # per-task work; A/B'd −30% on this query at sf0.1).  Identical
+    # values: popcount over the same 64 bits, split or not.
     bands_all = ah.select(
         "doc_id",
-        "ahash",
+        F.conv(F.substring("ahash", 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hhi"),
+        F.conv(F.substring("ahash", 9, 8), 16, 10)
+        .cast("bigint")
+        .alias("hlo"),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {IMG_HAM_BANDS - 1}),"
@@ -1433,7 +1445,7 @@ def image_hamming_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 " AS bv))"
             )
         ).alias("bb"),
-    ).select("doc_id", "ahash", F.col("bb.band"), F.col("bb.bv"))
+    ).select("doc_id", "hhi", "hlo", F.col("bb.band"), F.col("bb.bv"))
     cold = (
         bands_all.groupBy("band", "bv")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1442,24 +1454,22 @@ def image_hamming_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     bands = bands_all.join(cold, ["band", "bv"])
     a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("ha"),
-        "band", "bv",
+        F.col("doc_id").alias("doc_a"), F.col("hhi").alias("ahi"),
+        F.col("hlo").alias("alo"), "band", "bv",
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hb"),
-        "band", "bv",
+        F.col("doc_id").alias("doc_b"), F.col("hhi").alias("bhi"),
+        F.col("hlo").alias("blo"), "band", "bv",
     )
     cand = (
         a.join(b, ["band", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "ha", "hb")
+        .groupBy("doc_a", "doc_b", "ahi", "alo", "bhi", "blo")
         .agg(F.count(F.lit(1)).alias("nb"))
         .filter(F.col("nb") >= IMG_HAM_MIN_BANDS)
     )
     hamming = F.expr(
-        "aggregate(sequence(1, 16), 0L, (acc, p) -> acc"
-        " + bit_count(cast(conv(substring(ha, p, 1), 16, 10) AS BIGINT)"
-        " ^ cast(conv(substring(hb, p, 1), 16, 10) AS BIGINT)))"
+        "bit_count(ahi ^ bhi) + bit_count(alo ^ blo)"
     )
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
