@@ -8254,9 +8254,19 @@ def q_new_batch_dup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # min-gram hashing is the CPU hot spot: spread the narrow single-file
     # read across all task slots before it (no-op on a real multi-split scan)
+    from killrweather_spark.plans.caching import persist_once
+
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    fps = add_rolling_fingerprint(docs, "text", out="fp", gram=8).select(
-        "doc_id", (F.col("doc_id") % 4 == 0).alias("is_new"), "fp"
+    # The new-batch and corpus branches are map-side filters of the SAME
+    # fingerprint pass — with no Exchange between the scan and the
+    # branches there is nothing for reuse-exchange to share, so without
+    # a persist the per-position md5 rolling-min (the CPU hot spot) runs
+    # twice.  The persisted frame is (doc_id, bool, digest) — the stored
+    # fingerprint index an incremental pipeline keeps anyway.
+    fps = persist_once(
+        add_rolling_fingerprint(docs, "text", out="fp", gram=8).select(
+            "doc_id", (F.col("doc_id") % 4 == 0).alias("is_new"), "fp"
+        )
     )
     newb = fps.filter(F.col("is_new")).select("doc_id", "fp")
     corpus = fps.filter(~F.col("is_new")).select("fp")

@@ -1041,61 +1041,47 @@ def greedy_source_coverage(docs: DataFrame, k: int = 4,
         .distinct()
         .transform(persist_once)
     )
-    all_sources = sv.select("source").distinct()
-    covered = None
-    picked = None
-    out = []
+    # r13 round loop: each round is ONE job — the per-source uncovered
+    # counts collect to the driver (|sources| rows, metadata-sized: the
+    # source list was already collected above) and the argmax/tiebreak
+    # runs in Python with the same (−gain, source) total order.  The
+    # covered set is re-derived per round from the PERSISTED sv
+    # (distinct terms of the picked sources) instead of an accumulated
+    # chain of checkpointed unions — 3 eager localCheckpoints per round
+    # → 0.  Values identical: integer counts collected exactly, and the
+    # ASCII source tiebreak compares the same bytes either side.
+    # the candidate pool matches the original all_sources frame (sources
+    # PRESENT in sv — a source whose docs tokenize to nothing was never
+    # pickable)
+    pool = sorted(
+        r[0] for r in sv.select("source").distinct().collect()
+    )
+    picked: list[str] = []
+    out_rows: list[tuple[int, str, int]] = []
     for r in range(1, k + 1):
-        uncovered = sv if covered is None else sv.join(covered, "term",
-                                                       "left_anti")
-        remaining = (
-            all_sources
-            if picked is None
-            else all_sources.join(F.broadcast(picked), "source", "left_anti")
-        )
-        gains = (
-            remaining.join(
-                uncovered.groupBy("source").agg(
-                    F.count(F.lit(1)).cast("bigint").alias("g")
-                ),
-                "source",
-                "left",
+        if picked:
+            cov_terms = (
+                sv.filter(F.col("source").isin(picked))
+                .select("term")
+                .distinct()
             )
-            .select("source", F.coalesce("g", F.lit(0)).cast("bigint").alias("g"))
-        )
-        pick = (
-            gains.agg(F.min(F.struct((-F.col("g")).alias("ng"),
-                                     F.col("source"))).alias("s"))
-            .select(
-                F.col("s.source").alias("source"),
-                (-F.col("s.ng")).cast("bigint").alias("marginal_terms"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        out.append(
-            pick.select(
-                F.lit(r).cast("bigint").alias("sel_rank"),
-                "source",
-                "marginal_terms",
-            )
-        )
-        picked = (
-            pick.select("source")
-            if picked is None
-            else picked.unionByName(pick.select("source"))
-        ).localCheckpoint(eager=True)
-        if r < k:
-            newcov = sv.join(F.broadcast(pick.select("source")),
-                             "source").select("term")
-            covered = (
-                newcov
-                if covered is None
-                else covered.unionByName(newcov).distinct()
-            ).localCheckpoint(eager=True)
-    res = out[0]
-    for nxt in out[1:]:
-        res = res.unionByName(nxt)
-    return res
+            uncovered = sv.join(cov_terms, "term", "left_anti")
+        else:
+            uncovered = sv
+        gains = {
+            row["source"]: int(row["g"])
+            for row in uncovered.filter(~F.col("source").isin(picked))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+            .collect()
+        }
+        remaining = [s for s in pool if s not in picked]
+        best = min(remaining, key=lambda s: (-gains.get(s, 0), s))
+        out_rows.append((r, best, gains.get(best, 0)))
+        picked.append(best)
+    return docs.sparkSession.createDataFrame(
+        out_rows, "sel_rank bigint, source string, marginal_terms bigint"
+    )
 
 
 def greedy_source_coverage_sql(k: int = 4) -> str:
