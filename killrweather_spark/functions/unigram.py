@@ -149,26 +149,31 @@ def _piece_costs(vocab: DataFrame) -> DataFrame:
 
 def _segment(words: DataFrame, costs: DataFrame) -> DataFrame:
     """``(word, cnt, path)`` — the Viterbi-best segmentation of every
-    distinct word under ``costs``, path as space-joined pieces."""
-    subs = words.select(
-        "word", F.explode(F.expr(_SUBSTR_EXPR)).alias("e")
-    ).select("word", "e.s", "e.l", F.col("e.piece").alias("piece"))
-    edges = (
-        subs.join(F.broadcast(costs.select("piece", "cost_fp")), "piece")
-        .groupBy("word")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("s").alias("s"),
-                    F.col("l").alias("l"),
-                    F.col("cost_fp").alias("c"),
-                    F.col("piece").alias("p"),
-                )
-            ).alias("edges")
-        )
+    distinct word under ``costs``, path as space-joined pieces.
+
+    r13 edge build: the cost table is vocabulary-sized (≤ seed_k +
+    |alphabet| rows), so it collects to the driver and enters the plan
+    as a literal map — the per-word edge list is then a row-local
+    ``filter(transform(...))`` over the word's own substrings instead
+    of an explode → broadcast-join → collect_list groupBy → join-back
+    chain (one Exchange and two joins per E-step round removed).  Map
+    lookup ≡ the former inner join on piece, so the edge set and the
+    Viterbi fold are value-identical."""
+    rows = costs.select("piece", "cost_fp").collect()
+    centries = []
+    for r in rows:
+        centries.append(F.lit(r["piece"]))
+        centries.append(F.lit(int(r["cost_fp"])).cast("bigint"))
+    cmap = F.create_map(*centries) if centries else F.create_map()
+    edges_expr = F.expr(
+        f"filter(transform({_SUBSTR_EXPR}, "
+        "e -> named_struct('s', e.s, 'l', e.l, "
+        "'c', element_at(__cmap, e.piece), 'p', e.piece)), "
+        "e -> e.c IS NOT NULL)"
     )
     return (
-        words.join(edges, "word")
+        words.withColumn("__cmap", cmap)
+        .withColumn("edges", edges_expr)
         .select("word", "cnt", F.expr(_VITERBI_EXPR).alias("best"))
         .select("word", "cnt", F.col("best.p").alias("path"))
     )
