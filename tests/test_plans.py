@@ -756,21 +756,22 @@ def test_global_ntile_edge_frames(spark):
 def test_url_curation_stays_in_codegen_single_shuffle(spark):
     """URL synthesis + normalization are pure JVM expressions: the dedup
     query plans zero Python nodes and exactly one shuffle exchange (the
-    hash agg on the normalized key — the PSL dimension joins are
-    BroadcastHashJoins, which are map-side and not shuffles); the domain
-    report adds only the second keyed agg; the cap enforcer adds exactly
-    the two partitioned-window exchanges of the salted two-phase top-N
-    (both windows partitioned — guard-compliant)."""
+    hash agg on the normalized key).  Since r13 the static-PSL
+    registered-domain rule is a pure per-depth isin expression, so the
+    plans carry NO join at all; the domain report adds only the second
+    keyed agg; the cap enforcer adds exactly the two partitioned-window
+    exchanges of the salted two-phase top-N (both windows partitioned —
+    guard-compliant)."""
     dedup = REGISTRY["url_dedup_groups"].fn(spark, SF01)
     plan = checks.formatted_plan(dedup)
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert checks.shuffle_count(dedup) == 1, plan
     assert checks.has_partial_aggregation(dedup), plan
-    assert "BroadcastHashJoin" in plan, plan  # the PSL dimension joins
+    assert "Join" not in plan, plan  # PSL is an expression since r13
     report = REGISTRY["domain_quality_report"].fn(spark, SF01)
     plan2 = checks.formatted_plan(report)
     assert "BatchEvalPython" not in plan2 and "MapInPandas" not in plan2
-    assert "BroadcastHashJoin" in plan2, plan2
+    assert "Join" not in plan2, plan2
     cap = REGISTRY["domain_cap_enforce"].fn(spark, SF01)
     plan3 = checks.formatted_plan(cap)
     assert "BatchEvalPython" not in plan3 and "MapInPandas" not in plan3
