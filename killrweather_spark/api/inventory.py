@@ -11672,8 +11672,19 @@ def _wire_streaming_image_screen() -> None:
         from killrweather_spark.streaming.pipeline import run_stream_to_batch
 
         docs = load_table(spark, sf_dir, "documents")
-        ref = synth_png_pixels(docs.filter(F.col("doc_id") % 2 == 0))
-        arrivals = synth_png_pixels(_documents_stream(spark, sf_dir))
+        # fan_out below the Python synth so the one-time reference-index
+        # build decodes full-width too (no-op on wide production scans)
+        ref = synth_png_pixels(fan_out(docs.filter(F.col("doc_id") % 2 == 0)))
+        # Spread the narrow micro-batch across every task slot BEFORE
+        # the Python synth+decode (both mapInPandas): a one-partition
+        # file-stream trigger otherwise pushes every arrival through a
+        # single Python worker (the streaming_semantic_screen fan-out
+        # rule, pq.py).  Per-row synthesis/decode is placement-free.
+        arrivals = synth_png_pixels(
+            _documents_stream(spark, sf_dir).repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        )
         screened = streaming_image_screen(ref, arrivals)
         name = f"stream_image_screen_{uuid.uuid4().hex[:8]}"
         return run_stream_to_batch(

@@ -1454,6 +1454,14 @@ def streaming_passage_screen(
     ref = passage_ref_digests(ref_docs, seg_len).withColumnRenamed(
         "dig", "ref_dig"
     ).transform(persist_once)
+    # Spread the narrow micro-batch across every task slot before the
+    # tokenize/segment explode (the streaming_semantic_screen fan-out
+    # rule, pq.py): a |batch|-row round-robin exchange per trigger buys
+    # full-width probing; the per-doc rollup is keyed, so placement
+    # cannot change any value.
+    stream_docs = stream_docs.repartition(
+        stream_docs.sparkSession.sparkContext.defaultParallelism
+    )
     base = stream_docs.select(
         F.col("doc_id"), tokens(F.col("text")).alias("__toks")
     ).filter(F.size("__toks") >= 1)

@@ -1282,6 +1282,15 @@ def streaming_substring_screen(
     ref = substring_ref_digests(ref_docs, k, id_col, text_col).transform(
         persist_once
     )
+    # Spread the narrow micro-batch across every task slot before the
+    # k-gram explode + md5 (the streaming_semantic_screen fan-out rule,
+    # pq.py): a |batch|-row round-robin exchange per trigger buys
+    # full-width probing; the per-doc rollup is keyed and its position
+    # list is array_sort'ed before use, so placement cannot change any
+    # value.
+    stream_docs = stream_docs.repartition(
+        stream_docs.sparkSession.sparkContext.defaultParallelism
+    )
     base = stream_docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
     ).filter(F.size("ts") >= k)

@@ -316,9 +316,17 @@ def lang_scores_stream(
     profiles = lang_trigram_profiles(model_docs, k, text_col).transform(
         persist_once
     )
-    grams = _doc_grams(
-        stream_docs.select(id_col, text_col), [id_col], text_col
+    # Arrivals come off a NARROW source (a file-stream micro-batch is
+    # often one scan partition), and the per-occurrence trigram explode
+    # below is the CPU stage — spread the (tiny) arrival rows across
+    # every task slot first, the streaming_semantic_screen fan-out rule
+    # (pq.py).  A |batch|-row round-robin exchange per trigger buys
+    # full-width scoring; the (doc, lang) rollup is keyed, so placement
+    # cannot change any value.
+    arrivals = stream_docs.select(id_col, text_col).repartition(
+        stream_docs.sparkSession.sparkContext.defaultParallelism
     )
+    grams = _doc_grams(arrivals, [id_col], text_col)
     return (
         grams.join(
             F.broadcast(profiles.select("lang", "gram", "weight_micro")),

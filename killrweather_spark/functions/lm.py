@@ -795,6 +795,14 @@ def bigram_lm_scores_stream(
     this in update mode with a watermark evicting finished docs.
     """
     ptable = bigram_lm_ptable(model_docs).transform(persist_once)
+    # Spread the narrow micro-batch across every task slot before the
+    # bigram explode (the streaming_semantic_screen fan-out rule,
+    # pq.py): a |batch|-row round-robin exchange per trigger buys
+    # full-width scoring; the per-doc rollup is keyed, so placement
+    # cannot change any value.
+    stream_docs = stream_docs.repartition(
+        stream_docs.sparkSession.sparkContext.defaultParallelism
+    )
     toks = tokens(F.col("text"))
     pairs = (
         stream_docs.withColumn("__toks", toks)
