@@ -115,25 +115,90 @@ def matryoshka_recall_curve(
     """
     comp = quantized_components(df, id_col, vec_col).transform(persist_once)
     full_dim = max(dims)
-    truth = _truncated_topk(comp, query_pred, full_dim, k, id_col).select(
-        "query_id", "neighbor_id"
-    ).transform(persist_once)
+    # ONE brute-force pos-join computes every width's dot products as
+    # per-width CONDITIONAL sums over the full-width pair rows (r13,
+    # guide §1.2/§2.4): the old per-width loop replayed the N·|queries|
+    # join + (query, neighbor) groupBy + rank window once per width —
+    # Σd component rows multiplied and 4 corpus-scale Exchanges where one
+    # suffices.  Width-d equivalence is exact by construction:
+    #  - dot_d  = Σ qa·qb over shared pos <= d  ≡ the old pos<=d inner
+    #    join's sum (a pos missing on either side contributed nothing);
+    #  - cnt_d > 0 reproduces the old width-d PAIR SET (the pos<=d inner
+    #    join emitted a pair iff it shares >= 1 component position);
+    #  - norm2_d per vector (same conditional sum) reproduces
+    #    cosine_norms(tcomp)'s per-width zero-norm exclusion on both
+    #    sides.
+    # (An r13 array-dot rewrite of _truncated_topk — one-row query
+    # broadcast + zip_with/aggregate fold — was A/B'd 15-20% SLOWER
+    # at sf0.1: the higher-order-function fold does not reach
+    # whole-stage codegen, while the pos-join + partial agg does.)
+    qcomp = comp.filter(query_pred(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), "pos", F.col("q").alias("qa")
+    )
+    ccomp = comp.select(
+        F.col(id_col).alias("neighbor_id"), "pos", F.col("q").alias("qb")
+    )
+    dot_aggs = []
+    for d in dims:
+        dot_aggs.append(
+            F.sum(
+                F.when(F.col("pos") <= d, F.col("qa") * F.col("qb"))
+            ).alias(f"dot_{d}")
+        )
+        dot_aggs.append(
+            F.count(F.when(F.col("pos") <= d, F.lit(1))).alias(f"cnt_{d}")
+        )
+    pairs = (
+        F.broadcast(qcomp)
+        .join(ccomp, "pos")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(*dot_aggs)
+    )
+    norms = comp.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("pos") <= d, F.col("q") * F.col("q"))
+            ).alias(f"norm2_{d}")
+            for d in dims
+        ]
+    )
+    qn = norms.filter(query_pred(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"norm2_{d}").alias(f"qnorm2_{d}") for d in dims],
+    )
+    cn = norms.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"norm2_{d}").alias(f"nnorm2_{d}") for d in dims],
+    )
+    sims = (
+        pairs.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .transform(persist_once)
+    )
+
+    def ranked(d: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            (F.col(f"dot_{d}")
+             / (F.sqrt(F.col(f"qnorm2_{d}")) * F.sqrt(F.col(f"nnorm2_{d}"))))
+            .desc(),
+            F.col("neighbor_id").asc(),
+        )
+        return (
+            sims.filter(
+                (F.col(f"cnt_{d}") > 0)
+                & (F.col(f"qnorm2_{d}") > 0)
+                & (F.col(f"nnorm2_{d}") > 0)
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = ranked(full_dim).transform(persist_once)
     curves = []
     for d in dims:
-        # the widest width IS the ground truth — the self-check row reads
-        # the persisted truth frame instead of replaying the brute-force
-        # pass (same function, same args: identical by construction).
-        # (An r13 array-dot rewrite of _truncated_topk — one-row query
-        # broadcast + zip_with/aggregate fold — was A/B'd 15-20% SLOWER
-        # at sf0.1: the higher-order-function fold does not reach
-        # whole-stage codegen, while the pos-join + partial agg does.)
-        approx = (
-            truth
-            if d == full_dim
-            else _truncated_topk(comp, query_pred, d, k, id_col).select(
-                "query_id", "neighbor_id"
-            )
-        )
+        approx = truth if d == full_dim else ranked(d)
         hits = (
             approx.join(truth, ["query_id", "neighbor_id"])
             .groupBy()
