@@ -1011,16 +1011,19 @@ def _screen_static_state(spark, index_dir: str):
     by_cell: dict[int, dict[int, int]] = {}
     for r in cents_rows:
         by_cell.setdefault(int(r.cell), {})[int(r.pos)] = int(r.c)
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(
-                    *[F.lit(d[p]).cast("bigint") for p in sorted(d)]
-                ).alias("cv"),
+    # one parsed array(named_struct(...)) literal instead of
+    # n_centroids·dim F.lit py4j round-trips (r13): same integers, one
+    # JVM call — this is the cold-path cost of the memoized state.
+    cent_lit = F.expr(
+        "array({})".format(
+            ", ".join(
+                "named_struct('cell', {}, 'cv', array({}))".format(
+                    cell,
+                    ", ".join(f"{d[p]}L" for p in sorted(d)),
+                )
+                for cell, d in sorted(by_cell.items())
             )
-            for cell, d in sorted(by_cell.items())
-        ]
+        )
     )
     # Positional code tables per subspace, zero-filled at code-id gaps
     # (a missing code id is never referenced: stored codes are argmins
@@ -1176,24 +1179,30 @@ def streaming_semantic_screen(
     # latency (paid PER MICRO-BATCH: incremental execution replans
     # every trigger) measured seconds; with single-reference rows the
     # same integers plan in tens of milliseconds.
-    for si, (_, a_lit) in enumerate(sub_tables):
-        probed = probed.withColumn(
-            f"__r{si}",
-            F.element_at(
+    # ONE withColumns call + ONE parsed expression string for the
+    # unrolled ADC sum (r13): the per-term Column-API fold issued ~200
+    # py4j round-trips PER QUERY BUILD (M withColumn plan copies + 2
+    # element_at calls and a multiply per product term) — ~0.5 s of
+    # driver-side plan construction per stream start before any row
+    # moved.  The SQL string parses to the identical element_at/product
+    # tree in one JVM call; the codebook literals still enter via the
+    # single-reference __r columns (see the replan note above).
+    probed = probed.withColumns(
+        {
+            f"__r{si}": F.element_at(
                 a_lit,
                 (F.element_at(F.col("codes"), si + 1) + 1).cast("int"),
-            ),
-        )
-    adot_terms = []
-    for si, (poss, _) in enumerate(sub_tables):
-        for j, p in enumerate(poss):
-            adot_terms.append(
-                F.element_at(F.col("q"), p)
-                * F.element_at(F.col(f"__r{si}"), j + 1)
             )
-    adot = adot_terms[0]
-    for t in adot_terms[1:]:
-        adot = adot + t
+            for si, (_, a_lit) in enumerate(sub_tables)
+        }
+    )
+    adot = F.expr(
+        " + ".join(
+            f"element_at(q, {p}) * element_at(__r{si}, {j + 1})"
+            for si, (poss, _) in enumerate(sub_tables)
+            for j, p in enumerate(poss)
+        )
+    )
     scored = probed.withColumn("adot", adot).drop(
         *[f"__r{si}" for si in range(len(sub_tables))]
     ).withColumn(
