@@ -100,10 +100,13 @@ def running_totals_by_key(
             self._totals = handle.getValueState("totals", state_schema)
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._totals.exists():
-                n, s = self._totals.get()
-            else:
-                n, s = 0, 0
+            # ONE state read: get() returns None when the key has no
+            # value, so the separate exists() probe is a redundant
+            # state-server round-trip — at |keys| keys per batch that is
+            # |keys| fewer protocol messages through the pure-Python
+            # protobuf channel (guide §4.1: fewer boundary crossings).
+            prior = self._totals.get()
+            n, s = (int(prior[0]), int(prior[1])) if prior is not None else (0, 0)
             for pdf in rows:
                 n += len(pdf)
                 s += int(pdf[cents_col].sum())
@@ -168,10 +171,28 @@ def daily_counts_by_key(
             for pdf in rows:
                 for day, cnt in pdf[day_col].value_counts().items():
                     touched[str(day)] = touched.get(str(day), 0) + int(cnt)
+            # Prior counts for the touched days.  Each getValue is one
+            # state-server round-trip (pure-Python protobuf both ways),
+            # so a batch touching many days per key pays 2·|days| trips;
+            # iterator() streams the key's WHOLE map in paged fetches.
+            # Pick whichever moves fewer messages: bulk scan when the
+            # batch touches many days (bulk arrival/backfill — the
+            # availableNow drain), point reads when it touches few
+            # (steady-state triggers, where the map holds history the
+            # batch doesn't need).  Same values either way.
+            if len(touched) >= 4:
+                prior = {
+                    k[0]: int(v[0]) for k, v in self._counts.iterator()
+                }
+            else:
+                prior = {}
+                for day in touched:
+                    prev = self._counts.getValue((day,))
+                    if prev is not None:
+                        prior[day] = int(prev[0])
             out_days, out_ns = [], []
             for day, add in sorted(touched.items()):
-                prev = self._counts.getValue((day,))
-                n = (int(prev[0]) if prev is not None else 0) + add
+                n = prior.get(day, 0) + add
                 self._counts.updateValue((day,), (n,))
                 out_days.append(day)
                 out_ns.append(n)
@@ -227,7 +248,10 @@ def distinct_values_by_key(
             self._seen = handle.getListState("seen", "v string")
 
         def handleInputRows(self, key, rows, timerValues):
-            seen = {t[0] for t in self._seen.get()} if self._seen.exists() else set()
+            # No exists() probe: iterating get() on an absent list ends
+            # immediately (the state server signals end-of-iterator), so
+            # the extra round-trip bought nothing (guide §4.1).
+            seen = {t[0] for t in self._seen.get()}
             for pdf in rows:
                 seen.update(str(v) for v in pdf[value_col].unique())
             ordered = sorted(seen)
@@ -298,10 +322,9 @@ def totals_with_idle_flush(
             self._totals = handle.getValueState("totals", state_schema)
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._totals.exists():
-                n, s = self._totals.get()
-            else:
-                n, s = 0, 0
+            # get() returns None when absent — no separate exists() trip
+            prior = self._totals.get()
+            n, s = (int(prior[0]), int(prior[1])) if prior is not None else (0, 0)
             for pdf in rows:
                 n += len(pdf)
                 s += int(pdf[cents_col].sum())
@@ -323,8 +346,9 @@ def totals_with_idle_flush(
             )
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if self._totals.exists():
-                n, s = self._totals.get()
+            prior = self._totals.get()
+            if prior is not None:
+                n, s = prior
                 self._totals.clear()
                 yield pd.DataFrame(
                     {
@@ -398,10 +422,13 @@ def eventtime_session_finalize(
             self._acc = handle.getValueState("acc", state_schema)
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._acc.exists():
-                n, s, mx = self._acc.get()
-            else:
-                n, s, mx = 0, 0, 0
+            # get() returns None when absent — no separate exists() trip
+            prior = self._acc.get()
+            n, s, mx = (
+                (int(prior[0]), int(prior[1]), int(prior[2]))
+                if prior is not None
+                else (0, 0, 0)
+            )
             for pdf in rows:
                 n += len(pdf)
                 s += int(pdf[cents_col].sum())
@@ -424,8 +451,9 @@ def eventtime_session_finalize(
             )
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if self._acc.exists():
-                n, s, _mx = self._acc.get()
+            prior = self._acc.get()
+            if prior is not None:
+                n, s, _mx = prior
                 self._acc.clear()
                 yield pd.DataFrame(
                     {

@@ -1023,6 +1023,68 @@ def test_transform_with_state_mapstate_daily_counts(spark, tmp_path):
     assert any(r.n < want[(r.k, r.day)] for r in raw)
 
 
+def test_transform_with_state_mapstate_bulk_read_across_batches(
+    spark, tmp_path
+):
+    """The BULK map-read branch of daily_counts_by_key (>= 4 touched
+    days per key reads prior counts via one iterator() scan instead of
+    per-day getValue round-trips): with 6 days per key per batch and two
+    batches touching the SAME days, batch 2 must recover batch 1's
+    counts through the iterator path — the branch the 3-day test above
+    (point-read path) never enters."""
+    from tests.conftest import PROTOBUF_STATUS
+
+    status, detail = PROTOBUF_STATUS
+    if status in ("failed", "absent"):
+        pytest.skip(f"google.protobuf unavailable ({status}): {detail}")
+    import json
+    from collections import Counter
+
+    from killrweather_spark.streaming.stateful import daily_counts_by_key
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"k": i % 2, "day": f"2025-02-0{1 + (i % 6)}"} for i in range(36)
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:18]))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows[18:]))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema("k bigint, day string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = daily_counts_by_key(stream, "k", "day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_daily_bulk")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.k, r.day): r.n
+        for r in spark.table("tws_daily_bulk")
+        .groupBy("k", "day")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    want = Counter((r["k"], r["day"]) for r in rows)
+    assert got == dict(want)
+    # prior state was actually read back: an intermediate emission exists
+    raw = spark.table("tws_daily_bulk").collect()
+    assert any(r.n < want[(r.k, r.day)] for r in raw)
+
+
 def test_transform_with_state_timers_flush_idle_keys(spark, tmp_path):
     """Processing-time timers (the session-flush/TTL primitive): keys
     0,1,2 appear only in batch 1 and arm immediate-expiry timers; batch
