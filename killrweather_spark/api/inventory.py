@@ -4339,11 +4339,12 @@ def _kcenter_sql(k: int) -> str:
     "the quantized embedding space, the SELECTION counterpart to "
     "SemDeDup's redundancy pruning (pick what covers the space instead of "
     "dropping what crowds it; Gonzalez 2-approximation of the optimal "
-    "coverage radius).  Composed DataFrame plans, no driver collect: per "
-    "pick, one broadcast 1-row center, one map-side-combined distance "
-    "aggregation (the only corpus-sized shuffle), a least() fold into the "
-    "carried (id, d2min) state, and a 1-row argmax; state "
-    "localCheckpoints every 4 picks (the kmeans_iterate lineage policy).  "
+    "coverage radius).  r13 shape: per-pick decisions are metadata-sized "
+    "(one center id + one dim-length array), so they are driver-held and "
+    "each round is ONE map-only least() fold of the carried (id, qa, "
+    "d2min) state against the center literal plus a TakeOrdered argmax — "
+    "no per-pick corpus shuffle; state localCheckpoints per round (the "
+    "kmeans_iterate lineage policy).  "
     "Deterministic seed/tiebreaks + exact int64 squared-L2 ⇒ every pick "
     "oracle-replays bit-for-bit; d2_before monotonicity + coverage bound "
     "pinned in tests",

@@ -1129,6 +1129,39 @@ def ann_cosine_topk_int8(
     )
 
 
+def _kcenter_qarr(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """``(id, qa)`` — the vector as an int64 ARRAY under the same ×10⁶
+    rounding as :func:`quantized_components` (array twin, one row per
+    vector instead of one per component)."""
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"cast(round(cast(x as double) * {QUANT}) as bigint))"
+        ).alias("qa"),
+    )
+
+
+def _kcenter_d2(cq: list) -> "F.Column":
+    """Row-local squared-L2 distance from ``qa`` to the driver-held
+    center array ``cq`` — NULL when the two share no positions (the
+    inner pos-join semantics: such ids leave the state, exactly as the
+    join-based form dropped them).  ``coalesce(term, 0)`` replicates
+    SUM's null-term skipping; everything is int64, reduction-order
+    free."""
+    n = len(cq)
+    if n == 0:
+        return F.lit(None).cast("bigint")
+    lit = "array(" + ", ".join(f"{int(v)}L" for v in cq) + ")"
+    return F.expr(
+        f"CASE WHEN size(qa) >= 1 THEN aggregate("
+        f"zip_with(slice(qa, 1, least(size(qa), {n})), "
+        f"slice({lit}, 1, least(size(qa), {n})), "
+        f"(x, y) -> coalesce((x - y) * (x - y), 0L)), "
+        f"0L, (a, v) -> a + v) END"
+    )
+
+
 def kcenter_select(
     df: DataFrame,
     k: int,
@@ -1147,21 +1180,23 @@ def kcenter_select(
     the DuckDB oracle replays every pick exactly and a production rerun
     selects the identical coreset.
 
-    Composed as DataFrame plans, no driver-side collect: each iteration
-    is (a) one broadcast of the 1-row current pick, (b) one narrow
-    pos-join + per-id partial aggregation computing distances to it (the
-    only corpus-sized shuffle — map-side combined, |corpus| rows), (c) a
-    running ``least`` against the carried (id, d2min) state, and (d) a
-    1-row global argmax via ``max(struct(d2, -id))``.  Every pick and
-    every state update is localCheckpoint()-ed EAGERLY: each is consumed
-    by multiple downstream branches (the output union, the next distance
-    pass, the next state fold), so without materialization evaluating
-    pick i re-runs the whole prefix chain — O(k²) corpus passes instead
-    of k (measured 7× slower at bench SF).  The picks are 1-row frames
-    and the state is (id, d2min), so the checkpoint cost IS the k-pass
-    cost, nothing more.  k passes over the corpus total — the textbook
-    greedy k-center bill; for k beyond ~dozens, switch to sampling-based
-    k-center++ behind the same contract.
+    r13 shape (guide §2.4, §5 — the greedy_source_coverage pattern): the
+    per-round DECISIONS are metadata-sized (one center id + one
+    dim-length array per pick, k ≤ dozens by contract), so they live on
+    the driver and each center enters the next round's plan as a LITERAL
+    array.  Per round the carried ``(id, qa, d2min)`` state frame takes
+    ONE map-only pass — a row-local ``zip_with`` fold against the
+    center literal, ``least`` into the carried minimum, an ``isin``
+    drop of the picked id — and is localCheckpoint()-ed eagerly (state
+    feeds both the next argmax and the next fold; without
+    materialization pick i re-runs the whole prefix chain, measured 7×
+    slower).  The argmax is a TakeOrdered ``(d2 DESC, id)`` limit(1) —
+    identical to ``max(struct(d2, -id))``.  No per-round corpus
+    shuffle: the former pos-join + per-id aggregation Exchange per pick
+    is gone (the distances were always per-row computable; only the
+    argmax is global).  k map passes over the corpus total — the
+    textbook greedy k-center bill; for k beyond ~dozens, switch to
+    sampling-based k-center++ behind the same contract.
 
     Output: (sel_rank, vec_id, d2_before) — pick order, chosen id, and
     the pick's min-squared-distance to all earlier picks (NULL for the
@@ -1169,12 +1204,12 @@ def kcenter_select(
     current farthest point), and the post-selection coverage radius is
     ≤ the last pick's ``d2_before`` — both pinned in tests.
 
-    Picks are DISTINCT ids by construction: every selected id is
-    anti-joined out of the carried state before the next argmax, so
-    duplicate embeddings (remaining min-distance 0) yield distinct-id
-    zero-distance picks rather than silently re-selecting the seed —
-    and ``k`` larger than the corpus raises instead of emitting null
-    picks (the state frame would run empty).
+    Picks are DISTINCT ids by construction: every selected id leaves
+    the carried state before the next argmax, so duplicate embeddings
+    (remaining min-distance 0) yield distinct-id zero-distance picks
+    rather than silently re-selecting the seed — and ``k`` larger than
+    the corpus raises instead of emitting null picks (the state frame
+    would run empty).
     """
     n_ids = df.count()
     if k > n_ids:
@@ -1182,66 +1217,48 @@ def kcenter_select(
             f"kcenter_select: k={k} exceeds the {n_ids} available vectors"
             " — every id can be picked at most once"
         )
-    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+    arr = _kcenter_qarr(df, id_col, vec_col).transform(persist_once)
 
-    def dist_to(center: DataFrame) -> DataFrame:
-        cent = comp.join(
-            F.broadcast(center), comp[id_col] == center["cid"]
-        ).select("pos", F.col("q").alias("cq"))
-        return (
-            comp.join(F.broadcast(cent), "pos")
-            .groupBy(id_col)
-            .agg(
-                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
-                .alias("d2")
-            )
-        )
-
-    seed = df.select(F.min(id_col).alias("cid")).localCheckpoint(eager=True)
-    picks = [
-        seed.select(
-            F.lit(0).cast("bigint").alias("sel_rank"),
-            F.col("cid").alias(id_col),
-            F.lit(None).cast("bigint").alias("d2_before"),
-        )
-    ]
-    # already-picked ids leave the state frame (left_anti on the 1-row
-    # pick) so the argmax can never re-select them — the distinct-picks
-    # contract even when every remaining distance is 0
-    m = dist_to(seed).join(
-        F.broadcast(seed.select(F.col("cid").alias(id_col))),
-        id_col,
-        "left_anti",
-    ).localCheckpoint(eager=True)
+    seed_id = df.agg(F.min(id_col).alias("cid")).collect()[0]["cid"]
+    crow = arr.filter(F.col(id_col) == seed_id).select("qa").collect()
+    cq = list(crow[0]["qa"]) if crow else []
+    picks_py: list[tuple] = [(0, seed_id, None)]
+    m = (
+        arr.withColumn("d2", _kcenter_d2(cq))
+        .filter(F.col("d2").isNotNull())
+        .filter(F.col(id_col) != F.lit(seed_id))
+        .select(id_col, "qa", "d2")
+        .localCheckpoint(eager=True)
+    )
     for i in range(1, k):
-        pick = m.agg(
-            F.max(F.struct(F.col("d2"), (-F.col(id_col)).alias("nid"))).alias("s")
-        ).select(
-            (-F.col("s.nid")).alias("cid"), F.col("s.d2").alias("d2_before")
-        ).localCheckpoint(eager=True)
-        picks.append(
-            pick.select(
-                F.lit(i).cast("bigint").alias("sel_rank"),
-                F.col("cid").alias(id_col),
-                F.col("d2_before"),
-            )
+        top = (
+            m.orderBy(F.col("d2").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
         )
+        pick_id = top[0][id_col]
+        picks_py.append((i, pick_id, int(top[0]["d2"])))
         if i < k - 1:
-            nd = dist_to(pick.select("cid")).withColumnRenamed("d2", "nd2")
             m = (
-                m.join(nd, id_col)
-                .select(id_col, F.least("d2", "nd2").alias("d2"))
-                .join(
-                    F.broadcast(pick.select(F.col("cid").alias(id_col))),
-                    id_col,
-                    "left_anti",
-                )
+                m.withColumn("nd2", _kcenter_d2(list(top[0]["qa"])))
+                .filter(F.col("nd2").isNotNull())
+                .select(id_col, "qa", F.least("d2", "nd2").alias("d2"))
+                .filter(F.col(id_col) != F.lit(pick_id))
                 .localCheckpoint(eager=True)
             )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("sel_rank", LongType(), False),
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("d2_before", LongType(), True),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [(int(r), p, None if d is None else int(d)) for r, p, d in picks_py],
+        schema,
+    )
 
 
 KPP_HASH_MOD = 65536  # 16-bit hash space for the D² acceptance test
@@ -1302,43 +1319,30 @@ def kcenter_pp_select(
         raise ValueError(
             f"kcenter_pp_select: k={k} exceeds the {n_ids} available vectors"
         )
-    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+    arr = _kcenter_qarr(df, id_col, vec_col).transform(persist_once)
 
-    def dist_min_to(centers: DataFrame) -> DataFrame:
-        """min squared distance from every corpus point to any center in
-        the (≤ oversample)-row broadcast ``centers`` (cid) frame."""
-        cent = comp.join(
-            F.broadcast(centers), comp[id_col] == centers["cid"]
-        ).select("cid", "pos", F.col("q").alias("cq"))
-        return (
-            comp.join(F.broadcast(cent), "pos")
-            .groupBy(id_col, "cid")
-            .agg(
-                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
-                .alias("d2c")
-            )
-            .groupBy(id_col)
-            .agg(F.min("d2c").alias("d2"))
-        )
-
-    seed = df.select(F.min(id_col).alias("cid")).localCheckpoint(eager=True)
-    picks = [
-        seed.select(
-            F.lit(0).alias("ord_round"),
-            F.col("cid").alias(id_col),
-            F.lit(None).cast("bigint").alias("d2_before"),
-        )
-    ]
-    m = dist_min_to(seed).join(
-        F.broadcast(seed.select(F.col("cid").alias(id_col))),
-        id_col,
-        "left_anti",
-    ).localCheckpoint(eager=True)
+    # r13 shape, same as kcenter_select: per-round decisions (≤ oversample
+    # centers + the 1-row D² total) are metadata-sized and driver-held;
+    # the state update is ONE map-only pass against the center literals
+    # (least() skips a NULL no-overlap distance exactly like the former
+    # per-(id, cid) inner join + MIN).  No per-round corpus shuffle.
+    seed_id = df.agg(F.min(id_col).alias("cid")).collect()[0]["cid"]
+    crow = arr.filter(F.col(id_col) == seed_id).select("qa").collect()
+    cq = list(crow[0]["qa"]) if crow else []
+    picks_py: list[tuple] = [(0, seed_id, None)]
+    m = (
+        arr.withColumn("d2", _kcenter_d2(cq))
+        .filter(F.col("d2").isNotNull())
+        .filter(F.col(id_col) != F.lit(seed_id))
+        .select(id_col, "qa", "d2")
+        .localCheckpoint(eager=True)
+    )
     rounds = -(-(k - 1) // oversample)
-    w = Window.orderBy(F.col("d2").desc(), F.col(id_col).asc())
     for r in range(1, rounds + 1):
-        tot = m.agg(
-            F.greatest(F.sum("d2"), F.lit(1)).cast("bigint").alias("tot")
+        tot = int(
+            m.agg(
+                F.greatest(F.sum("d2"), F.lit(1)).cast("bigint").alias("tot")
+            ).collect()[0]["tot"]
         )
         h16 = F.conv(
             F.substring(
@@ -1349,66 +1353,64 @@ def kcenter_pp_select(
             16,
             10,
         ).cast("bigint")
-        sel = (
-            m.crossJoin(F.broadcast(tot))
-            .withColumn(
-                "p", F.expr(f"({KPP_PSCALE} * d2) div tot").cast("bigint")
-            )
-            .filter(
+        # acceptance test + (d2 DESC, id) cap in one TakeOrdered job; the
+        # former row_number window over the accepted rows picked the same
+        # top-oversample set
+        sel_rows = (
+            m.filter(
                 h16
                 < F.expr(
-                    f"({KPP_BOOST * oversample} * p * {KPP_HASH_MOD})"
+                    f"({KPP_BOOST * oversample} * "
+                    f"(({KPP_PSCALE} * d2) div {tot}) * {KPP_HASH_MOD})"
                     f" div {KPP_PSCALE}"
                 )
             )
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= oversample)
-            .select(id_col, "d2")
-            .localCheckpoint(eager=True)
+            .orderBy(F.col("d2").desc(), F.col(id_col).asc())
+            .limit(oversample)
+            .collect()
         )
-        if sel.count() == 0:  # greedy fallback: the round must progress
-            sel = (
-                m.agg(
-                    F.max(
-                        F.struct(F.col("d2"), (-F.col(id_col)).alias("nid"))
-                    ).alias("s")
-                )
-                .select(
-                    (-F.col("s.nid")).alias(id_col), F.col("s.d2").alias("d2")
-                )
-                .localCheckpoint(eager=True)
+        if not sel_rows:  # greedy fallback: the round must progress
+            sel_rows = (
+                m.orderBy(F.col("d2").desc(), F.col(id_col).asc())
+                .limit(1)
+                .collect()
             )
-        picks.append(
-            sel.select(
-                F.lit(r).alias("ord_round"),
-                F.col(id_col),
-                F.col("d2").alias("d2_before"),
-            )
+        picks_py.extend(
+            (r, row[id_col], int(row["d2"])) for row in sel_rows
         )
         if r < rounds:
-            nd = dist_min_to(
-                sel.select(F.col(id_col).alias("cid"))
-            ).withColumnRenamed("d2", "nd2")
+            nds = [_kcenter_d2(list(row["qa"])) for row in sel_rows]
+            nd2 = nds[0] if len(nds) == 1 else F.least(*nds)
+            picked = [row[id_col] for row in sel_rows]
             m = (
-                m.join(nd, id_col)
-                .select(id_col, F.least("d2", "nd2").alias("d2"))
-                .join(
-                    F.broadcast(sel.select(id_col)), id_col, "left_anti"
-                )
+                m.withColumn("nd2", nd2)
+                .filter(F.col("nd2").isNotNull())
+                .select(id_col, "qa", F.least("d2", "nd2").alias("d2"))
+                .filter(~F.col(id_col).isin(picked))
                 .localCheckpoint(eager=True)
             )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    # tiny frame (≤ k + oversample rows): the global window is a driver-
-    # sized sort, not a corpus hazard
-    wsel = Window.orderBy(
-        F.col("ord_round").asc(), F.col("d2_before").desc(), F.col(id_col)
+    # final rank: (ord_round ASC, d2_before DESC, id ASC), truncated to k
+    # — the former driver-sized window, now a plain sort of ≤ k +
+    # oversample·rounds driver-held tuples (the seed is round 0's only
+    # row, so its NULL d2_before never ties against a real one)
+    picks_py.sort(
+        key=lambda t: (t[0], -(t[2] if t[2] is not None else 0), t[1])
     )
-    return (
-        out.withColumn("sel_rank", (F.row_number().over(wsel) - 1).cast("bigint"))
-        .filter(F.col("sel_rank") < k)
-        .select("sel_rank", id_col, "d2_before")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("sel_rank", LongType(), False),
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("d2_before", LongType(), True),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [
+            (int(i), p, None if d is None else int(d))
+            for i, (_, p, d) in enumerate(picks_py[:k])
+        ],
+        schema,
     )
 
 

@@ -607,11 +607,9 @@ _BOUNDED_GLOBAL_WINDOW_WHITELIST = {
     # curation.py:896 cumulates over the |PIPELINE_STAGES| = 7-row stage
     # histogram (built from spark.range(1, 8)).
     "curation_pipeline_report": 1,
-    # similarity.py:1384 ranks the ≤ k + oversample·rounds selected-center
-    # union (the per-round candidate windows at similarity.py:1317 execute
-    # eagerly inside fn() against ≤oversample-row localCheckpoint frames
-    # and never appear in the returned plan).
-    "kcenter_pp_coreset": 1,
+    # kcenter_pp_coreset left the list in r13: the per-round candidate
+    # cap became a TakeOrdered limit and the final rank a driver-side
+    # sort of ≤ k + oversample·rounds held tuples — zero Window nodes.
 }
 
 
