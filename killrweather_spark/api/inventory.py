@@ -4341,8 +4341,9 @@ def _kcenter_sql(k: int) -> str:
     "dropping what crowds it; Gonzalez 2-approximation of the optimal "
     "coverage radius).  r13 shape: per-pick decisions are metadata-sized "
     "(one center id + one dim-length array), so they are driver-held and "
-    "each round is ONE map-only least() fold of the carried (id, qa, "
-    "d2min) state against the center literal plus a TakeOrdered argmax — "
+    "each round is ONE map-only pass of the carried (id, qa, d2min) "
+    "state — an Arrow/numpy distance kernel against the driver-held "
+    "center, least() into d2min — plus a TakeOrdered argmax; "
     "no per-pick corpus shuffle; state localCheckpoints per round (the "
     "kmeans_iterate lineage policy).  "
     "Deterministic seed/tiebreaks + exact int64 squared-L2 ⇒ every pick "

@@ -68,64 +68,55 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine) with deterministic
     (cosine DESC, neighbor_id ASC) ranking.
     """
-    # ARRAY-dot form (r13): quantize each side to an int64 array and fold
-    # the query set to ONE row carrying every (query_id, qq, qnorm2)
-    # struct — the map-only exact-screen pattern (a 1-row broadcast
-    # crossJoin, never a pair cartesian).  Each corpus row explodes to
-    # |queries| scored rows with a per-row zip_with/aggregate dot —
-    # dims× fewer rows than the former per-component pos-join + the
-    # (query, neighbor) groupBy Exchange it fed, with identical values:
-    # same ×10⁶ integers, order-free int64 sum, coalesce-to-0 ≡ the
-    # inner join on pos, and the norm2 > 0 filters ≡ cosine_norms.
-    quant = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * QUANT).cast("bigint"),
+    # r12 pos-join form, RESTORED in r13 session 5 after A/B'ing the
+    # session-2 zip_with/aggregate array-dot fold: that fold is
+    # CodegenFallback (interpreted per element), ~1.8× slower at sf1
+    # on cosine_topk itself and on every truth-building consumer
+    # (ann_ivfpq_recall 6.8→3.4 s, alternating fresh-JVM legs), while
+    # at sf0.1 the two forms tie.  It also forfeits the comp cache the
+    # rest of the similarity family shares in-session.  The shared
+    # persisted component index IS the production layout (the
+    # precomputed index stored next to the vectors), so the pos-join +
+    # partial-agg form is both the codegen'd and the cache-shared one.
+    comp = quantized_components(df, id_col, vec_col).transform(persist_once)
+    nrm = cosine_norms(comp, id_col)
+
+    qcomp = comp.filter(query_ids_filter(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), "pos", F.col("q").alias("qa")
     )
-    norm2 = F.aggregate(
-        F.col("qv"), F.lit(0).cast("bigint"), lambda s, x: s + x * x
+    ccomp = comp.select(
+        F.col(id_col).alias("neighbor_id"), "pos", F.col("q").alias("qb")
     )
-    carr = (
-        df.select(F.col(id_col).alias("neighbor_id"), quant.alias("qv"))
-        .withColumn("nnorm2", norm2)
-        .filter(F.col("nnorm2") > 0)
+
+    # query side is k·dims rows — broadcast it; the corpus side streams.
+    dots = (
+        F.broadcast(qcomp)
+        .join(ccomp, "pos")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
     )
-    qrow = (
-        df.filter(query_ids_filter(F.col(id_col)))
-        .select(F.col(id_col).alias("query_id"), quant.alias("qv"))
-        .withColumn("qnorm2", norm2)
-        .filter(F.col("qnorm2") > 0)
-        .agg(
-            F.collect_list(
-                F.struct("query_id", F.col("qv").alias("qq"), "qnorm2")
-            ).alias("qs")
-        )
+    # qn carries a broadcast hint: bound it to the QUERY ids first —
+    # hinting the corpus-sized norms frame would ship the whole corpus
+    # to every executor at scale even though only the query rows match.
+    # The bound is a broadcast semi against the (tiny, unique-id) query
+    # predicate on the source frame: map-side, no extra shuffle.
+    qids = df.filter(query_ids_filter(F.col(id_col))).select(
+        F.col(id_col).alias("query_id")
+    )
+    qn = nrm.select(
+        F.col(id_col).alias("query_id"), F.col("norm2").alias("qnorm2")
+    ).join(F.broadcast(qids), "query_id")
+    cn = nrm.select(
+        F.col(id_col).alias("neighbor_id"), F.col("norm2").alias("nnorm2")
     )
     sims = (
-        carr.crossJoin(F.broadcast(qrow))
-        .select(
-            "neighbor_id", "qv", "nnorm2", F.explode("qs").alias("qe")
-        )
-        .filter(F.col("qe.query_id") != F.col("neighbor_id"))
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
         .withColumn(
-            "dot",
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    F.col("qe.qq"),
-                    lambda a, b: F.coalesce(a, F.lit(0).cast("bigint"))
-                    * F.coalesce(b, F.lit(0).cast("bigint")),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda s, x: s + x,
-            ),
-        )
-        .select(
-            F.col("qe.query_id").alias("query_id"),
-            "neighbor_id",
-            (
-                F.col("dot")
-                / (F.sqrt(F.col("qe.qnorm2")) * F.sqrt(F.col("nnorm2")))
-            ).alias("cosine"),
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("nnorm2"))),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1144,22 +1135,78 @@ def _kcenter_qarr(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _kcenter_d2(cq: list) -> "F.Column":
     """Row-local squared-L2 distance from ``qa`` to the driver-held
-    center array ``cq`` — NULL when the two share no positions (the
-    inner pos-join semantics: such ids leave the state, exactly as the
-    join-based form dropped them).  ``coalesce(term, 0)`` replicates
-    SUM's null-term skipping; everything is int64, reduction-order
-    free."""
+    center array ``cq`` — NULL when ``qa`` is empty (the inner
+    pos-join semantics: such ids leave the state, exactly as the
+    join-based form dropped them).  A position either side lacks, or a
+    null component, contributes nothing (SUM's null-term skipping);
+    everything is int64, reduction-order free.
+
+    Arrow-vectorized kernel (guide §4.2): the JVM forms all lose
+    somewhere — the former per-round pos-join + per-id aggregation
+    pays a corpus Exchange per pick, and a zip_with/aggregate fold is
+    CodegenFallback (interpreted per element: ~2× the whole query at
+    sf1 — kcenter_pp_coreset 5.2 → 1.8 s, alternating fresh-JVM legs,
+    OPTIMIZATION_r13 session 5; at sf0.1 the kernel costs ~0.3 s of
+    per-round pandas_udf dispatch, the accepted trade for the
+    scale-dominant form).  The pandas_udf hands each Arrow batch to
+    numpy: one
+    vectorized ``((A − c)²).sum(axis=1)`` over the (N × dim) block on
+    the fast path (every row full-width, no nulls), an exact per-row
+    fallback for ragged/null rows.  int64 wrap semantics match the
+    JVM; values are identical to the join form on every path."""
     n = len(cq)
     if n == 0:
         return F.lit(None).cast("bigint")
-    lit = "array(" + ", ".join(f"{int(v)}L" for v in cq) + ")"
-    return F.expr(
-        f"CASE WHEN size(qa) >= 1 THEN aggregate("
-        f"zip_with(slice(qa, 1, least(size(qa), {n})), "
-        f"slice({lit}, 1, least(size(qa), {n})), "
-        f"(x, y) -> coalesce((x - y) * (x - y), 0L)), "
-        f"0L, (a, v) -> a + v) END"
+    import numpy as np
+
+    cvals = np.array(
+        [0 if v is None else int(v) for v in cq], dtype=np.int64
     )
+    cmask = np.array([v is not None for v in cq], dtype=bool)
+
+    @F.pandas_udf("bigint")
+    def d2(qa):
+        import numpy as _np
+        import pandas as _pd
+
+        rows = qa.to_list()
+        # Fast path only for a cleanly stackable INTEGER batch: Arrow →
+        # pandas delivers a null-free array<bigint> row as an int64
+        # ndarray, but a row WITH nulls arrives as float64 with NaN —
+        # and numpy's unsafe cast would silently turn that NaN into
+        # INT64_MIN (wrapping to a wrong finite d2), so a non-integer
+        # dtype routes the whole batch to the exact per-row loop.
+        try:
+            mat = _np.stack(rows)
+            full = (
+                mat.ndim == 2
+                and mat.shape[1] == n
+                and mat.dtype.kind in "iu"
+            )
+        except (TypeError, ValueError):
+            full = False
+        if full:
+            diff = _np.where(cmask, mat.astype(_np.int64) - cvals, 0)
+            return _pd.Series((diff * diff).sum(axis=1))
+        out = []
+        for row in rows:
+            if row is None or len(row) == 0:
+                out.append(None)
+                continue
+            m = min(len(row), n)
+            acc = 0
+            for i in range(m):
+                x = row[i]
+                # x != x catches the NaN that pandas uses for a null
+                # element inside a float64-upcast row
+                if x is None or x != x or not cmask[i]:
+                    continue
+                d = int(x) - int(cvals[i])
+                acc += d * d
+            out.append(acc)
+        return _pd.Series(out, dtype=object)
+
+    return d2(F.col("qa"))
 
 
 def kcenter_select(
@@ -1183,14 +1230,15 @@ def kcenter_select(
     r13 shape (guide §2.4, §5 — the greedy_source_coverage pattern): the
     per-round DECISIONS are metadata-sized (one center id + one
     dim-length array per pick, k ≤ dozens by contract), so they live on
-    the driver and each center enters the next round's plan as a LITERAL
-    array.  Per round the carried ``(id, qa, d2min)`` state frame takes
-    ONE map-only pass — a row-local ``zip_with`` fold against the
-    center literal, ``least`` into the carried minimum, an ``isin``
-    drop of the picked id — and is localCheckpoint()-ed eagerly (state
-    feeds both the next argmax and the next fold; without
-    materialization pick i re-runs the whole prefix chain, measured 7×
-    slower).  The argmax is a TakeOrdered ``(d2 DESC, id)`` limit(1) —
+    the driver and each center closes over the next round's distance
+    kernel.  Per round the carried ``(id, qa, d2min)`` state frame takes
+    ONE map-only pass — the Arrow-vectorized :func:`_kcenter_d2`
+    against the driver-held center, ``least`` into the carried minimum,
+    an ``isin`` drop of the picked id — and is localCheckpoint()-ed
+    eagerly (state feeds both the next argmax and the next distance
+    pass; without materialization pick i re-runs the whole prefix
+    chain, measured 7× slower).  The argmax is a TakeOrdered
+    ``(d2 DESC, id)`` limit(1) —
     identical to ``max(struct(d2, -id))``.  No per-round corpus
     shuffle: the former pos-join + per-id aggregation Exchange per pick
     is gone (the distances were always per-row computable; only the
@@ -1323,7 +1371,7 @@ def kcenter_pp_select(
 
     # r13 shape, same as kcenter_select: per-round decisions (≤ oversample
     # centers + the 1-row D² total) are metadata-sized and driver-held;
-    # the state update is ONE map-only pass against the center literals
+    # the state update is ONE map-only pass against the held centers
     # (least() skips a NULL no-overlap distance exactly like the former
     # per-(id, cid) inner join + MIN).  No per-round corpus shuffle.
     seed_id = df.agg(F.min(id_col).alias("cid")).collect()[0]["cid"]

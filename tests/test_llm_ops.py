@@ -1187,6 +1187,54 @@ def test_kcenter_pp_coverage_within_constant_factor_of_greedy(spark):
     assert r2_pp <= 2 * r2_g, (r2_pp, r2_g)
 
 
+def test_kcenter_d2_kernel_matches_join_semantics_on_ragged_rows(spark):
+    """The Arrow/numpy `_kcenter_d2` kernel (r13 session 5) must
+    reproduce the former JVM zip_with fold exactly on BOTH its paths:
+    the full-width numpy fast path and the per-row fallback for
+    ragged/null rows.  Semantics pinned here: slice both sides to
+    min(len(qa), len(center)); a null component on either side
+    contributes nothing (SUM null-skip); empty or NULL qa yields NULL
+    (the inner pos-join's id drop)."""
+    from killrweather_spark.functions.similarity import _kcenter_d2
+
+    center = [10, None, -3]
+
+    # fallback batch: ragged lengths, null elements, null/empty rows
+    rows = [
+        (0, [1, 2, 3]),          # full width: (1-10)² + skip + (3+3)² = 117
+        (1, [4]),                # shorter: (4-10)² = 36
+        (2, [1, 2, 3, 4]),       # longer: sliced to 3 → 117
+        (3, [None, 2, 3]),       # null element skipped → 36
+        (4, []),                 # empty → NULL
+        (5, None),               # null row → NULL
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, qa array<bigint>")
+    got = {
+        r.vec_id: r.d2
+        for r in df.select(
+            "vec_id", _kcenter_d2(center).alias("d2")
+        ).collect()
+    }
+    assert got == {0: 117, 1: 36, 2: 117, 3: 36, 4: None, 5: None}
+
+    # fast-path batch: every row full-width, no nulls — same values
+    full = spark.createDataFrame(
+        [(0, [1, 2, 3]), (1, [10, 0, -3]), (2, [-7, 5, 0])],
+        "vec_id bigint, qa array<bigint>",
+    )
+    got_full = {
+        r.vec_id: r.d2
+        for r in full.select(
+            "vec_id", _kcenter_d2(center).alias("d2")
+        ).collect()
+    }
+    assert got_full == {0: 117, 1: 0, 2: 298}
+
+    # empty center: every row leaves the state (NULL), as before
+    empty_c = df.select("vec_id", _kcenter_d2([]).alias("d2")).collect()
+    assert all(r.d2 is None for r in empty_c)
+
+
 def test_wav_codec_roundtrips_and_rejects_corruption():
     """encode_wav / decode_wav is a real codec pair: interleaved stereo
     frames survive the round trip sample-for-sample, and structural
