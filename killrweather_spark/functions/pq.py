@@ -1027,19 +1027,14 @@ def _screen_static_state(spark, index_dir: str):
     )
     # Positional code tables per subspace, zero-filled at code-id gaps
     # (a missing code id is never referenced: stored codes are argmins
-    # over EXISTING codebook rows).  Each table is ONE nested-array
-    # literal, and the ADC fold is UNROLLED into plain element_at
-    # products — higher-order functions are interpreted
-    # (CodegenFallback) and folding |cell| candidates per arrival
-    # through a lambda tree measured ~14 s at sf0.1; the unrolled form
-    # whole-stage-codegens and runs the same integers in well under a
-    # second once the stage is compiled.
+    # over EXISTING codebook rows).  Raw Python tables — the screen
+    # compiles them into the per-ARRIVAL ADC distance table below.
     by_sub: dict[int, dict[int, list[tuple[int, int]]]] = {}
     for r in pqc_rows:
         by_sub.setdefault(int(r.sub), {}).setdefault(int(r.code), []).append(
             (int(r.pos), int(r.c))
         )
-    sub_tables: list[tuple[list[int], Column]] = []
+    sub_tables: list[tuple[list[int], list[list[int]]]] = []
     for sub in sorted(by_sub):
         codes_d = by_sub[sub]
         poss = sorted({p for pcs in codes_d.values() for p, _ in pcs})
@@ -1047,7 +1042,7 @@ def _screen_static_state(spark, index_dir: str):
             [int(dict(codes_d.get(code, ())).get(p, 0)) for p in poss]
             for code in range(max(codes_d) + 1)
         ]
-        sub_tables.append((poss, F.lit(table)))
+        sub_tables.append((poss, table))
 
     codes_tbl = spark.read.parquet(os.path.join(index_dir, "pqcodes"))
     norms_tbl = spark.read.parquet(os.path.join(index_dir, "norms"))
@@ -1108,11 +1103,13 @@ def streaming_semantic_screen(
       batch to one (cell, cand_id, codes[M], norm2) row per vector —
       the stream never touches raw corpus vectors;
     - **ADC scoring** is a pure expression too: the PQ codebooks
-      (dim·ks rows) become a literal per-subspace code→subvector map,
-      and the approximate dot is a ``zip_with`` fold of the candidate's
-      M codes against the arrival's quantized components — integer
-      arithmetic end-to-end, so batch replay of the same arrivals is
-      bit-identical and the batch SQL is the oracle.
+      (dim·ks rows) are compiled, per arrival, into the classic ADC
+      distance table (one flattened M·ks array of per-code partial
+      dots — Jégou et al. 2011 §V.A), and the approximate dot per
+      candidate is M ``element_at`` gathers of that table by the
+      candidate's stored codes — integer arithmetic end-to-end, so
+      batch replay of the same arrivals is bit-identical and the batch
+      SQL is the oracle.
 
     Scale: per-arrival work is |cell| candidate rows × one dim-length
     fold; the static side is the persisted compressed index (~512×
@@ -1167,45 +1164,51 @@ def streaming_semantic_screen(
     # packed table is the COMPRESSED index (M bytes + norm per vector)
     # — broadcast-sized far beyond bench SFs; a corpus too big for that
     # switches this join to the cell-partitioned shuffle form.
+    # ADC distance TABLE per arrival (r13 session 5 — the IVFADC LUT
+    # trick, Jégou et al. 2011 §V.A): the former form evaluated the
+    # dim-wide unrolled sum ``Σ element_at(q, p) · element_at(__r_si,
+    # j)`` PER CANDIDATE PAIR — 50.8 M pairs × 64 products measured
+    # 146 s of the 169 s sf1 addBatch (bisect in OPTIMIZATION_r13
+    # session 5; the generated projection ran far off compiled speed).
+    # But the q·codebook products depend only on the ARRIVAL, not the
+    # candidate: precompute, per arrival, one flattened array holding
+    # every subspace's per-code partial dot (M·ks entries — the
+    # classic per-query distance table), and per pair the approximate
+    # dot is M element_at GATHERS + adds.  Same int64 products,
+    # regrouped per subspace — int64 addition is associative and
+    # commutative (wrap included), so every adot is bit-identical.
+    # The table is built BEFORE the candidate join (|batch| rows, not
+    # |batch|·|cell|), as one parsed expression string (the session-3
+    # plan-build rule: one py4j round-trip, no per-term Column calls).
+    offs: list[int] = []
+    _off = 0
+    for _, table in sub_tables:
+        offs.append(_off)
+        _off += len(table)
+    pd_rows = ", ".join(
+        " + ".join(
+            f"element_at(q, {p}) * {int(c)}L"
+            for p, c in zip(poss, code_row)
+        )
+        or "0L"
+        for poss, table in sub_tables
+        for code_row in table
+    )
+    arr = arr.withColumn("__pd", F.expr(f"array({pd_rows})"))
     probed = arr.join(
         F.broadcast(packed),
         (arr["cell"] == packed["cand_cell"])
         & (arr["vec_id"] != packed["cand_id"]),
         "left",
     )
-    # One named column per subspace row so each codebook literal
-    # appears ONCE in the plan — inlining it into every product term
-    # made Catalyst re-walk the big constants per term and fresh-plan
-    # latency (paid PER MICRO-BATCH: incremental execution replans
-    # every trigger) measured seconds; with single-reference rows the
-    # same integers plan in tens of milliseconds.
-    # ONE withColumns call + ONE parsed expression string for the
-    # unrolled ADC sum (r13): the per-term Column-API fold issued ~200
-    # py4j round-trips PER QUERY BUILD (M withColumn plan copies + 2
-    # element_at calls and a multiply per product term) — ~0.5 s of
-    # driver-side plan construction per stream start before any row
-    # moved.  The SQL string parses to the identical element_at/product
-    # tree in one JVM call; the codebook literals still enter via the
-    # single-reference __r columns (see the replan note above).
-    probed = probed.withColumns(
-        {
-            f"__r{si}": F.element_at(
-                a_lit,
-                (F.element_at(F.col("codes"), si + 1) + 1).cast("int"),
-            )
-            for si, (_, a_lit) in enumerate(sub_tables)
-        }
-    )
     adot = F.expr(
         " + ".join(
-            f"element_at(q, {p}) * element_at(__r{si}, {j + 1})"
-            for si, (poss, _) in enumerate(sub_tables)
-            for j, p in enumerate(poss)
+            f"element_at(__pd, cast(element_at(codes, {si + 1})"
+            f" + {offs[si] + 1} as int))"
+            for si in range(len(sub_tables))
         )
     )
-    scored = probed.withColumn("adot", adot).drop(
-        *[f"__r{si}" for si in range(len(sub_tables))]
-    ).withColumn(
+    scored = probed.withColumn("adot", adot).drop("__pd").withColumn(
         "known",
         F.when(
             F.col("adot")
