@@ -3506,6 +3506,33 @@ def q_semantic_eval_screen_ivf_fixed(
     )
 
 
+def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table fanned out for a MEDIA synthesis/decode
+    pipeline — Python-kernel work whose per-row cost (~200 µs of
+    synth + codec per doc) dwarfs the bytes, so the spread width
+    derives from input size instead of jumping straight to every task
+    slot: at bench SF a 32-way round-robin of a half-MB scan costs
+    more in exchange + per-task Arrow setup than the kernel itself
+    (A/B'd +0.2–0.45 s per query at sf0.1), while the single-split
+    scan serializes ~5–7 s of kernel work at sf1 (r13 session 5).
+    ~192 KiB of parquet per slot ≈ a few hundred docs per task keeps
+    both regimes right; production-sized scans are already wide and
+    fan_out no-ops on them."""
+    import os as _os
+
+    from killrweather_spark.sources.readers import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        sz = _os.stat(_os.path.join(sf_dir, "documents.parquet")).st_size
+    except OSError:
+        return fan_out(docs)
+    width = max(2, min(
+        spark.sparkContext.defaultParallelism, sz // (192 << 10) + 1
+    ))
+    return fan_out(docs, slots=int(width))
+
+
 def _ivf_index_dir(sf_dir: str) -> str:
     """Per-corpus index location for the trained IVF tables, keyed by a
     CONTENT FINGERPRINT of the embeddings parquet (relative path + size
@@ -11332,7 +11359,7 @@ def _wire_image_dedup() -> None:
         )
 
         return image_ahash(
-            synth_png_pixels(load_table(spark, sf_dir, "documents"))
+            synth_png_pixels(_media_docs(spark, sf_dir))
         )
 
     @register(
@@ -11360,7 +11387,7 @@ def _wire_image_dedup() -> None:
 
         return (
             image_ahash(
-                synth_png_pixels(load_table(spark, sf_dir, "documents"))
+                synth_png_pixels(_media_docs(spark, sf_dir))
             )
             .groupBy("ahash")
             .agg(
@@ -11464,7 +11491,7 @@ def _wire_image_verify() -> None:
         )
 
         return image_dup_verified(
-            synth_png_pixels(load_table(spark, sf_dir, "documents"))
+            synth_png_pixels(_media_docs(spark, sf_dir))
         )
 
 
@@ -11497,7 +11524,7 @@ def _wire_image_hamming() -> None:
         )
 
         return image_hamming_pairs(
-            synth_png_pixels(load_table(spark, sf_dir, "documents"))
+            synth_png_pixels(_media_docs(spark, sf_dir))
         )
 
 
@@ -11530,7 +11557,7 @@ def _wire_image_grid_verify() -> None:
         )
 
         return image_grid_verify(
-            synth_png_pixels(load_table(spark, sf_dir, "documents"))
+            synth_png_pixels(_media_docs(spark, sf_dir))
         )
 
 
@@ -11567,7 +11594,7 @@ def _wire_image_ring_verify() -> None:
         )
 
         return image_ring_verified(
-            synth_png_pixels(load_table(spark, sf_dir, "documents"))
+            synth_png_pixels(_media_docs(spark, sf_dir))
         )
 
 

@@ -1301,15 +1301,39 @@ def image_dup_verified(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     dec = decode_png_pixels
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
+            # a group's CANONICAL decodes once per batch, not once per
+            # member pair (star pairing repeats doc_a across its whole
+            # group), and the per-pixel SAD is one vectorized numpy
+            # pass over the raw RGB bytes instead of a Python loop —
+            # |x−y| over uint8-as-int16 then an int64 sum, exact
+            # (r13 session 5, guide §4.2).
+            cache: dict[int, bytes] = {}
+
+            def px_of(did: int, blob) -> bytes:
+                px = cache.get(did)
+                if px is None:
+                    _, _, px = dec(bytes(blob))
+                    cache[did] = px
+                return px
+
             rows = {k: [] for k in ("a", "b", "w", "h", "m")}
             for da, db, w, h, ca_, cb_ in zip(
                 pdf["doc_a"], pdf["doc_b"], pdf["width"], pdf["height"],
                 pdf["content_a"], pdf["content_b"],
             ):
-                _, _, pa = dec(bytes(ca_))
-                _, _, pb = dec(bytes(cb_))
-                sad = sum(abs(x - y) for x, y in zip(pa, pb))
+                pa = px_of(int(da), ca_)
+                pb = px_of(int(db), cb_)
+                sad = int(
+                    np.abs(
+                        np.frombuffer(pa, dtype=np.uint8).astype(np.int16)
+                        - np.frombuffer(pb, dtype=np.uint8).astype(
+                            np.int16
+                        )
+                    ).sum(dtype=np.int64)
+                )
                 rows["a"].append(da)
                 rows["b"].append(db)
                 rows["w"].append(w)
