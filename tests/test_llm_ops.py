@@ -1072,6 +1072,89 @@ def test_kcenter_picks_stay_distinct_on_duplicate_embeddings(spark):
         kcenter_select(emb, k=5)
 
 
+def test_lsh_bucket_kernel_and_verify_fallback_on_ragged_rows(spark):
+    """r13 session 5 pins for the two Arrow kernels that replaced
+    relational plans in the LSH screen family.
+
+    (a) `lsh_buckets`' kernel must reproduce the former exploded md5
+    formula on every path: empty vectors vanish (posexplode emitted
+    nothing), an all-null vector keeps its all-'0' bucket (SUM of no
+    terms was NULL, the CASE fell through), null components are
+    skipped, ragged rows use their own width, and clean rows match a
+    hashlib replay of the weight formula exactly.
+
+    (b) `_screen_verify_candidates`' Arrow leg must agree value-exactly
+    with the retained relational leg on the same candidates when the
+    inputs are ragged/null — the fallback the big-eval overflow also
+    takes."""
+    import hashlib
+
+    from killrweather_spark.functions.similarity import (
+        QUANT,
+        _screen_verify_candidates,
+        cosine_norms,
+        lsh_buckets,
+        quantized_components,
+        semantic_screen_lsh_banded,
+    )
+
+    rows = [
+        (0, [1.0, -2.0, 0.5]),
+        (1, [0.25, 0.75]),             # ragged: own 2-wide weights
+        (2, [None, 1.0, None]),        # nulls skipped
+        (3, [None, None]),             # all null -> all-'0' bucket
+        (4, []),                       # empty -> absent
+        (10, [1.0, -2.0, 0.5001]),     # near-dup of 0 (eval side below)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    nb = 5
+    got = {r.vec_id: r.bucket for r in lsh_buckets(emb, nb).collect()}
+    assert 4 not in got
+    assert got[3] == "0" * nb
+
+    def w(j, i):
+        return (int(hashlib.md5(f"{j}_{i + 1}".encode()).hexdigest()[0],
+                    16) + 1) * 2 - 17
+
+    def expect(vec):
+        bits = []
+        for j in range(nb):
+            s = None
+            for i, x in enumerate(vec):
+                if x is None:
+                    continue
+                q = int(round(float(x) * QUANT))
+                t = w(j, i) * q
+                s = t if s is None else s + t
+            bits.append("1" if (s is not None and s >= 0) else "0")
+        return "".join(bits)
+
+    for vid, vec in rows:
+        if vid in got and vid not in (3, 4):
+            assert got[vid] == expect(vec), (vid, got[vid], expect(vec))
+
+    # (b) Arrow verify leg == relational leg on ragged/null candidates
+    comp = quantized_components(emb)
+    nrm = cosine_norms(comp)
+    cand = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (3, 10)],
+        "train_id bigint, eval_id bigint",
+    )
+    pred = lambda c: c == 10  # noqa: E731
+    arrow = _screen_verify_candidates(
+        comp, nrm, cand, pred, 0.1, "vec_id", df=emb
+    )
+    relational = _screen_verify_candidates(
+        comp, nrm, cand, pred, 0.1, "vec_id"
+    )
+    assert sorted(map(tuple, arrow.collect())) == sorted(
+        map(tuple, relational.collect())
+    )
+    # and the composed banded screen still runs end-to-end on this frame
+    banded = semantic_screen_lsh_banded(emb, pred, threshold=0.1)
+    assert all(r.train_id != 4 for r in banded.collect())
+
+
 def test_exact_screen_family_agrees_on_ragged_vectors(spark):
     """A ragged train vector must mean ONE thing across all three engines:
     excluded.  The JVM kernel null-pads it to a dropped cosine, the numpy
