@@ -6120,11 +6120,19 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear at any corpus size.  Nation stays in the key to keep the
     original within-nation pair semantics."""
     c = load_table(spark, sf_dir, "customer")
+    # array_distinct: a char RUN of length r yields r identical deletion
+    # variants (TPC-H zero-padded keys: ~22 % of all variant rows at
+    # sf1); within-name duplicates cannot change the shared-variant
+    # pair SET, and the final DISTINCT already collapsed their pair
+    # multiplicity — so dropping them only shrinks the self-join input
+    # (r13 session 5, guide §2.3 "shuffle fewer bytes").
     v = c.select(
         "c_custkey",
         "c_name",
         "c_nationkey",
-        F.explode(deletion_variants(F.col("c_name"))).alias("variant"),
+        F.explode(
+            F.array_distinct(deletion_variants(F.col("c_name")))
+        ).alias("variant"),
     )
     a = v.select(
         F.col("c_custkey").alias("custkey_a"),
@@ -6138,8 +6146,14 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nk"),
         "variant",
     )
+    # SHUFFLE_MERGE: Spark estimates the variant side by its SCAN size,
+    # not the ×(len+1) Generate output, and auto-broadcasts a 2.6M-row
+    # hashed relation at sf1 — 12.7/15.8 s vs 5.4/6.5 s merge-joined
+    # (A/B'd r13 session 5, guide §3.1 "estimates are often badly wrong
+    # after explode").  Merge join also spills gracefully when a hot
+    # variant block grows at scale, where a forced hash build would OOM.
     return (
-        a.join(b, ["nk", "variant"])
+        a.join(b.hint("SHUFFLE_MERGE"), ["nk", "variant"])
         .filter(F.col("custkey_a") < F.col("custkey_b"))
         .withColumn(
             "edit_distance",
@@ -7905,7 +7919,9 @@ def q_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.functions.dedup import _distinct_grams
 
     d = load_table(spark, sf_dir, "documents")
-    ev = d.filter(F.col("doc_id") % 10 == 0)
+    # BOTH sides tokenize at scan parallelism: the eval side's gram
+    # explode was still single-split (r13 session 5: 4.3 -> 2.1 s at sf1)
+    ev = fan_out(d.filter(F.col("doc_id") % 10 == 0))
     tr = fan_out(d.filter(F.col("doc_id") % 10 != 0))
     eval_grams = ev.select(
         "doc_id", F.explode(_distinct_grams("text", 8)).alias("gram")
@@ -8469,31 +8485,69 @@ def q_semantic_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.join(maybe_broadcast(sizes), "label").withColumn(
         "sub", semdedup_sub_bucket(F.col("vec_id"), F.col("n_sub"))
     )
-    a = base.select(
-        F.col("label"),
-        F.col("sub"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("qv").alias("qa"),
-        F.col("norm2").alias("na"),
-    )
-    b = base.select(
-        F.col("label"),
-        F.col("sub"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("qv").alias("qb"),
-        F.col("norm2").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x.cast("bigint") * y),
-        F.lit(0).cast("bigint"),
-        lambda s, x: s + x,
-    )
-    return (
-        a.join(b, ["label", "sub"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", dot / (F.sqrt("na") * F.sqrt("nb")))
-        .filter(F.col("cosine") >= 0.30)
-        .select("label", "vec_a", "vec_b", "cosine")
+    # Per-(cell, sub-bucket) GRAM kernel (r13 session 5, guide §2.4,
+    # §4.2): the former per-label self-join shipped every vector to BOTH
+    # sides and folded an interpreted zip_with/aggregate dot per pair
+    # (~3 µs/pair — 10.4 s at sf1).  applyInPandas ships each vector
+    # ONCE per group (groups are ≤ ~SEMDEDUP_CLUSTER_CAP members by the
+    # sub-bucket construction) and scores all pairs with one int64
+    # ``Q @ Q.T``.  Values bit-identical: same integer dots, float64
+    # ``dot / (sqrt(na)·sqrt(nb))`` in the same operand order; the
+    # zip_with form nullified any pair with mismatched widths or a null
+    # component (null product ⇒ NULL fold), which maps to "clean rows
+    # pair only within their own width class, null-bearing rows never
+    # pair".
+    def gram(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        label = key[0]
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        rows = pdf["qv"].to_numpy()[order]
+        n2 = pdf["norm2"].to_numpy(dtype=np.float64)[order]
+        widths: dict[int, list[int]] = {}
+        for i, r in enumerate(rows):
+            if r is None:
+                continue
+            arr = np.asarray(r)
+            # a row with a null component arrives float64/NaN — the
+            # zip_with fold nullified every pair it touched
+            if arr.ndim != 1 or arr.dtype.kind not in "iu":
+                continue
+            widths.setdefault(int(arr.shape[0]), []).append(i)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_c: list[float] = []
+        for wlen, idxs in widths.items():
+            if wlen == 0 or len(idxs) < 2:
+                continue
+            sel = np.array(idxs, dtype=np.int64)
+            q = np.stack(
+                [np.asarray(rows[i], dtype=np.int64) for i in idxs]
+            )
+            sn = np.sqrt(n2[sel])
+            g = q @ q.T
+            iu, ju = np.triu_indices(len(idxs), k=1)
+            cos = g[iu, ju] / (sn[iu] * sn[ju])
+            keep = cos >= 0.30
+            out_a.extend(int(x) for x in ids[sel[iu[keep]]])
+            out_b.extend(int(x) for x in ids[sel[ju[keep]]])
+            out_c.extend(float(x) for x in cos[keep])
+        return pd.DataFrame(
+            {
+                "label": [label] * len(out_a),
+                "vec_a": out_a,
+                "vec_b": out_b,
+                "cosine": out_c,
+            }
+        )
+
+    label_type = dict(emb.dtypes)["label"]
+    return base.groupBy("label", "sub").applyInPandas(
+        gram,
+        f"label {label_type}, vec_a bigint, vec_b bigint, cosine double",
     )
 
 

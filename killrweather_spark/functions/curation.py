@@ -678,6 +678,12 @@ def repetition_metrics(
     results are bit-identical across engines and partitionings.
     """
 
+    from killrweather_spark.sources.readers import fan_out
+
+    # map-only projection: with a single-split scan EVERY fold below runs
+    # on one core — spread first (r13 session 5: 6.6 -> 2.4 s at sf1)
+    df = fan_out(df)
+
     def max_run(sorted_arr: Column) -> Column:
         # Longest run of equal adjacent values in a sorted array == max
         # per-value frequency.  JVM-side fold; state is (prev, run, best).
@@ -1192,7 +1198,11 @@ def passage_dedup_rewrite(
     if seg_len < 1 or min_docs < 1:
         raise ValueError(f"seg_len/min_docs must be >= 1: {seg_len}, {min_docs}")
     from killrweather_spark.functions.text import tokens
+    from killrweather_spark.sources.readers import fan_out
 
+    # tokenize + segment build run at scan parallelism — spread the
+    # bench-narrow scan first (r13 session 5: 9.3 -> 3.3 s at sf1)
+    df = fan_out(df)
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
     ).filter(F.size("__toks") >= 1)
@@ -1301,9 +1311,12 @@ def heaps_law_curve(df: DataFrame, points: int = 8) -> DataFrame:
     if points < 1:
         raise ValueError(f"points must be >= 1: {points}")
     from killrweather_spark.functions.text import tokens
+    from killrweather_spark.sources.readers import fan_out
 
+    # the one tokenize pass runs at scan parallelism — spread the
+    # bench-narrow scan first (r13 session 5: 4.5 -> 1.6 s at sf1)
     toks = (
-        df.withColumn("__t", tokens(F.col("text")))
+        fan_out(df).withColumn("__t", tokens(F.col("text")))
         .filter(F.size("__t") >= 3)
         .select(
             F.col("doc_id"),

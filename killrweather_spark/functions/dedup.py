@@ -482,9 +482,13 @@ def containment_pairs(
     prefix filter (see :func:`gram_df_cap`): hot boilerplate grams are
     dropped before sizes and the join on both engines.
     """
+    from killrweather_spark.sources.readers import fan_out
+
     base_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    # gram build runs at scan parallelism (r13 session 5: fan the
+    # bench-narrow scan; no-op on wide production scans)
     sh = (
-        df.select(*base_cols, _distinct_grams(text_col, n).alias("__grams"))
+        fan_out(df).select(*base_cols, _distinct_grams(text_col, n).alias("__grams"))
         .select(*base_cols, F.explode("__grams").alias("gram"))
         # referenced 3× below (sizes + both join sides): persist so the
         # tokenize→explode lineage runs once
@@ -615,8 +619,13 @@ def tfidf_cosine_pairs(
     doc_a < doc_b.
     """
     from killrweather_spark.functions.text import tokens
+    from killrweather_spark.sources.readers import fan_out
 
-    toks = docs.select(
+    # tokenize/gram-weight work runs BEFORE the first exchange, i.e. at
+    # scan parallelism — fan the (bench-narrow) scan out first so the
+    # corpus pass uses every slot (r13 session 5: 11.7 -> 6.7 s at sf1;
+    # no-op on production-wide scans)
+    toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
     )
     # Docs with <3 tokens produce NO trigrams.  sequence(0, -1) is the
