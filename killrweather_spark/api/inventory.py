@@ -3370,13 +3370,17 @@ def _recall_agg(truth: DataFrame, screen: DataFrame) -> DataFrame:
 )
 def q_semantic_screen_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.functions.similarity import (
-        semantic_screen,
         semantic_screen_lsh,
+        semantic_screen_vectorized,
     )
 
     emb = _recall_slice(spark, sf_dir)
-    truth = semantic_screen(emb, lambda c: c % 10 == 0,
-                            threshold=_SCREEN_THRESHOLD)
+    # truth via the Arrow twin — bit-identical to semantic_screen (the
+    # registered pair shares ONE oracle SQL verbatim, r6); the JVM form
+    # stays the declared reference row, but an internal ground-truth
+    # side takes the fast kernel (r13 session 5)
+    truth = semantic_screen_vectorized(emb, lambda c: c % 10 == 0,
+                                       threshold=_SCREEN_THRESHOLD)
     lsh = semantic_screen_lsh(
         emb, lambda c: c % 10 == 0, threshold=_SCREEN_THRESHOLD, n_planes=6
     )
@@ -3400,13 +3404,14 @@ def q_semantic_screen_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_semantic_screen_recall_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.functions.similarity import (
-        semantic_screen,
         semantic_screen_lsh_banded,
+        semantic_screen_vectorized,
     )
 
     emb = _recall_slice(spark, sf_dir)
-    truth = semantic_screen(emb, lambda c: c % 10 == 0,
-                            threshold=_SCREEN_THRESHOLD)
+    # truth via the Arrow twin — see semantic_screen_recall
+    truth = semantic_screen_vectorized(emb, lambda c: c % 10 == 0,
+                                       threshold=_SCREEN_THRESHOLD)
     banded = semantic_screen_lsh_banded(
         emb, lambda c: c % 10 == 0, threshold=_SCREEN_THRESHOLD,
         n_bands=4, band_planes=4
@@ -4297,13 +4302,14 @@ _wire_ann_ivf_probe_curve()
 )
 def q_semantic_screen_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from killrweather_spark.functions.similarity import (
-        semantic_screen,
         semantic_screen_ivf,
+        semantic_screen_vectorized,
     )
 
     emb = _recall_slice(spark, sf_dir)
-    truth = semantic_screen(emb, lambda c: c % 10 == 0,
-                            threshold=_SCREEN_THRESHOLD)
+    # truth via the Arrow twin — see semantic_screen_recall
+    truth = semantic_screen_vectorized(emb, lambda c: c % 10 == 0,
+                                       threshold=_SCREEN_THRESHOLD)
     ivf = semantic_screen_ivf(emb, lambda c: c % 10 == 0,
                               threshold=_SCREEN_THRESHOLD,
                               n_centroids=8, n_probe=2)

@@ -1011,19 +1011,11 @@ def _screen_static_state(spark, index_dir: str):
     by_cell: dict[int, dict[int, int]] = {}
     for r in cents_rows:
         by_cell.setdefault(int(r.cell), {})[int(r.pos)] = int(r.c)
-    # one parsed array(named_struct(...)) literal instead of
-    # n_centroids·dim F.lit py4j round-trips (r13): same integers, one
-    # JVM call — this is the cold-path cost of the memoized state.
-    cent_lit = F.expr(
-        "array({})".format(
-            ", ".join(
-                "named_struct('cell', {}, 'cv', array({}))".format(
-                    cell,
-                    ", ".join(f"{d[p]}L" for p in sorted(d)),
-                )
-                for cell, d in sorted(by_cell.items())
-            )
-        )
+    # raw centroid table — the screen's Arrow cell-assignment kernel
+    # closes over it (r13 session 5; formerly a parsed literal array fed
+    # an interpreted array_min/zip_with fold per arrival)
+    cent_tbl = sorted(
+        (cell, [d[p] for p in sorted(d)]) for cell, d in by_cell.items()
     )
     # Positional code tables per subspace, zero-filled at code-id gaps
     # (a missing code id is never referenced: stored codes are argmins
@@ -1065,7 +1057,7 @@ def _screen_static_state(spark, index_dir: str):
         )
         .transform(persist_once)
     )
-    state = (cent_lit, sub_tables, packed)
+    state = (cent_tbl, sub_tables, packed)
     _SCREEN_STATE[key] = state
     return state
 
@@ -1093,11 +1085,11 @@ def streaming_semantic_screen(
     per-arrival rollup must be stateless.  That is exactly what the
     IVFADC artifacts enable —
 
-    - **cell assignment** is a pure EXPRESSION: the trained centroids
+    - **cell assignment** is STATELESS: the trained centroids
       (n_centroids·dim rows, the broadcast artifact) are collected at
-      query-build time into a literal array, and the arrival's probe
-      cell is ``array_min`` over per-cell integer squared-L2 structs
-      (ties to the smallest cell, same rule as training);
+      query-build time and each arrival's probe cell is an exact-int64
+      squared-L2 argmin over them in an Arrow kernel (ties to the
+      smallest cell, same rule as training);
     - **candidate fetch** is a stream-static equi-join on that cell
       against the index's COMPRESSED ``pqcodes`` table, pre-packed in
       batch to one (cell, cand_id, codes[M], norm2) row per vector —
@@ -1117,35 +1109,110 @@ def streaming_semantic_screen(
     state is one row per arrival in the rollup.  Returns
     (vec_id, cell, n_candidates, n_known, best_adot).
     """
-    cent_lit, sub_tables, packed = _screen_static_state(spark, index_dir)
-    zero = F.lit(0).cast("bigint")
+    cent_tbl, sub_tables, packed = _screen_static_state(spark, index_dir)
 
     q_expr = F.expr(
         f"transform({vec_col}, x ->"
         " cast(round(cast(x as double) * 1000000) as bigint))"
     )
-    arr = stream_vecs.select(
-        F.col(id_col).alias("vec_id"), q_expr.alias("q")
-    ).withColumn(
-        "qnorm2",
-        F.aggregate(F.col("q"), zero, lambda s, x: s + x * x),
-    ).filter(F.col("qnorm2") > 0).withColumn(
-        "cell",
-        F.array_min(
-            F.transform(
-                cent_lit,
-                lambda ct: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("q"), ct["cv"], lambda a, b: (a - b) * (a - b)
-                        ),
-                        zero,
-                        lambda s, x: s + x,
-                    ).alias("d2"),
-                    ct["cell"].alias("cell"),
-                ),
+    # Cell assignment + norm as ONE Arrow kernel (r13 session 5, guide
+    # §4.2): the former array_min/zip_with literal fold is
+    # CodegenFallback — n_centroids·dims interpreted lambda calls per
+    # arrival (3.8 s of the sf1 batch in the session's bisect).  Exact
+    # replication of the expression semantics, probed and pinned by the
+    # kmeans-kernel test for the same ordering rule: a null component
+    # nullifies qnorm2 (row filtered), an empty vector has qnorm2 0
+    # (filtered), and a clean row whose width differs from the centroid
+    # width nullifies every d2 — array_min sorts NULL first, so it
+    # lands on the SMALLEST cell id.
+    import numpy as np
+
+    cent_cells = np.array([c for c, _ in cent_tbl], dtype=np.int64)
+    cent_mat = np.array([v for _, v in cent_tbl], dtype=np.int64)
+    cd = cent_mat.shape[1] if cent_mat.ndim == 2 else -1
+
+    @F.pandas_udf("qnorm2 bigint, cell bigint")
+    def assign_cell(q_s):
+        import numpy as _np
+        import pandas as _pd
+
+        rows = q_s.to_list()
+        norms: list = []
+        cells: list = []
+        try:
+            mat = _np.stack(rows)
+            full = (
+                mat.ndim == 2
+                and mat.shape[1] == cd
+                and mat.dtype.kind in "iu"
             )
-        )["cell"].cast("bigint"),
+        except (TypeError, ValueError):
+            full = False
+        if full:
+            q = mat.astype(_np.int64)
+            norms = [int(x) for x in (q * q).sum(axis=1)]
+            best_d = None
+            best_c = None
+            for ci in range(len(cent_cells)):
+                diff = q - cent_mat[ci]
+                d2 = (diff * diff).sum(axis=1)
+                if best_d is None:
+                    best_d = d2.copy()
+                    best_c = _np.full(len(q), cent_cells[ci])
+                else:
+                    better = d2 < best_d
+                    best_d[better] = d2[better]
+                    best_c[better] = cent_cells[ci]
+            cells = [int(x) for x in best_c]
+        else:
+            min_cell = int(cent_cells[0]) if len(cent_cells) else None
+            for r in rows:
+                if r is None:
+                    norms.append(None)
+                    cells.append(None)
+                    continue
+                clean = True
+                acc = 0
+                vals = []
+                for x in r:
+                    if x is None or x != x:
+                        clean = False
+                        break
+                    xi = int(x)
+                    acc += xi * xi
+                    vals.append(xi)
+                if not clean:
+                    norms.append(None)
+                    cells.append(None)
+                    continue
+                norms.append(acc)
+                if len(vals) == cd:
+                    qv = _np.array(vals, dtype=_np.int64)
+                    diffs = cent_mat - qv
+                    d2s = (diffs * diffs).sum(axis=1)
+                    cells.append(int(cent_cells[int(_np.argmin(d2s))]))
+                else:
+                    cells.append(min_cell)
+        return _pd.DataFrame({"qnorm2": norms, "cell": cells})
+
+    # guide §4.4: the qnorm2 > 0 filter below references the kernel's
+    # output, and the optimizer otherwise DUPLICATES the ArrowEvalPython
+    # (one copy under the pushed filter, one in the projection — plan-
+    # verified: 2 nodes, each evaluating the whole batch).  Marking the
+    # kernel non-deterministic pins a single evaluation; values are
+    # unchanged (the kernel is in fact deterministic).
+    assign_cell = assign_cell.asNondeterministic()
+
+    arr = (
+        stream_vecs.select(F.col(id_col).alias("vec_id"), q_expr.alias("q"))
+        .withColumn("__a", assign_cell("q"))
+        .select(
+            "vec_id",
+            "q",
+            F.col("__a.qnorm2").alias("qnorm2"),
+            F.col("__a.cell").alias("cell"),
+        )
+        .filter(F.col("qnorm2") > 0)
     )
     # Arrivals usually come off a NARROW source (a file-stream
     # micro-batch is often one scan partition); the per-candidate ADC

@@ -1792,12 +1792,6 @@ def kmeans_assign_step(df: DataFrame, id_col: str = "vec_id",
             F.expr("(s - ((s % n + n) % n)) div n").alias("c"),
         )
     )
-    cents_one = (
-        cent.groupBy("cand")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("cand", F.transform("pc", lambda s: s["c"]).alias("arr"))
-        .agg(F.sort_array(F.collect_list(F.struct("cand", "arr"))).alias("cents"))
-    )
     qdf = df.select(
         F.col(id_col),
         F.col(label_col).alias("old_label"),
@@ -1806,20 +1800,140 @@ def kmeans_assign_step(df: DataFrame, id_col: str = "vec_id",
             lambda x: F.round(x.cast("double") * QUANT).cast("bigint"),
         ).alias("qv"),
     )
-    best = F.expr(
-        "array_min(transform(cents, c -> struct("
-        "aggregate(zip_with(qv, c.arr, (a, b) -> (a - b) * (a - b)), "
-        "cast(0 as bigint), (s, x) -> s + x) as d2, c.cand as cand)))"
-    )
-    return (
-        qdf.crossJoin(F.broadcast(cents_one))
-        .withColumn("best", best)
-        .select(
-            id_col,
-            "old_label",
-            F.col("best.cand").alias("new_label"),
-            F.col("best.d2").alias("dist2"),
+    # E-step as an Arrow kernel (r13 session 5, guide §4.2): the former
+    # ``array_min(transform(cents, …zip_with…aggregate…))`` expression is
+    # CodegenFallback — |labels|·dims interpreted lambda calls per row
+    # (the session's recurring signature; ~3.5 s at sf1 for 20k rows).
+    # The centroid table is labels×dims (the one-broadcast-row premise
+    # this operator already documents), so it is collected once and the
+    # argmin is a per-centroid vectorized ``((Q − c)²).sum`` — exact
+    # int64, ties to the smallest cand via ascending centroid order.
+    # Replicated null semantics, probed and pinned: zip_with null-pads a
+    # width mismatch and a null component nullifies the whole fold, and
+    # array_min sorts a NULL d2 FIRST — so any non-clean row maps to
+    # (new_label = smallest cand, dist2 = NULL).  A null label (a null
+    # cand) or an empty corpus falls back to the plain JVM expression.
+    cent_rows = cent.collect()
+    by_cand: dict = {}
+    for r in cent_rows:
+        by_cand.setdefault(r["cand"], {})[int(r["pos"])] = int(r["c"])
+    usable = bool(by_cand) and None not in by_cand
+    if usable:
+        import numpy as np
+
+        cands = sorted(by_cand)
+        width = None
+        mats = []
+        for cand in cands:
+            d = by_cand[cand]
+            poss = sorted(d)
+            if poss != list(range(1, len(poss) + 1)):
+                usable = False
+                break
+            if width is None:
+                width = len(poss)
+            elif width != len(poss):
+                usable = False
+                break
+            mats.append([d[p] for p in poss])
+    if not usable:
+        cents_one = (
+            cent.groupBy("cand")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))).alias(
+                    "pc"
+                )
+            )
+            .select(
+                "cand", F.transform("pc", lambda s: s["c"]).alias("arr")
+            )
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("cand", "arr"))
+                ).alias("cents")
+            )
         )
+        best = F.expr(
+            "array_min(transform(cents, c -> struct("
+            "aggregate(zip_with(qv, c.arr, (a, b) -> (a - b) * (a - b)), "
+            "cast(0 as bigint), (s, x) -> s + x) as d2, c.cand as cand)))"
+        )
+        return (
+            qdf.crossJoin(F.broadcast(cents_one))
+            .withColumn("best", best)
+            .select(
+                id_col,
+                "old_label",
+                F.col("best.cand").alias("new_label"),
+                F.col("best.d2").alias("dist2"),
+            )
+        )
+
+    cmat = np.array(mats, dtype=np.int64)
+    cand_arr = np.array(cands, dtype=np.int64)
+    d = int(width)
+
+    @F.pandas_udf("new_label bigint, dist2 bigint")
+    def assign(qv_s):
+        import numpy as _np
+        import pandas as _pd
+
+        rows = qv_s.to_list()
+        labels: list = []
+        dists: list = []
+        try:
+            mat = _np.stack(rows)
+            full = (
+                mat.ndim == 2
+                and mat.shape[1] == d
+                and mat.dtype.kind in "iu"
+            )
+        except (TypeError, ValueError):
+            full = False
+        if full:
+            q = mat.astype(_np.int64)
+            best_d = None
+            best_c = None
+            for ci in range(len(cand_arr)):
+                diff = q - cmat[ci]
+                d2 = (diff * diff).sum(axis=1)
+                if best_d is None:
+                    best_d = d2.copy()
+                    best_c = _np.full(len(q), cand_arr[ci])
+                else:
+                    better = d2 < best_d
+                    best_d[better] = d2[better]
+                    best_c[better] = cand_arr[ci]
+            labels = [int(x) for x in best_c]
+            dists = [int(x) for x in best_d]
+        else:
+            min_cand = int(cand_arr[0])
+            for r in rows:
+                clean = r is not None and len(r) == d
+                if clean:
+                    vals = []
+                    for x in r:
+                        if x is None or x != x:
+                            clean = False
+                            break
+                        vals.append(int(x))
+                if not clean:
+                    labels.append(min_cand)
+                    dists.append(None)
+                    continue
+                q = _np.array(vals, dtype=_np.int64)
+                diffs = cmat - q
+                d2s = (diffs * diffs).sum(axis=1)
+                bi = int(_np.argmin(d2s))
+                labels.append(int(cand_arr[bi]))
+                dists.append(int(d2s[bi]))
+        return _pd.DataFrame({"new_label": labels, "dist2": dists})
+
+    return qdf.withColumn("__b", assign("qv")).select(
+        id_col,
+        "old_label",
+        F.col("__b.new_label").alias("new_label"),
+        F.col("__b.dist2").alias("dist2"),
     )
 
 

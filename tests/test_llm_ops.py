@@ -1318,6 +1318,36 @@ def test_kcenter_d2_kernel_matches_join_semantics_on_ragged_rows(spark):
     assert all(r.d2 is None for r in empty_c)
 
 
+def test_kmeans_assign_kernel_matches_jvm_null_semantics(spark):
+    """The r13 session-5 Arrow E-step must reproduce the JVM
+    array_min/zip_with expression exactly, including the probed null
+    ordering: a ragged or null-bearing vector nullifies every centroid
+    fold and array_min sorts NULL d2 FIRST, so such rows land on the
+    SMALLEST candidate label with dist2 NULL."""
+    from killrweather_spark.functions.similarity import kmeans_assign_step
+
+    rows = [
+        (0, [0.0, 0.0], 7),
+        (1, [1.0, 1.0], 7),
+        (2, [10.0, 10.0], 9),
+        (3, [11.0, 11.0], 9),
+        (4, [0.2], 9),            # ragged -> smallest cand, NULL dist2
+        (5, [None, 3.0], 7),      # null component -> same
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.vec_id: (r.new_label, r.dist2)
+           for r in kmeans_assign_step(emb).collect()}
+    # centroid(7) from vecs {0,1,5-null}: M-step uses posexplode rows, so
+    # vec 5 contributes only pos 2 (value 3.0) — centroid exact-floor of
+    # int sums; just pin the invariants instead of re-deriving:
+    assert got[4] == (7, None)
+    assert got[5] == (7, None)
+    assert got[0][0] == 7 and got[0][1] is not None
+    assert got[2][0] == 9 and got[3][0] == 9
+
+
 def test_wav_codec_roundtrips_and_rejects_corruption():
     """encode_wav / decode_wav is a real codec pair: interleaved stereo
     frames survive the round trip sample-for-sample, and structural
