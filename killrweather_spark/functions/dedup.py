@@ -557,8 +557,12 @@ def decontaminate(
     from killrweather_spark.sources.readers import fan_out
 
     train_df = fan_out(train_df)
+    # the eval side's vocabulary build is the same CPU-bound gram pass —
+    # fan it too (r13 session 5; no-op on wide scans)
     eval_grams = (
-        word_ngram_set(eval_df, text_col, id_col, n).select("gram").distinct()
+        word_ngram_set(fan_out(eval_df), text_col, id_col, n)
+        .select("gram")
+        .distinct()
     )
     hits = (
         train_df.select(
