@@ -3522,20 +3522,12 @@ def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan serializes ~5–7 s of kernel work at sf1 (r13 session 5).
     ~192 KiB of parquet per slot ≈ a few hundred docs per task keeps
     both regimes right; production-sized scans are already wide and
-    fan_out no-ops on them."""
-    import os as _os
-
+    fan_out no-ops on them.  The sizing rule moved INTO fan_out in r13
+    session 6 (FAN_OUT_SIZED_BYTES) — this wrapper now just documents
+    why the media family fans at the default width."""
     from killrweather_spark.sources.readers import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
-    try:
-        sz = _os.stat(_os.path.join(sf_dir, "documents.parquet")).st_size
-    except OSError:
-        return fan_out(docs)
-    width = max(2, min(
-        spark.sparkContext.defaultParallelism, sz // (192 << 10) + 1
-    ))
-    return fan_out(docs, slots=int(width))
+    return fan_out(load_table(spark, sf_dir, "documents"))
 
 
 def _ivf_index_dir(sf_dir: str) -> str:

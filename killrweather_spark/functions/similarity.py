@@ -2070,7 +2070,15 @@ def semantic_screen(
         " e.eval_id as eval_id)))"
     )
     return (
-        _quantized_rows(fan_out(df), id_col, vec_col)
+        # full-width spread pinned: the map stage below carries the
+        # |evals|×dims fold per train row — kernel-bound, not byte-bound,
+        # so the sized default (which sees only a half-MB scan) would
+        # under-parallelize it
+        _quantized_rows(
+            fan_out(df, slots=df.sparkSession.sparkContext.defaultParallelism),
+            id_col,
+            vec_col,
+        )
         .filter(~is_eval)
         .filter(F.col("__norm2") > 0)  # zero-norm train: excluded everywhere
         .crossJoin(F.broadcast(evals_one))
@@ -2245,7 +2253,13 @@ def semantic_screen_vectorized(
             )
 
     train = (
-        _quantized_rows(fan_out(df), id_col, vec_col)
+        # full-width spread pinned (kernel-bound map stage — the sized
+        # fan_out default under-parallelizes the |evals|×dims matvec)
+        _quantized_rows(
+            fan_out(df, slots=df.sparkSession.sparkContext.defaultParallelism),
+            id_col,
+            vec_col,
+        )
         .filter(~is_eval)
         .filter(F.col("__norm2") > 0)
         .withColumnRenamed(id_col, "__tid")

@@ -65,6 +65,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # minPartitionNum = defaultParallelism) already yields >= slots real splits.
 FAN_OUT_BYTES_PER_SLOT = 8 << 20
 
+# Width of the spread when a narrow input IS fanned: ~192 KiB of input per
+# slot (the _media_docs constant, A/B'd in r13 sessions 5-6) instead of
+# jumping straight to every task slot.  A full-width round-robin of a
+# half-MB bench scan costs more in exchange + per-task setup than the map
+# work it spreads (bench gate caught shingle_containment_pairs 2.0 → 2.5-3.7 s
+# at sf0.1 under the full-width form), while a size-derived width converges
+# to full width exactly where the spread pays: at 32 slots the two rules
+# pick the same width for any input >= 6 MiB.  Callers whose MAP stage is
+# dominated by per-row kernel cost rather than bytes (the brute/vectorized
+# eval screens' |evals|×dims folds) pass ``slots`` explicitly to pin full
+# width.
+FAN_OUT_SIZED_BYTES = 192 << 10
+
 
 def fan_out(df: DataFrame, slots: int | None = None) -> DataFrame:
     """Round-robin repartition when the input is too narrow to keep every
@@ -105,7 +118,14 @@ def fan_out(df: DataFrame, slots: int | None = None) -> DataFrame:
                 break
         else:
             if total < target * FAN_OUT_BYTES_PER_SLOT:
-                return df.repartition(target)
+                # explicit ``slots`` = the caller chose the width; the
+                # default derives it from input size (full width from
+                # ~6 MiB up at 32 slots, narrower below — see
+                # FAN_OUT_SIZED_BYTES)
+                width = slots or max(
+                    2, min(target, total // FAN_OUT_SIZED_BYTES + 1)
+                )
+                return df.repartition(int(width))
             return df
     # cold path: in-memory / non-statable lineage — the probe's plan→RDD
     # conversion is acceptable here because these inputs never sit on the

@@ -139,17 +139,30 @@ def test_decontaminate_invariant_to_partitioning(spark, n_parts):
 
 
 def test_fan_out_is_noop_on_wide_inputs(spark):
-    from killrweather_spark.sources.readers import fan_out, load_table
+    import os
+
+    from killrweather_spark.sources.readers import (
+        FAN_OUT_SIZED_BYTES,
+        fan_out,
+        load_table,
+    )
 
     slots = spark.sparkContext.defaultParallelism
     wide = spark.range(1000).repartition(slots + 4)
     assert fan_out(wide) is wide  # already >= slots: untouched lineage
     narrow = spark.range(1000).coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() == slots
-    # file-backed hot path: a small parquet scan is spread to all slots via
-    # the stat-based byte threshold — no plan→RDD conversion involved
+    # file-backed hot path: a small parquet scan is spread via the
+    # stat-based byte threshold, to a SIZE-DERIVED width (r13 session 6:
+    # ~192 KiB of input per slot, full width only from ~6 MiB up at 32
+    # slots) — no plan→RDD conversion involved
     docs = load_table(spark, SF001, "documents")
-    assert fan_out(docs).rdd.getNumPartitions() == slots
+    sz = os.stat(os.path.join(SF001, "documents.parquet")).st_size
+    expect = max(2, min(slots, sz // FAN_OUT_SIZED_BYTES + 1))
+    assert fan_out(docs).rdd.getNumPartitions() == expect
+    assert expect < slots  # the bench-SF scan must NOT jump to full width
+    # an explicit slots= pins the width exactly (the kernel-bound callers)
+    assert fan_out(docs, slots=slots).rdd.getNumPartitions() == slots
 
 
 @given(
