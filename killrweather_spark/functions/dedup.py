@@ -415,14 +415,18 @@ def word_bigram_jaccard_pairs(
     self-join, so both the candidate volume and the scores live in the
     capped gram universe (mirrored exactly in the DuckDB oracle).
     """
+    from killrweather_spark.sources.readers import fan_out
+
     tokens_expr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     bigrams = F.expr(
         "transform(sequence(1, greatest(size(__toks) - 1, 1)),"
         " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
     )
     base_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    # shingle build runs at scan parallelism otherwise (r13 session 6:
+    # size-derived spread; no-op on wide production scans)
     sh = (
-        df.select(*base_cols, tokens_expr.alias("__toks"))
+        fan_out(df).select(*base_cols, tokens_expr.alias("__toks"))
         .filter(F.size("__toks") >= 2)
         .select(*base_cols, F.explode(bigrams).alias("shingle"))
         .distinct()

@@ -31,19 +31,31 @@ def rank_normalize(
     — bit-identical to the window-function formulation on any engine.
     Singleton groups map to 0.
     """
-    import pandas as pd  # noqa: F401 (documents the dependency)
+    import numpy as np
+    import pandas as pd
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} bigint"
 
     def normalize(pdf):
+        # numpy min-rank (unique + counts-cumsum) and a dict-built output
+        # frame: pandas .rank() plus in-place column assignment paid a
+        # frame copy per GROUP, and grouped-map dispatch is per group —
+        # r13 session 6, ~25% off the per-group body.  Semantics are
+        # RANK()'s min-rank ties, identical to .rank(method="min").
         n = len(pdf)
         if n == 1:
-            pdf[out_col] = 0
+            pr = np.zeros(1, dtype="int64")
         else:
-            ranks = pdf[value_col].rank(method="min").astype("int64")
-            pdf[out_col] = (ranks - 1) * 1_000_000 // (n - 1)
-        return pdf
+            vals = pdf[value_col].to_numpy()
+            _, inv, cnt = np.unique(
+                vals, return_inverse=True, return_counts=True
+            )
+            starts = np.cumsum(cnt) - cnt  # 0-based min-rank per value
+            pr = starts[inv] * 1_000_000 // (n - 1)
+        data = {f: pdf[f] for f in pdf.columns}
+        data[out_col] = pr
+        return pd.DataFrame(data, copy=False)
 
     return df.groupBy(key_col).applyInPandas(normalize, schema=out_schema)
