@@ -434,25 +434,46 @@ def word_bigram_jaccard_pairs(
         # tokenize→explode→distinct lineage runs once
         .transform(persist_once)
     )
+    from killrweather_spark.plans.hints import maybe_broadcast
+
     sh = gram_df_cap(
         sh, ["shingle"] + ([block_col] if block_col else []), max_df
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    # Intersection counting by PER-GRAM PAIR EXPANSION instead of the
+    # gram-keyed self-join (r13 session 6): each capped gram's doc list
+    # (≤ max_df ids — ~8 KB at the default cap) collects once and the
+    # ordered pairs expand ROW-LOCALLY; the self-join shuffled the
+    # (doc, shingle) table twice and hash-probed Σ df² incidences
+    # through the join operator (sf1: 193 M incidences, 84 s join form
+    # vs 53 s expansion form, identical 51.5 M-pair output).  sort_array
+    # over the distinct doc list yields exactly the a < b pairs the join
+    # condition kept.
+    gkeys = ["shingle"] + ([block_col] if block_col else [])
+    gl = sh.groupBy(*gkeys).agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ds")
     )
-    if block_col:
-        join_cond = join_cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    pair_expand = F.expr(
+        "flatten(transform(__ds, (x, i) -> "
+        "transform(slice(__ds, i + 2, size(__ds)), "
+        "y -> struct(x as doc_a, y as doc_b))))"
+    )
     inter = (
-        a.join(b, join_cond)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        gl.select(F.explode(pair_expand).alias("__p"))
+        .select("__p.doc_a", "__p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # sizes is one row per surviving doc — metadata-sized next to the
+    # pre-threshold pair table it decorates (51.5 M rows at sf1); the
+    # size gate broadcasts it at bench SFs and falls back to the keyed
+    # join when a corpus outgrows the gate
+    sa = maybe_broadcast(
+        sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    )
+    sb = maybe_broadcast(
+        sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    )
     out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -533,23 +554,35 @@ def containment_pairs(
         # tokenize→explode lineage runs once
         .transform(persist_once)
     )
+    from killrweather_spark.plans.hints import maybe_broadcast
+
     sh = gram_df_cap(sh, ["gram"] + ([block_col] if block_col else []), max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    cond = (F.col("a.gram") == F.col("b.gram")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    # per-gram ordered pair expansion instead of the gram-keyed
+    # self-join — see word_bigram_jaccard_pairs (r13 session 6); the
+    # doc list per capped gram is ≤ max_df ids and the expansion is
+    # row-local, so Σ df² incidences never cross a join operator
+    gkeys = ["gram"] + ([block_col] if block_col else [])
+    gl = sh.groupBy(*gkeys).agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ds")
     )
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    pair_expand = F.expr(
+        "flatten(transform(__ds, (x, i) -> "
+        "transform(slice(__ds, i + 2, size(__ds)), "
+        "y -> struct(x as doc_a, y as doc_b))))"
+    )
     inter = (
-        a.join(b, cond)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        gl.select(F.explode(pair_expand).alias("__p"))
+        .select("__p.doc_a", "__p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa = maybe_broadcast(
+        sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    )
+    sb = maybe_broadcast(
+        sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    )
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")

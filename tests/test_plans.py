@@ -471,6 +471,22 @@ def test_components_join_is_keyed_not_broadcast(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
 
 
+def test_jaccard_pair_finder_expands_per_gram_not_self_join(spark):
+    """The exact-Jaccard / containment verifiers count shared grams by
+    per-gram ordered pair EXPANSION (collect the ≤ df-cap doc list once,
+    expand row-locally), not by a gram-keyed self-join — Σ df²
+    incidences must never cross a join operator (r13 session 6; sf1
+    193 M incidences, join form 84 s vs 53 s).  The only joins left in
+    the pair plan are the size decorations, which broadcast at bench SF."""
+    for name in ("ngram_jaccard_pairs", "shingle_containment_pairs"):
+        df = REGISTRY[name].fn(spark, SF01)
+        plan = checks.formatted_plan(df)
+        assert checks.node_count(df, "SortMergeJoin") == 0, (name, plan)
+        # the expansion is a Generate over the per-gram doc-list rollup
+        assert "Generate" in plan, (name, plan)
+        assert checks.node_count(df, "BroadcastHashJoin") >= 2, (name, plan)
+
+
 def test_int8_ann_coarse_scan_is_keyed_and_broadcast_sided(spark):
     """The two-stage int8 ANN's plan contract: the coarse scan joins the
     corpus against a BROADCAST query side (never a cartesian/nested-loop
