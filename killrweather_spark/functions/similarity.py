@@ -1873,7 +1873,10 @@ def kmeans_assign_step(df: DataFrame, id_col: str = "vec_id",
     cand_arr = np.array(cands, dtype=np.int64)
     d = int(width)
 
-    @F.pandas_udf("new_label bigint, dist2 bigint")
+    # new_label is INT like the source label column (and the oracle's
+    # cand) — the interrupted session declared it bigint, which passed
+    # value parity but failed the dtype-parity gate (int64 vs int32)
+    @F.pandas_udf("new_label int, dist2 bigint")
     def assign(qv_s):
         import numpy as _np
         import pandas as _pd
