@@ -23,6 +23,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Core count this bench run executes with (the driver also runs the bench at
+# a LOWER count to measure scaling).  Stamped into every artifact so the
+# baseline selector can refuse cross-cpu comparisons: after round 13 the
+# driver's 8-core scaling leg overwrote bench_out.json / BENCH_r14_full.json
+# and would have become round 14's same-SF baseline, mis-adjudicating every
+# 32-core number.
+_cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_CPUS = int(_cpus_env) if _cpus_env.isdigit() else 32
+
 # Headline set: the queries that dominate real workloads — full-scan tiered
 # rollups, the star join, windowed analytics, and (as they land) dedup /
 # similarity.  Keep this list in sync with the heaviest REGISTRY entries.
@@ -387,6 +396,12 @@ def _prior_bench(
                 f"--vs-artifact {artifact}: no query map at sf={sf} "
                 f"(artifact sf={parsed.get('sf')})"
             )
+        if parsed.get("cpus") not in (None, BENCH_CPUS):
+            raise SystemExit(
+                f"--vs-artifact {artifact}: recorded at cpus="
+                f"{parsed.get('cpus')} but this run uses cpus={BENCH_CPUS} "
+                "— cross-cpu timings are not comparable"
+            )
         return (
             p.name,
             q,
@@ -403,6 +418,11 @@ def _prior_bench(
             parsed = d.get("parsed") or d
             q = parsed.get("queries")
         except (json.JSONDecodeError, AttributeError, OSError):
+            continue
+        if parsed.get("cpus") not in (None, BENCH_CPUS):
+            # A scaling-leg artifact (different core count) is not a valid
+            # baseline for this run; legacy artifacts without the stamp
+            # are accepted unchanged.
             continue
         if q and parsed.get("sf") == sf:
             return (
@@ -765,6 +785,7 @@ def main() -> None:
             "value/drift gate"
         ),
         "sf": sf,
+        "cpus": BENCH_CPUS,
         "vs_prior": prior_name,
         "env_drift_ratio": round(env_drift_ratio, 4),
         "cpu_probe_sec": cpu_probe_sec,
@@ -789,10 +810,16 @@ def main() -> None:
     root = Path(__file__).resolve().parent
     out_names = ["bench_out.json"]
     rnd = _current_round()
-    if rnd is not None and sf == 0.1:
-        out_names.append(f"BENCH_r{rnd:02d}_full.json")
-    elif rnd is not None and sf == 1.0:
-        out_names.append(f"BENCH_r{rnd:02d}_sf1_full.json")
+    # The round-pinned _full artifact records the round's MAIN run only:
+    # the driver's low-core scaling leg must not overwrite it (after r13
+    # an 8-core leg landed as BENCH_r14_full.json and would have become
+    # the next round's baseline).  bench_out.json is still written — its
+    # cpus stamp lets _prior_bench skip it when the counts differ.
+    if BENCH_CPUS == (os.cpu_count() or BENCH_CPUS):
+        if rnd is not None and sf == 0.1:
+            out_names.append(f"BENCH_r{rnd:02d}_full.json")
+        elif rnd is not None and sf == 1.0:
+            out_names.append(f"BENCH_r{rnd:02d}_sf1_full.json")
     for out_name in out_names:
         try:
             (root / out_name).write_text(line + "\n")

@@ -1,0 +1,75 @@
+"""Pins for bench.py's artifact selection (no Spark session needed).
+
+Round-13 postmortem: the driver's 8-core scaling leg overwrote
+``bench_out.json`` and landed as ``BENCH_r14_full.json``, so round 14's
+drift gate would have baselined 32-core numbers against an 8-core run.
+The fixes pinned here: every artifact carries a ``cpus`` stamp, the
+baseline selector skips artifacts recorded at a different core count,
+and ``--vs-artifact`` refuses them loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+import bench  # noqa: E402
+
+
+def _write(p: Path, **payload) -> None:
+    base = {
+        "metric": "headline_query_wall_time",
+        "unit": "sec",
+        "queries": {"daily_stats": 1.0},
+        "value": 1.0,
+        "sf": 0.1,
+    }
+    base.update(payload)
+    p.write_text(json.dumps(base))
+
+
+def test_prior_bench_skips_cross_cpu_artifacts(tmp_path, monkeypatch):
+    """A same-SF artifact stamped with a different core count must never
+    be selected as the comparison baseline; the selector falls through to
+    the next candidate (legacy artifacts without the stamp still match)."""
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    _write(tmp_path / "bench_out.json", cpus=8,
+           queries={"daily_stats": 9.9})
+    _write(tmp_path / "BENCH_r13_full.json", cpus=bench.BENCH_CPUS,
+           queries={"daily_stats": 1.5})
+    got = bench._prior_bench(0.1)
+    assert got is not None
+    name, q = got[0], got[1]
+    assert name == "BENCH_r13_full.json"
+    assert q == {"daily_stats": 1.5}
+
+
+def test_prior_bench_accepts_legacy_unstamped_artifact(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    _write(tmp_path / "bench_out.json", queries={"daily_stats": 2.5})
+    got = bench._prior_bench(0.1)
+    assert got is not None and got[0] == "bench_out.json"
+
+
+def test_vs_artifact_refuses_cross_cpu(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    p = tmp_path / "BENCH_r13_c8.json"
+    _write(p, cpus=bench.BENCH_CPUS + 1)
+    with pytest.raises(SystemExit, match="cross-cpu"):
+        bench._prior_bench(0.1, artifact=str(p))
+
+
+def test_repo_artifacts_are_not_the_8core_run():
+    """The quarantine itself: the repo's rolling artifact must be the
+    32-core round-13 run, and the mis-named BENCH_r14_full.json (byte-
+    identical to the 8-core BENCH_r13_c8.json scaling leg) must be gone."""
+    assert not (ROOT / "BENCH_r14_full.json").exists()
+    rolling = json.loads((ROOT / "bench_out.json").read_text())
+    r13 = json.loads((ROOT / "BENCH_r13_full.json").read_text())
+    assert rolling["queries"] == r13["queries"]
