@@ -689,10 +689,12 @@ def tfidf_cosine_pairs(
     over each candidate pair's shared terms → cosine ≥ ``threshold``.
 
     Scale shape: the only quadratic step is per-rare-term and capped at
-    df_cap² — the same bucketed-candidates contract as the LSH families;
-    the dot joins are term-keyed over candidate docs only; the df table
-    (vocabulary-sized) broadcasts.  Returns (doc_a, doc_b, cosine),
-    doc_a < doc_b.
+    df_cap² — the same bucketed-candidates contract as the LSH families —
+    and it expands ROW-LOCALLY from per-term (doc, w) lists (≤ df_cap
+    entries each) instead of crossing a join operator; only the df>cap
+    sliver of the weight table flows through a (pair, term) join for the
+    common-term share of the dot; the df table (vocabulary-sized)
+    broadcasts.  Returns (doc_a, doc_b, cosine), doc_a < doc_b.
     """
     from killrweather_spark.functions.text import tokens
     from killrweather_spark.sources.readers import fan_out
@@ -740,29 +742,76 @@ def tfidf_cosine_pairs(
     rare = df_.filter(
         (F.col("df") >= 2) & (F.col("df") <= df_cap)
     ).select("term")
-    posting = tf.join(F.broadcast(rare), "term").select("term", "doc_id")
-    cand = (
-        posting.alias("a")
-        .join(posting.alias("b"), "term")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+    # Candidates AND the rare-term share of the dot from ONE per-term pair
+    # expansion (the r13 #30 jaccard/containment pattern): each capped
+    # term's (doc, w) list collects once (≤ df_cap entries) and the ordered
+    # pairs expand ROW-LOCALLY carrying their weight product, so the Σ df²
+    # incidences never cross a join operator — the former shape self-joined
+    # the posting table per term AND re-exploded every candidate pair
+    # against doc_a's FULL term vector (|cand|·|terms(a)| rows — 7.6 M at
+    # sf0.1 — shuffled+sorted to keep the 243 k shared-term rows).
+    # sort_array over struct(doc_id, w) orders by doc_id (unique per term),
+    # so i < j expansion ≡ the old a.doc_id < b.doc_id join condition, and
+    # the per-pair count of rare-term expansions ≡ the old __shared count.
+    wl = (
+        w.join(F.broadcast(rare), "term")
+        .groupBy("term")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("w")))
+            ).alias("__ds")
         )
-        .agg(F.count(F.lit(1)).alias("__shared"))
-        .filter(F.col("__shared") >= min_shared)
-        .select("da", "db")
     )
-    wa = w.select(
+    pair_expand = F.expr(
+        "flatten(transform(__ds, (x, i) -> "
+        "transform(slice(__ds, i + 2, size(__ds)), "
+        "y -> struct(x.doc_id as da, y.doc_id as db, x.w * y.w as p))))"
+    )
+    rare_pairs = (
+        wl.select(F.explode(pair_expand).alias("__p"))
+        .select("__p.da", "__p.db", "__p.p")
+        .groupBy("da", "db")
+        .agg(
+            F.count(F.lit(1)).alias("__shared"),
+            F.sum("p").alias("__dot_r"),
+        )
+        .filter(F.col("__shared") >= min_shared)
+    )
+    # Terms COMMONER than the cap still contribute to a candidate pair's
+    # dot (they just cannot nominate candidates); their per-term pair
+    # expansion would be df²-unbounded, so this slice keeps the join form —
+    # over the df>cap slice of w only, against the ALREADY-THRESHOLDED
+    # candidate pair set.  No broadcast hint on either wc side: the slice
+    # is corpus-scale whenever boilerplate dominates (sf1: 2.6 M of the
+    # 2.65 M weight rows sit above the cap), so the small side of each
+    # join is the candidate frame and AQE's size-based choice broadcasts
+    # it — hinting wc would rebuild the r13 fuzzy_name_pairs mistake
+    # (§3.1: forced broadcast of a mis-estimated corpus-scale side).
+    common = df_.filter(F.col("df") > df_cap).select("term")
+    wc = w.join(F.broadcast(common), "term")
+    wca = wc.select(
         F.col("doc_id").alias("da"), "term", F.col("w").alias("wa")
     )
-    wb = w.select(
+    wcb = wc.select(
         F.col("doc_id").alias("db"), "term", F.col("w").alias("wb")
     )
-    dots = (
-        cand.join(wa, "da")
-        .join(wb, ["db", "term"])
+    dot_c = (
+        rare_pairs.select("da", "db")
+        .join(wca, "da")
+        .join(wcb, ["db", "term"])
         .groupBy("da", "db")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("__dot_c"))
+    )
+    dots = (
+        rare_pairs.join(dot_c, ["da", "db"], "left")
+        .select(
+            "da",
+            "db",
+            (
+                F.col("__dot_r")
+                + F.coalesce(F.col("__dot_c"), F.lit(0).cast("bigint"))
+            ).alias("dot"),
+        )
     )
     return (
         dots.join(nrm.select(F.col("doc_id").alias("da"),

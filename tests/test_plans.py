@@ -487,6 +487,22 @@ def test_jaccard_pair_finder_expands_per_gram_not_self_join(spark):
         assert checks.node_count(df, "BroadcastHashJoin") >= 2, (name, plan)
 
 
+def test_tfidf_pair_finder_expands_per_term_not_self_join(spark):
+    """tfidf_cosine_pairs builds candidates AND the rare-term dot share
+    from ONE per-term ordered pair expansion (r14: the #30 jaccard
+    pattern with (doc, w) structs) — the capped Σ df² incidences expand
+    row-locally instead of crossing a posting self-join, and the former
+    |cand|·|terms(a)| re-explosion of every pair against doc_a's full
+    vector (7.6 M rows at sf0.1 to keep 243 k) is gone; only the df>cap
+    slice of the weight table still flows through a (pair, term) join."""
+    df = REGISTRY["tfidf_cosine_pairs"].fn(spark, SF01)
+    plan = checks.formatted_plan(df)
+    # the row-local expansion over the per-term (doc, w) list rollup
+    assert "flatten(transform(__ds" in plan, plan
+    # the fused aggregation carries shared-count AND the rare-term dot
+    assert "__shared" in plan and "__dot_r" in plan, plan
+
+
 def test_int8_ann_coarse_scan_is_keyed_and_broadcast_sided(spark):
     """The two-stage int8 ANN's plan contract: the coarse scan joins the
     corpus against a BROADCAST query side (never a cartesian/nested-loop
