@@ -190,26 +190,28 @@ def dsir_weights(docs: DataFrame, target_source: str) -> DataFrame:
         # feeds raw counts, target counts, and the final scoring join
         .transform(persist_once)
     )
-    raw = doc_ug.groupBy("term").agg(F.sum("cnt").alias("c_r"))
-    tgt = (
-        doc_ug.filter(F.col("source") == target_source)
-        .groupBy("term")
-        .agg(F.sum("cnt").alias("c_t"))
+    # ONE vocabulary aggregation carries both count columns (r14): the
+    # former shape ran two corpus-scale term rollups (raw + the
+    # target-filtered tgt) and LEFT-joined them — a second term-keyed
+    # Exchange over the same persisted doc_ug for a conditional sum the
+    # first rollup can compute in place.  ``c_t`` is NULL exactly when the
+    # term never occurs in the target source, matching the old left
+    # join's missing-term NULL (target-only types cannot occur in raw
+    # documents, so nothing is lost either way).
+    counts = doc_ug.groupBy("term").agg(
+        F.sum("cnt").alias("c_r"),
+        F.sum(
+            F.when(F.col("source") == target_source, F.col("cnt"))
+        ).alias("c_t"),
     )
-    totals = (
-        raw.join(tgt, "term", "left")
-        .agg(
-            F.sum("c_r").cast("bigint").alias("n_r"),
-            F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t"),
-            F.count(F.lit(1)).cast("bigint").alias("v"),
-        )
+    totals = counts.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
     )
-    # ratio table: raw-vocabulary-sized (target-only types cannot occur in
-    # raw documents, so the left join loses nothing); totals broadcast as
-    # one row
+    # ratio table: raw-vocabulary-sized; totals broadcast as one row
     rtable = (
-        raw.join(tgt, "term", "left")
-        .crossJoin(F.broadcast(totals))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "term",
             F.expr(
