@@ -1023,38 +1023,67 @@ def ivf_probe_topk(
         )
         .transform(persist_once)
     )
-    qcomp = qarr.select(
-        "query_id", F.posexplode("qq").alias("pos", "q")
-    ).select("query_id", (F.col("pos") + 1).alias("pos"), "q")
-    qd2 = (
-        qcomp.join(F.broadcast(cents), "pos")
-        .groupBy("query_id", "cell")
-        .agg(
-            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
-            .alias("d2")
+    # Probe ranking on the DRIVER (r14): the query side is serving-sized
+    # by contract (the probe-cell cap below) and the trained centroid
+    # table is n_centroids × dim rows, so ranking cells per query is
+    # metadata-sized Python — the former chain (posexplode ⋈
+    # broadcast(cents) → groupBy(query_id, cell) → row_number window →
+    # collect) spent two Exchanges, a window sort and a broadcast build
+    # per probe direction on a ≤ |queries| × n_centroids-row frame.
+    # Replicated semantics, value-exact: a (query, cell) d2 row existed
+    # iff ≥ 1 position overlapped (posexplode emits null components, the
+    # inner join on pos keeps them); d2 = SUM's null-skip over (q−c)²
+    # terms, NULL when every term is null — and the window ranked NULL
+    # d2 FIRST (asc nulls-first) with ties on the smaller cell; a query
+    # with a NULL/EMPTY vector had no component rows and probes nothing.
+    # Duplicate query ids keep the documented uniqueness contract (the
+    # old groupBy summed duplicates' d2 — identical ranking for the
+    # identical-vector case, and the pair set dedupes either way).
+    cellmaps: dict[int, dict[int, int]] = {}
+    for r in cents.collect():
+        cellmaps.setdefault(r.cell, {})[r.pos] = r.c
+    # bounded collect: the cap is on query·probe pairs, so cap+1 query
+    # rows is already provably over it — a mis-sized query set never
+    # pulls a corpus to the driver
+    q_rows = (
+        qarr.select("query_id", "qq")
+        .limit(IVF_MAX_PROBE_CELLS + 1)
+        .collect()
+    )
+    pairs_list: list[tuple[int, int]] = []
+    for r in q_rows:
+        if not r.qq:  # NULL or empty vector: no component rows → no probe
+            continue
+        ranked: list[tuple[int, int, int]] = []
+        for cell, cm in cellmaps.items():
+            overlap = False
+            d2 = None
+            for pos, c in cm.items():
+                if 1 <= pos <= len(r.qq):
+                    overlap = True
+                    q = r.qq[pos - 1]
+                    if q is not None and c is not None:
+                        t = (q - c) * (q - c)
+                        d2 = t if d2 is None else d2 + t
+            if overlap:
+                # (nulls-first flag, d2, cell) ≡ the window's
+                # (d2 asc nulls first, cell asc) order
+                ranked.append((0 if d2 is None else 1, d2 or 0, cell))
+        ranked.sort()
+        pairs_list.extend(
+            (int(r.query_id), int(cell)) for _, _, cell in ranked[:n_probe]
         )
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("cell").asc()
-    )
-    probes = (
-        qd2.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= n_probe)
-        .select("query_id", "cell")
-    )
-    # BOUNDED driver collect (n_queries · n_probe pairs): it is what turns
-    # the probe list into LITERAL partition filters the parquet scan can
-    # prune with — the serving-time move of a real IVF store.  The guard
-    # keeps a mis-sized query set from turning this into a corpus read.
-    probe_rows = probes.collect()
-    if len(probe_rows) > IVF_MAX_PROBE_CELLS:
+    if (
+        len(q_rows) > IVF_MAX_PROBE_CELLS
+        or len(pairs_list) > IVF_MAX_PROBE_CELLS
+    ):
         raise ValueError(
-            f"probe list has {len(probe_rows)} entries"
+            f"probe list has {len(pairs_list)} entries"
             f" (> {IVF_MAX_PROBE_CELLS}): the query set is not"
             " serving-sized — batch it"
         )
-    cells = sorted({r.cell for r in probe_rows})
-    pairs = {(r.query_id, r.cell) for r in probe_rows}
+    cells = sorted({c for _, c in pairs_list})
+    pairs = set(pairs_list)
 
     probes_df = F.broadcast(
         spark.createDataFrame(
