@@ -22,6 +22,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# the session factory derives the initial shuffle width from this dir;
+# pin the default into the env so harness and session agree when unset
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", SF_DIR)
 
 # Core count this bench run executes with (the driver also runs the bench at
 # a LOWER count to measure scaling).  Stamped into every artifact so the

@@ -11929,6 +11929,26 @@ def _wire_streaming_tws() -> None:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # The stateful stage's cost is per-key state-server ROUND TRIPS
+        # (latency-bound Python protocol), so its width must track task
+        # slots, not input bytes: the session's size-derived shuffle
+        # width (r14) starves it on small inputs (width 4: 7.5 s
+        # best-of-2 vs 4.4 s at 16), while full width pays 2x the
+        # RocksDB store-init cost per stream start (width 32: 5.1 s).
+        # Half the slots balanced both for all three TWS operators
+        # (A/B'd 4/8/16/32 at 32 slots).  Set for the stream build,
+        # restored after — batch neighbors keep the size-derived width.
+        part_key = "spark.sql.shuffle.partitions"
+        prior_parts = spark.conf.get(part_key, None)
+        spark.conf.set(
+            part_key,
+            str(
+                max(
+                    int(prior_parts or 0),
+                    spark.sparkContext.defaultParallelism // 2,
+                )
+            ),
+        )
         try:
             name = f"stream_tws_totals_{uuid.uuid4().hex[:8]}"
             drained = run_stream_to_batch(
@@ -11939,6 +11959,10 @@ def _wire_streaming_tws() -> None:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, prior)
+            if prior_parts is None:
+                spark.conf.unset(part_key)
+            else:
+                spark.conf.set(part_key, prior_parts)
         return drained.groupBy("user_id").agg(
             F.max("n").cast("bigint").alias("n"),
             F.max_by("sum_cents", "n").cast("bigint").alias("sum_cents"),
@@ -11998,6 +12022,26 @@ def _wire_streaming_tws() -> None:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # The stateful stage's cost is per-key state-server ROUND TRIPS
+        # (latency-bound Python protocol), so its width must track task
+        # slots, not input bytes: the session's size-derived shuffle
+        # width (r14) starves it on small inputs (width 4: 7.5 s
+        # best-of-2 vs 4.4 s at 16), while full width pays 2x the
+        # RocksDB store-init cost per stream start (width 32: 5.1 s).
+        # Half the slots balanced both for all three TWS operators
+        # (A/B'd 4/8/16/32 at 32 slots).  Set for the stream build,
+        # restored after — batch neighbors keep the size-derived width.
+        part_key = "spark.sql.shuffle.partitions"
+        prior_parts = spark.conf.get(part_key, None)
+        spark.conf.set(
+            part_key,
+            str(
+                max(
+                    int(prior_parts or 0),
+                    spark.sparkContext.defaultParallelism // 2,
+                )
+            ),
+        )
         try:
             name = f"stream_tws_daily_{uuid.uuid4().hex[:8]}"
             drained = run_stream_to_batch(
@@ -12008,6 +12052,10 @@ def _wire_streaming_tws() -> None:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, prior)
+            if prior_parts is None:
+                spark.conf.unset(part_key)
+            else:
+                spark.conf.set(part_key, prior_parts)
         # day stays a 'yyyy-MM-dd' string end-to-end — the repo's
         # day-column convention (dtype-parity: DuckDB DATE materializes
         # as datetime64, Spark DATE as object)
@@ -12070,6 +12118,26 @@ def _wire_streaming_tws() -> None:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # The stateful stage's cost is per-key state-server ROUND TRIPS
+        # (latency-bound Python protocol), so its width must track task
+        # slots, not input bytes: the session's size-derived shuffle
+        # width (r14) starves it on small inputs (width 4: 7.5 s
+        # best-of-2 vs 4.4 s at 16), while full width pays 2x the
+        # RocksDB store-init cost per stream start (width 32: 5.1 s).
+        # Half the slots balanced both for all three TWS operators
+        # (A/B'd 4/8/16/32 at 32 slots).  Set for the stream build,
+        # restored after — batch neighbors keep the size-derived width.
+        part_key = "spark.sql.shuffle.partitions"
+        prior_parts = spark.conf.get(part_key, None)
+        spark.conf.set(
+            part_key,
+            str(
+                max(
+                    int(prior_parts or 0),
+                    spark.sparkContext.defaultParallelism // 2,
+                )
+            ),
+        )
         try:
             name = f"stream_tws_distinct_{uuid.uuid4().hex[:8]}"
             drained = run_stream_to_batch(
@@ -12080,6 +12148,10 @@ def _wire_streaming_tws() -> None:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, prior)
+            if prior_parts is None:
+                spark.conf.unset(part_key)
+            else:
+                spark.conf.set(part_key, prior_parts)
         return drained.groupBy("user_id").agg(
             F.max("n_values").cast("bigint").alias("n_values"),
             F.max_by("values", "n_values").alias("values"),

@@ -21,6 +21,55 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Initial shuffle width targets DATA volume, not the core count (guide §2.2
+# and the round-14 brief: "make partitioning scale-adaptive ... rather than a
+# constant tuned for either local mode or the cluster").  Measured at r14:
+# every extra initial shuffle partition carries a fixed map-side cost
+# (per-partition writer segments + reduce tasks AQE's parallelism-first
+# floor refuses to coalesce below defaultParallelism), so a 32-wide shuffle
+# of a half-MB aggregate loses to an 8-wide one by ~2x at sf0.1
+# (exact_substring_pairs 2.2 s -> 1.1 s; ten-query probe 18.0 -> 12.1 s) and
+# a 32-wide sf1 shuffle loses to 16 (30.4 -> 24.4 s).  AQE read-side
+# coalescing did NOT recover this (parallelismFirst=false A/B'd a wash), so
+# the INITIAL number must track input size.  Production posture: raise
+# SPARK_GRAFT_SHUFFLE_TARGET_MB toward the guide's 100 MB-1 GB per-partition
+# band (the 16 MiB default reflects local-mode per-partition fixed costs)
+# and the 4x-slots cap scales with the cluster.
+SHUFFLE_TARGET_MB = int(os.environ.get("SPARK_GRAFT_SHUFFLE_TARGET_MB", "16"))
+
+
+def _derived_shuffle_partitions(cpus: int) -> int:
+    """Input-size-derived initial shuffle partition count.
+
+    Sized from the bench data directory ($SPARK_GRAFT_SF_DIR) when it is
+    set: one initial partition per SHUFFLE_TARGET_MB of input, floored at 4
+    (keep some reduce parallelism for genuinely heavy aggregations) and
+    capped at 4x the task slots (the classic over-partitioning bound; AQE
+    coalesces downward from there).  Without the env contract the caller
+    knows nothing about the data — fall back to the core count.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not sf_dir or not os.path.isdir(sf_dir):
+        return cpus
+    total = 0
+    try:
+        for name in os.listdir(sf_dir):
+            if name.endswith(".parquet"):
+                p = os.path.join(sf_dir, name)
+                if os.path.isfile(p):
+                    total += os.stat(p).st_size
+                else:  # directory-style parquet table
+                    for root, _dirs, files in os.walk(p):
+                        total += sum(
+                            os.stat(os.path.join(root, f)).st_size
+                            for f in files
+                        )
+    except OSError:
+        return cpus
+    if total <= 0:
+        return cpus
+    return max(4, min(4 * cpus, total // (SHUFFLE_TARGET_MB << 20) + 1))
+
 
 def get_session(
     app_name: str = "killrweather_spark",
@@ -37,7 +86,10 @@ def get_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or _derived_shuffle_partitions(cpus)),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

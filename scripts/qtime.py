@@ -29,6 +29,9 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# the session factory derives the initial shuffle width from this dir;
+# pin the default into the env so harness and session agree when unset
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", SF_DIR)
 
 
 def main() -> None:

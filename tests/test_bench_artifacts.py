@@ -66,10 +66,13 @@ def test_vs_artifact_refuses_cross_cpu(tmp_path, monkeypatch):
 
 
 def test_repo_artifacts_are_not_the_8core_run():
-    """The quarantine itself: the repo's rolling artifact must be the
-    32-core round-13 run, and the mis-named BENCH_r14_full.json (byte-
-    identical to the 8-core BENCH_r13_c8.json scaling leg) must be gone."""
-    assert not (ROOT / "BENCH_r14_full.json").exists()
-    rolling = json.loads((ROOT / "bench_out.json").read_text())
-    r13 = json.loads((ROOT / "BENCH_r13_full.json").read_text())
-    assert rolling["queries"] == r13["queries"]
+    """The quarantine itself: the round-13 8-core scaling leg must never
+    masquerade as a round artifact again — any BENCH_r14+ artifact and
+    the rolling bench_out.json must carry a full-core cpus stamp and must
+    not equal the BENCH_r13_c8.json query map."""
+    c8 = json.loads((ROOT / "BENCH_r13_c8.json").read_text())
+    c8_queries = (c8.get("parsed") or c8)["queries"]
+    for p in [ROOT / "bench_out.json", *ROOT.glob("BENCH_r1[4-9]*_full.json")]:
+        d = json.loads(p.read_text())
+        assert d["queries"] != c8_queries, p.name
+        assert d.get("cpus", 32) == 32, (p.name, d.get("cpus"))
