@@ -11930,13 +11930,14 @@ def _wire_streaming_tws() -> None:
             "RocksDBStateStoreProvider",
         )
         # The stateful stage's cost is per-key state-server ROUND TRIPS
-        # (latency-bound Python protocol), so its width must track task
-        # slots, not input bytes: the session's size-derived shuffle
-        # width (r14) starves it on small inputs (width 4: 7.5 s
-        # best-of-2 vs 4.4 s at 16), while full width pays 2x the
-        # RocksDB store-init cost per stream start (width 32: 5.1 s).
-        # Half the slots balanced both for all three TWS operators
-        # (A/B'd 4/8/16/32 at 32 slots).  Set for the stream build,
+        # (latency-bound Python protocol), so its width must not follow
+        # the session's size-derived shuffle width down on small inputs
+        # (width 4 at sf0.1: 7.5 s best-of-2 vs 4.4 s at 16) — but it
+        # must KEEP GROWING with data, because the trip count tracks
+        # touched state cells (width 16 at sf1: the 400 k-trip
+        # daily_counts drain doubled, 13.5 -> 27 s isolated).  Floor at
+        # half the task slots, scale as twice the data-derived width
+        # (state volume tracks input size).  Set for the stream build,
         # restored after — batch neighbors keep the size-derived width.
         part_key = "spark.sql.shuffle.partitions"
         prior_parts = spark.conf.get(part_key, None)
@@ -11944,7 +11945,7 @@ def _wire_streaming_tws() -> None:
             part_key,
             str(
                 max(
-                    int(prior_parts or 0),
+                    2 * int(prior_parts or 0),
                     spark.sparkContext.defaultParallelism // 2,
                 )
             ),
@@ -12023,13 +12024,14 @@ def _wire_streaming_tws() -> None:
             "RocksDBStateStoreProvider",
         )
         # The stateful stage's cost is per-key state-server ROUND TRIPS
-        # (latency-bound Python protocol), so its width must track task
-        # slots, not input bytes: the session's size-derived shuffle
-        # width (r14) starves it on small inputs (width 4: 7.5 s
-        # best-of-2 vs 4.4 s at 16), while full width pays 2x the
-        # RocksDB store-init cost per stream start (width 32: 5.1 s).
-        # Half the slots balanced both for all three TWS operators
-        # (A/B'd 4/8/16/32 at 32 slots).  Set for the stream build,
+        # (latency-bound Python protocol), so its width must not follow
+        # the session's size-derived shuffle width down on small inputs
+        # (width 4 at sf0.1: 7.5 s best-of-2 vs 4.4 s at 16) — but it
+        # must KEEP GROWING with data, because the trip count tracks
+        # touched state cells (width 16 at sf1: the 400 k-trip
+        # daily_counts drain doubled, 13.5 -> 27 s isolated).  Floor at
+        # half the task slots, scale as twice the data-derived width
+        # (state volume tracks input size).  Set for the stream build,
         # restored after — batch neighbors keep the size-derived width.
         part_key = "spark.sql.shuffle.partitions"
         prior_parts = spark.conf.get(part_key, None)
@@ -12037,7 +12039,7 @@ def _wire_streaming_tws() -> None:
             part_key,
             str(
                 max(
-                    int(prior_parts or 0),
+                    2 * int(prior_parts or 0),
                     spark.sparkContext.defaultParallelism // 2,
                 )
             ),
@@ -12119,13 +12121,14 @@ def _wire_streaming_tws() -> None:
             "RocksDBStateStoreProvider",
         )
         # The stateful stage's cost is per-key state-server ROUND TRIPS
-        # (latency-bound Python protocol), so its width must track task
-        # slots, not input bytes: the session's size-derived shuffle
-        # width (r14) starves it on small inputs (width 4: 7.5 s
-        # best-of-2 vs 4.4 s at 16), while full width pays 2x the
-        # RocksDB store-init cost per stream start (width 32: 5.1 s).
-        # Half the slots balanced both for all three TWS operators
-        # (A/B'd 4/8/16/32 at 32 slots).  Set for the stream build,
+        # (latency-bound Python protocol), so its width must not follow
+        # the session's size-derived shuffle width down on small inputs
+        # (width 4 at sf0.1: 7.5 s best-of-2 vs 4.4 s at 16) — but it
+        # must KEEP GROWING with data, because the trip count tracks
+        # touched state cells (width 16 at sf1: the 400 k-trip
+        # daily_counts drain doubled, 13.5 -> 27 s isolated).  Floor at
+        # half the task slots, scale as twice the data-derived width
+        # (state volume tracks input size).  Set for the stream build,
         # restored after — batch neighbors keep the size-derived width.
         part_key = "spark.sql.shuffle.partitions"
         prior_parts = spark.conf.get(part_key, None)
@@ -12133,7 +12136,7 @@ def _wire_streaming_tws() -> None:
             part_key,
             str(
                 max(
-                    int(prior_parts or 0),
+                    2 * int(prior_parts or 0),
                     spark.sparkContext.defaultParallelism // 2,
                 )
             ),
