@@ -76,3 +76,27 @@ def test_repo_artifacts_are_not_the_8core_run():
         d = json.loads(p.read_text())
         assert d["queries"] != c8_queries, p.name
         assert d.get("cpus", 32) == 32, (p.name, d.get("cpus"))
+
+
+def test_shuffle_width_is_input_size_derived(tmp_path, monkeypatch):
+    """r14: the initial shuffle width tracks the bench data directory's
+    size (one partition per SHUFFLE_TARGET_MB, floor 4, cap 4x slots)
+    and falls back to the core count when no data dir is in the env."""
+    import importlib
+
+    import killrweather_spark.session as S
+
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    importlib.reload(S)
+    assert S._derived_shuffle_partitions(32) == 32  # no env: core count
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    (d / "t.parquet").write_bytes(b"\0" * (40 << 20))  # 40 MiB
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(d))
+    importlib.reload(S)
+    assert S._derived_shuffle_partitions(32) == 3 + 1 == 4  # floor hit via 40//16+1
+    (d / "u.parquet").write_bytes(b"\0" * (400 << 20))  # +400 MiB
+    assert S._derived_shuffle_partitions(32) == (440 << 20) // (16 << 20) + 1
+    # cap: 4x slots
+    assert S._derived_shuffle_partitions(2) == 8
